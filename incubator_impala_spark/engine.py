@@ -1,0 +1,55 @@
+"""Engine facade: the reference's query entry point, Spark-native.
+
+The reference's lifecycle (SURVEY.md §3) is: HS2 ExecuteStatement →
+JNI → CUP parse → analyze/rewrite → single-node plan → distributed
+plan → admission → coordinator fan-out → Volcano execution. On Spark
+the whole pipeline is `spark.sql(text)` (ANTLR → Catalyst → AQE →
+DAGScheduler); our job is the *surface*: dialect translation, function
+registry, table catalog, and session semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from incubator_impala_spark import dialect
+from incubator_impala_spark.functions.registry import MACROS, register_all
+from incubator_impala_spark.session import configure_session
+from incubator_impala_spark.sources.tables import register_tables
+
+
+class Engine:
+    """A SQL engine with the reference's dialect & function surface.
+
+    Usage::
+
+        eng = Engine(spark, sf_dir="/root/testdata/sf0.01")
+        df = eng.sql("SELECT zeroifnull(sum(l_quantity)) FROM lineitem")
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        self.spark = configure_session(spark)
+        register_all(self.spark)
+        if sf_dir:
+            register_tables(self.spark, sf_dir)
+
+    def register_tables(self, sf_dir: str) -> None:
+        register_tables(self.spark, sf_dir)
+
+    def translate(self, sql_text: str) -> str:
+        """Impala SQL → Spark SQL (dialect shim only, no execution)."""
+        return dialect.translate(sql_text, MACROS)
+
+    def sql(self, sql_text: str) -> DataFrame:
+        return self.spark.sql(self.translate(sql_text))
+
+    def explain(self, sql_text: str, mode: str = "formatted") -> str:
+        """EXPLAIN surface (reference: sql-parser.cup:765-775)."""
+        import contextlib
+        import io
+
+        df = self.sql(sql_text)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode)
+        return buf.getvalue()

@@ -1,0 +1,103 @@
+"""SparkSession construction & engine configuration.
+
+The reference engine hand-tunes execution via 118 query options
+(`be/src/service/query-options.h`) plus planner heuristics
+(`fe/src/main/java/org/apache/impala/planner/DistributedPlanner.java:479-537`
+broadcast-vs-partition costing, `RuntimeFilterGenerator.java:570` bloom
+runtime filters). On Spark the equivalents are session confs; this module
+centralises them so every entry point (tests, bench, driver) gets the
+same scale-aware configuration.
+
+Scale rationale (100 TB / 1000-executor target):
+- AQE on: runtime coalescing + skew-join splitting replaces the
+  reference's static fragment planning.
+- bloom runtime filters + DPP: parity with the reference's runtime
+  filter propagation (bloom + min/max) from join builds to probe scans.
+- CBO + histogram stats: parity with COMPUTE STATS driven join ordering
+  (`SingleNodePlanner.java:495` createCheapestJoinPlan).
+- shuffle partitions: 32 locally; on a real cluster AQE's
+  coalescePartitions makes the initial number a ceiling, not a fixed
+  cost, so a large initialPartitionNum scales without re-tuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and required) to (re)apply at runtime on an
+# existing session — e.g. the driver's own SparkSession.
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic timestamp semantics: the reference's TIMESTAMP is
+    # timezoneless (be/src/runtime/timestamp-value.h:45-61). UTC session
+    # tz makes Spark's TimestampType behave identically to the oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    # reader rejects; read as raw int64 nanos and convert ourselves
+    # (sources/tables.py). Runtime-settable.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: runtime shuffle coalescing, skew-join
+    # splitting, dynamic broadcast demotion/promotion.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime filters: Spark-side analogue of the reference's bloom +
+    # min/max runtime filters (RuntimeFilterGenerator.java:95).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "true",
+    "spark.sql.dynamicPartitionPruning.enabled": "true",
+    # Scan-side pruning parity with the reference's parquet row-group /
+    # page-index / dictionary pruning (be/src/exec/parquet/).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # Cost-based join reordering parity with createCheapestJoinPlan.
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+    # Arrow for any pandas-UDF exchange (the sanctioned Python path).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: the reference returns NULL on e.g. divide-by-zero in
+    # most contexts rather than erroring; Spark non-ANSI matches the
+    # oracle-facing behaviour we test.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session.
+
+    Idempotent; called from every query entry point so the driver's own
+    SparkSession (whose build-time confs we don't control) still runs
+    with engine semantics.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Unknown/static conf on this Spark build — skip; none of
+            # these are correctness-critical except the two timestamp
+            # confs, which are runtime-settable on Spark 3.4+/4.x.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "incubator-impala-spark",
+              cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned local session used by tests & bench."""
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    )
+    spark = builder.getOrCreate()
+    return configure_session(spark)

