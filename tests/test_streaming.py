@@ -1,0 +1,128 @@
+"""Structured Streaming tests: the same window plans verified against
+DuckDB in batch mode must produce identical results when run
+incrementally over a replayed event stream (micro-batches via the
+file source), and the custom stateful sessionizer must agree with
+`session_window` for every session the watermark closed.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(tmp_path_factory):
+    """Replayable stream: events split into 4 time-ordered parquet
+    chunk files so maxFilesPerTrigger=1 yields 4 micro-batches with an
+    advancing watermark."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("events_stream")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW ev AS SELECT event_id, epoch_ns(ts) AS ts, user_id,"
+        " event_type, value, props FROM "
+        f"read_parquet('{SF_SMALL}/events.parquet')"
+    )
+    n = con.execute("SELECT count(*) FROM ev").fetchone()[0]
+    chunk = (n + 3) // 4
+    for i in range(4):
+        con.execute(
+            f"COPY (SELECT * FROM ev ORDER BY ts LIMIT {chunk} OFFSET {i * chunk})"
+            f" TO '{d}/chunk{i}.parquet' (FORMAT PARQUET)"
+        )
+        # deterministic micro-batch order: file source picks up files
+        # by modification time, so stamp them in event-time order
+        os.utime(f"{d}/chunk{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+    yield str(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _batch_events(spark):
+    from incubator_impala_spark.sources.tables import load_table
+
+    return load_table(spark, SF_SMALL, "events")
+
+
+def test_stream_tumbling_equals_batch(spark, events_stream_dir):
+    from incubator_impala_spark.streaming import jobs, windows
+
+    stream = jobs.read_events_stream(spark, events_stream_dir,
+                                     max_files_per_trigger=1)
+    result = windows.tumbling_agg(jobs.watermarked(stream),
+                                  duration="1 hour", keys=["event_type"])
+    got = jobs.run_available_now(result, output_mode="complete").toPandas()
+    want = windows.tumbling_agg(_batch_events(spark), duration="1 hour",
+                                keys=["event_type"]).toPandas()
+    key = ["wstart", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got.equals(want), (got.head(), want.head())
+
+
+def test_stream_session_window_equals_batch(spark, events_stream_dir):
+    from incubator_impala_spark.streaming import jobs, windows
+
+    stream = jobs.read_events_stream(spark, events_stream_dir,
+                                     max_files_per_trigger=1)
+    result = windows.session_agg(jobs.watermarked(stream), gap="6 hours",
+                                 keys=["user_id"])
+    got = jobs.run_available_now(result, output_mode="complete").toPandas()
+    want = windows.session_agg(_batch_events(spark), gap="6 hours",
+                               keys=["user_id"]).toPandas()
+    key = ["user_id", "session_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got.equals(want), (len(got), len(want))
+
+
+def test_stateful_sessionizer_matches_session_window(spark, events_stream_dir):
+    """Sessions emitted by the applyInPandasWithState operator must be
+    exactly the batch `session_window` sessions that the final
+    watermark closed (append mode can't emit still-open sessions)."""
+    from incubator_impala_spark.streaming import jobs, stateful, windows
+
+    stream = jobs.read_events_stream(spark, events_stream_dir,
+                                     max_files_per_trigger=1)
+    result = stateful.sessionize_stateful(jobs.watermarked(stream, "1 hour"))
+    got = jobs.run_available_now(result, output_mode="append").toPandas()
+
+    want = windows.session_agg(_batch_events(spark), gap="6 hours",
+                               keys=["user_id"]).toPandas()
+    assert len(got) > 0, "no sessions emitted"
+    # every emitted session must match a batch session exactly
+    want_keys = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in want.itertuples()
+    }
+    for r in got.itertuples():
+        k = (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        assert k in want_keys, f"emitted session not in batch result: {k}"
+
+
+def test_stream_json_filter_routing(spark, events_stream_dir):
+    """Stateless streaming transform: filter + JSON extraction runs
+    incrementally and matches the batch plan."""
+    from pyspark.sql import functions as F
+
+    from incubator_impala_spark.streaming import jobs
+
+    stream = jobs.read_events_stream(spark, events_stream_dir,
+                                     max_files_per_trigger=1)
+
+    def plan(df):
+        return df.where(F.col("event_type") == "purchase").select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+
+    got = jobs.run_available_now(plan(stream), output_mode="append").toPandas()
+    want = plan(_batch_events(spark)).toPandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert got.equals(want)
