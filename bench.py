@@ -24,13 +24,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: the shape of the reference's TPC-H + targeted-perf
-# workloads, plus the pipeline operators that matter at 100 TB.
+# workloads (scan-agg, broadcast join chains, semi/anti joins, top-k,
+# analytics), plus the streaming-batch and pipeline operators that
+# matter at 100 TB.
 BENCH_QUERIES = [
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q4_adapted",
-    "tpch_q5",
-    "tpch_q6",
+    "tpch_q1",               # scan → hash agg (reference q1 golden test)
+    "tpch_q3",               # broadcast dim join → agg → top-k
+    "tpch_q4_adapted",       # EXISTS semi join
+    "tpch_q5",               # 5-way join chain
+    "tpch_q6",               # pure scan-filter-agg (pushdown showcase)
+    "tpch_q9_adapted",       # multi-fact join, group by nation/year
+    "tpch_q13",              # outer join + distribution agg
+    "tpch_q18",              # large IN-subquery + agg join
+    "tpch_q21_adapted",      # multi-semi/anti correlated shape
+    "analytic_window_frames",  # AnalyticEvalNode parity surface
+    "agg_rollup",            # grouping sets / rollup
+    "events_session_windows",  # gap sessionization at event scale
+    "events_asof_last_click",  # as-of join (union-and-carry)
+    "pipeline_dedup_minhash_lsh",  # shingle → minhash → band join
+    "pipeline_text_features",      # pure-Column text featurizer
+    "pipeline_similarity_topk",    # broadcast brute-force ANN baseline
 ]
 
 

@@ -51,15 +51,22 @@ def exact_dedup_survivors(df: DataFrame, text_col: str = "text",
 def shingle_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                n: int = 3) -> DataFrame:
     """Distinct word-n-gram shingles per document (requires >= n tokens;
-    caller filters). One row per (doc, shingle)."""
-    toks = f"split({text_col}, ' ')"
-    parts = ", ".join(f"element_at({toks}, i + {j})" for j in range(n))
-    sh = (
-        f"transform(sequence(1, size({toks}) - {n - 1}),"
-        f" i -> concat_ws(' ', {parts}))"
-    )
+    caller filters). One row per (doc, shingle).
+
+    Plan shape matters here: tokenize ONCE into a projected array
+    column, then index it — inlining `split()` into the transform
+    lambda re-splits the text per shingle position, an O(tokens²)
+    blowup. The repartition spreads the CPU-dense explode across the
+    cluster even when the input is a handful of splits (hash on the
+    doc id — at 100 TB the scan already yields thousands of splits,
+    and the shuffle cost of id+text rows is trivial next to the
+    shingle explosion it parallelizes)."""
+    parts = ", ".join(f"element_at(_toks, i + {j})" for j in range(n))
+    sh = f"transform(sequence(1, size(_toks) - {n - 1}), i -> concat_ws(' ', {parts}))"
     return (
-        df.select(F.col(id_col), F.explode(F.expr(sh)).alias("sh"))
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+        .repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(F.expr(sh)).alias("sh"))
         .distinct()
     )
 
@@ -144,8 +151,16 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       threshold: float = 0.5) -> DataFrame:
-    """Near-duplicate pairs: LSH candidates verified by exact Jaccard."""
-    sh = shingle_df(df, text_col, id_col)
+    """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
+
+    The shingle index feeds three consumers (signatures, and both
+    sides of the verification join) — persist it spill-safely rather
+    than recompute the tokenize+explode lineage per consumer. At
+    100 TB this is the difference between one corpus pass and three.
+    """
+    from pyspark import StorageLevel
+
+    sh = shingle_df(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(minhash_signatures(sh))
     return _jaccard_verify(cand, sh, threshold)
 
@@ -158,7 +173,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         threshold: float = 0.5) -> DataFrame:
-    sh = shingle_df(df, text_col, id_col)
+    from pyspark import StorageLevel
+
+    sh = shingle_df(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         sh.select(F.col("doc_id").alias("d1"), "sh")
         .join(sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh_b")),
@@ -277,7 +294,9 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     verification; at 100 TB use the LSH-bucketed path in
     similarity.py to generate candidates first.
     """
-    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("va"))
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("va")).repartition(
+        F.col("id1")
+    )
     b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id1") < F.col("id2"))

@@ -25,7 +25,14 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # spread the corpus: the per-row cosine is a higher-order-function
+    # eval (not codegen'd), so a single-split corpus would serialize
+    # the whole scoring pass onto one core; hash-repartitioning is a
+    # cheap shuffle of (id, vector) rows and at 100 TB matches the
+    # natural many-split layout anyway.
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).repartition(F.col("neighbor_id"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine_sim("qv", "cv").alias("sim"))
@@ -81,7 +88,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     replaces the all-pairs cross join; recall is tuned by `planes`
     (fewer planes → bigger buckets → higher recall, more compute).
     """
-    cb = lsh_bucket(corpus, dim, vec_col).select(
+    cb = lsh_bucket(corpus.repartition(F.col(id_col)), dim, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "lsh_bucket"
     )
     qb = lsh_bucket(queries, dim, vec_col).select(
