@@ -14,9 +14,15 @@ by name).
 
 from __future__ import annotations
 
-from incubator_impala_spark.queries import pipeline, relational, streaming_batch, tpch
+from incubator_impala_spark.queries import (
+    functions_sweep,
+    pipeline,
+    relational,
+    streaming_batch,
+    tpch,
+)
 
-_MODULES = [tpch, relational, pipeline, streaming_batch]
+_MODULES = [tpch, relational, pipeline, streaming_batch, functions_sweep]
 
 QUERIES = {}
 ORACLE_SQL = {}

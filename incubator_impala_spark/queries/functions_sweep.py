@@ -1,0 +1,308 @@
+"""Scalar-function sweeps — the query-level mirror of the reference's
+`be/src/exprs/expr-test.cc` (10,531 lines of per-function semantics
+tests) run over real table data instead of literals.
+
+The Spark side deliberately goes through `Engine.sql` with *Impala*
+spellings (strleft, zeroifnull, dayname, isnull, …) so the dialect
+shim + macro registry (SURVEY.md §2.11) sit in the graded path; the
+oracle restates each expression in DuckDB's dialect (strpos vs instr,
+datediff arg order, dayofweek base, regexp 'g' flag — spelled out
+per entry).
+
+Determinism: exact functions compare exactly; transcendental /
+similarity doubles are pinned to DECIMAL(18,9) per the corpus-wide
+convention (tpch.py header).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from incubator_impala_spark import dialect
+from incubator_impala_spark.functions.registry import MACROS
+from incubator_impala_spark.functions.udfs import register as register_udfs
+from incubator_impala_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLE_SQL: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _engine_sql(spark: SparkSession, sf_dir: str, tables: list[str],
+                impala_sql: str) -> DataFrame:
+    """Run Impala-dialect SQL through the shim on registered views."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(dialect.translate(impala_sql, MACROS))
+
+
+# ---------------------------------------------------------------------------
+# String functions (string-functions-ir.cc, 1,542 LoC)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fn_string_sweep",
+    """
+    SELECT c_custkey,
+      length(c_name) AS name_len,
+      upper(c_mktsegment) AS seg_up,
+      lower(c_name) AS name_low,
+      substr(c_name, 10, 4) AS sub4,
+      left(c_name, 8) AS l8,
+      right(c_name, 3) AS r3,
+      lpad(CAST(c_custkey AS STRING), 6, '0') AS padded,
+      concat_ws('|', c_mktsegment, c_name) AS joined,
+      replace(c_name, 'Customer', 'C') AS repl,
+      reverse(c_mktsegment) AS seg_rev,
+      strpos(c_name, '#') AS hash_pos,
+      split_part(c_name, '#', 2) AS after_hash,
+      translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr_vowels,
+      repeat(right(c_name, 1), 3) AS rep3,
+      ascii(c_mktsegment) AS first_code,
+      ltrim(rtrim(concat('  ', c_mktsegment, '  '))) AS trimmed,
+      regexp_extract(c_name, '[0-9]+', 0) AS digits,
+      regexp_replace(c_name, '0', 'x', 'g') AS zeros_x
+    FROM customer
+    """,
+)
+def fn_string_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strleft/strright/char_length are Impala spellings expanded by
+    the macro shim; instr is Impala/Spark, strpos the DuckDB twin."""
+    return _engine_sql(
+        spark, sf_dir, ["customer"],
+        """
+        SELECT c_custkey,
+          char_length(c_name) AS name_len,
+          upper(c_mktsegment) AS seg_up,
+          lower(c_name) AS name_low,
+          substr(c_name, 10, 4) AS sub4,
+          strleft(c_name, 8) AS l8,
+          strright(c_name, 3) AS r3,
+          lpad(CAST(c_custkey AS STRING), 6, '0') AS padded,
+          concat_ws('|', c_mktsegment, c_name) AS joined,
+          replace(c_name, 'Customer', 'C') AS repl,
+          reverse(c_mktsegment) AS seg_rev,
+          instr(c_name, '#') AS hash_pos,
+          split_part(c_name, '#', 2) AS after_hash,
+          translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr_vowels,
+          repeat(strright(c_name, 1), 3) AS rep3,
+          ascii(c_mktsegment) AS first_code,
+          ltrim(rtrim(concat('  ', c_mktsegment, '  '))) AS trimmed,
+          regexp_extract(c_name, '[0-9]+', 0) AS digits,
+          regexp_replace(c_name, '0', 'x') AS zeros_x
+        FROM customer
+        """,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Math functions (math-functions-ir.cc, 798 LoC)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fn_math_sweep",
+    """
+    SELECT p_partkey,
+      abs(p_size - 25) AS dist25,
+      CAST(ceil(CAST(p_retailprice AS DOUBLE)) AS BIGINT) AS price_ceil,
+      CAST(floor(CAST(p_retailprice AS DOUBLE)) AS BIGINT) AS price_floor,
+      CAST(round(CAST(p_retailprice AS DOUBLE), 1) AS DOUBLE) AS price_r1,
+      CAST(sqrt(CAST(p_size AS DOUBLE)) AS DECIMAL(18,9)) AS size_sqrt,
+      CAST(ln(CAST(p_size AS DOUBLE)) AS DECIMAL(18,9)) AS size_ln,
+      CAST(log10(CAST(p_size AS DOUBLE)) AS DECIMAL(18,9)) AS size_log10,
+      CAST(pow(CAST(p_size AS DOUBLE), 2.0) AS DOUBLE) AS size_sq,
+      CAST(sign(CAST(p_size - 25 AS DOUBLE)) AS INT) AS sgn,
+      greatest(p_size, 10) AS g10,
+      least(p_size, 10) AS l10,
+      ((p_size % 7) + 7) % 7 AS pm7,
+      p_size // 7 AS quot7,
+      CAST(p_size AS BIGINT) AS trunc0,
+      hex(p_size) AS size_hex,
+      bin(p_size) AS size_bin,
+      factorial(CAST(least(p_size % 10, 9) AS INTEGER)) AS fact,
+      CASE WHEN p_size = 0 THEN NULL ELSE p_size END AS nz,
+      coalesce(nullif(p_size, 15), 0) AS zif
+    FROM part
+    """,
+)
+def fn_math_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quotient/truncate/zeroifnull/nullifzero are macro expansions;
+    pmod spelled as the universal ((a%b)+b)%b so both dialects agree
+    on negative inputs."""
+    return _engine_sql(
+        spark, sf_dir, ["part"],
+        """
+        SELECT p_partkey,
+          abs(p_size - 25) AS dist25,
+          CAST(ceil(CAST(p_retailprice AS DOUBLE)) AS BIGINT) AS price_ceil,
+          CAST(floor(CAST(p_retailprice AS DOUBLE)) AS BIGINT) AS price_floor,
+          CAST(round(CAST(p_retailprice AS DOUBLE), 1) AS DOUBLE) AS price_r1,
+          CAST(sqrt(CAST(p_size AS DOUBLE)) AS DECIMAL(18,9)) AS size_sqrt,
+          CAST(ln(CAST(p_size AS DOUBLE)) AS DECIMAL(18,9)) AS size_ln,
+          CAST(log10(CAST(p_size AS DOUBLE)) AS DECIMAL(18,9)) AS size_log10,
+          CAST(pow(CAST(p_size AS DOUBLE), 2.0) AS DOUBLE) AS size_sq,
+          CAST(sign(CAST(p_size - 25 AS DOUBLE)) AS INT) AS sgn,
+          greatest(p_size, 10) AS g10,
+          least(p_size, 10) AS l10,
+          ((p_size % 7) + 7) % 7 AS pm7,
+          quotient(p_size, 7) AS quot7,
+          truncate(p_size) AS trunc0,
+          hex(p_size) AS size_hex,
+          bin(p_size) AS size_bin,
+          factorial(least(p_size % 10, 9)) AS fact,
+          nullifzero(p_size) AS nz,
+          zeroifnull(nullif(p_size, 15)) AS zif
+        FROM part
+        """,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/timestamp functions (timestamp-functions-ir.cc 948 LoC,
+# date-functions-ir.cc 330 LoC)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fn_date_sweep",
+    """
+    SELECT o_orderkey,
+      CAST(year(o_orderdate) AS INT) AS y,
+      CAST(month(o_orderdate) AS INT) AS m,
+      CAST(day(o_orderdate) AS INT) AS d,
+      CAST(quarter(o_orderdate) AS INT) AS q,
+      CAST(dayofyear(o_orderdate) AS INT) AS doy,
+      CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+      CAST(week(o_orderdate) AS INT) AS wk,
+      dayname(o_orderdate) AS dname,
+      monthname(o_orderdate) AS mname,
+      CAST(CAST(last_day(o_orderdate) AS DATE) AS STRING) AS eom,
+      CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS STRING) AS plus30,
+      CAST(CAST(o_orderdate - INTERVAL 7 DAY AS DATE) AS STRING) AS minus7,
+      CAST(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS STRING) AS plus2m,
+      CAST(CAST(o_orderdate + INTERVAL 1 YEAR AS DATE) AS STRING) AS plus1y,
+      CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING) AS mstart,
+      datediff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00')
+        AS days_to_2k
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def fn_date_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """days_add/months_add/years_add/dayname/monthname are macro
+    expansions; Spark's dayofweek is 1-based-Sunday vs DuckDB's
+    0-based — oracle shifts; datediff arg conventions differ —
+    Impala/Spark datediff(end, start), DuckDB datediff('day', s, e)."""
+    return _engine_sql(
+        spark, sf_dir, ["orders"],
+        """
+        SELECT o_orderkey,
+          CAST(year(o_orderdate) AS INT) AS y,
+          CAST(month(o_orderdate) AS INT) AS m,
+          CAST(day(o_orderdate) AS INT) AS d,
+          CAST(quarter(o_orderdate) AS INT) AS q,
+          CAST(dayofyear(o_orderdate) AS INT) AS doy,
+          CAST(dayofweek(o_orderdate) AS INT) AS dow,
+          CAST(weekofyear(o_orderdate) AS INT) AS wk,
+          dayname(o_orderdate) AS dname,
+          monthname(o_orderdate) AS mname,
+          CAST(CAST(last_day(o_orderdate) AS DATE) AS STRING) AS eom,
+          CAST(CAST(days_add(o_orderdate, 30) AS DATE) AS STRING) AS plus30,
+          CAST(CAST(days_sub(o_orderdate, 7) AS DATE) AS STRING) AS minus7,
+          CAST(CAST(months_add(o_orderdate, 2) AS DATE) AS STRING) AS plus2m,
+          CAST(CAST(years_add(o_orderdate, 1) AS DATE) AS STRING) AS plus1y,
+          CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING) AS mstart,
+          datediff(TIMESTAMP '2000-01-01 00:00:00', o_orderdate)
+            AS days_to_2k
+        FROM orders WHERE o_orderkey % 100 = 0
+        """,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional functions (conditional-functions*.cc, case-expr.cc)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fn_conditional_sweep",
+    """
+    SELECT c_custkey,
+      CASE c_mktsegment WHEN 'BUILDING' THEN 'B' WHEN 'MACHINERY' THEN 'M'
+        ELSE '?' END AS seg_code,
+      CASE WHEN c_acctbal > 5000 THEN 'high'
+           WHEN c_acctbal > 1000 THEN 'mid' ELSE 'low' END AS bal_band,
+      coalesce(nullif(c_mktsegment, 'FURNITURE'), 'n/a') AS seg_nn,
+      if(c_acctbal >= 0, 'ok', 'neg') AS bal_sign,
+      coalesce(NULL, NULL, c_mktsegment) AS c3,
+      CAST(c_acctbal > 1000 AS BOOLEAN) IS TRUE AS gt1k,
+      (c_acctbal IS NULL) AS bal_null,
+      nullif(c_custkey % 3, 0) AS nif3
+    FROM customer
+    """,
+)
+def fn_conditional_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isnull/istrue/nullvalue are Impala macro spellings; CASE/if/
+    coalesce/nullif are common to both dialects."""
+    return _engine_sql(
+        spark, sf_dir, ["customer"],
+        """
+        SELECT c_custkey,
+          CASE c_mktsegment WHEN 'BUILDING' THEN 'B' WHEN 'MACHINERY' THEN 'M'
+            ELSE '?' END AS seg_code,
+          CASE WHEN c_acctbal > 5000 THEN 'high'
+               WHEN c_acctbal > 1000 THEN 'mid' ELSE 'low' END AS bal_band,
+          isnull(nullif(c_mktsegment, 'FURNITURE'), 'n/a') AS seg_nn,
+          if(c_acctbal >= 0, 'ok', 'neg') AS bal_sign,
+          coalesce(NULL, NULL, c_mktsegment) AS c3,
+          istrue(c_acctbal > 1000) AS gt1k,
+          nullvalue(c_acctbal) AS bal_null,
+          nullif(c_custkey % 3, 0) AS nif3
+        FROM customer
+        """,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance / similarity gap functions (reference impls in
+# string-functions-ir.cc; ours are pandas UDFs — udfs.py). DuckDB has
+# native levenshtein/jaro — the oracle for our slow-path UDFs.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fn_edit_distance_sweep",
+    """
+    SELECT s_suppkey,
+      levenshtein(s_name, 'Supplier#000000000') AS lev,
+      CAST(jaro_winkler_similarity(s_name, 'Supplier#000000000')
+        AS DECIMAL(18,9)) AS jw,
+      md5(s_name) AS name_md5
+    FROM supplier
+    """,
+)
+def fn_edit_distance_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark: levenshtein native, jaro_winkler via our pandas UDF;
+    DuckDB natives are the oracle. md5 anchors value-stable hashing."""
+    register_udfs(spark)
+    return _engine_sql(
+        spark, sf_dir, ["supplier"],
+        """
+        SELECT s_suppkey,
+          levenshtein(s_name, 'Supplier#000000000') AS lev,
+          CAST(jaro_winkler_similarity(s_name, 'Supplier#000000000')
+            AS DECIMAL(18,9)) AS jw,
+          md5(s_name) AS name_md5
+        FROM supplier
+        """,
+    )
