@@ -131,8 +131,31 @@ def apply_impala_null_ordering(sql: str) -> str:
     )
 
 
+# Statement-level translations (reference grammar sql-parser.cup):
+# COMPUTE [INCREMENTAL] STATS t (ComputeStatsStmt.java) → ANALYZE TABLE.
+_COMPUTE_STATS = re.compile(
+    r"^\s*COMPUTE\s+(?:INCREMENTAL\s+)?STATS\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+# DIV keyword: Impala integer division (ArithmeticExpr.java:41-43) —
+# Spark spells it `div` too, so only normalization is needed; kept as a
+# documented no-op hook.
+
+
+def translate_statement(sql: str) -> str | None:
+    """Translate a whole statement if it's a recognized DDL/admin form;
+    None if it's an ordinary query (expression-level pipeline applies)."""
+    m = _COMPUTE_STATS.match(sql)
+    if m:
+        return f"ANALYZE TABLE {m.group(1)} COMPUTE STATISTICS FOR ALL COLUMNS"
+    return None
+
+
 def translate(sql: str, macros: dict | None = None) -> str:
     """Full Impala→Spark translation pipeline."""
+    stmt = translate_statement(sql)
+    if stmt is not None:
+        return stmt
     if macros:
         for name, template in macros.items():
             sql = rewrite_macro_calls(sql, name, template)

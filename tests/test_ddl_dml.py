@@ -1,0 +1,106 @@
+"""DML/DDL surface tests (SURVEY.md §2.13 / build plan M4): CTAS,
+INSERT INTO / INSERT OVERWRITE PARTITION with dynamic-partition
+semantics, clustered partitioned writes, COMPUTE STATS → ANALYZE, and
+partition pruning on the written layout — the reference's
+HdfsTableSink + catalog statements (CreateTableAsSelectStmt.java,
+ComputeStatsStmt.java, HdfsPartitionPruner.java) re-expressed on
+Spark's catalog."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    name = "ddl_test_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name} LOCATION '{tmp_path}/wh'")
+    yield name
+    spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+
+
+def _lineitem(spark):
+    from incubator_impala_spark.sources.tables import load_table
+
+    return load_table(spark, SF_SMALL, "lineitem")
+
+
+def test_ctas_roundtrip(spark, db):
+    _lineitem(spark).createOrReplaceTempView("li_src")
+    spark.sql(
+        f"CREATE TABLE {db}.li_small AS "
+        "SELECT l_orderkey, l_quantity, l_returnflag FROM li_src "
+        "WHERE l_quantity < 10"
+    )
+    want = spark.table("li_src").where("l_quantity < 10").count()
+    assert spark.table(f"{db}.li_small").count() == want
+    cols = [f.name for f in spark.table(f"{db}.li_small").schema.fields]
+    assert cols == ["l_orderkey", "l_quantity", "l_returnflag"]
+
+
+def test_insert_into_appends(spark, db):
+    spark.sql(f"CREATE TABLE {db}.t_app (k INT, v STRING)")
+    spark.sql(f"INSERT INTO {db}.t_app VALUES (1, 'a'), (2, 'b')")
+    spark.sql(f"INSERT INTO {db}.t_app VALUES (3, 'c')")
+    assert spark.table(f"{db}.t_app").count() == 3
+
+
+def test_insert_overwrite_dynamic_partitions(spark, db):
+    """Impala INSERT OVERWRITE PARTITION replaces only the partitions
+    present in the input — dynamic mode, not whole-table truncate."""
+    from incubator_impala_spark.sources import sink
+
+    sink.configure_dynamic_overwrite(spark)
+    spark.sql(
+        f"CREATE TABLE {db}.t_part (v STRING) PARTITIONED BY (p INT)"
+    )
+    spark.sql(f"INSERT INTO {db}.t_part PARTITION(p=1) VALUES ('one')")
+    spark.sql(f"INSERT INTO {db}.t_part PARTITION(p=2) VALUES ('two')")
+    # overwrite only p=2
+    spark.sql(f"INSERT OVERWRITE TABLE {db}.t_part PARTITION(p=2) VALUES ('TWO')")
+    rows = {(r.p, r.v) for r in spark.table(f"{db}.t_part").collect()}
+    assert rows == {(1, "one"), (2, "TWO")}
+
+
+def test_partitioned_clustered_write_and_pruning(spark, tmp_path):
+    """write_partitioned lays out partition dirs; a filtered read must
+    prune partitions (the reference's HdfsPartitionPruner.java:80 —
+    on Spark, PartitionFilters in the scan node)."""
+    from incubator_impala_spark.sources import sink
+
+    li = _lineitem(spark)
+    path = f"{tmp_path}/li_by_flag"
+    sink.write_partitioned(
+        li, path, partition_cols=["l_returnflag"], clustered_by=["l_shipdate"]
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
+    plan = back.where("l_returnflag = 'R'")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters")[1][:200]
+    want = li.where("l_returnflag = 'R'").count()
+    assert back.where("l_returnflag = 'R'").count() == want
+
+
+def test_compute_stats_feeds_cbo(spark, db, engine):
+    """COMPUTE STATS (Impala spelling) must run through the dialect as
+    ANALYZE TABLE and make row counts visible to the optimizer."""
+    _lineitem(spark).createOrReplaceTempView("li_src")
+    spark.sql(f"CREATE TABLE {db}.t_stats AS SELECT * FROM li_src")
+    out = engine.translate(f"COMPUTE STATS {db}.t_stats")
+    assert out == (
+        f"ANALYZE TABLE {db}.t_stats COMPUTE STATISTICS FOR ALL COLUMNS"
+    )
+    engine.sql(f"COMPUTE STATS {db}.t_stats").collect()
+    desc = spark.sql(f"DESC EXTENDED {db}.t_stats").collect()
+    stats = [r for r in desc if r.col_name == "Statistics"]
+    assert stats and "rows" in stats[0].data_type
+
+
+def test_show_and_describe(spark, db):
+    spark.sql(f"CREATE TABLE {db}.t_show (a INT, b STRING)")
+    tables = {r.tableName for r in spark.sql(f"SHOW TABLES IN {db}").collect()}
+    assert "t_show" in tables
+    cols = {r.col_name for r in spark.sql(f"DESCRIBE {db}.t_show").collect()}
+    assert {"a", "b"} <= cols
