@@ -16,13 +16,14 @@ from __future__ import annotations
 
 from incubator_impala_spark.queries import (
     functions_sweep,
+    nested,
     pipeline,
     relational,
     streaming_batch,
     tpch,
 )
 
-_MODULES = [tpch, relational, pipeline, streaming_batch, functions_sweep]
+_MODULES = [tpch, relational, pipeline, streaming_batch, functions_sweep, nested]
 
 QUERIES = {}
 ORACLE_SQL = {}
