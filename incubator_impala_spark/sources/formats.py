@@ -1,0 +1,74 @@
+"""Multi-format scan/write surface — the reference's scanner matrix.
+
+Reference scanners (SURVEY.md §2.1): Parquet
+(`be/src/exec/parquet/hdfs-parquet-scanner.cc`), ORC
+(`hdfs-orc-scanner.cc`), delimited text (`hdfs-text-scanner.cc` +
+`delimited-text-parser.cc`), Avro (`hdfs-avro-scanner.cc`), legacy
+RC/Sequence (out of scope). Formats enum:
+`common/thrift/CatalogObjects.thrift:60-70`.
+
+Spark's DataSource v2 covers each with split planning, predicate
+pushdown (parquet + orc), and schema handling. This module is the thin
+catalog: one place that knows the format names, their reference-parity
+options (Impala text tables default to '\\x01' field delimiters,
+header-less, with '\\N' NULLs — mirrored in TEXT_OPTIONS), and which
+formats this build actually has (avro ships as an external module; we
+degrade gracefully when absent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+# Impala delimited-text defaults (hdfs-text-scanner; table defaults in
+# the reference's CREATE TABLE ... ROW FORMAT DELIMITED docs).
+TEXT_OPTIONS = {
+    "sep": "\x01",
+    "header": "false",
+    "nullValue": "\\N",
+    "escape": "\\",
+}
+
+# CSV as users actually write it (header row, comma).
+CSV_OPTIONS = {"sep": ",", "header": "true", "nullValue": ""}
+
+
+def available_formats(spark: SparkSession) -> list[str]:
+    """Formats this Spark build can scan, probed once per session."""
+    fmts = ["parquet", "orc", "csv", "json"]
+    try:
+        spark.read.format("avro").schema(StructType([])).load("/nonexistent")
+    except Exception as e:  # noqa: BLE001
+        if "Failed to find data source" not in str(e):
+            fmts.append("avro")
+    return fmts
+
+
+def write_as(df: DataFrame, path: str, fmt: str, **options: str) -> None:
+    w = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        w = w.options(**{**CSV_OPTIONS, **options})
+    elif fmt == "text_impala":
+        w = df.write.mode("overwrite").format("csv").options(
+            **{**TEXT_OPTIONS, **options}
+        )
+    else:
+        w = w.options(**options)
+    w.save(path)
+
+
+def read_as(spark: SparkSession, path: str, fmt: str,
+            schema: StructType | None = None, **options: str) -> DataFrame:
+    """Schema-on-read: CSV/JSON take an explicit schema (the
+    reference's declared-schema model — no inference surprises);
+    parquet/ORC carry their own."""
+    if fmt == "text_impala":
+        r = spark.read.format("csv").options(**{**TEXT_OPTIONS, **options})
+    elif fmt == "csv":
+        r = spark.read.format("csv").options(**{**CSV_OPTIONS, **options})
+    else:
+        r = spark.read.format(fmt).options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
