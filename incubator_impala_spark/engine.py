@@ -12,10 +12,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+import re
+
 from incubator_impala_spark import dialect
-from incubator_impala_spark.functions.registry import MACROS, register_all
+from incubator_impala_spark.functions.registry import (
+    MACROS,
+    QUERY_OPTION_MAP,
+    register_all,
+)
 from incubator_impala_spark.session import configure_session
 from incubator_impala_spark.sources.tables import register_tables
+
+_SET_STMT = re.compile(
+    r"^\s*SET\s+([A-Za-z_][\w.]*)\s*=\s*(.+?)\s*;?\s*$", re.IGNORECASE
+)
 
 
 class Engine:
@@ -40,7 +50,26 @@ class Engine:
         """Impala SQL → Spark SQL (dialect shim only, no execution)."""
         return dialect.translate(sql_text, MACROS)
 
+    def set_option(self, name: str, value: str) -> bool:
+        """Impala SET <option>=<value> (118 options,
+        be/src/service/query-options.h). Mapped options become Spark
+        confs; Spark conf names pass through; everything else is
+        accepted and ignored (returns False)."""
+        key = name.lower()
+        if key in QUERY_OPTION_MAP:
+            conf, v = QUERY_OPTION_MAP[key](str(value))
+            self.spark.conf.set(conf, v)
+            return True
+        if name.startswith("spark."):
+            self.spark.conf.set(name, str(value))
+            return True
+        return False
+
     def sql(self, sql_text: str) -> DataFrame:
+        m = _SET_STMT.match(sql_text)
+        if m:
+            self.set_option(m.group(1), m.group(2).strip("'\""))
+            return self.spark.sql("SELECT 1 AS status")
         return self.spark.sql(self.translate(sql_text))
 
     def explain(self, sql_text: str, mode: str = "formatted") -> str:

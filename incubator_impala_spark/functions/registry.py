@@ -83,8 +83,50 @@ MACROS = {
         f"concat_ws({a[1] if len(a) > 1 else chr(39) + ', ' + chr(39)},"
         f" collect_list({a[0]}))"
     ),
-    "ndv": lambda a: f"approx_count_distinct({a[0]})",
+    # rsd 0.02 ≈ the reference NDV's documented ~1.9% typical error
+    # (HLL, aggregate-functions-ir.cc)
+    "ndv": lambda a: f"approx_count_distinct({a[0]}, 0.02)",
+    "distinctpc": lambda a: f"approx_count_distinct({a[0]}, 0.02)",
     "appx_median": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    # DataSketches HLL family (BuiltinsDb.java:1056-1082; scalar
+    # estimators be/src/exprs/datasketches-functions-ir.cc) — Spark
+    # 3.5+/4.x ships the same Apache DataSketches HLL under native
+    # names, so sketches stay JVM-side and mergeable.
+    "ds_hll_sketch": lambda a: f"hll_sketch_agg({a[0]})",
+    "ds_hll_union": lambda a: f"hll_union_agg({a[0]})",
+    "ds_hll_estimate": lambda a: f"hll_sketch_estimate({a[0]})",
+    "ds_hll_union_f": lambda a: f"hll_union({a[0]}, {a[1]})",
+}
+
+# ---------------------------------------------------------------------------
+# SET <option>=<value>: the reference exposes 118 query options
+# (be/src/service/query-options.h). The handful with Spark-conf
+# analogues map below; everything else is accepted and ignored, exactly
+# like the reference ignores options inapplicable to a given query.
+# Values pass through except where noted (callable).
+# ---------------------------------------------------------------------------
+QUERY_OPTION_MAP: dict = {
+    # query-options.h:60 — disable_codegen=true → whole-stage codegen off
+    "disable_codegen": lambda v: (
+        "spark.sql.codegen.wholeStage",
+        "false" if v.lower() in ("1", "true") else "true",
+    ),
+    # query-options.h:93 runtime_filter_mode=off disables bloom filters
+    "runtime_filter_mode": lambda v: (
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "false" if v.lower() == "off" else "true",
+    ),
+    # broadcast threshold in bytes (default_join_distribution_mode /
+    # broadcast_bytes_limit family)
+    "broadcast_bytes_limit": lambda v: (
+        "spark.sql.autoBroadcastJoinThreshold", v
+    ),
+    # parquet dictionary/stats pruning toggles map onto filter pushdown
+    "parquet_read_statistics": lambda v: (
+        "spark.sql.parquet.filterPushdown", v
+    ),
+    # num_scanner_threads / mt_dop ≈ local parallelism → shuffle partitions
+    "mt_dop": lambda v: ("spark.sql.shuffle.partitions", v),
 }
 
 
