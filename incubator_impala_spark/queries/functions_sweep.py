@@ -306,3 +306,171 @@ def fn_edit_distance_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM supplier
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# Predicates (like-predicate.cc LIKE/ILIKE/RLIKE, in-predicate.h,
+# operators-ir.cc =/<=>/IS DISTINCT FROM, BETWEEN desugaring)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fn_predicate_sweep",
+    """
+    SELECT c_custkey,
+      c_name LIKE 'Customer#00000%' AS like_pfx,
+      c_mktsegment ILIKE 'furn%' AS ilike_seg,
+      regexp_matches(c_name, '0{3,}') AS rx_zeros,
+      c_custkey BETWEEN 100 AND 500 AS in_range,
+      c_mktsegment IN ('BUILDING', 'MACHINERY') AS seg_in,
+      nullif(c_mktsegment, 'FURNITURE') IS DISTINCT FROM c_mktsegment
+        AS was_furniture,
+      (c_acctbal > 5000) AND (c_custkey % 2 = 0) AS conj,
+      (c_acctbal < 600) OR (c_custkey % 97 = 0) AS disj,
+      NOT (c_mktsegment = 'AUTOMOBILE') AS neg
+    FROM customer
+    """,
+)
+def fn_predicate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE/ILIKE/RLIKE/BETWEEN/IN/IS DISTINCT FROM + compound
+    predicates; Spark rlike == DuckDB regexp_matches."""
+    return _engine_sql(
+        spark, sf_dir, ["customer"],
+        """
+        SELECT c_custkey,
+          c_name LIKE 'Customer#00000%' AS like_pfx,
+          c_mktsegment ILIKE 'furn%' AS ilike_seg,
+          c_name RLIKE '0{3,}' AS rx_zeros,
+          c_custkey BETWEEN 100 AND 500 AS in_range,
+          c_mktsegment IN ('BUILDING', 'MACHINERY') AS seg_in,
+          nullif(c_mktsegment, 'FURNITURE') IS DISTINCT FROM c_mktsegment
+            AS was_furniture,
+          (c_acctbal > 5000) AND (c_custkey % 2 = 0) AS conj,
+          (c_acctbal < 600) OR (c_custkey % 97 = 0) AS disj,
+          NOT (c_mktsegment = 'AUTOMOBILE') AS neg
+        FROM customer
+        """,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bit/byte functions (bit-byte-functions-ir.cc, 206 LoC): bitand/or/
+# xor/not, shifts, rotate, getbit, countset — Impala spellings expand
+# via macros; DuckDB uses operators + xor().
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fn_bitops_sweep",
+    """
+    SELECT p_partkey,
+      p_size & 12 AS b_and,
+      p_size | 3 AS b_or,
+      xor(p_size, 21) AS b_xor,
+      ~p_size AS b_not,
+      p_size << 2 AS shl2,
+      p_size >> 1 AS shr1,
+      CAST(bit_count(p_size) AS INT) AS nbits,
+      (p_size >> 3) & 1 AS bit3
+    FROM part WHERE p_partkey % 10 = 0
+    """,
+)
+def fn_bitops_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine_sql(
+        spark, sf_dir, ["part"],
+        """
+        SELECT p_partkey,
+          bitand(p_size, 12) AS b_and,
+          bitor(p_size, 3) AS b_or,
+          bitxor(p_size, 21) AS b_xor,
+          bitnot(p_size) AS b_not,
+          shiftleft(p_size, 2) AS shl2,
+          shiftright(p_size, 1) AS shr1,
+          CAST(countset(p_size) AS INT) AS nbits,
+          getbit(p_size, 3) AS bit3
+        FROM part WHERE p_partkey % 10 = 0
+        """,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DECIMAL_V2 arithmetic semantics (types.h:81-88 result-type rules;
+# SURVEY.md hard part #2): engines differ on intermediate precision/
+# scale (DuckDB divides to DOUBLE, Spark to DECIMAL), so every result
+# is pinned to an explicit type. Division stays DOUBLE: a decimal pin
+# would hit double→decimal tie-rounding divergence (Spark HALF_UP vs
+# DuckDB half-even) on exactly-representable quotients like x/16.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fn_decimal_sweep",
+    """
+    SELECT l_orderkey, l_linenumber,
+      CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+         + CAST(l_tax AS DECIMAL(12,2)) AS DECIMAL(18,2)) AS d_add,
+      CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+         - CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(18,2)) AS d_sub,
+      CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+         * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(24,4)) AS d_mul,
+      CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
+         / CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS d_div,
+      CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), 1)
+        AS DECIMAL(12,1)) AS d_round,
+      CAST(CAST(l_extendedprice AS DECIMAL(12,2)) % 100 AS DECIMAL(12,2))
+        AS d_mod
+    FROM lineitem WHERE l_orderkey % 500 = 0
+    """,
+)
+def fn_decimal_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine_sql(
+        spark, sf_dir, ["lineitem"],
+        """
+        SELECT l_orderkey, l_linenumber,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             + CAST(l_tax AS DECIMAL(12,2)) AS DECIMAL(18,2)) AS d_add,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             - CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(18,2)) AS d_sub,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(24,4)) AS d_mul,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
+             / CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS d_div,
+          CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), 1)
+            AS DECIMAL(12,1)) AS d_round,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) % 100 AS DECIMAL(12,2))
+            AS d_mod
+        FROM lineitem WHERE l_orderkey % 500 = 0
+        """,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Masking functions (mask-functions-ir.cc, 735 LoC): Spark 3.4+ has
+# native mask(); the oracle emulates the default char classes
+# (upper→X, lower→x, digit→n) with global regex replaces.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fn_mask_sweep",
+    """
+    SELECT c_custkey,
+      regexp_replace(regexp_replace(regexp_replace(
+        c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        AS masked,
+      regexp_replace(regexp_replace(regexp_replace(
+        c_name, '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '#', 'g')
+        AS masked_custom
+    FROM customer WHERE c_custkey % 25 = 0
+    """,
+)
+def fn_mask_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine_sql(
+        spark, sf_dir, ["customer"],
+        """
+        SELECT c_custkey,
+          mask(c_name) AS masked,
+          mask(c_name, 'U', 'l', '#') AS masked_custom
+        FROM customer WHERE c_custkey % 25 = 0
+        """,
+    )
