@@ -226,3 +226,30 @@ def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n",
         (F.col("n").cast("double") / total.cast("double")).alias("share"),
     )
+
+
+@_register(
+    "events_nanos_fidelity",
+    """
+    SELECT event_id,
+      epoch_us(ts) AS ts_us,
+      CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec,
+      CAST(epoch_us(ts) % 1000000 AS BIGINT) AS micros
+    FROM events WHERE event_id % 100 = 0
+    """,
+)
+def events_nanos_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented TIMESTAMP precision gap (SURVEY.md §1.2): the
+    reference stores nanosecond timestamps (timestamp-value.h:45-61).
+    We keep the raw int64 nanos (`ts_ns`) alongside the µs column
+    (sources/tables.py); the oracle itself truncates to µs on read, so
+    this entry verifies fidelity at µs grain — sub-µs preservation
+    (where we exceed the oracle) is asserted in tests/test_streaming.py
+    ::test_nanos_preserved_beyond_oracle."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 100 == 0)
+    return ev.select(
+        "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.date_trunc("second", "ts").alias("ts_sec"),
+        F.expr("CAST((ts_ns div 1000) % 1000000 AS BIGINT)").alias("micros"),
+    )

@@ -126,3 +126,21 @@ def test_stream_json_filter_routing(spark, events_stream_dir):
     got = got.sort_values("event_id").reset_index(drop=True)
     want = want.sort_values("event_id").reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_nanos_preserved_beyond_oracle(spark):
+    """The raw event timestamps carry sub-microsecond digits; our
+    loader keeps them in ts_ns while DuckDB (and Spark's TimestampType)
+    truncate to µs — assert the nanos actually survive."""
+    from pyspark.sql import functions as F
+
+    from incubator_impala_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    with_subus = ev.where((F.col("ts_ns") % 1000) != 0).count()
+    assert with_subus > 0
+    # and ts is exactly ts_ns truncated to µs
+    bad = ev.where(
+        F.unix_micros("ts") != F.expr("ts_ns div 1000")
+    ).count()
+    assert bad == 0
