@@ -19,11 +19,15 @@ from incubator_impala_spark.queries import (
     nested,
     pipeline,
     relational,
+    sql_surface,
     streaming_batch,
     tpch,
 )
 
-_MODULES = [tpch, relational, pipeline, streaming_batch, functions_sweep, nested]
+_MODULES = [
+    tpch, relational, pipeline, streaming_batch, functions_sweep, nested,
+    sql_surface,
+]
 
 QUERIES = {}
 ORACLE_SQL = {}
