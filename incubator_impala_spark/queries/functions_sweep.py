@@ -17,6 +17,7 @@ convention (tpch.py header).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from incubator_impala_spark import dialect
 from incubator_impala_spark.functions.registry import MACROS
@@ -473,4 +474,56 @@ def fn_mask_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
           mask(c_name, 'U', 'l', '#') AS masked_custom
         FROM customer WHERE c_custkey % 25 = 0
         """,
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDA surface (SURVEY.md §2.12): a user-defined aggregate as a pandas
+# GROUPED_AGG UDF — the Spark shape of the reference's
+# Init/Update/Merge/Finalize UDA contract (be/src/udf/udf.h:383-399).
+# Exactness: money folds as integer cents inside the UDF, so the
+# result is a single exact-int division — bit-identical to the oracle.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fn_uda_weighted_avg",
+    """
+    SELECT event_type,
+      CAST(SUM(CAST(round(value * 100) AS BIGINT) * (event_id % 5 + 1))
+        AS DOUBLE) / (100.0 * SUM(event_id % 5 + 1)) AS wavg,
+      CAST(SUM(event_id % 5 + 1) AS BIGINT) AS total_w
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_uda_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _wavg(v, w):
+        cents = (v * 100).round().astype("int64")
+        sw = int(w.sum())
+        return int((cents * w).sum()) / (100.0 * sw)
+
+    # real annotation objects: the module-wide `from __future__ import
+    # annotations` would stringify inline hints, which pyspark's
+    # GROUPED_AGG inference can't resolve
+    _wavg.__annotations__ = {"v": pd.Series, "w": pd.Series, "return": float}
+    weighted_avg_cents = pandas_udf(_wavg, "double")
+
+    def _wsum(w):
+        return int(w.sum())
+
+    _wsum.__annotations__ = {"w": pd.Series, "return": int}
+    weight_sum = pandas_udf(_wsum, "long")
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (F.col("event_id") % 5 + 1).cast("long")
+    return (
+        ev.select("event_type", "value", w.alias("w"))
+        .groupBy("event_type")
+        .agg(
+            weighted_avg_cents("value", "w").alias("wavg"),
+            weight_sum("w").alias("total_w"),
+        )
     )

@@ -380,3 +380,45 @@ def pipeline_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python stage has an exact SQL oracle)."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_metadata(multimodal.synthetic_payloads(docs))
+
+
+@_register(
+    "pipeline_multimodal_features",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+      FROM documents WHERE doc_id % 10 = 0)
+    SELECT doc_id, CAST(ascii(ch) % 16 AS INT) AS bin,
+      count(*) AS cnt
+    FROM chars WHERE ch <> '' GROUP BY 1, 2
+    """,
+)
+def pipeline_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction (16-bin byte histogram) over binary payloads
+    via mapInPandas — a real computation with an exact SQL oracle
+    (payloads are UTF-8 of ASCII text, so byte == character code)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return multimodal.byte_histogram_features(multimodal.synthetic_payloads(docs))
+
+
+@_register(
+    "pipeline_multimodal_frames",
+    """
+    WITH f AS (
+      SELECT doc_id, text,
+        unnest(generate_series(0,
+          CAST(ceil(length(text) / 64.0) AS INT) - 1)) AS frame_idx
+      FROM documents WHERE doc_id % 10 = 0)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      CAST(length(substr(text, frame_idx * 64 + 1, 64)) AS INT) AS frame_len,
+      md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5
+    FROM f WHERE frame_idx % 2 = 0
+    """,
+)
+def pipeline_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-style sampling: 64-byte frames, every 2nd kept, payload
+    sliced inside the Arrow batch; md5 anchors frame content."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return multimodal.sample_frames(
+        multimodal.synthetic_payloads(docs), stride=2
+    )
