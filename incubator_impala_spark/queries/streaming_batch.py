@@ -253,3 +253,50 @@ def events_nanos_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("second", "ts").alias("ts_sec"),
         F.expr("CAST((ts_ns div 1000) % 1000000 AS BIGINT)").alias("micros"),
     )
+
+
+@_register(
+    "events_gapfill_hourly",
+    f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS wstart
+      FROM bounds),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS wstart,
+        count(*) AS n, {_SUM_DEC} AS sv
+      FROM events GROUP BY 1)
+    SELECT s.wstart,
+      CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+      CAST(coalesce(a.sv, 0) AS DECIMAL(38,2)) AS sum_value
+    FROM spine s LEFT JOIN agg a ON s.wstart = a.wstart
+    """,
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series: a generated time spine (sequence +
+    explode) left-joined to the tumbling aggregate, empty buckets as
+    zeros — the OLAP gap-fill idiom the reference has no operator for.
+    Scale: the spine is O(hours), tiny; it broadcasts to the agg."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("wstart")
+    )
+    agg = ev.groupBy(F.date_trunc("hour", "ts").alias("wstart")).agg(
+        F.count("*").alias("n"), windows.money_sum("value").alias("sv")
+    )
+    return (
+        spine.join(agg, "wstart", "left")
+        .select(
+            "wstart",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce(F.col("sv"), F.lit(0)).cast("decimal(38,2)").alias("sum_value"),
+        )
+    )
