@@ -1,0 +1,122 @@
+"""Randomized differential testing — the port of the reference's
+`tests/comparison/discrepancy_searcher.py` (random queries checked
+against Postgres/Oracle; SURVEY.md §5.5). Hypothesis generates
+query *specs* (filters, group-bys, aggregates, sorts over lineitem);
+each spec is rendered to semantically-identical Spark SQL and DuckDB
+SQL and results must match row-for-row.
+
+Generation rules keep specs inside the deterministic-comparison
+envelope the corpus uses everywhere: aggregates over money go through
+DECIMAL, averages end in a single double division, and predicates use
+exactly-representable constants.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_SMALL
+
+# columns: (name, kind)
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+GROUP_COLS = STR_COLS + ["l_linenumber"]
+
+CMP_OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+@st.composite
+def predicates(draw):
+    kind = draw(st.sampled_from(["num", "int", "str", "in", "between"]))
+    if kind == "num":
+        col = draw(st.sampled_from(NUM_COLS))
+        op = draw(st.sampled_from(CMP_OPS))
+        # exactly-representable constants: k/4
+        val = draw(st.integers(min_value=0, max_value=400)) / 4.0
+        return f"{col} {op} {val}"
+    if kind == "int":
+        col = draw(st.sampled_from(INT_COLS))
+        op = draw(st.sampled_from(CMP_OPS))
+        val = draw(st.integers(min_value=0, max_value=60000))
+        return f"{col} {op} {val}"
+    if kind == "str":
+        col = draw(st.sampled_from(STR_COLS))
+        val = draw(st.sampled_from(["A", "N", "R", "O", "F"]))
+        op = draw(st.sampled_from(["=", "<>"]))
+        return f"{col} {op} '{val}'"
+    if kind == "in":
+        col = draw(st.sampled_from(STR_COLS))
+        vals = draw(
+            st.lists(st.sampled_from(["A", "N", "R", "O", "F"]), min_size=1,
+                     max_size=3, unique=True)
+        )
+        lit = ", ".join(f"'{v}'" for v in vals)
+        return f"{col} IN ({lit})"
+    col = draw(st.sampled_from(INT_COLS))
+    lo = draw(st.integers(min_value=0, max_value=30000))
+    hi = lo + draw(st.integers(min_value=0, max_value=30000))
+    return f"{col} BETWEEN {lo} AND {hi}"
+
+
+@st.composite
+def query_specs(draw):
+    preds = draw(st.lists(predicates(), min_size=0, max_size=3))
+    conj = draw(st.sampled_from([" AND ", " OR "]))
+    group = draw(st.sampled_from(GROUP_COLS))
+    aggs = draw(
+        st.lists(
+            st.sampled_from(
+                [
+                    "CAST(COUNT(*) AS BIGINT) AS n",
+                    "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd",
+                    "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sq",
+                    "CAST(MIN(l_extendedprice) AS DOUBLE) AS mn",
+                    "CAST(MAX(l_extendedprice) AS DOUBLE) AS mx",
+                    "CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)"
+                    " / COUNT(*) AS DOUBLE) AS ad",
+                ]
+            ),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        )
+    )
+    where = f"WHERE {conj.join(f'({p})' for p in preds)}" if preds else ""
+    return (
+        f"SELECT {group}, {', '.join(aggs)} FROM lineitem {where} "
+        f"GROUP BY {group}"
+    )
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    from incubator_impala_spark.sources.tables import load_table
+
+    load_table(spark, SF_SMALL, "lineitem").createOrReplaceTempView("lineitem")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/lineitem.parquet')"
+    )
+    return spark, con
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=query_specs())
+def test_random_query_differential(engines, sql):
+    spark, con = engines
+    from incubator_impala_spark.testing.oracle import compare_frames
+
+    got: pd.DataFrame = spark.sql(sql).toPandas()
+    want: pd.DataFrame = con.execute(sql).df()
+    problems = compare_frames(got, want)
+    assert not problems, f"{sql}\n{problems}"
