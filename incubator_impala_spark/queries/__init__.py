@@ -21,12 +21,13 @@ from incubator_impala_spark.queries import (
     relational,
     sql_surface,
     streaming_batch,
+    tpcds_adapted,
     tpch,
 )
 
 _MODULES = [
     tpch, relational, pipeline, streaming_batch, functions_sweep, nested,
-    sql_surface,
+    sql_surface, tpcds_adapted,
 ]
 
 QUERIES = {}
