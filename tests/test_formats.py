@@ -111,3 +111,12 @@ def test_impala_text_defaults(spark, tmp_path):
     )
     rows = {(r.k, r.v) for r in back.collect()}
     assert rows == {(1, "a"), (2, None), (3, "c,with,commas")}
+
+
+@pytest.mark.parametrize("codec", ["snappy", "zstd", "gzip", "none"])
+def test_parquet_compression_matrix(spark, li, tmp_path, codec):
+    """The reference supports NONE..ZSTD parquet codecs
+    (CatalogObjects.thrift:74-88); every codec must round-trip."""
+    path = f"{tmp_path}/{codec}"
+    li.write.mode("overwrite").option("compression", codec).parquet(path)
+    assert spark.read.parquet(path).count() == li.count()
