@@ -422,3 +422,74 @@ def pipeline_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(
         multimodal.synthetic_payloads(docs), stride=2
     )
+
+
+@_register(
+    "pipeline_hash_sample_split",
+    """
+    SELECT doc_id,
+      CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 8) < '19999999'
+        THEN 'eval' ELSE 'train' END AS split
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS STRING)), 1, 8) < 'cccccccc'
+    """,
+)
+def pipeline_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash sampling + train/eval split: ~80% sample of the
+    corpus, each kept doc deterministically assigned a split. Unlike
+    TABLESAMPLE, membership is a function of the key alone —
+    reproducible across engines, reruns, and cluster sizes."""
+    from incubator_impala_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sampling.hash_sample(docs, "doc_id", 0.8)
+    return sampling.train_eval_split(kept, "doc_id", 0.1).select("doc_id", "split")
+
+
+@_register(
+    "pipeline_corpus_curation",
+    """
+    WITH feats AS (
+      SELECT doc_id, text,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_filter(string_split(text, ' '),
+          t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t)))
+          / greatest(len(string_split(text, ' ')), 1) AS stop_ratio
+      FROM documents),
+    survivors AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+    SELECT f.doc_id,
+      CAST(f.n_tokens AS INT) AS n_tokens,
+      CASE WHEN substr(md5(CAST(f.doc_id AS STRING)), 1, 8) < '19999999'
+        THEN 'eval' ELSE 'train' END AS split
+    FROM feats f JOIN survivors s ON f.doc_id = s.doc_id
+    WHERE f.n_tokens BETWEEN 20 AND 200
+      AND f.stop_ratio >= 0.05
+    ORDER BY f.doc_id
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: exact-dedup winners ∩ quality gates
+    (token-count band, stopword floor) → deterministic train/eval
+    split — the C4-style cleaning flow as one declarative plan.
+    Scale: one hash shuffle for dedup, everything else map-side."""
+    from incubator_impala_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = dedup.exact_dedup_survivors(docs).select("doc_id")
+    feats = docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.stopword_ratio("text", "en").alias("stop_ratio"),
+    )
+    curated = (
+        feats.join(survivors, "doc_id")
+        .where(
+            F.col("n_tokens").between(20, 200) & (F.col("stop_ratio") >= 0.05)
+        )
+    )
+    return (
+        sampling.train_eval_split(curated, "doc_id", 0.1)
+        .select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"), "split")
+        .orderBy("doc_id")
+    )
