@@ -709,3 +709,55 @@ def tablesample_system(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("sampled_rows"),
         F.min("l_orderkey").alias("min_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# COMPUTE STATS output shape (ComputeStatsStmt.java): per-column
+# count/nulls/ndv/min/max — the table the reference materializes into
+# its catalog, produced here as a long-format query (exact ndv so the
+# oracle hash-matches; the approx path is tests/test_approx_aggs.py).
+# ---------------------------------------------------------------------------
+@_register(
+    "stats_column_summary",
+    """
+    SELECT 'l_quantity' AS col_name,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(count(*) - count(l_quantity) AS BIGINT) AS n_nulls,
+      CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
+      CAST(min(l_quantity) AS DOUBLE) AS min_v,
+      CAST(max(l_quantity) AS DOUBLE) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+      CAST(count(*) AS BIGINT),
+      CAST(count(*) - count(l_extendedprice) AS BIGINT),
+      CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+      CAST(min(l_extendedprice) AS DOUBLE),
+      CAST(max(l_extendedprice) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey',
+      CAST(count(*) AS BIGINT),
+      CAST(count(*) - count(l_suppkey) AS BIGINT),
+      CAST(count(DISTINCT l_suppkey) AS BIGINT),
+      CAST(min(l_suppkey) AS DOUBLE),
+      CAST(max(l_suppkey) AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def stats_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(col: str) -> DataFrame:
+        return li.agg(
+            F.lit(col).alias("col_name"),
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("ndv"),
+            F.min(col).cast("double").alias("min_v"),
+            F.max(col).cast("double").alias("max_v"),
+        ).select("col_name", "n_rows", "n_nulls", "ndv", "min_v", "max_v")
+
+    return one("l_quantity").unionAll(one("l_extendedprice")).unionAll(
+        one("l_suppkey")
+    )

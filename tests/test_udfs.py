@@ -60,3 +60,37 @@ def test_nulls_propagate(fns):
     assert _one(fns, "fnv_hash(NULL)") is None
     assert _one(fns, "jaro_similarity(NULL, 'x')") is None
     assert _one(fns, "damerau_levenshtein(NULL, 'x')") is None
+
+
+def test_parse_url_native(spark):
+    """parse_url is native in Spark (reference: string registry,
+    SURVEY.md §2.11) — no DuckDB twin, so unit-tested here."""
+    r = spark.sql(
+        "SELECT parse_url('https://h.example.com:8080/a/b?q=1&x=2#f', 'HOST') AS h,"
+        " parse_url('https://h.example.com:8080/a/b?q=1&x=2#f', 'PATH') AS p,"
+        " parse_url('https://h.example.com:8080/a/b?q=1&x=2#f', 'QUERY', 'x') AS x"
+    ).collect()[0]
+    assert (r.h, r.p, r.x) == ("h.example.com", "/a/b", "2")
+
+
+def test_conv_base_conversion(spark):
+    r = spark.sql(
+        "SELECT conv('ff', 16, 10) AS a, conv('255', 10, 16) AS b, "
+        "conv('1010', 2, 10) AS c"
+    ).collect()[0]
+    assert (r.a, r.b, r.c) == ("255", "FF", "10")
+
+
+def test_base64_roundtrip(spark):
+    r = spark.sql(
+        "SELECT base64('hello') AS e, CAST(unbase64(base64('hello')) AS STRING) AS d"
+    ).collect()[0]
+    assert r.e == "aGVsbG8=" and r.d == "hello"
+
+
+def test_get_json_object_nested(spark):
+    r = spark.sql(
+        """SELECT get_json_object('{"a": {"b": [1, 2, {"c": "x"}]}}', '$.a.b[2].c') AS v,
+           get_json_object('{"a": {"b": [1, 2]}}', '$.a.b[1]') AS n"""
+    ).collect()[0]
+    assert r.v == "x" and r.n == "2"
