@@ -82,3 +82,25 @@ def test_foreachbatch_dedup_upsert(spark, events_stream_dir, tmp_path):
         for r in want.where(F.col("event_id") % 97 == 0).collect()
     }
     assert got_vals == want_vals
+
+
+def test_declarative_stream_dedup_within_watermark(spark, events_stream_dir,
+                                                   tmp_path):
+    """dropDuplicatesWithinWatermark: the declarative streaming dedup —
+    duplicate event_ids arriving across micro-batches (the overlapping
+    chunks) collapse to one row each, with state bounded by the
+    watermark instead of growing forever."""
+    from incubator_impala_spark.sources.tables import load_table
+    from incubator_impala_spark.streaming import jobs
+
+    stream = jobs.read_events_stream(spark, events_stream_dir,
+                                     max_files_per_trigger=1)
+    deduped = (
+        stream.withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    got = jobs.run_available_now(deduped, output_mode="append").toPandas()
+    want = load_table(spark, SF_SMALL, "events").count()
+    assert len(got) == want
+    assert got["event_id"].is_unique
