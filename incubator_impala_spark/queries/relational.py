@@ -761,3 +761,54 @@ def stats_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one("l_quantity").unionAll(one("l_extendedprice")).unionAll(
         one("l_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE frames with value offsets (AnalyticWindow.java:41-67 — RANGE
+# n PRECEDING/FOLLOWING) + IGNORE NULLS value functions over
+# constructed NULLs.
+# ---------------------------------------------------------------------------
+@_register(
+    "analytic_range_value_frames",
+    """
+    SELECT o_orderkey,
+      CAST(COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS n_within_10k,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+        (PARTITION BY o_orderpriority ORDER BY o_totalprice
+         RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS DECIMAL(38,2))
+        AS sum_near,
+      first_value(nullif(o_orderkey, 0) IGNORE NULLS) OVER
+        (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        AS first_nonzero_key
+    FROM orders WHERE o_custkey % 200 = 0
+    """,
+)
+def analytic_range_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-offset RANGE frames: peers chosen by |price delta|, not
+    row position — plus IGNORE NULLS first_value. Note: ties in
+    o_totalprice are true RANGE peers so frame sums are well-defined
+    without a tiebreak; the first_value order carries one anyway."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 200 == 0)
+    w_count = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 0)
+    )
+    w_sum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, 5000)
+    )
+    w_first = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        F.count("*").over(w_count).cast("bigint").alias("n_within_10k"),
+        F.sum(_d("o_totalprice")).over(w_sum).cast("decimal(38,2)").alias("sum_near"),
+        F.first(F.nullif(F.col("o_orderkey"), F.lit(0)), ignorenulls=True)
+        .over(w_first)
+        .alias("first_nonzero_key"),
+    )
