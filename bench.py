@@ -61,11 +61,17 @@ def main() -> None:
     # warm-up (JIT/codegen/IO cache) — not counted
     QUERIES["tpch_q6"](spark, sf_dir).collect()
 
+    # min of two runs per query: the first run pays JVM/codegen/IO
+    # warm-up for that plan shape; min-of-2 measures the engine, not
+    # the JIT, and keeps round-over-round comparisons stable.
     per_query: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).collect()
-        per_query[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 4)
 
     total = round(sum(per_query.values()), 4)
     print(

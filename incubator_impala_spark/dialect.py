@@ -89,6 +89,11 @@ def rewrite_macro_calls(sql: str, name: str, template) -> str:
             out.append(sql[pos:])
             break
         inner = sql[start : i - 1]
+        # recurse into the argument text: a same-name macro nested
+        # inside this call sits within the span we skip past, so it
+        # must be rewritten before templating (found by the dialect
+        # fuzzer: zeroifnull(zeroifnull(a)) survived one pass)
+        inner = rewrite_macro_calls(inner, name, template)
         args = _split_args(inner) if inner.strip() else []
         try:
             replacement = template(args)

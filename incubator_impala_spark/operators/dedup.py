@@ -320,3 +320,22 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (cross-snapshot)
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(new_docs: DataFrame, seen_hashes: DataFrame,
+                      text_col: str = "text", hash_col: str = "h") -> DataFrame:
+    """Keep only new docs whose content hash is absent from the seen
+    set — the incremental-ingest form of exact dedup (each batch of a
+    growing corpus checks against everything already accepted).
+
+    Scale: anti join on the 128-bit hash; the seen set ships as a
+    hash-only column (16 bytes/row), broadcastable to ~100M rows and
+    shuffle-joined beyond that.
+    """
+    hashed = new_docs.withColumn(hash_col, F.md5(F.col(text_col)))
+    return hashed.join(seen_hashes, hash_col, "left_anti")
