@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "pipeline_dedup_minhash_lsh",  # shingle → minhash → band join
     "pipeline_text_features",      # pure-Column text featurizer
     "pipeline_similarity_topk",    # broadcast brute-force ANN baseline
+    "pipeline_corpus_curation",    # dedup ∩ quality ∩ split end-to-end
+    "tpcds_q36_style_rollup_rank",  # rollup + grouping + windowed rank
 ]
 
 

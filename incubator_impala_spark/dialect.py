@@ -16,6 +16,11 @@ shim string-rewrites the remaining differences *before* `spark.sql`:
 
 This is deliberately a *shim*, not a SQL parser: rewrites are
 conservative and only fire on patterns they fully understand.
+
+Known limitation (by design): the NULL-ordering rewrite skips ORDER BY
+items containing parentheses (`ORDER BY f(x) DESC`) — those keep
+Spark's defaults rather than risk corrupting an expression the regex
+can't bound. Use explicit NULLS FIRST/LAST for such items.
 """
 
 from __future__ import annotations
