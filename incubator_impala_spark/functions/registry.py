@@ -96,6 +96,26 @@ MACROS = {
     "ds_hll_union": lambda a: f"hll_union_agg({a[0]})",
     "ds_hll_estimate": lambda a: f"hll_sketch_estimate({a[0]})",
     "ds_hll_union_f": lambda a: f"hll_union({a[0]}, {a[1]})",
+    # masking family beyond Spark's mask() (mask-functions-ir.cc, 735
+    # LoC: mask_first_n/last_n/show_first_n/show_last_n/mask_hash).
+    # Impala default n=4; mask_hash is sha256 hex for strings.
+    "mask_first_n": lambda a: (
+        f"concat(mask(left({a[0]}, {a[1] if len(a) > 1 else 4})),"
+        f" substr({a[0]}, {a[1] if len(a) > 1 else 4} + 1))"
+    ),
+    "mask_last_n": lambda a: (
+        f"concat(substr({a[0]}, 1, length({a[0]}) - {a[1] if len(a) > 1 else 4}),"
+        f" mask(right({a[0]}, {a[1] if len(a) > 1 else 4})))"
+    ),
+    "mask_show_first_n": lambda a: (
+        f"concat(left({a[0]}, {a[1] if len(a) > 1 else 4}),"
+        f" mask(substr({a[0]}, {a[1] if len(a) > 1 else 4} + 1)))"
+    ),
+    "mask_show_last_n": lambda a: (
+        f"concat(mask(substr({a[0]}, 1, length({a[0]}) - {a[1] if len(a) > 1 else 4})),"
+        f" right({a[0]}, {a[1] if len(a) > 1 else 4}))"
+    ),
+    "mask_hash": lambda a: f"lower(sha2({a[0]}, 256))",
 }
 
 # ---------------------------------------------------------------------------

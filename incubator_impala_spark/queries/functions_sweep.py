@@ -461,7 +461,17 @@ def fn_decimal_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS masked,
       regexp_replace(regexp_replace(regexp_replace(
         c_name, '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '#', 'g')
-        AS masked_custom
+        AS masked_custom,
+      concat(
+        regexp_replace(regexp_replace(regexp_replace(
+          substr(c_name, 1, 4), '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+          '[0-9]', 'n', 'g'),
+        substr(c_name, 5)) AS mask_f4,
+      concat(substr(c_name, 1, 4),
+        regexp_replace(regexp_replace(regexp_replace(
+          substr(c_name, 5), '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+          '[0-9]', 'n', 'g')) AS show_f4,
+      lower(sha256(c_name)) AS name_sha
     FROM customer WHERE c_custkey % 25 = 0
     """,
 )
@@ -471,7 +481,10 @@ def fn_mask_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_custkey,
           mask(c_name) AS masked,
-          mask(c_name, 'U', 'l', '#') AS masked_custom
+          mask(c_name, 'U', 'l', '#') AS masked_custom,
+          mask_first_n(c_name) AS mask_f4,
+          mask_show_first_n(c_name, 4) AS show_f4,
+          mask_hash(c_name) AS name_sha
         FROM customer WHERE c_custkey % 25 = 0
         """,
     )
