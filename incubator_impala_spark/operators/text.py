@@ -90,3 +90,38 @@ def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(col))
         .withColumn("fingerprint", fingerprint(col))
     )
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 50,
+                    overlap: int = 10, col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping token windows — the training/
+    RAG preparation op (fixed-size chunks, `overlap` tokens of context
+    carried between neighbors). Pure Column expressions: tokenize once,
+    slice windows with array functions inside codegen; one row per
+    chunk with its position and token count.
+
+    Scale: map-side only (explode multiplies rows by ~n_tokens/stride);
+    no shuffle until a downstream operator asks for one."""
+    stride = chunk_tokens - overlap
+    starts = (
+        f"sequence(1, greatest(size(_toks) - {overlap}, 1), {stride})"
+    )
+    return (
+        df.select(F.col(id_col), F.split(F.col(col), " ").alias("_toks"))
+        .select(
+            id_col,
+            F.posexplode(F.expr(starts)).alias("chunk_idx", "start"),
+            F.col("_toks"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("start"), chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(
+                F.size("_toks") - F.col("start") + 1, F.lit(chunk_tokens)
+            ).cast("int").alias("n_tokens"),
+        )
+    )

@@ -493,3 +493,28 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"), "split")
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "pipeline_chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id % 20 = 0),
+    starts AS (
+      SELECT doc_id, t,
+        unnest(generate_series(1, greatest(len(t) - 10, 1), 40)) AS start,
+        generate_subscripts(generate_series(1, greatest(len(t) - 10, 1), 40), 1) - 1
+          AS chunk_idx
+      FROM toks)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      array_to_string(t[start : start + 49], ' ') AS chunk_text,
+      CAST(least(len(t) - start + 1, 50) AS INT) AS n_tokens
+    FROM starts
+    """,
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 50-token chunks with 10-token overlap (stride 40) —
+    the training-data chunking op as one codegen'd expression chain."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    return text.chunk_documents(docs, chunk_tokens=50, overlap=10)
