@@ -812,3 +812,36 @@ def analytic_range_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w_first)
         .alias("first_nonzero_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlation / covariance (BuiltinsDb stats family). skewness/kurtosis
+# are deliberately excluded from the oracle pair: Spark and DuckDB use
+# different bias corrections (~1e-3 relative divergence), so they are
+# not comparable exactly — corr/covar agree to float precision.
+# ---------------------------------------------------------------------------
+@_register(
+    "agg_corr_covar",
+    """
+    SELECT l_returnflag,
+      CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(18,6)) AS c,
+      CAST(covar_pop(l_quantity, l_extendedprice) AS DECIMAL(18,4)) AS cvp,
+      CAST(covar_samp(l_quantity, l_extendedprice) AS DECIMAL(18,4)) AS cvs
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").cast("decimal(18,6)").alias("c"),
+            F.covar_pop("l_quantity", "l_extendedprice")
+            .cast("decimal(18,4)")
+            .alias("cvp"),
+            F.covar_samp("l_quantity", "l_extendedprice")
+            .cast("decimal(18,4)")
+            .alias("cvs"),
+        )
+        .orderBy("l_returnflag")
+    )
