@@ -845,3 +845,60 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (df.groupBy().pivot() — Spark API surface; the reference and
+# TPC-DS express this as manual conditional aggregation, which is
+# exactly what the oracle does).
+# ---------------------------------------------------------------------------
+@_register(
+    "agg_pivot_priority_counts",
+    """
+    SELECT o_orderstatus,
+      CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
+        AS "1-URGENT",
+      CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT)
+        AS "2-HIGH",
+      CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT)
+        AS "3-MEDIUM"
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_pivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .count()
+        .na.fill(0)
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles (reference: percentile via histogram /
+# appx_median, BuiltinsDb.java:991 — Spark `percentile` and DuckDB
+# `quantile_cont` both compute exact linear interpolation).
+# ---------------------------------------------------------------------------
+@_register(
+    "agg_percentiles_exact",
+    """
+    SELECT l_returnflag,
+      CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS p25,
+      CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS p50,
+      CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+            F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+            F.percentile("l_quantity", F.lit(0.9)).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
