@@ -120,3 +120,56 @@ def test_random_query_differential(engines, sql):
     want: pd.DataFrame = con.execute(sql).df()
     problems = compare_frames(got, want)
     assert not problems, f"{sql}\n{problems}"
+
+
+@st.composite
+def join_window_specs(draw):
+    """Join + window specs: customer⋈orders with a filter, a windowed
+    rank per segment, and a band on the rank."""
+    seg_op = draw(st.sampled_from(["=", "<>"]))
+    seg = draw(st.sampled_from(["BUILDING", "MACHINERY", "FURNITURE"]))
+    price_cut = draw(st.integers(min_value=0, max_value=500000))
+    k = draw(st.integers(min_value=1, max_value=10))
+    wfn = draw(st.sampled_from(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"]))
+    return f"""
+    SELECT c_custkey, o_orderkey, rnk FROM (
+      SELECT c.c_custkey, o.o_orderkey,
+        CAST({wfn} OVER (PARTITION BY c.c_mktsegment
+                         ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT)
+          AS rnk
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment {seg_op} '{seg}'
+        AND o.o_totalprice > {price_cut}) t
+    WHERE rnk <= {k}
+    """
+
+
+@pytest.fixture(scope="module")
+def engines_joined(spark):
+    from incubator_impala_spark.sources.tables import load_table
+
+    for t in ("customer", "orders"):
+        load_table(spark, SF_SMALL, t).createOrReplaceTempView(t)
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_SMALL}/{t}.parquet')"
+        )
+    return spark, con
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=join_window_specs())
+def test_random_join_window_differential(engines_joined, sql):
+    spark, con = engines_joined
+    from incubator_impala_spark.testing.oracle import compare_frames
+
+    got = spark.sql(sql).toPandas()
+    want = con.execute(sql).df()
+    problems = compare_frames(got, want)
+    assert not problems, f"{sql}\n{problems}"
