@@ -518,3 +518,48 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the training-data chunking op as one codegen'd expression chain."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
     return text.chunk_documents(docs, chunk_tokens=50, overlap=10)
+
+
+@_register(
+    "pipeline_fuzzy_name_join",
+    """
+    WITH dirty AS (
+      SELECT c_custkey AS dirty_id,
+        concat(substr(c_name, 1, length(c_name) - 2), 'XY') AS dirty
+      FROM customer WHERE c_custkey % 10 = 0),
+    l AS (
+      SELECT dirty_id, dirty,
+        unnest([floor(length(dirty) / 4) - 1, floor(length(dirty) / 4),
+                floor(length(dirty) / 4) + 1]) AS _lb,
+        substr(dirty, 1, 2) AS _pfx
+      FROM dirty),
+    r AS (
+      SELECT c_custkey, c_name, floor(length(c_name) / 4) AS _lb,
+        substr(c_name, 1, 2) AS _pfx
+      FROM customer)
+    SELECT l.dirty_id, l.dirty, r.c_custkey, r.c_name,
+      CAST(levenshtein(dirty, c_name) AS INT) AS edit_distance
+    FROM l JOIN r USING (_lb, _pfx)
+    WHERE levenshtein(dirty, c_name) <= 2
+    """,
+)
+def pipeline_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: deterministically corrupted names fuzzy-joined
+    back to the clean table (blocking + levenshtein verify). The
+    corruption replaces the last two characters, so every dirty name
+    links to its source (and its last-digit neighbors) at distance 2."""
+    from incubator_impala_spark.operators.fuzzy import fuzzy_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.concat(
+            F.expr("substr(c_name, 1, length(c_name) - 2)"), F.lit("XY")
+        ).alias("dirty"),
+    )
+    joined = fuzzy_join(dirty, cust.select("c_custkey", "c_name"),
+                        "dirty", "c_name", max_distance=2)
+    return joined.select(
+        "dirty_id", "dirty", "c_custkey", "c_name",
+        F.col("edit_distance").cast("int").alias("edit_distance"),
+    )
