@@ -200,3 +200,47 @@ def nested_isnotempty_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n > 0).alias("has_orders"),
         n.cast("int").alias("n_orders"),
     )
+
+
+@_register(
+    "nested_array_set_ops",
+    """
+    WITH halves AS (
+      SELECT n_regionkey,
+        list(n_name) FILTER (n_nationkey % 2 = 0) AS evens,
+        list(n_name) FILTER (n_nationkey % 3 = 0) AS threes
+      FROM nation GROUP BY n_regionkey)
+    SELECT n_regionkey,
+      array_to_string(list_sort(list_distinct(list_intersect(evens, threes))), ',')
+        AS both_sets,
+      array_to_string(list_sort(list_distinct(list_concat(evens, threes))), ',')
+        AS either_set,
+      array_to_string(list_sort(list_distinct(
+        list_filter(evens, x -> NOT list_contains(threes, x)))), ',')
+        AS only_evens
+    FROM halves
+    """,
+)
+def nested_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_intersect/union/except over constructed collections —
+    set semantics on arrays (outputs sorted+joined since element order
+    differs by engine)."""
+    nat = load_table(spark, sf_dir, "nation")
+    halves = nat.groupBy("n_regionkey").agg(
+        F.collect_list(
+            F.when(F.col("n_nationkey") % 2 == 0, F.col("n_name"))
+        ).alias("evens"),
+        F.collect_list(
+            F.when(F.col("n_nationkey") % 3 == 0, F.col("n_name"))
+        ).alias("threes"),
+    )
+
+    def joined(col):
+        return F.concat_ws(",", F.sort_array(col))
+
+    return halves.select(
+        "n_regionkey",
+        joined(F.array_intersect("evens", "threes")).alias("both_sets"),
+        joined(F.array_union("evens", "threes")).alias("either_set"),
+        joined(F.array_except("evens", "threes")).alias("only_evens"),
+    )
