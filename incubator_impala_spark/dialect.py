@@ -141,6 +141,58 @@ def apply_impala_null_ordering(sql: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# CAST(x AS STRING FORMAT '<fmt>') — Impala's ISO-SQL datetime format
+# clause (be/src/exprs/cast-format-expr.h; SURVEY hard part #1). The
+# shim translates the ISO tokens to Java SimpleDateFormat-style
+# patterns and rewrites to date_format(). Token table covers the
+# documented core; unknown tokens pass through unchanged (they are
+# almost always literal separators).
+# ---------------------------------------------------------------------------
+_ISO_FMT_TOKENS = [  # longest-first
+    ("YYYY", "yyyy"), ("RRRR", "yyyy"), ("YYY", "yyy"), ("YY", "yy"),
+    ("DDD", "DDD"), ("DD", "dd"), ("HH24", "HH"), ("HH12", "hh"),
+    ("HH", "hh"), ("MI", "mm"), ("SSSSS", None), ("SS", "ss"),
+    ("FF9", None), ("FF", "SSS"), ("TZH", "xx"), ("MONTH", "MMMM"),
+    ("MON", "MMM"), ("MM", "MM"), ("DAY", "EEEE"), ("DY", "EEE"),
+    ("AM", "a"), ("PM", "a"), ("T", "'T'"), ("Z", "'Z'"),
+]
+
+
+def translate_iso_format(fmt: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        for tok, repl in _ISO_FMT_TOKENS:
+            if fmt[i : i + len(tok)].upper() == tok:
+                if repl is None:
+                    raise ValueError(f"unsupported FORMAT token {tok}")
+                out.append(repl)
+                i += len(tok)
+                break
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
+_CAST_FORMAT = re.compile(
+    r"CAST\s*\(\s*(?P<expr>[^()]+?)\s+AS\s+(?:STRING|VARCHAR|CHAR)\s+"
+    r"FORMAT\s+'(?P<fmt>[^']*)'\s*\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_cast_format(sql: str) -> str:
+    def _repl(m: re.Match) -> str:
+        try:
+            java_fmt = translate_iso_format(m.group("fmt"))
+        except ValueError:
+            return m.group(0)  # leave untranslatable casts untouched
+        return f"date_format({m.group('expr')}, '{java_fmt}')"
+
+    return _CAST_FORMAT.sub(_repl, sql)
+
+
 # Statement-level translations (reference grammar sql-parser.cup):
 # COMPUTE [INCREMENTAL] STATS t (ComputeStatsStmt.java) → ANALYZE TABLE.
 _COMPUTE_STATS = re.compile(
@@ -166,6 +218,7 @@ def translate(sql: str, macros: dict | None = None) -> str:
     stmt = translate_statement(sql)
     if stmt is not None:
         return stmt
+    sql = rewrite_cast_format(sql)
     if macros:
         for name, template in macros.items():
             sql = rewrite_macro_calls(sql, name, template)

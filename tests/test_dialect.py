@@ -76,3 +76,25 @@ def test_engine_null_ordering_semantics(engine):
     assert vals == [1, 2, None]
     vals = [r.v for r in engine.sql("SELECT v FROM null_t ORDER BY v DESC").collect()]
     assert vals == [None, 2, 1]
+
+
+def test_cast_format_clause_translation():
+    out = tr("SELECT CAST(ts AS STRING FORMAT 'YYYY-MM-DD') FROM t")
+    assert out == "SELECT date_format(ts, 'yyyy-MM-dd') FROM t"
+    out = tr("SELECT CAST(ts AS STRING FORMAT 'DD Month YYYY HH24:MI:SS') FROM t")
+    assert out == "SELECT date_format(ts, 'dd MMMM yyyy HH:mm:ss') FROM t"
+
+
+def test_cast_format_end_to_end(engine):
+    row = engine.sql(
+        "SELECT CAST(TIMESTAMP '2024-02-29 13:05:07' AS STRING "
+        "FORMAT 'YYYY-MM-DD HH24:MI:SS') AS s, "
+        "CAST(DATE '2024-01-01' AS STRING FORMAT 'DY DD Mon YYYY') AS d"
+    ).collect()[0]
+    assert row.s == "2024-02-29 13:05:07"
+    assert row.d == "Mon 01 Jan 2024"
+
+
+def test_cast_without_format_untouched():
+    sql = "SELECT CAST(x AS STRING) FROM t"
+    assert tr(sql) == sql
