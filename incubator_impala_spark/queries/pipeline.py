@@ -563,3 +563,48 @@ def pipeline_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dirty_id", "dirty", "c_custkey", "c_name",
         F.col("edit_distance").cast("int").alias("edit_distance"),
     )
+
+
+@_register(
+    "pipeline_quantize_embeddings",
+    """
+    WITH q AS (
+      SELECT vec_id,
+        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+          AS scale,
+        embedding
+      FROM embeddings WHERE vec_id % 4 = 0),
+    qq AS (
+      SELECT vec_id, scale,
+        CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+          ELSE list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
+        END AS qvec
+      FROM q)
+    SELECT vec_id, scale,
+      CAST(list_reduce(qvec, (a, b) -> a + b) AS BIGINT) AS q_sum,
+      CAST(list_min(qvec) AS INT) AS q_min,
+      CAST(list_max(qvec) AS INT) AS q_max,
+      md5(array_to_string(qvec, ',')) AS q_md5
+    FROM qq
+    """,
+)
+def pipeline_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 max-abs quantization of the embedding column — 4× storage
+    cut with |err| <= scale/2; rounding spelled floor(x+0.5) because
+    engines disagree on round()'s tie rule but agree on floor. Output
+    is scalar per vector (sum/min/max/md5 of the quantized codes) so
+    value comparison never depends on array-type canonicalization."""
+    from incubator_impala_spark.operators.quantize import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id", "scale",
+        F.aggregate("qvec", F.lit(0).cast("bigint"), lambda a, b: a + b)
+        .alias("q_sum"),
+        F.array_min("qvec").cast("int").alias("q_min"),
+        F.array_max("qvec").cast("int").alias("q_max"),
+        F.md5(F.concat_ws(",", F.transform("qvec", lambda x: x.cast("string"))))
+        .alias("q_md5"),
+    )

@@ -43,6 +43,13 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _values_equal(a, b) -> bool:
+    import numpy as np
+
+    # normalize sequence kinds (DuckDB hands back numpy arrays)
+    if isinstance(a, np.ndarray):
+        a = a.tolist()
+    if isinstance(b, np.ndarray):
+        b = b.tolist()
     if a is None and b is None:
         return True
     if pd.isna(a) if not isinstance(a, (list, tuple)) else False:
