@@ -54,12 +54,19 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 # ---------------------------------------------------------------------------
-# Hyperplane LSH (deterministic, seedless): plane p's component for
-# dimension d is derived from md5(p||d) — reproducible across runs,
-# engines, and cluster sizes with no RNG state to ship.
+# Hyperplane LSH, multi-table (deterministic, seedless): plane p's
+# component for dimension d is derived from md5(p||d) — reproducible
+# across runs, engines, and cluster sizes with no RNG state to ship.
+# `LSH_BANDS` independent tables of `LSH_PLANES_PER_BAND` planes each:
+# a near pair is a candidate if ANY band's sign pattern matches —
+# single-table bucketing over many planes has vanishing recall
+# (P(match) = agree^planes), the banding trick recovers it exactly as
+# in MinHash LSH.
 # ---------------------------------------------------------------------------
 
-LSH_PLANES = 8
+LSH_BANDS = 4
+LSH_PLANES_PER_BAND = 4
+LSH_PLANES = LSH_BANDS * LSH_PLANES_PER_BAND  # total plane pool
 
 
 def _plane_component(p: int, d: int) -> float:
@@ -70,48 +77,70 @@ def _plane_component(p: int, d: int) -> float:
     return int(h[:8], 16) / float(1 << 31) - 1.0
 
 
-def lsh_bucket(df: DataFrame, dim: int, vec_col: str = "embedding",
-               planes: int = LSH_PLANES) -> DataFrame:
-    """Attach an LSH bucket id: sign pattern of `planes` fixed random
-    hyperplanes. Buckets are computed JVM-side from literal plane
-    vectors (broadcast as constants into codegen)."""
+def _band_bucket(vec_col: str, dim: int, band: int) -> "F.Column":
+    """Sign pattern of band `band`'s planes as an int bucket id."""
     bucket = F.lit(0)
-    for p in range(planes):
+    for j in range(LSH_PLANES_PER_BAND):
+        p = band * LSH_PLANES_PER_BAND + j
         comps = F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
         dot = F.aggregate(
             F.zip_with(F.col(vec_col), comps, lambda x, c: x.cast("double") * c),
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return df.withColumn("lsh_bucket", bucket.cast("int"))
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_bucket_bands(df: DataFrame, dim: int,
+                     vec_col: str = "embedding") -> DataFrame:
+    """One row per (input row, band): columns `band`, `bucket`."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _band_bucket(vec_col, dim, b).alias("bucket"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return df.withColumn("_bb", F.explode(pairs)).select(
+        *df.columns, F.col("_bb.band").alias("band"),
+        F.col("_bb.bucket").alias("bucket"),
+    )
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket.
-
-    The approximation path for 100 TB corpora — the bucket equi-join
-    replaces the all-pairs cross join; recall is tuned by `planes`
-    (fewer planes → bigger buckets → higher recall, more compute).
+    """Approximate top-k: candidates share ANY band's bucket with the
+    query (multi-table LSH). The band equi-join replaces the all-pairs
+    cross join at 100 TB; recall is tuned by bands × planes-per-band.
     """
-    cb = lsh_bucket(corpus.repartition(F.col(id_col)), dim, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        vec_norm(vec_col).alias("cn"), "lsh_bucket",
+    cb = lsh_bucket_bands(
+        corpus.repartition(F.col(id_col)).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            vec_norm(vec_col).alias("cn"),
+        ),
+        dim, "cv",
     )
-    qb = lsh_bucket(queries, dim, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        vec_norm(vec_col).alias("qn"),
-        F.col("lsh_bucket").alias("qbucket"),
+    qb = lsh_bucket_bands(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            vec_norm(vec_col).alias("qn"),
+        ),
+        dim, "qv",
     )
-    scored = (
+    cand = (
         cb.join(F.broadcast(qb),
-                (F.col("lsh_bucket") == F.col("qbucket"))
+                (cb.band == qb.band)
+                & (cb.bucket == qb.bucket)
                 & (F.col("query_id") != F.col("neighbor_id")))
-        .select(
-            "query_id", "neighbor_id",
-            (dot_product("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("sim"),
-        )
+        .select("query_id", "neighbor_id", "qv", "cv", "qn", "cn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        (dot_product("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
     return (

@@ -220,11 +220,15 @@ def pipeline_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5)
 
 
-def _bucket_duck(alias: str) -> str:
-    """DuckDB hyperplane-LSH bucket mirroring similarity.lsh_bucket
-    (same md5-derived plane literals, same fold order)."""
+def _band_bucket_duck(alias: str, band: int) -> str:
+    """DuckDB per-band hyperplane-LSH bucket mirroring
+    similarity._band_bucket (same md5-derived plane literals, same
+    fold order)."""
+    from incubator_impala_spark.operators.similarity import LSH_PLANES_PER_BAND
+
     terms = []
-    for p in range(LSH_PLANES):
+    for j in range(LSH_PLANES_PER_BAND):
+        p = band * LSH_PLANES_PER_BAND + j
         comps = "[" + ", ".join(
             repr(_plane_component(p, d)) for d in range(EMB_DIM)
         ) + "]"
@@ -233,22 +237,36 @@ def _bucket_duck(alias: str) -> str:
             f"i -> CAST({alias}.embedding[i] AS DOUBLE) * ({comps})[i]), "
             f"(acc, v) -> acc + v)"
         )
-        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def _banded_duck(src_filter: str, id_alias: str, vec_alias: str) -> str:
+    """UNION ALL of per-band (band, bucket) rows for the embeddings."""
+    from incubator_impala_spark.operators.similarity import LSH_BANDS
+
+    parts = [
+        f"SELECT vec_id AS {id_alias}, embedding AS {vec_alias}, "
+        f"{b} AS band, {_band_bucket_duck('embeddings', b)} AS bucket "
+        f"FROM embeddings {src_filter}"
+        for b in range(LSH_BANDS)
+    ]
+    return " UNION ALL ".join(parts)
 
 
 @_register(
     "pipeline_similarity_lsh_topk",
     f"""
-    WITH cb AS (SELECT vec_id AS neighbor_id, embedding AS cv,
-                  {_bucket_duck('embeddings')} AS lsh_bucket FROM embeddings),
-    qb AS (SELECT vec_id AS query_id, embedding AS qv,
-             {_bucket_duck('embeddings')} AS qbucket
-           FROM embeddings WHERE vec_id % 50 = 0),
+    WITH cb AS ({_banded_duck('', 'neighbor_id', 'cv')}),
+    qb AS ({_banded_duck('WHERE vec_id % 50 = 0', 'query_id', 'qv')}),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id, qv, cv
+      FROM cb JOIN qb
+        ON cb.band = qb.band AND cb.bucket = qb.bucket
+       AND query_id <> neighbor_id),
     scored AS (
       SELECT query_id, neighbor_id, {_cosine_duck('qv', 'cv')} AS sim
-      FROM cb JOIN qb
-        ON lsh_bucket = qbucket AND query_id <> neighbor_id),
+      FROM cand),
     ranked AS (
       SELECT query_id, neighbor_id, sim,
         ROW_NUMBER() OVER (PARTITION BY query_id

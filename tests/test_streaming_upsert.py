@@ -104,3 +104,51 @@ def test_declarative_stream_dedup_within_watermark(spark, events_stream_dir,
     want = load_table(spark, SF_SMALL, "events").count()
     assert len(got) == want
     assert got["event_id"].is_unique
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """Exactly-once across restarts: a second run with the same
+    checkpoint must process only files that arrived after the first
+    run — no re-emission of already-committed batches."""
+    import duckdb
+
+    from incubator_impala_spark.streaming import jobs
+
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW ev AS SELECT event_id, epoch_ns(ts) AS ts, user_id,"
+        " event_type, value, props FROM "
+        f"read_parquet('{SF_SMALL}/events.parquet')"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM ev WHERE event_id < 400) TO '{src}/a.parquet'"
+        " (FORMAT PARQUET)"
+    )
+
+    def run_once():
+        stream = jobs.read_events_stream(spark, src).select("event_id")
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", f"{tmp_path}/out")
+            .option("checkpointLocation", f"{tmp_path}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(f"{tmp_path}/out").count() == 400
+
+    # new data lands; restart from the same checkpoint
+    con.execute(
+        f"COPY (SELECT * FROM ev WHERE event_id >= 400) TO '{src}/b.parquet'"
+        " (FORMAT PARQUET)"
+    )
+    run_once()
+    out = spark.read.parquet(f"{tmp_path}/out")
+    total = con.execute("SELECT count(*) FROM ev").fetchone()[0]
+    assert out.count() == total
+    assert out.select("event_id").distinct().count() == total
