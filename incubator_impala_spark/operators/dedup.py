@@ -339,3 +339,32 @@ def incremental_dedup(new_docs: DataFrame, seen_hashes: DataFrame,
     """
     hashed = new_docs.withColumn(hash_col, F.md5(F.col(text_col)))
     return hashed.join(seen_hashes, hash_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (corpus-version audit)
+# ---------------------------------------------------------------------------
+
+
+def diff_snapshots(old: DataFrame, new: DataFrame, key: str,
+                   content_col: str = "text") -> DataFrame:
+    """Classify every key across two corpus versions: 'added',
+    'removed', 'changed' (content hash differs), or 'unchanged' —
+    the audit step between pipeline runs (what did this rebuild do?).
+
+    Scale: one full-outer hash join on the key; content comparison via
+    md5 so wide text never ships twice.
+    """
+    o = old.select(F.col(key).alias("_k"), F.md5(F.col(content_col)).alias("_oh"))
+    n = new.select(F.col(key).alias("_k2"), F.md5(F.col(content_col)).alias("_nh"))
+    j = o.join(n, F.col("_k") == F.col("_k2"), "full_outer")
+    change = (
+        F.when(F.col("_oh").isNull(), "added")
+        .when(F.col("_nh").isNull(), "removed")
+        .when(F.col("_oh") != F.col("_nh"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        F.coalesce(F.col("_k"), F.col("_k2")).alias(key),
+        change.alias("change_type"),
+    )

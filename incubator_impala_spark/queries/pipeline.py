@@ -626,3 +626,35 @@ def pipeline_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(",", F.transform("qvec", lambda x: x.cast("string"))))
         .alias("q_md5"),
     )
+
+
+@_register(
+    "pipeline_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 17 <> 0),
+    new AS (
+      SELECT doc_id,
+        md5(CASE WHEN doc_id % 13 = 0 THEN concat(text, ' v2') ELSE text END)
+          AS h
+      FROM documents)
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+      CASE WHEN old.h IS NULL THEN 'added'
+           WHEN new.h IS NULL THEN 'removed'
+           WHEN old.h <> new.h THEN 'changed'
+           ELSE 'unchanged' END AS change_type
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version audit: v1 drops every 17th doc, v2 edits every
+    13th — the diff classifies each key added/removed/changed/unchanged
+    via one full-outer hash join on content hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 17 != 0)
+    new = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    return dedup.diff_snapshots(old, new, key="doc_id")
