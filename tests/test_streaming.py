@@ -144,3 +144,56 @@ def test_nanos_preserved_beyond_oracle(spark):
         F.unix_micros("ts") != F.expr("ts_ns div 1000")
     ).count()
     assert bad == 0
+
+
+def test_append_mode_window_emission_contract(spark, tmp_path):
+    """Append-mode late-data contract on this Spark build: a window is
+    emitted AT MOST ONCE (no re-emission when late rows arrive after
+    its event time passed — here the late batch's windows were never
+    in state before, so they emit once on commit and are immediately
+    evicted), and the window newer than watermark-delay stays open.
+    State stays bounded either way: nothing reopens."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from incubator_impala_spark.streaming import jobs
+
+    src = f"{tmp_path}/late_src"
+    os.makedirs(src)
+    con = duckdb.connect()
+    # batch 1: events on 2024-01-05..2024-01-30 (advances watermark far)
+    con.execute(
+        "CREATE VIEW ev AS SELECT event_id, epoch_ns(ts) AS ts, user_id,"
+        " event_type, value, props FROM "
+        f"read_parquet('{SF_SMALL}/events.parquet')"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM ev WHERE ts >= epoch_ns(TIMESTAMP '2024-01-05')) TO"
+        f" '{src}/recent.parquet' (FORMAT PARQUET)"
+    )
+    # batch 2: VERY late events (before 2024-01-03 — far behind the
+    # watermark after batch 1)
+    con.execute(
+        f"COPY (SELECT * FROM ev WHERE ts < epoch_ns(TIMESTAMP '2024-01-03')) TO"
+        f" '{src}/late.parquet' (FORMAT PARQUET)"
+    )
+    os.utime(f"{src}/recent.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(f"{src}/late.parquet", (1_700_000_001, 1_700_000_001))
+
+    stream = jobs.read_events_stream(spark, src, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("day"), "n")
+    )
+    got = jobs.run_available_now(agg, output_mode="append").toPandas()
+    assert len(got) > 0
+    # at-most-once emission per window
+    assert got["day"].is_unique, got.sort_values("day")
+    # the newest window (within watermark delay of max event time)
+    # must still be open — append cannot emit unfinalized windows
+    import pandas as pd
+
+    assert got["day"].max() < pd.Timestamp("2024-01-30")
