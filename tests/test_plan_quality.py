@@ -114,3 +114,31 @@ def test_minhash_reuses_shingle_index(q):
 def test_similarity_broadcasts_queries(q):
     plan = _plan(q["pipeline_similarity_topk"])
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_sql_broadcast_hint_respected(spark):
+    """SQL join-strategy hints (/*+ BROADCAST(t) */) — the user-facing
+    analogue of the reference's join distribution-mode query options."""
+    from tests.conftest import SF_SMALL
+
+    from incubator_impala_spark.sources.tables import load_table
+
+    load_table(spark, SF_SMALL, "orders").createOrReplaceTempView("orders_h")
+    load_table(spark, SF_SMALL, "customer").createOrReplaceTempView("customer_h")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        no_hint = spark.sql(
+            "SELECT count(*) FROM orders_h o JOIN customer_h c"
+            " ON o.o_custkey = c.c_custkey"
+        )
+        hinted = spark.sql(
+            "SELECT /*+ BROADCAST(c) */ count(*) FROM orders_h o"
+            " JOIN customer_h c ON o.o_custkey = c.c_custkey"
+        )
+        assert "BroadcastHashJoin" not in _plan(no_hint)
+        assert "BroadcastHashJoin" in _plan(hinted)
+        assert hinted.collect() == no_hint.collect()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
