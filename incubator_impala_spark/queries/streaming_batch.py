@@ -300,3 +300,53 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("sv"), F.lit(0)).cast("decimal(38,2)").alias("sum_value"),
         )
     )
+
+
+@_register(
+    "events_session_dynamic_gap",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+        CASE WHEN event_type = 'purchase' THEN INTERVAL 12 HOUR
+             ELSE INTERVAL 4 HOUR END AS gap
+      FROM events),
+    marked AS (
+      SELECT user_id, ts, value, ts + gap AS w_end,
+        CASE WHEN max(ts + gap) OVER
+            (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= ts
+          THEN 0 ELSE 1 END AS new_s
+      FROM g),
+    numbered AS (
+      SELECT user_id, ts, value, w_end,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+      min(ts) AS session_start,
+      max(w_end) AS session_end,
+      count(*) AS n_events, {_SUM_DEC} AS sum_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessions: purchases keep a session alive 12h,
+    everything else 4h — `session_window` with a per-event gap
+    expression. Oracle: islands where a row joins the session iff the
+    running max of prior window-ends reaches it; session end is the
+    max member end (merge semantics of overlapping [ts, ts+gap))."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("12 hours")).otherwise(
+        F.lit("4 hours")
+    )
+    w = F.session_window(F.col("ts"), gap)
+    return (
+        ev.groupBy(w, "user_id")
+        .agg(F.count("*").alias("n_events"), windows.money_sum("value").alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id", "n_events", "sum_value",
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )
