@@ -78,7 +78,7 @@ def _one():
       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-      CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_charge,
+      CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS avg_qty,
       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS avg_price,
       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS avg_disc,
@@ -93,7 +93,10 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = (_d("l_extendedprice") * (_one() - _d("l_discount"))).cast(
         "decimal(18,4)"
     )
-    charge = (disc_price * (_one() + _d("l_tax"))).cast("decimal(18,4)")
+    # (18,4) × (13,2) has scale-6 exact product; keep all 6 digits so no
+    # per-row rounding happens (Spark HALF_UP vs DuckDB HALF_EVEN diverge
+    # on representable ties — the round-1 tpch_q1 hash failure).
+    charge = (disc_price * (_one() + _d("l_tax"))).cast("decimal(18,6)")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -101,7 +104,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_d("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
             F.sum(_d("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
             F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,4)").alias("sum_charge"),
+            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
             (F.sum(_d("l_quantity")).cast("double") / F.count("*"))
             .cast("decimal(18,6)")
             .alias("avg_qty"),

