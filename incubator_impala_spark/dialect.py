@@ -17,10 +17,12 @@ shim string-rewrites the remaining differences *before* `spark.sql`:
 This is deliberately a *shim*, not a SQL parser: rewrites are
 conservative and only fire on patterns they fully understand.
 
-Known limitation (by design): the NULL-ordering rewrite skips ORDER BY
-items containing parentheses (`ORDER BY f(x) DESC`) — those keep
-Spark's defaults rather than risk corrupting an expression the regex
-can't bound. Use explicit NULLS FIRST/LAST for such items.
+The NULL-ordering rewrite walks each ORDER BY clause with the same
+balanced-paren/string scanner the macro expander uses: items are split
+on top-level commas, the clause ends at a top-level `)`, `;`, or a
+terminator keyword (LIMIT/OFFSET/ROWS/RANGE/...), so `ORDER BY f(x)
+DESC` and bare `ORDER BY expr` (implicit ASC → NULLS LAST, reference
+OrderByElement.java:74-85) are both handled.
 """
 
 from __future__ import annotations
@@ -110,35 +112,100 @@ def rewrite_macro_calls(sql: str, name: str, template) -> str:
     return "".join(out)
 
 
-_ORDER_ITEM = re.compile(
-    r"(?P<expr>[^,()]+?)\s+(?P<dir>ASC|DESC)(?!\s+NULLS)(?=\s*(,|$|\)|LIMIT\b))",
-    re.IGNORECASE,
+_ORDER_BY = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+# Keywords that terminate an ORDER BY item list at nesting depth 0.
+# ROWS/RANGE end a window-spec ORDER BY; the rest end statement-level
+# clauses. (A *column* named e.g. `rows` would need quoting — same
+# tradeoff the reference's own parser reserves these words under.)
+_ORDER_TERMINATORS = frozenset(
+    {"limit", "offset", "fetch", "rows", "range", "union", "intersect",
+     "except", "window", "into"}
 )
+_NULLS_SUFFIX = re.compile(r"\bNULLS\s+(FIRST|LAST)\s*$", re.IGNORECASE)
+_DIR_SUFFIX = re.compile(r"\b(ASC|DESC)\s*$", re.IGNORECASE)
+
+
+def _fix_order_item(item: str) -> str:
+    """Append Impala's default NULLS placement to one ORDER BY item."""
+    s = item.strip()
+    if not s or _NULLS_SUFFIX.search(s):
+        return s
+    m = _DIR_SUFFIX.search(s)
+    if m:
+        nulls = "NULLS LAST" if m.group(1).upper() == "ASC" else "NULLS FIRST"
+        return f"{s} {nulls}"
+    # bare item: Impala implicit ASC defaults NULLS LAST
+    # (OrderByElement.java:74-85); Spark implicit ASC is NULLS FIRST.
+    return f"{s} ASC NULLS LAST"
 
 
 def apply_impala_null_ordering(sql: str) -> str:
     """Make Impala's NULLS LAST (ASC) / NULLS FIRST (DESC) explicit.
 
-    Only rewrites `expr ASC` / `expr DESC` items that carry an explicit
-    direction and no explicit NULLS clause — bare `ORDER BY expr`
-    (implicit ASC) is also Impala-NULLS-LAST, handled by a second pass.
+    Walks every ORDER BY clause (statement-level and window-spec) with
+    a balanced-paren/quote scanner: items split on top-level commas;
+    the clause ends at a top-level `)`, `;`, or terminator keyword.
+    Items that already carry NULLS FIRST/LAST are left untouched.
     """
-
-    def _repl(m: re.Match) -> str:
-        d = m.group("dir").upper()
-        nulls = "NULLS LAST" if d == "ASC" else "NULLS FIRST"
-        return f"{m.group('expr')} {d} {nulls}"
-
-    def _order_by_repl(m: re.Match) -> str:
-        clause = m.group(0)
-        return _ORDER_ITEM.sub(_repl, clause)
-
-    return re.sub(
-        r"ORDER\s+BY\s+[^;]*?(?=(\bLIMIT\b|\bOFFSET\b|\)|;|$))",
-        _order_by_repl,
-        sql,
-        flags=re.IGNORECASE | re.DOTALL,
-    )
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _ORDER_BY.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            break
+        i = m.end()
+        depth = 0
+        in_str: str | None = None
+        end = len(sql)
+        boundaries: list[int] = []
+        while i < len(sql):
+            c = sql[i]
+            if in_str:
+                if c == in_str:
+                    in_str = None
+                i += 1
+            elif c in ("'", '"', "`"):
+                in_str = c
+                i += 1
+            elif c == "(":
+                depth += 1
+                i += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+                i += 1
+            elif c == ";" and depth == 0:
+                end = i
+                break
+            elif c == "," and depth == 0:
+                boundaries.append(i)
+                i += 1
+            elif depth == 0 and (c.isalpha() or c == "_"):
+                j = i
+                while j < len(sql) and (sql[j].isalnum() or sql[j] == "_"):
+                    j += 1
+                if sql[i:j].lower() in _ORDER_TERMINATORS:
+                    end = i
+                    break
+                i = j
+            else:
+                i += 1
+        clause = sql[m.end() : end]
+        items, prev = [], 0
+        for b in boundaries:
+            items.append(clause[prev : b - m.end()])
+            prev = b - m.end() + 1
+        items.append(clause[prev:])
+        out.append(sql[pos : m.end()])
+        out.append(" " + ", ".join(_fix_order_item(it) for it in items))
+        # preserve a separator before any terminator keyword
+        if end < len(sql) and sql[end] not in (")", ";"):
+            out.append(" ")
+        pos = end
+    return "".join(out)
 
 
 # ---------------------------------------------------------------------------

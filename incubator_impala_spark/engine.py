@@ -57,7 +57,10 @@ class Engine:
         accepted and ignored (returns False)."""
         key = name.lower()
         if key in QUERY_OPTION_MAP:
-            conf, v = QUERY_OPTION_MAP[key](str(value))
+            mapped = QUERY_OPTION_MAP[key](str(value))
+            if mapped is None:  # option value means "auto"/inapplicable
+                return True
+            conf, v = mapped
             self.spark.conf.set(conf, v)
             return True
         if name.startswith("spark."):

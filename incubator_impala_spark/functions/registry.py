@@ -55,14 +55,19 @@ MACROS = {
     "dayname": lambda a: f"date_format({a[0]}, 'EEEE')",
     "monthname": lambda a: f"date_format({a[0]}, 'MMMM')",
     "dayofyear": lambda a: f"dayofyear({a[0]})",
-    "weeks_add": lambda a: f"date_add({a[0]}, 7 * ({a[1]}))",
-    "weeks_sub": lambda a: f"date_add({a[0]}, -7 * ({a[1]}))",
-    "days_add": lambda a: f"date_add({a[0]}, {a[1]})",
-    "days_sub": lambda a: f"date_sub({a[0]}, {a[1]})",
-    "months_add": lambda a: f"add_months({a[0]}, {a[1]})",
-    "months_sub": lambda a: f"add_months({a[0]}, -({a[1]}))",
-    "years_add": lambda a: f"add_months({a[0]}, 12 * ({a[1]}))",
-    "years_sub": lambda a: f"add_months({a[0]}, -12 * ({a[1]}))",
+    # interval forms (not date_add/add_months, which return DATE and
+    # would truncate a TIMESTAMP's time-of-day): `x + make_interval`
+    # preserves the input type — DATE stays DATE, TIMESTAMP stays
+    # TIMESTAMP — matching the reference's TIMESTAMP→TIMESTAMP
+    # signatures (impala_functions.py days_add et al.)
+    "weeks_add": lambda a: f"({a[0]} + make_interval(0,0,{a[1]},0,0,0,0))",
+    "weeks_sub": lambda a: f"({a[0]} - make_interval(0,0,{a[1]},0,0,0,0))",
+    "days_add": lambda a: f"({a[0]} + make_interval(0,0,0,{a[1]},0,0,0))",
+    "days_sub": lambda a: f"({a[0]} - make_interval(0,0,0,{a[1]},0,0,0))",
+    "months_add": lambda a: f"({a[0]} + make_interval(0,{a[1]},0,0,0,0,0))",
+    "months_sub": lambda a: f"({a[0]} - make_interval(0,{a[1]},0,0,0,0,0))",
+    "years_add": lambda a: f"({a[0]} + make_interval({a[1]},0,0,0,0,0,0))",
+    "years_sub": lambda a: f"({a[0]} - make_interval({a[1]},0,0,0,0,0,0))",
     "hours_add": lambda a: f"({a[0]} + make_interval(0,0,0,0,{a[1]},0,0))",
     "hours_sub": lambda a: f"({a[0]} - make_interval(0,0,0,0,{a[1]},0,0))",
     "minutes_add": lambda a: f"({a[0]} + make_interval(0,0,0,0,0,{a[1]},0))",
@@ -76,7 +81,14 @@ MACROS = {
     "bitxor": lambda a: f"(({a[0]}) ^ ({a[1]}))",
     "bitnot": lambda a: f"(~({a[0]}))",
     "countset": lambda a: f"bit_count({a[0]})",
-    "rotateleft": lambda a: f"((({a[0]}) << ({a[1]})) | (({a[0]}) >> (64 - ({a[1]}))))",
+    # 64-bit rotate; the wrap-around term must be a LOGICAL shift
+    # (shiftrightunsigned) — `>>` sign-extends and corrupts negative
+    # inputs. Scope: BIGINT width only (the reference rotates within
+    # the input type's width, bit-byte-functions-ir.cc RotateLeftImpl;
+    # narrower types are documented in DIALECT.md as 64-bit here).
+    "rotateleft": lambda a: (
+        f"((({a[0]}) << ({a[1]})) | shiftrightunsigned({a[0]}, 64 - ({a[1]})))"
+    ),
     "getbit": lambda a: f"((({a[0]}) >> ({a[1]})) & 1)",
     # misc
     "group_concat": lambda a: (
@@ -145,8 +157,15 @@ QUERY_OPTION_MAP: dict = {
     "parquet_read_statistics": lambda v: (
         "spark.sql.parquet.filterPushdown", v
     ),
-    # num_scanner_threads / mt_dop ≈ local parallelism → shuffle partitions
-    "mt_dop": lambda v: ("spark.sql.shuffle.partitions", v),
+    # num_scanner_threads / mt_dop ≈ local parallelism → shuffle
+    # partitions. Impala's MT_DOP=0 means "auto" (query-options.h) —
+    # map it (and any non-positive/garbage value) to None = ignore,
+    # never to shuffle.partitions=0 which would break every shuffle.
+    "mt_dop": lambda v: (
+        ("spark.sql.shuffle.partitions", v)
+        if v.strip().lstrip("-").isdigit() and int(v) > 0
+        else None
+    ),
 }
 
 

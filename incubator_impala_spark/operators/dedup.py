@@ -241,23 +241,61 @@ def simhash60_sql(dialect: str, table: str = "documents",
     """
 
 
-def simhash_pair_sql(dialect: str, max_hamming: int = 10,
-                     band_width: int = 100) -> str:
-    """Near-dup pairs by simhash Hamming distance, banded by document
-    length (n_chars div band_width) to bound the pairwise term — the
-    banding is what keeps this sub-quadratic at scale."""
+def simhash_segments(n_bits: int, n_segments: int) -> list[tuple[int, int, int]]:
+    """(seg_idx, bit_offset, mask) triples splitting `n_bits` into
+    `n_segments` contiguous segments (sizes differ by at most 1)."""
+    base, rem = divmod(n_bits, n_segments)
+    out, off = [], 0
+    for i in range(n_segments):
+        width = base + (1 if i < rem else 0)
+        out.append((i, off, (1 << width) - 1))
+        off += width
+    return out
+
+
+def simhash_pair_sql(dialect: str, max_hamming: int = 6,
+                     n_segments: int | None = None) -> str:
+    """Near-dup pairs by simhash Hamming distance.
+
+    Candidate generation is pigeonhole segment banding: split the
+    60-bit signature into `max_hamming + 1` contiguous segments — any
+    pair within Hamming distance `max_hamming` differs in at most
+    `max_hamming` segments, so at least one segment matches EXACTLY.
+    Candidates come from an equi-join on (seg_idx, seg_val): recall is
+    guaranteed 1.0 (the result is exactly the full pair set, unlike
+    length banding which silently missed cross-band pairs) and the
+    join is sub-quadratic at scale — a hot bucket holds only docs
+    agreeing on 8-9 signature bits, not a popularity-skewed length
+    class. Same blocking idea as the reference era's
+    Manku/Jain/Sarma WWW'07 simhash dedup paper.
+    """
+    if n_segments is None:
+        n_segments = max_hamming + 1
     sig = simhash60_sql(dialect)
-    xor = "s1.simhash ^ s2.simhash" if dialect == "spark" else "xor(s1.simhash, s2.simhash)"
-    intdiv = "DIV" if dialect == "spark" else "//"
+    if dialect == "spark":
+        xor = "c.h1 ^ c.h2"
+        shift = "shiftright(s.simhash, seg.off)"
+    else:
+        xor = "xor(c.h1, c.h2)"
+        shift = "(s.simhash >> seg.off)"
+    seg_rows = ", ".join(
+        f"({i}, {off}, {mask})"
+        for i, off, mask in simhash_segments(SIMHASH_BITS, n_segments)
+    )
     return f"""
     WITH sig AS ({sig}),
-    banded AS (
-      SELECT s.doc_id, s.simhash, d.n_chars {intdiv} {band_width} AS band
-      FROM sig s JOIN documents d ON s.doc_id = d.doc_id)
-    SELECT s1.doc_id AS d1, s2.doc_id AS d2,
-      CAST(bit_count({xor}) AS INT) AS hamming
-    FROM banded s1 JOIN banded s2
-      ON s1.band = s2.band AND s1.doc_id < s2.doc_id
+    segs AS (
+      SELECT s.doc_id, s.simhash, seg.seg_idx,
+             ({shift} & seg.mask) AS seg_val
+      FROM sig s CROSS JOIN (VALUES {seg_rows}) AS seg(seg_idx, off, mask)),
+    cand AS (
+      SELECT DISTINCT s1.doc_id AS d1, s2.doc_id AS d2,
+             s1.simhash AS h1, s2.simhash AS h2
+      FROM segs s1 JOIN segs s2
+        ON s1.seg_idx = s2.seg_idx AND s1.seg_val = s2.seg_val
+       AND s1.doc_id < s2.doc_id)
+    SELECT c.d1, c.d2, CAST(bit_count({xor}) AS INT) AS hamming
+    FROM cand c
     WHERE bit_count({xor}) <= {max_hamming}
     ORDER BY d1, d2
     """

@@ -32,11 +32,22 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str, buckets: int = 16,
                 how: str = "inner") -> DataFrame:
     """Equi-join with the fact side salted and the dim side replicated.
 
-    Result is identical to `fact.join(dim, key, how)`; the plan spreads
-    each join key over `buckets` partitions. Use when one key's row
-    count dwarfs the rest AND the dim can't broadcast. Replication
-    multiplies the dim shuffle volume by `buckets` — keep it small.
+    Result is identical to `fact.join(dim, key, how)` for `how` in
+    {inner, left/left_outer, left_semi, left_anti}; right/full outer
+    would emit each unmatched dim row `buckets` times (the dim side is
+    replicated before the join), so those modes raise.
+    The plan spreads each join key over `buckets` partitions. Use when
+    one key's row count dwarfs the rest AND the dim can't broadcast.
+    Replication multiplies the dim shuffle volume by `buckets` — keep
+    it small.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — dim-side replication "
+            "would duplicate unmatched dim rows in right/full outer joins"
+        )
     fact_cols = [c for c in fact.columns]
     salted_fact = fact.withColumn("_salt", _salt_col(fact_cols, buckets))
     replicated_dim = dim.withColumn(

@@ -61,3 +61,46 @@ def test_simhash_find_rate_on_planted_pairs(spark, docs):
     }
     hit_rate = len(exact & sim) / len(exact)
     assert hit_rate >= 0.5, f"simhash hit rate on planted pairs: {hit_rate:.2f}"
+
+
+def test_simhash_pigeonhole_recall_is_total(spark, docs):
+    """Pigeonhole banding (7 segments for hamming <= 6) must return
+    EXACTLY the all-pairs hamming result — recall 1.0 by construction,
+    precision 1.0 via the hamming verify. Compare against a brute-force
+    cross join on the same signatures."""
+    from incubator_impala_spark.operators import dedup
+
+    docs.createOrReplaceTempView("documents")
+    sig_sql = dedup.simhash60_sql("spark")
+    brute = {
+        (r.d1, r.d2, r.hamming)
+        for r in spark.sql(
+            f"""WITH sig AS ({sig_sql})
+            SELECT s1.doc_id AS d1, s2.doc_id AS d2,
+                   CAST(bit_count(s1.simhash ^ s2.simhash) AS INT) AS hamming
+            FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+            WHERE bit_count(s1.simhash ^ s2.simhash) <= 6"""
+        ).collect()
+    }
+    banded = {
+        (r.d1, r.d2, r.hamming)
+        for r in spark.sql(dedup.simhash_pair_sql("spark", max_hamming=6)).collect()
+    }
+    assert brute, "corpus should contain hamming<=6 signature pairs"
+    assert banded == brute
+
+
+def test_simhash_segments_cover_all_bits():
+    from incubator_impala_spark.operators import dedup
+
+    segs = dedup.simhash_segments(60, 7)
+    assert len(segs) == 7
+    covered = 0
+    expected_off = 0
+    for _, off, mask in segs:
+        assert off == expected_off
+        width = mask.bit_length()
+        assert mask == (1 << width) - 1
+        expected_off += width
+        covered += width
+    assert covered == 60

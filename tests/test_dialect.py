@@ -57,6 +57,102 @@ def test_null_ordering_explicit_untouched():
     assert "NULLS FIRST" in tr(sql) and "NULLS LAST" not in tr(sql)
 
 
+def test_null_ordering_bare_item_gets_asc_nulls_last():
+    # implicit ASC is Impala-NULLS-LAST too (OrderByElement.java:74-85)
+    out = tr("SELECT a FROM t ORDER BY a")
+    assert out.rstrip().endswith("ORDER BY a ASC NULLS LAST")
+
+
+def test_null_ordering_parenthesized_item():
+    # round-1 known limitation, now handled: f(x) DESC
+    out = tr("SELECT a FROM t ORDER BY coalesce(a, b) DESC")
+    assert "coalesce(a, b) DESC NULLS FIRST" in out
+
+
+def test_null_ordering_multi_item_mixed():
+    out = tr("SELECT * FROM t ORDER BY f(a), b DESC, c ASC NULLS FIRST LIMIT 5")
+    assert "f(a) ASC NULLS LAST" in out
+    assert "b DESC NULLS FIRST" in out
+    assert out.count("NULLS FIRST") == 2  # explicit one untouched
+    assert out.rstrip().endswith("LIMIT 5")
+
+
+def test_null_ordering_window_spec_stops_at_rows():
+    out = tr(
+        "SELECT sum(x) OVER (PARTITION BY g ORDER BY ts "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"
+    )
+    assert "ORDER BY ts ASC NULLS LAST ROWS BETWEEN" in out
+
+
+def test_null_ordering_subquery_boundary():
+    out = tr("SELECT * FROM (SELECT a FROM t ORDER BY g(a) DESC) q ORDER BY a")
+    assert "g(a) DESC NULLS FIRST" in out
+    assert out.rstrip().endswith("ORDER BY a ASC NULLS LAST")
+
+
+def test_days_add_preserves_timestamp_time_of_day(engine):
+    """Reference registers TIMESTAMP→TIMESTAMP for days_add/months_add
+    (impala_functions.py) — the macro must not truncate to DATE."""
+    row = engine.sql(
+        "SELECT days_add(TIMESTAMP '2024-01-01 10:30:00', 1) AS d, "
+        "weeks_add(TIMESTAMP '2024-01-01 10:30:00', 1) AS w, "
+        "months_add(TIMESTAMP '2024-01-31 08:15:00', 1) AS m, "
+        "years_sub(TIMESTAMP '2024-02-29 23:59:59', 1) AS y"
+    ).collect()[0]
+    assert str(row.d) == "2024-01-02 10:30:00"
+    assert str(row.w) == "2024-01-08 10:30:00"
+    assert str(row.m) == "2024-02-29 08:15:00"
+    assert str(row.y) == "2023-02-28 23:59:59"
+
+
+def test_days_add_on_date_stays_date(engine):
+    df = engine.sql("SELECT days_add(DATE '2024-02-28', 1) AS d")
+    assert df.schema["d"].dataType.simpleString() == "date"
+    assert str(df.collect()[0].d) == "2024-02-29"
+
+
+def test_rotateleft_negative_input(engine):
+    """Logical (not arithmetic) shift in the wrap term: rotate of a
+    negative 64-bit value must match the pure-Python reference."""
+
+    def rol64(x: int, n: int) -> int:
+        ux = x & 0xFFFFFFFFFFFFFFFF
+        r = ((ux << n) | (ux >> (64 - n))) & 0xFFFFFFFFFFFFFFFF
+        return r - (1 << 64) if r >= (1 << 63) else r
+
+    for x, n in [(-1, 3), (-2, 1), (1, 63), (-(2**62), 2)]:
+        got = engine.sql(
+            f"SELECT rotateleft(CAST({x} AS BIGINT), {n}) AS r"
+        ).collect()[0].r
+        assert got == rol64(x, n), (x, n, got, rol64(x, n))
+
+
+def test_mt_dop_zero_means_auto(engine):
+    before = engine.spark.conf.get("spark.sql.shuffle.partitions")
+    engine.sql("SET MT_DOP=0")
+    assert engine.spark.conf.get("spark.sql.shuffle.partitions") == before
+    engine.sql("SET MT_DOP=8")
+    assert engine.spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    engine.sql(f"SET MT_DOP={before}")
+
+
+def test_engine_null_ordering_implicit_asc(engine):
+    engine.spark.sql(
+        "SELECT * FROM VALUES (1), (NULL), (2) AS t(v)"
+    ).createOrReplaceTempView("null_imp_t")
+    vals = [r.v for r in engine.sql("SELECT v FROM null_imp_t ORDER BY v").collect()]
+    assert vals == [1, 2, None]
+    # parenthesized sort item, DESC → NULLS FIRST
+    vals = [
+        r.v
+        for r in engine.sql(
+            "SELECT v FROM null_imp_t ORDER BY coalesce(v, v) DESC"
+        ).collect()
+    ]
+    assert vals == [None, 2, 1]
+
+
 def test_engine_sql_end_to_end(engine):
     df = engine.sql(
         "SELECT strleft(c_name, 8) AS pfx, zeroifnull(NULL) AS z "

@@ -116,6 +116,18 @@ def test_similarity_broadcasts_queries(q):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_simhash_candidates_are_equi_join(q):
+    """Pigeonhole banding must plan as a hash equi-join on
+    (seg_idx, seg_val) — never a length-band theta join (the round-1
+    scale-killer: one popular band degraded to O(band²))."""
+    plan = _plan(q["pipeline_dedup_simhash"])
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    opt = _optimized(q["pipeline_dedup_simhash"])
+    assert "seg_val" in opt and "seg_idx" in opt
+
+
 def test_sql_broadcast_hint_respected(spark):
     """SQL join-strategy hints (/*+ BROADCAST(t) */) — the user-facing
     analogue of the reference's join distribution-mode query options."""

@@ -52,6 +52,18 @@ def test_salted_join_outer_keeps_unmatched(spark):
     assert plain == salted
 
 
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest
+
+    from incubator_impala_spark.operators.skew import salted_join
+
+    orders, cust = _tables(spark)
+    orders = orders.withColumnRenamed("o_custkey", "c_custkey")
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(orders, cust, "c_custkey", buckets=4, how=how)
+
+
 def test_salt_in_join_keys(spark):
     from incubator_impala_spark.operators.skew import salted_join
 
