@@ -98,6 +98,13 @@ MACROS = {
     # rsd 0.02 ≈ the reference NDV's documented ~1.9% typical error
     # (HLL, aggregate-functions-ir.cc)
     "ndv": lambda a: f"approx_count_distinct({a[0]}, 0.02)",
+    # sampled_ndv(col, sample_perc) SQL form: HLL over the rows given
+    # (reference pairs it with TABLESAMPLE — the sample_perc arg only
+    # feeds its extrapolation curve-fit). Extrapolation lives in the
+    # DataFrame operator operators/sampling.py::sampled_ndv (Duj1);
+    # the SQL macro estimates the rows it sees, documented in
+    # DIALECT.md as the no-extrapolation form.
+    "sampled_ndv": lambda a: f"approx_count_distinct({a[0]}, 0.02)",
     "distinctpc": lambda a: f"approx_count_distinct({a[0]}, 0.02)",
     "appx_median": lambda a: f"percentile_approx({a[0]}, 0.5)",
     # DataSketches HLL family (BuiltinsDb.java:1056-1082; scalar
@@ -108,6 +115,17 @@ MACROS = {
     "ds_hll_union": lambda a: f"hll_union_agg({a[0]})",
     "ds_hll_estimate": lambda a: f"hll_sketch_estimate({a[0]})",
     "ds_hll_union_f": lambda a: f"hll_union({a[0]}, {a[1]})",
+    # histogram (BuiltinsDb.java:1001; HistogramFinalize,
+    # aggregate-functions-ir.cc:1413): equi-height bucket boundaries as
+    # a comma-separated STRING. The reference samples 20k rows into a
+    # reservoir and emits every (n/100)-th sorted sample; we get the
+    # same output shape from percentile_approx's 100 equi-height
+    # quantiles — sketch-based instead of sample-based, same contract.
+    "histogram": lambda a: (
+        "array_join(transform(percentile_approx(" + a[0] + ", array("
+        + ", ".join(f"{(i + 1) / 100.0}" for i in range(100))
+        + "), 10000), v -> cast(v as string)), ', ')"
+    ),
     # masking family beyond Spark's mask() (mask-functions-ir.cc, 735
     # LoC: mask_first_n/last_n/show_first_n/show_last_n/mask_hash).
     # Impala default n=4; mask_hash is sha256 hex for strings.
@@ -175,6 +193,7 @@ def register_all(spark: SparkSession) -> None:
     Kept tiny on purpose: everything that *can* be a macro or native
     call is; only value-stable hashes & rare edit distances land here.
     """
-    from incubator_impala_spark.functions import udfs
+    from incubator_impala_spark.functions import sketches, udfs
 
     udfs.register(spark)
+    sketches.register(spark)

@@ -540,3 +540,114 @@ def fn_uda_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             weight_sum("w").alias("total_w"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DataSketches KLL quantile family (BuiltinsDb.java:1327-1374;
+# datasketches-functions-ir.cc). The sketch itself is the pure-Python
+# KLL in functions/sketches.py (datasketches pip pkg absent in env).
+# Oracle contract: an estimator can't hash-match an exact engine, so
+# the entry returns *validated* quantile quality — the realized rank
+# of each estimated quantile must sit within 0.05 of its target (KLL
+# k=200 delivers ~0.01), which the oracle states as constants. The
+# exact per-group row count rides along as a hard-matched value.
+# ---------------------------------------------------------------------------
+@_register(
+    "fn_sketch_kll",
+    """
+    SELECT event_type,
+      CAST(1 AS INT) AS q25_ok, CAST(1 AS INT) AS q50_ok,
+      CAST(1 AS INT) AS q75_ok, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from incubator_impala_spark.functions import sketches
+
+    sketches.register(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    sk = ev.groupBy("event_type").agg(F.expr("ds_kll_sketch(value)").alias("sk"))
+    est = sk.select(
+        "event_type",
+        F.expr("ds_kll_quantile(sk, 0.25d)").alias("q25"),
+        F.expr("ds_kll_quantile(sk, 0.50d)").alias("q50"),
+        F.expr("ds_kll_quantile(sk, 0.75d)").alias("q75"),
+    )
+    joined = ev.join(F.broadcast(est), "event_type")
+
+    def ok(q: str, target: float):
+        realized = F.avg((F.col("value") <= F.col(q)).cast("double"))
+        return (F.abs(realized - F.lit(target)) < 0.05).cast("int")
+
+    return joined.groupBy("event_type").agg(
+        ok("q25", 0.25).alias("q25_ok"),
+        ok("q50", 0.50).alias("q50_ok"),
+        ok("q75", 0.75).alias("q75_ok"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sampled_ndv (BuiltinsDb.java:1086; SampledNdvState,
+# aggregate-functions-ir.cc:1950+): NDV extrapolated from a sample.
+# Our sample is the deterministic md5-prefix predicate (portable to
+# DuckDB verbatim), frequencies are exact over the sample, and the
+# Duj1 extrapolation is plain double arithmetic — every output column
+# hash-matches, estimator included.
+# ---------------------------------------------------------------------------
+@_register(
+    "fn_sampled_ndv",
+    """
+    WITH sample AS (
+      SELECT o_custkey FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS STRING)), 1, 8) < '80000000'
+    ),
+    freq AS (SELECT o_custkey, COUNT(*) AS c FROM sample GROUP BY o_custkey),
+    agg AS (SELECT COUNT(*) AS d,
+                   SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+                   SUM(c) AS n
+            FROM freq)
+    SELECT CAST(d AS BIGINT) AS sample_distinct,
+           CAST(f1 AS BIGINT) AS singletons,
+           CAST(n AS BIGINT) AS sample_rows,
+           CAST(round(CAST(d AS DOUBLE) /
+                (1 - 0.5 * CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE)))
+             AS BIGINT) AS ndv_estimate
+    FROM agg
+    """,
+)
+def fn_sampled_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from incubator_impala_spark.operators.sampling import sampled_ndv
+
+    orders = load_table(spark, sf_dir, "orders")
+    return sampled_ndv(orders, "o_custkey", key="o_orderkey", fraction=0.5)
+
+
+# ---------------------------------------------------------------------------
+# histogram (BuiltinsDb.java:1001; HistogramFinalize,
+# aggregate-functions-ir.cc:1413): equi-height bucket boundaries as a
+# comma-separated STRING. Boundary values are sketch-estimated
+# (percentile_approx), so the oracle pins the output *contract*: 100
+# boundaries, sorted ascending, topped by the exact column max.
+# Boundary accuracy vs exact percentiles is pinned separately in
+# tests/test_approx_aggs.py.
+# ---------------------------------------------------------------------------
+@_register(
+    "fn_histogram",
+    """
+    SELECT CAST(100 AS INT) AS n_bounds, CAST(1 AS INT) AS sorted_ok,
+           CAST(max(l_quantity) AS DOUBLE) AS top_bound
+    FROM lineitem
+    """,
+)
+def fn_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = _engine_sql(
+        spark, sf_dir, ["lineitem"],
+        "SELECT histogram(l_quantity) AS h FROM lineitem",
+    )
+    b = F.split("h", ", ").cast("array<double>")
+    return hist.select(
+        F.size(b).cast("int").alias("n_bounds"),
+        (b == F.array_sort(b)).cast("int").alias("sorted_ok"),
+        F.element_at(b, -1).cast("double").alias("top_bound"),
+    )

@@ -99,3 +99,103 @@ def test_set_statement_through_sql(engine):
         == "false"
     )
     engine.sql("SET runtime_filter_mode=GLOBAL")
+
+
+# ---------------------------------------------------------------------------
+# ds_kll_* quantile-sketch family (BuiltinsDb.java:1327-1374) — the
+# pure-Python KLL in functions/sketches.py, SQL-registered.
+# ---------------------------------------------------------------------------
+
+
+def test_kll_quantile_error_bound(engine, li_view):
+    """Realized rank of each estimated quantile within 2% of target
+    (KLL k=200 guarantees ~1%)."""
+    for q in (0.1, 0.5, 0.9):
+        row = engine.sql(
+            f"""
+            SELECT avg(CAST(l_extendedprice <= est AS DOUBLE)) AS realized
+            FROM {li_view},
+              (SELECT ds_kll_quantile(ds_kll_sketch(l_extendedprice), {q}d)
+                 AS est FROM {li_view})
+            """
+        ).collect()[0]
+        assert abs(row.realized - q) < 0.02, (q, row.realized)
+
+
+def test_kll_union_mergeability(engine, li_view):
+    """Per-partition sketches merged with ds_kll_union must estimate
+    like one global sketch — the partial-agg property that bounds the
+    shuffle to ~KB per group on a real cluster."""
+    merged = engine.sql(
+        f"""
+        SELECT ds_kll_quantile(ds_kll_union(sk), 0.5d) AS m FROM (
+          SELECT l_orderkey % 8 AS p, ds_kll_sketch(l_extendedprice) AS sk
+          FROM {li_view} GROUP BY l_orderkey % 8)
+        """
+    ).collect()[0].m
+    exact = engine.sql(
+        f"SELECT percentile(l_extendedprice, 0.5) AS m FROM {li_view}"
+    ).collect()[0].m
+    # realized rank of the merged-sketch median within 2%
+    realized = engine.sql(
+        f"SELECT avg(CAST(l_extendedprice <= {merged} AS DOUBLE))"
+        f" AS r FROM {li_view}"
+    ).collect()[0].r
+    assert abs(realized - 0.5) < 0.02, (merged, exact, realized)
+
+
+def test_kll_rank_and_n(engine, li_view):
+    # NB: a pandas GROUPED_AGG can't share an Aggregate with JVM
+    # aggregates — sketch and exact stats come from separate subqueries
+    row = engine.sql(
+        f"""
+        SELECT ds_kll_rank(sk, med) AS r, ds_kll_n(sk) AS n, exact_n
+        FROM (SELECT ds_kll_sketch(l_extendedprice) AS sk FROM {li_view}),
+             (SELECT percentile(l_extendedprice, 0.5) AS med,
+                     count(l_extendedprice) AS exact_n FROM {li_view})
+        """
+    ).collect()[0]
+    assert row.n == row.exact_n
+    assert abs(row.r - 0.5) < 0.02
+
+
+def test_kll_serialization_roundtrip():
+    from incubator_impala_spark.functions.sketches import KllSketch
+
+    sk = KllSketch(160)
+    sk.update_many(float(i % 997) for i in range(50000))
+    rt = KllSketch.deserialize(sk.serialize())
+    assert rt.n == sk.n
+    assert rt.quantile(0.3) == sk.quantile(0.3)
+    assert rt.rank(500.0) == sk.rank(500.0)
+
+
+def test_sampled_ndv_operator_extrapolates(spark):
+    """Duj1 over a 50% hash sample lands within 15% of exact NDV on
+    orders.o_custkey (a realistic skewed-frequency column)."""
+    from incubator_impala_spark.operators.sampling import sampled_ndv
+    from incubator_impala_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    est = sampled_ndv(orders, "o_custkey", key="o_orderkey", fraction=0.5).collect()[0]
+    exact = orders.select("o_custkey").distinct().count()
+    assert est.sample_rows < orders.count()
+    assert abs(est.ndv_estimate - exact) / exact < 0.15, (est, exact)
+
+
+def test_histogram_macro_boundaries(engine, li_view):
+    """histogram() (BuiltinsDb.java:1001): 100 sorted equi-height
+    boundaries; spot-check interior boundaries against exact
+    percentiles (sketch rank error at accuracy=10000 is well under one
+    l_quantity step)."""
+    h = engine.sql(
+        f"SELECT histogram(l_quantity) AS h FROM {li_view}"
+    ).collect()[0].h
+    bounds = [float(x) for x in h.split(", ")]
+    assert len(bounds) == 100
+    assert bounds == sorted(bounds)
+    for frac, b in ((0.25, bounds[24]), (0.5, bounds[49]), (0.75, bounds[74])):
+        exact = engine.sql(
+            f"SELECT percentile(l_quantity, {frac}) AS p FROM {li_view}"
+        ).collect()[0].p
+        assert abs(b - exact) <= 2.0, (frac, b, exact)
