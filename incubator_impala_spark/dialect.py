@@ -270,6 +270,39 @@ _COMPUTE_STATS = re.compile(
 # Spark spells it `div` too, so only normalization is needed; kept as a
 # documented no-op hook.
 
+# Function DDL (reference: CreateUdfStmt.java, CreateUdaStmt.java,
+# ShowFunctionsStmt.java, DropFunctionStmt.java; grammar
+# sql-parser.cup `create_udf_stmt`). Impala's native-library form
+#   CREATE FUNCTION name(INT, STRING) RETURNS INT
+#     LOCATION '/lib.so|jar' SYMBOL='ClassOrSymbol'
+# becomes Spark's Hive-UDF call-through
+#   CREATE TEMPORARY FUNCTION name AS 'ClassOrSymbol' [USING JAR '..']
+# — the signature list and return type are dropped (Spark resolves
+# Java UDF types at runtime); the JAR clause is kept only when the
+# location names a local jar (classpath classes need none). Spark 4's
+# own SQL-body form (CREATE FUNCTION ... RETURNS ... RETURN expr)
+# passes through untranslated — a beyond-reference bonus surface.
+_CREATE_FUNCTION = re.compile(
+    r"^\s*CREATE\s+(?P<agg>AGGREGATE\s+)?FUNCTION\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[A-Za-z_][\w.]*)\s*"
+    r"(?:\((?P<args>[^)]*)\))?\s*"
+    r"(?:RETURNS\s+(?P<ret>[A-Za-z0-9_()<>,\s]+?)\s+)?"
+    r"LOCATION\s+'(?P<loc>[^']*)'\s+SYMBOL\s*=\s*'(?P<sym>[^']+)'"
+    r".*?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SHOW_FUNCTIONS = re.compile(
+    r"^\s*SHOW\s+(?:AGGREGATE\s+|ANALYTIC\s+)?FUNCTIONS"
+    r"(?:\s+IN\s+(?P<db>[A-Za-z_][\w]*))?"
+    r"(?:\s+(?:LIKE\s+)?'(?P<pat>[^']*)')?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_FUNCTION = re.compile(
+    r"^\s*DROP\s+(?:AGGREGATE\s+)?FUNCTION\s+(?P<ie>IF\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][\w.]*)\s*(?:\([^)]*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 
 def translate_statement(sql: str) -> str | None:
     """Translate a whole statement if it's a recognized DDL/admin form;
@@ -277,6 +310,27 @@ def translate_statement(sql: str) -> str | None:
     m = _COMPUTE_STATS.match(sql)
     if m:
         return f"ANALYZE TABLE {m.group(1)} COMPUTE STATISTICS FOR ALL COLUMNS"
+    m = _CREATE_FUNCTION.match(sql)
+    if m:
+        import os
+
+        ine = "IF NOT EXISTS " if m.group("ine") else ""
+        using = ""
+        loc = m.group("loc")
+        if loc.endswith(".jar") and os.path.exists(loc):
+            using = f" USING JAR '{loc}'"
+        return (
+            f"CREATE TEMPORARY FUNCTION {ine}{m.group('name')} "
+            f"AS '{m.group('sym')}'{using}"
+        )
+    m = _SHOW_FUNCTIONS.match(sql)
+    if m:
+        like = f" LIKE '{m.group('pat')}'" if m.group("pat") else ""
+        return f"SHOW USER FUNCTIONS{like}"
+    m = _DROP_FUNCTION.match(sql)
+    if m:
+        ie = "IF EXISTS " if m.group("ie") else ""
+        return f"DROP TEMPORARY FUNCTION {ie}{m.group('name')}"
     return None
 
 

@@ -75,6 +75,17 @@ class Engine:
             return self.spark.sql("SELECT 1 AS status")
         return self.spark.sql(self.translate(sql_text))
 
+    def create_java_function(self, name: str, class_name: str,
+                             return_type=None) -> None:
+        """Java UDF call-through — the reference's Hive-UDF bridge
+        (be/src/exprs/hive-udf-call.h; CreateUdfStmt.java). Classes
+        implementing org.apache.spark.sql.api.java.UDF* register here;
+        Hive GenericUDF classes go through the SQL form
+        `CREATE FUNCTION name LOCATION '..' SYMBOL='cls'` (translated
+        to CREATE TEMPORARY FUNCTION ... AS — needs a hive-catalog
+        session, spark.sql.catalogImplementation=hive)."""
+        self.spark.udf.registerJavaFunction(name, class_name, return_type)
+
     def explain(self, sql_text: str, mode: str = "formatted") -> str:
         """EXPLAIN surface (reference: sql-parser.cup:765-775)."""
         import contextlib
