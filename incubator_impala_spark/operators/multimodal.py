@@ -2,11 +2,12 @@
 
 Net-new capability: image/audio/video treated as `binary` columns with
 decode / feature-extraction / resize / frame-sample steps running as
-Arrow-batched `mapInPandas` stages. The decode itself is STUBBED —
-image/audio codecs are not available in this container — behind
-`_decode_stub`, which produces *deterministic* fake metadata derived
-from the bytes, so the Spark-side plumbing (schema, batching,
-partitioning, UDF signature) is real and testable end-to-end.
+Arrow-batched `mapInPandas` stages. The decode is REAL for PNG (full
+pixel decode, pure stdlib — `operators/imagecodec.py`) and JPEG
+(dimensions from the SOF frame header); payloads in any other format
+fall back to `_decode_stub`'s *deterministic* fake metadata (labeled
+`format='unknown'`), so pipelines over synthetic corpora keep an exact
+SQL oracle while real image bytes get real answers.
 
 At scale: mapInPandas streams Arrow batches; payload bytes never
 round-trip through Python object-per-row. Partition sizing rule: keep
@@ -41,18 +42,35 @@ DECODE_META_SCHEMA = StructType(
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int, str]:
-    """STUB for image decode (no codec libs in this container).
-
-    Deterministic fake: dimensions/format derived from payload length
-    only, so the whole mapInPandas stage has an exact SQL oracle. A
-    real deployment swaps this for PIL/ffmpeg — the surrounding Spark
-    plumbing (schema, Arrow batching, partitioning) is unchanged.
-    """
+    """Fallback for formats without an in-container codec (webp, gif,
+    raw text, ...): deterministic fake dimensions derived from payload
+    length only, so pipelines over synthetic corpora keep an exact SQL
+    oracle. Real formats never reach this — see `_decode_payload`."""
     n = len(payload)
     width = n % 640 + 16
     height = (n * 7) % 480 + 16
-    fmt = ("png", "jpeg", "webp")[n % 3]
-    return width, height, fmt
+    return width, height, "unknown"
+
+
+def _decode_payload(payload: bytes) -> tuple[int, int, str]:
+    """Real decode where a codec exists, deterministic fake otherwise.
+
+    PNG: full pixel decode (imagecodec.decode_png — stdlib zlib).
+    JPEG: dimensions from the SOF frame header.
+    """
+    from incubator_impala_spark.operators import imagecodec
+
+    fmt = imagecodec.sniff_format(payload)
+    try:
+        if fmt == "png":
+            meta = imagecodec.decode_png(payload)
+            return meta["width"], meta["height"], "png"
+        if fmt == "jpeg":
+            w, h, _comps = imagecodec.jpeg_dimensions(payload)
+            return w, h, "jpeg"
+    except ValueError:
+        pass  # corrupt or unsupported variant → fake path below
+    return _decode_stub(payload)
 
 
 def decode_metadata(df: DataFrame, payload_col: str = "payload",
@@ -62,7 +80,7 @@ def decode_metadata(df: DataFrame, payload_col: str = "payload",
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[payload_col]
-            meta = [_decode_stub(bytes(p)) for p in payloads]
+            meta = [_decode_payload(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

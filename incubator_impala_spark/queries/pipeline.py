@@ -386,9 +386,7 @@ def pipeline_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
       CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INT) AS height,
-      CASE octet_length(encode(text)) % 3
-        WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp'
-      END AS format
+      'unknown' AS format
     FROM documents
     """,
 )

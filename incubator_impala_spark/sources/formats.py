@@ -34,18 +34,30 @@ TEXT_OPTIONS = {
 CSV_OPTIONS = {"sep": ",", "header": "true", "nullValue": ""}
 
 
-def available_formats(spark: SparkSession) -> list[str]:
-    """Formats this Spark build can scan, probed once per session."""
-    fmts = ["parquet", "orc", "csv", "json"]
+def has_native_avro(spark: SparkSession) -> bool:
+    """True when the external spark-avro datasource jar is on the
+    classpath (it is not bundled with pip pyspark)."""
     try:
         spark.read.format("avro").schema(StructType([])).load("/nonexistent")
     except Exception as e:  # noqa: BLE001
-        if "Failed to find data source" not in str(e):
-            fmts.append("avro")
-    return fmts
+        return "Failed to find data source" not in str(e)
+    return True
+
+
+def available_formats(spark: SparkSession) -> list[str]:
+    """Formats this engine can scan. Avro is always available: the
+    native spark-avro module when on the classpath, else the pure-
+    Python object-container reader (`sources/avro_io.py` — schema
+    evolution included, like the reference's hdfs-avro-scanner)."""
+    return ["parquet", "orc", "csv", "json", "avro"]
 
 
 def write_as(df: DataFrame, path: str, fmt: str, **options: str) -> None:
+    if fmt == "avro" and not has_native_avro(df.sparkSession):
+        from incubator_impala_spark.sources import avro_io
+
+        avro_io.write_avro(df, path, codec=options.get("codec", "deflate"))
+        return
     w = df.write.mode("overwrite").format(fmt)
     if fmt == "csv":
         w = w.options(**{**CSV_OPTIONS, **options})
@@ -63,6 +75,10 @@ def read_as(spark: SparkSession, path: str, fmt: str,
     """Schema-on-read: CSV/JSON take an explicit schema (the
     reference's declared-schema model — no inference surprises);
     parquet/ORC carry their own."""
+    if fmt == "avro" and not has_native_avro(spark):
+        from incubator_impala_spark.sources import avro_io
+
+        return avro_io.read_avro(spark, path)
     if fmt == "text_impala":
         r = spark.read.format("csv").options(**{**TEXT_OPTIONS, **options})
     elif fmt == "csv":
