@@ -27,6 +27,21 @@ _SET_STMT = re.compile(
     r"^\s*SET\s+([A-Za-z_][\w.]*)\s*=\s*(.+?)\s*;?\s*$", re.IGNORECASE
 )
 
+# LOAD DATA INPATH 'p' [OVERWRITE] INTO TABLE t [PARTITION (k=v, ...)]
+# (reference fe/.../analysis/LoadDataStmt.java; grammar
+# sql-parser.cup load_stmt). The reference *moves files* into the
+# table directory; Spark's native LOAD DATA only supports Hive tables,
+# so for datasource tables the veneer reads the staged files with the
+# table's own format and appends (or overwrites the target partition)
+# — same observable result, and the write goes through the normal
+# distributed sink path.
+_LOAD_DATA = re.compile(
+    r"^\s*LOAD\s+DATA\s+INPATH\s+'(?P<path>[^']+)'\s+"
+    r"(?P<over>OVERWRITE\s+)?INTO\s+TABLE\s+(?P<tbl>[A-Za-z_][\w.]*)\s*"
+    r"(?:PARTITION\s*\((?P<part>[^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 
 class Engine:
     """A SQL engine with the reference's dialect & function surface.
@@ -73,7 +88,50 @@ class Engine:
         if m:
             self.set_option(m.group(1), m.group(2).strip("'\""))
             return self.spark.sql("SELECT 1 AS status")
+        m = _LOAD_DATA.match(sql_text)
+        if m:
+            return self._load_data(
+                m.group("path"), m.group("tbl"),
+                overwrite=bool(m.group("over")),
+                partition=m.group("part"),
+            )
         return self.spark.sql(self.translate(sql_text))
+
+    def _load_data(self, path: str, table: str, overwrite: bool,
+                   partition: str | None) -> DataFrame:
+        """LOAD DATA veneer: read staged files with the table's format,
+        append/overwrite via insertInto (dynamic-partition aware)."""
+        from pyspark.sql import functions as F
+
+        detail = {
+            r["col_name"]: r["data_type"]
+            for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+            if r["col_name"] and not r["col_name"].startswith("#")
+        }
+        provider = (detail.get("Provider") or "parquet").lower()
+        df = self.spark.read.format(provider).load(path)
+        if partition:
+            for item in partition.split(","):
+                k, v = item.split("=", 1)
+                df = df.withColumn(
+                    k.strip(), F.lit(v.strip().strip("'\""))
+                )
+        cols = [f.name for f in self.spark.table(table).schema.fields]
+        df = df.select(*cols)
+        if overwrite:
+            # static-partition overwrite semantics (replace only the
+            # named partition) — Spark's dynamic overwrite mode
+            prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                df.write.mode("overwrite").insertInto(table, overwrite=True)
+            finally:
+                self.spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        else:
+            df.write.insertInto(table, overwrite=False)
+        return self.spark.sql("SELECT 1 AS status")
 
     def create_java_function(self, name: str, class_name: str,
                              return_type=None) -> None:

@@ -196,3 +196,61 @@ print("HIVE_UDF_OK")
         timeout=300, cwd="/tmp",
     )
     assert "HIVE_UDF_OK" in res.stdout, res.stderr[-2000:]
+
+
+# ---------------------------------------------------------------------------
+# LOAD DATA (LoadDataStmt.java) + ALTER TABLE ADD PARTITION
+# (AlterTableAddPartitionStmt.java)
+# ---------------------------------------------------------------------------
+
+
+def test_load_data_into_partitioned_table(spark, engine, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS ld_pt")
+    spark.sql(
+        "CREATE TABLE ld_pt (x INT, p STRING) USING parquet PARTITIONED BY (p)"
+    )
+    try:
+        staged = str(tmp_path / "staged")
+        spark.range(5).selectExpr("CAST(id AS INT) AS x").write.parquet(staged)
+        engine.sql(f"LOAD DATA INPATH '{staged}' INTO TABLE ld_pt PARTITION (p='a')")
+        assert spark.table("ld_pt").where("p = 'a'").count() == 5
+        # append again
+        engine.sql(f"LOAD DATA INPATH '{staged}' INTO TABLE ld_pt PARTITION (p='a')")
+        assert spark.table("ld_pt").where("p = 'a'").count() == 10
+        # second partition untouched by the overwrite of 'a'
+        engine.sql(f"LOAD DATA INPATH '{staged}' INTO TABLE ld_pt PARTITION (p='b')")
+        engine.sql(
+            f"LOAD DATA INPATH '{staged}' OVERWRITE INTO TABLE ld_pt PARTITION (p='a')"
+        )
+        assert spark.table("ld_pt").where("p = 'a'").count() == 5
+        assert spark.table("ld_pt").where("p = 'b'").count() == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ld_pt")
+
+
+def test_load_data_unpartitioned(spark, engine, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS ld_flat")
+    spark.sql("CREATE TABLE ld_flat (x INT) USING parquet")
+    try:
+        staged = str(tmp_path / "flat")
+        spark.range(7).selectExpr("CAST(id AS INT) AS x").write.parquet(staged)
+        engine.sql(f"LOAD DATA INPATH '{staged}' INTO TABLE ld_flat")
+        assert spark.table("ld_flat").count() == 7
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ld_flat")
+
+
+def test_alter_table_add_partition_visibility(spark, engine):
+    spark.sql("DROP TABLE IF EXISTS ap_pt")
+    spark.sql(
+        "CREATE TABLE ap_pt (x INT, p STRING) USING parquet PARTITIONED BY (p)"
+    )
+    try:
+        engine.sql("ALTER TABLE ap_pt ADD IF NOT EXISTS PARTITION (p='z')")
+        parts = {r.partition for r in engine.sql("SHOW PARTITIONS ap_pt").collect()}
+        assert "p=z" in parts
+        engine.sql("ALTER TABLE ap_pt DROP IF EXISTS PARTITION (p='z')")
+        parts = {r.partition for r in engine.sql("SHOW PARTITIONS ap_pt").collect()}
+        assert "p=z" not in parts
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ap_pt")
