@@ -303,6 +303,49 @@ _DROP_FUNCTION = re.compile(
     re.IGNORECASE,
 )
 
+# Catalog/admin statements (reference analysis classes in
+# fe/src/main/java/org/apache/impala/analysis/): Impala spellings that
+# Spark writes differently. REFRESH and INVALIDATE METADATA both map
+# to Spark's metadata refresh — Spark has no separate
+# loaded-vs-unloaded catalog state to invalidate (ResetMetadataStmt).
+_SIMPLE_STMTS: list[tuple[re.Pattern, str]] = [
+    (
+        re.compile(
+            r"^\s*INVALIDATE\s+METADATA\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+            re.IGNORECASE,
+        ),
+        "REFRESH TABLE {0}",
+    ),
+    (
+        re.compile(r"^\s*REFRESH\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE),
+        "REFRESH TABLE {0}",
+    ),
+    (
+        re.compile(
+            r"^\s*DESCRIBE\s+FORMATTED\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+            re.IGNORECASE,
+        ),
+        "DESCRIBE TABLE EXTENDED {0}",
+    ),
+    # SHOW TABLE STATS t (ShowStatsStmt.java): the closest Spark shape
+    # is the extended describe, whose Statistics row carries the
+    # ANALYZE-computed numbers.
+    (
+        re.compile(
+            r"^\s*SHOW\s+TABLE\s+STATS\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+            re.IGNORECASE,
+        ),
+        "DESCRIBE TABLE EXTENDED {0}",
+    ),
+    (
+        re.compile(
+            r"^\s*SHOW\s+COLUMN\s+STATS\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+            re.IGNORECASE,
+        ),
+        "DESCRIBE TABLE EXTENDED {0}",
+    ),
+]
+
 
 def translate_statement(sql: str) -> str | None:
     """Translate a whole statement if it's a recognized DDL/admin form;
@@ -331,6 +374,10 @@ def translate_statement(sql: str) -> str | None:
     if m:
         ie = "IF EXISTS " if m.group("ie") else ""
         return f"DROP TEMPORARY FUNCTION {ie}{m.group('name')}"
+    for pat, template in _SIMPLE_STMTS:
+        m = pat.match(sql)
+        if m:
+            return template.format(*m.groups())
     return None
 
 

@@ -254,3 +254,97 @@ def test_alter_table_add_partition_visibility(spark, engine):
         assert "p=z" not in parts
     finally:
         spark.sql("DROP TABLE IF EXISTS ap_pt")
+
+
+# ---------------------------------------------------------------------------
+# Broad DDL/admin statement surface (reference: 57 analysis classes in
+# fe/.../analysis/ — the high-frequency ones exercised end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def test_admin_statement_translations(engine):
+    assert engine.translate("REFRESH my_t") == "REFRESH TABLE my_t"
+    assert engine.translate("INVALIDATE METADATA my_t") == "REFRESH TABLE my_t"
+    assert (
+        engine.translate("DESCRIBE FORMATTED my_t")
+        == "DESCRIBE TABLE EXTENDED my_t"
+    )
+    assert (
+        engine.translate("SHOW TABLE STATS my_t")
+        == "DESCRIBE TABLE EXTENDED my_t"
+    )
+    assert (
+        engine.translate("SHOW COLUMN STATS my_t")
+        == "DESCRIBE TABLE EXTENDED my_t"
+    )
+
+
+def test_alter_table_breadth(spark, engine):
+    """ALTER TABLE RENAME / ADD COLUMNS / SET TBLPROPERTIES — the
+    reference's AlterTable* analysis classes on Spark-native DDL."""
+    spark.sql("DROP TABLE IF EXISTS alt_a")
+    spark.sql("DROP TABLE IF EXISTS alt_b")
+    spark.sql("CREATE TABLE alt_a (x INT) USING parquet")
+    try:
+        engine.sql("ALTER TABLE alt_a ADD COLUMNS (y STRING)")
+        assert [f.name for f in spark.table("alt_a").schema.fields] == ["x", "y"]
+        engine.sql("ALTER TABLE alt_a SET TBLPROPERTIES ('owner_team'='data')")
+        tbl = engine.sql("SHOW TBLPROPERTIES alt_a").collect()
+        assert any(r.key == "owner_team" and r.value == "data" for r in tbl)
+        engine.sql("ALTER TABLE alt_a RENAME TO alt_b")
+        assert spark.catalog.tableExists("alt_b")
+        assert not spark.catalog.tableExists("alt_a")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS alt_a")
+        spark.sql("DROP TABLE IF EXISTS alt_b")
+
+
+def test_view_lifecycle_and_show_create(spark, engine):
+    spark.sql("DROP VIEW IF EXISTS v_nations")
+    from tests.conftest import SF_SMALL
+
+    from incubator_impala_spark.sources.tables import load_table
+
+    load_table(spark, SF_SMALL, "nation").createOrReplaceTempView("nation")
+    # a persistent view can't reference a temp view — Impala's CREATE
+    # VIEW over catalog tables maps to the TEMPORARY form here
+    engine.sql(
+        "CREATE TEMPORARY VIEW v_nations AS "
+        "SELECT n_name FROM nation WHERE n_regionkey = 0"
+    )
+    try:
+        assert engine.sql("SELECT count(*) AS n FROM v_nations").collect()[0].n == 5
+        cols = [f.name for f in engine.sql("SELECT * FROM v_nations").schema.fields]
+        assert cols == ["n_name"]
+    finally:
+        engine.sql("DROP VIEW IF EXISTS v_nations")
+
+
+def test_database_lifecycle(spark, engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS scratch_db")
+    try:
+        dbs = {r.namespace for r in engine.sql("SHOW DATABASES").collect()}
+        assert "scratch_db" in dbs
+        engine.sql("CREATE TABLE scratch_db.t1 (x INT) USING parquet")
+        tbls = {
+            r.tableName for r in engine.sql("SHOW TABLES IN scratch_db").collect()
+        }
+        assert "t1" in tbls
+        engine.sql("TRUNCATE TABLE scratch_db.t1")
+        assert spark.table("scratch_db.t1").count() == 0
+    finally:
+        engine.sql("DROP DATABASE IF EXISTS scratch_db CASCADE")
+
+
+def test_refresh_and_comment(spark, engine, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS rf_t")
+    spark.sql("CREATE TABLE rf_t (x INT) USING parquet")
+    try:
+        engine.sql("REFRESH rf_t")  # Impala spelling, no error
+        engine.sql("COMMENT ON TABLE rf_t IS 'scratch table'")
+        detail = engine.sql("DESCRIBE FORMATTED rf_t").collect()
+        assert any(
+            r.col_name == "Comment" and "scratch" in r.data_type for r in detail
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rf_t")
