@@ -88,3 +88,46 @@ def read_as(spark: SparkSession, path: str, fmt: str,
     if schema is not None:
         r = r.schema(schema)
     return r.load(path)
+
+
+# ---------------------------------------------------------------------------
+# SequenceFile (reference: be/src/exec/hdfs-sequence-scanner.cc) —
+# Impala's sequence tables hold one delimited text row per value
+# (same '\x01'/'\N' conventions as text tables). Spark core reads and
+# writes Hadoop SequenceFiles natively (sc.sequenceFile /
+# saveAsSequenceFile), so the scan is: values -> split -> cast, all
+# JVM-side after the initial read.
+# RCFile (hdfs-rcfile-scanner.cc) stays out of scope: Spark reads it
+# only through a Hive-catalog table (STORED AS RCFILE), not as a
+# path-based datasource — documented gap, lowest-priority legacy
+# format in SURVEY §2.1.
+# ---------------------------------------------------------------------------
+
+
+def read_sequence_text(spark: SparkSession, path: str,
+                       schema: StructType) -> DataFrame:
+    """Scan an Impala-style text SequenceFile into typed columns."""
+    from pyspark.sql import functions as F
+
+    lines = spark.sparkContext.sequenceFile(path).values()
+    df = spark.createDataFrame(lines.map(lambda v: (v,)), "line string")
+    parts = F.split(F.col("line"), "\x01")
+    cols = []
+    for i, field in enumerate(schema.fields):
+        c = F.element_at(parts, i + 1)
+        c = F.when(c == "\\N", None).otherwise(c)
+        cols.append(c.cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
+def write_sequence_text(df: DataFrame, path: str) -> None:
+    """Write rows as an Impala-style text SequenceFile."""
+    from pyspark.sql import functions as F
+
+    line = F.concat_ws(
+        "\x01", *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
+            for c in df.columns
+        ]
+    )
+    df.select(line.alias("l")).rdd.map(lambda r: ("", r.l)).saveAsSequenceFile(path)

@@ -120,3 +120,39 @@ def test_parquet_compression_matrix(spark, li, tmp_path, codec):
     path = f"{tmp_path}/{codec}"
     li.write.mode("overwrite").option("compression", codec).parquet(path)
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_sequencefile_text_roundtrip(spark, li, tmp_path):
+    """Impala text-in-SequenceFile (hdfs-sequence-scanner.cc): write
+    via saveAsSequenceFile, scan back with '\\x01'/'\\N' conventions,
+    NULLs included."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    from incubator_impala_spark.sources import formats
+
+    src = li.select(
+        "l_orderkey",
+        F.when(F.col("l_quantity") < 3, None)
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity"),
+    )
+    path = str(tmp_path / "seq")
+    formats.write_sequence_text(src, path)
+    back = formats.read_sequence_text(
+        spark, path, _parse_datatype_string("l_orderkey bigint, l_quantity double")
+    )
+    assert back.count() == src.count()
+    assert (
+        back.where("l_quantity IS NULL").count()
+        == src.where("l_quantity IS NULL").count()
+    )
+    want = src.agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+        F.sum("l_orderkey").alias("k"),
+    ).collect()[0]
+    got = back.agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+        F.sum("l_orderkey").alias("k"),
+    ).collect()[0]
+    assert (got.s, got.k) == (want.s, want.k)
