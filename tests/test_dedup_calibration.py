@@ -104,3 +104,27 @@ def test_simhash_segments_cover_all_bits():
         expected_off += width
         covered += width
     assert covered == 60
+
+
+def test_embedding_lsh_dedup_recall(spark):
+    """Amplified banding (8 bands x 3 planes) must recover most exact
+    cosine>=0.45 pairs — the hardest regime (borderline angles) — and
+    every LSH pair must be exact (cosine verify => precision 1.0)."""
+    from incubator_impala_spark.operators import dedup
+    from incubator_impala_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    exact = {
+        (r.id1, r.id2)
+        for r in dedup.embedding_dup_pairs(emb, threshold=0.45).collect()
+    }
+    lsh = {
+        (r.id1, r.id2)
+        for r in dedup.embedding_dup_pairs_lsh(
+            emb, dim=64, threshold=0.45
+        ).collect()
+    }
+    assert exact, "corpus should contain planted near-dup embeddings"
+    assert lsh <= exact  # precision 1.0
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.6, f"embedding LSH dedup recall {recall:.2f}"
