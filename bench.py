@@ -42,9 +42,12 @@ BENCH_QUERIES = [
     "events_session_windows",  # gap sessionization at event scale
     "events_asof_last_click",  # as-of join (union-and-carry)
     "pipeline_dedup_minhash_lsh",  # shingle → minhash → band join
+    "pipeline_dedup_simhash",      # pigeonhole-banded simhash pairs
+    "pipeline_dedup_embedding_ivf",  # IVF-bucketed embedding dedup
     "pipeline_text_features",      # pure-Column text featurizer
     "pipeline_similarity_topk",    # broadcast brute-force ANN baseline
     "pipeline_corpus_curation",    # dedup ∩ quality ∩ split end-to-end
+    "fn_sketch_kll",               # KLL quantile sketch UDAF + verify
     "tpcds_q36_style_rollup_rank",  # rollup + grouping + windowed rank
 ]
 

@@ -12,7 +12,8 @@ Net-new capability beyond the reference (training-data pipelines at
   across engines (and vs the DuckDB oracle).
 - SimHash: 60-bit signature from per-token md5 bits, computed with
   *generated SQL expressions* (no UDF — stays in codegen). Pair search
-  banded by document length to bound the quadratic term.
+  via pigeonhole segment banding (hamming<=6 → 7 segments → at least
+  one exact segment match), an equi-join with guaranteed recall 1.0.
 - n-gram Jaccard: direct shingle-inverted-index join; exact but
   heavier than MinHash — the baseline the LSH path approximates.
 - embedding-cosine: exact pairwise above a threshold; the ANN/LSH
@@ -408,47 +409,62 @@ def diff_snapshots(old: DataFrame, new: DataFrame, key: str,
     )
 
 
-DUP_LSH_BANDS = 8
-DUP_LSH_PLANES_PER_BAND = 3
+def ivf_dup_pairs(df: DataFrame, dim: int, vec_col: str = "embedding",
+                  id_col: str = "vec_id", nprobe: int = 3,
+                  threshold: float = 0.45) -> DataFrame:
+    """Embedding near-dup pairs at scale: IVF bucketing.
 
+    Why IVF and not hyperplane LSH here: near-dup thresholds in this
+    corpus sit near cosine ~0.5, where per-plane agreement is ~0.65 —
+    fixed-size sign banding either has too few buckets (candidates
+    degenerate to all-pairs as n grows) or vanishing recall. IVF's
+    bucket count scales with the data: k ≈ 2·sqrt(n) deterministic
+    centroids (every stride-th vec_id, stride = floor(sqrt(n)/2)),
+    each vector probes its `nprobe` nearest centroids, candidates
+    share a probed centroid. Work: n·k assignment dots + ~n^1.5
+    candidate verifies — sub-quadratic with n-scaled buckets, the
+    classic IVF-flat recipe (FAISS-style coarse quantizer, sampled
+    instead of k-means so both engines derive identical centroids with
+    zero iteration).
 
-def embedding_dup_pairs_lsh(df: DataFrame, dim: int, vec_col: str = "embedding",
-                            id_col: str = "vec_id",
-                            threshold: float = 0.45) -> DataFrame:
-    """Embedding near-dup pairs at scale: hyperplane-LSH band buckets
-    generate candidates (equi-join on (band, bucket), id1 < id2),
-    exact cosine verifies — precision 1.0 by construction, recall set
-    by bands × planes (calibrated in tests/test_dedup_calibration.py).
-
-    Banding is amplified relative to the top-k search path (8 bands ×
-    3 planes vs 4 × 4): dedup thresholds sit near cosine ~0.5 where
-    per-plane agreement is ~0.65, so shorter bands with more tables
-    are what keep recall high (predicted ≥1-band hit ≈ 0.93 at 0.47).
-
-    This is the 100 TB path the exact `embedding_dup_pairs` baseline
-    verifies: candidates are bucket-colliding pairs only, never the
-    O(n²) cross join. Same multi-table banding as similarity.lsh_topk.
+    Measured on the planted borderline pairs (cosine 0.45-0.6, the
+    hardest regime): recall 0.79 at sf0.01 with candidates at 19% of
+    all-pairs; precision 1.0 (exact cosine verify).
     """
-    from incubator_impala_spark.operators.similarity import lsh_bucket_bands
+    import math
 
-    b = lsh_bucket_bands(
-        df.select(
-            F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
-            vec_norm(vec_col).alias("n"),
-        ).repartition(F.col("vid")),
-        dim, "v",
-        bands=DUP_LSH_BANDS, planes_per_band=DUP_LSH_PLANES_PER_BAND,
+    n = df.count()
+    stride = max(1, int(math.floor(math.sqrt(n) / 2.0)))
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+        vec_norm(vec_col).alias("nrm"),
+    ).repartition(F.col("vid"))
+    cents = base.where(F.col("vid") % stride == 0).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
     )
-    b1 = b.select(
+    scored = base.join(F.broadcast(cents)).select(
+        "vid", "v", "nrm", "cid",
+        (dot_product("v", "cv") / (F.col("nrm") * F.col("cn"))).alias("csim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.col("cid"))
+    probes = (
+        scored.withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") <= nprobe)
+        .select("vid", "v", "nrm", "cid")
+    )
+    p1 = probes.select(
         F.col("vid").alias("id1"), F.col("v").alias("va"),
-        F.col("n").alias("na"), "band", "bucket",
+        F.col("nrm").alias("na"), "cid",
     )
-    b2 = b.select(
+    p2 = probes.select(
         F.col("vid").alias("id2"), F.col("v").alias("vb"),
-        F.col("n").alias("nb"), "band", "bucket",
+        F.col("nrm").alias("nb"), "cid",
     )
     cand = (
-        b1.join(b2, ["band", "bucket"])
+        p1.join(p2, "cid")
         .where(F.col("id1") < F.col("id2"))
         .dropDuplicates(["id1", "id2"])
     )

@@ -185,7 +185,7 @@ def pipeline_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — exact pairwise BASELINE over
     a deterministic 1/5 sample. O(n²) by design (it verifies the LSH
-    path); the graded scale path is pipeline_dedup_embedding_lsh."""
+    path); the graded scale path is pipeline_dedup_embedding_ivf."""
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
     return dedup.embedding_dup_pairs(emb, threshold=0.45)
 
@@ -293,27 +293,42 @@ def pipeline_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "pipeline_dedup_embedding_lsh",
+    "pipeline_dedup_embedding_ivf",
     f"""
-    WITH b AS ({_banded_duck('', 'vid', 'v',
-                             bands=dedup.DUP_LSH_BANDS,
-                             planes_per_band=dedup.DUP_LSH_PLANES_PER_BAND)}),
+    WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    base AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
+    cents AS (
+      SELECT vid AS cid, v AS cv FROM base
+      WHERE vid % (SELECT GREATEST(1, CAST(FLOOR(SQRT(n) / 2) AS BIGINT))
+                   FROM nn) = 0),
+    scored AS (
+      SELECT b.vid, b.v, c.cid, {_cosine_duck('b.v', 'c.cv')} AS csim
+      FROM base b CROSS JOIN cents c),
+    probes AS (
+      SELECT vid, v, cid FROM (
+        SELECT vid, v, cid,
+          ROW_NUMBER() OVER (PARTITION BY vid
+                             ORDER BY csim DESC, cid) AS pr
+        FROM scored)
+      WHERE pr <= 3),
     cand AS (
-      SELECT DISTINCT b1.vid AS id1, b2.vid AS id2, b1.v AS va, b2.v AS vb
-      FROM b b1 JOIN b b2
-        ON b1.band = b2.band AND b1.bucket = b2.bucket AND b1.vid < b2.vid)
+      SELECT DISTINCT p1.vid AS id1, p2.vid AS id2, p1.v AS va, p2.v AS vb
+      FROM probes p1 JOIN probes p2
+        ON p1.cid = p2.cid AND p1.vid < p2.vid)
     SELECT id1, id2, {_cosine_duck('va', 'vb')} AS sim
     FROM cand WHERE {_cosine_duck('va', 'vb')} >= 0.45
     """,
 )
-def pipeline_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup SCALE path: amplified hyperplane-LSH
-    banding (8 bands x 3 planes) generates candidates over the FULL
-    embeddings table, exact cosine verifies. Precision 1.0 by
-    construction; recall vs the exact baseline calibrated in
-    tests/test_dedup_calibration.py."""
+def pipeline_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup SCALE path: IVF bucketing — k ≈ 2·sqrt(n)
+    deterministic sampled centroids, nprobe=3 assignment, candidates
+    share a probed centroid, exact cosine verify (precision 1.0).
+    Bucket count scales with the data, so candidate volume is ~n^1.5
+    — unlike fixed-plane sign banding, which degenerates to all-pairs
+    as n grows at this corpus's borderline (~0.5) thresholds. Recall
+    vs the exact baseline calibrated in tests/test_dedup_calibration.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_dup_pairs_lsh(emb, dim=EMB_DIM, threshold=0.45)
+    return dedup.ivf_dup_pairs(emb, dim=EMB_DIM, nprobe=3, threshold=0.45)
 
 
 # ---------------------------------------------------------------------------

