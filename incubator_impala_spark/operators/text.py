@@ -80,6 +80,45 @@ def fingerprint(col: str = "text") -> Column:
     return F.md5(F.concat_ws(" ", F.sort_array(tokens(col))))
 
 
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 5  # k-gram hashes per selection window
+
+
+def winnow_fingerprints(df: DataFrame, col: str = "text",
+                        id_col: str = "doc_id", k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the rolling-hash fingerprint standard): hash every
+    token k-gram, slide a window of w hashes, keep each window's
+    minimum. Guarantees any shared run of k+w-1 tokens between two
+    docs yields at least one shared fingerprint — the partial-overlap
+    detector that whole-document hashing can't provide.
+
+    One row per (doc_id, fp). Pure Column expressions — tokenize once,
+    k-gram hashes via transform+slice, window minima via
+    transform+array_min; hashes are md5-prefix hex strings so the
+    window minimum (lexicographic) is portable to any engine with md5.
+    Scale: per-row compute only (no joins); pair the output with an
+    equi-join on fp for overlap candidates.
+    """
+    n_min = k + w - 1
+    toks = F.split(F.col(col), " ")
+    base = df.select(F.col(id_col), toks.alias("_toks")).where(
+        F.size("_toks") >= n_min
+    ).repartition(F.col(id_col))
+    kgrams = F.expr(
+        f"transform(sequence(1, size(_toks) - {k - 1}), "
+        f"i -> substr(md5(concat_ws(' ', slice(_toks, i, {k}))), 1, 8))"
+    )
+    hashed = base.select(id_col, kgrams.alias("_hs"))
+    mins = F.expr(
+        f"transform(sequence(1, size(_hs) - {w - 1}), "
+        f"j -> array_min(slice(_hs, j, {w})))"
+    )
+    # array_distinct makes (doc_id, fp) unique already — no extra shuffle
+    return hashed.select(id_col, F.explode(F.array_distinct(mins)).alias("fp"))
+
+
 def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     """Attach the standard feature bundle to a document DataFrame."""
     return (

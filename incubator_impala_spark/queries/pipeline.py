@@ -345,6 +345,34 @@ _STOPCOUNT_DUCK = {
 
 
 @_register(
+    "pipeline_text_winnowing",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 8),
+    hs AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, len(t) - 3),
+          i -> substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])), 1, 8))
+          AS h
+      FROM base),
+    mins AS (
+      SELECT doc_id,
+        list_distinct(list_transform(generate_series(1, len(h) - 4),
+          j -> list_min(h[j:j+4]))) AS fps
+      FROM hs)
+    SELECT doc_id, unnest(fps) AS fp FROM mins
+    """,
+)
+def pipeline_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (SIGMOD'03): one row per
+    (doc, selected k-gram hash); any shared 8-token run between two
+    docs is guaranteed a shared fingerprint. Pure Column HOFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs)
+
+
+@_register(
     "pipeline_text_features",
     f"""
     WITH f AS (

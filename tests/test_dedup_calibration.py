@@ -149,3 +149,25 @@ def test_embedding_ivf_candidates_subquadratic(spark):
     n_cand = pairs.count()
     all_pairs = n * (n - 1) / 2
     assert n_cand < 0.4 * all_pairs, (n_cand, all_pairs)
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing's defining property (Schleimer et al. SIGMOD'03): two
+    documents sharing a run of k+w-1 tokens (here 8) share at least
+    one selected fingerprint, regardless of surrounding text."""
+    from incubator_impala_spark.operators import text as T
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    d1 = "xx yy " + shared + " zz ww uu vv"
+    d2 = "completely different prefix words here " + shared + " and a tail"
+    d3 = "no overlap with anything else at all in this one document text"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    fps = T.winnow_fingerprints(df)
+    by_doc = {
+        i: {r.fp for r in fps.where(f"doc_id = {i}").collect()}
+        for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
