@@ -273,11 +273,48 @@ def register(spark) -> None:
     _kll_n.__annotations__ = {"s": pd.Series, "return": pd.Series}
     kll_n = pandas_udf(_kll_n, "long")
 
+    def _kll_quantiles_as_string(s, qs):
+        out = []
+        for h, qq in zip(s, qs):
+            if h is None:
+                out.append(None)
+                continue
+            sk = KllSketch.deserialize(bytes.fromhex(h))
+            vals = [sk.quantile(float(x)) for x in str(qq).split(",")]
+            out.append(", ".join("nan" if v is None else repr(v) for v in vals))
+        return pd.Series(out, dtype="object")
+
+    _kll_quantiles_as_string.__annotations__ = {
+        "s": pd.Series, "qs": pd.Series, "return": pd.Series
+    }
+    kll_quantiles_as_string = pandas_udf(_kll_quantiles_as_string, "string")
+
+    def _kll_stringify(s):
+        out = []
+        for h in s:
+            if h is None:
+                out.append(None)
+                continue
+            sk = KllSketch.deserialize(bytes.fromhex(h))
+            out.append(
+                f"K={sk.k} N={sk.n} "
+                f"Min={sk.min_v if sk.n else 'nan'} "
+                f"Max={sk.max_v if sk.n else 'nan'} "
+                f"Levels={len(sk.levels)} "
+                f"Retained={sum(len(b) for b in sk.levels)}"
+            )
+        return pd.Series(out, dtype="object")
+
+    _kll_stringify.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    kll_stringify = pandas_udf(_kll_stringify, "string")
+
     spark.udf.register("ds_kll_sketch", kll_sketch)
     spark.udf.register("ds_kll_union", kll_union)
     spark.udf.register("ds_kll_quantile", kll_quantile)
     spark.udf.register("ds_kll_rank", kll_rank)
     spark.udf.register("ds_kll_n", kll_n)
+    spark.udf.register("ds_kll_quantiles_as_string", kll_quantiles_as_string)
+    spark.udf.register("ds_kll_stringify", kll_stringify)
 
 
 def sampled_ndv_estimate(d: int, f1: int, sample_n: int, fraction: float) -> int:

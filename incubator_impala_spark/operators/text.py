@@ -31,6 +31,22 @@ def token_count(col: str = "text") -> Column:
     return F.size(tokens(col))
 
 
+# BPE-style pre-tokenization classes: letter runs, single digits,
+# punctuation singletons — the shape GPT-2-family pre-tokenizers cut
+# before merges, so the count tracks subword token counts far better
+# than whitespace does (digits and punctuation each count alone).
+# Plain character classes only, so the regex behaves identically in
+# Java (Spark) and RE2 (DuckDB).
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def subword_token_count(col: str = "text") -> Column:
+    """Estimated subword ("BPE-ish") token count via pre-tokenizer
+    regex classes — the budget number training pipelines size corpora
+    with (whitespace counts undercount code/numeric text badly)."""
+    return F.size(F.expr(f"regexp_extract_all({col}, '{BPE_ISH_PATTERN}', 0)"))
+
+
 def punct_ratio(col: str = "text") -> Column:
     """Punctuation chars / total chars (0 when empty)."""
     n_punct = F.length(F.col(col)) - F.length(

@@ -345,6 +345,34 @@ _STOPCOUNT_DUCK = {
 
 
 @_register(
+    "pipeline_text_token_stats",
+    """
+    SELECT doc_id,
+      len(string_split(text, ' ')) AS ws_tokens,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+        AS subword_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+        AS DOUBLE) / len(string_split(text, ' ')) AS expansion
+    FROM documents
+    """,
+)
+def pipeline_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting: whitespace tokens vs BPE-ish subword
+    estimate (pre-tokenizer regex classes) and the expansion ratio —
+    the numbers corpus sizing runs on. Pure Column expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("ws_tokens"),
+        text.subword_token_count("text").alias("subword_tokens"),
+        (
+            text.subword_token_count("text").cast("double")
+            / text.token_count("text")
+        ).alias("expansion"),
+    )
+
+
+@_register(
     "pipeline_text_winnowing",
     """
     WITH base AS (

@@ -199,3 +199,19 @@ def test_histogram_macro_boundaries(engine, li_view):
             f"SELECT percentile(l_quantity, {frac}) AS p FROM {li_view}"
         ).collect()[0].p
         assert abs(b - exact) <= 2.0, (frac, b, exact)
+
+
+def test_kll_quantiles_as_string_and_stringify(engine, li_view):
+    """ds_kll_quantiles_as_string / ds_kll_stringify
+    (BuiltinsDb.java:1348-1362): CSV quantiles and a summary string."""
+    row = engine.sql(
+        f"""
+        SELECT ds_kll_quantiles_as_string(sk, '0.25,0.5,0.75') AS qs,
+               ds_kll_stringify(sk) AS info
+        FROM (SELECT ds_kll_sketch(l_quantity) AS sk FROM {li_view})
+        """
+    ).collect()[0]
+    vals = [float(x) for x in row.qs.split(", ")]
+    assert len(vals) == 3 and vals == sorted(vals)
+    assert 1.0 <= vals[0] <= 20.0 and 35.0 <= vals[2] <= 50.0
+    assert "K=200" in row.info and "N=" in row.info and "Levels=" in row.info
