@@ -331,6 +331,58 @@ def pipeline_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ivf_dup_pairs(emb, dim=EMB_DIM, nprobe=3, threshold=0.45)
 
 
+@_register(
+    "pipeline_similarity_ivf_topk",
+    f"""
+    WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    base AS (SELECT vec_id, embedding AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv FROM base
+      WHERE vec_id % (SELECT GREATEST(1, CAST(FLOOR(SQRT(n) / 2) AS BIGINT))
+                      FROM nn) = 0),
+    cassign AS (
+      SELECT b.vec_id, b.v, c.cid, {_cosine_duck('b.v', 'c.cv')} AS csim
+      FROM base b CROSS JOIN cents c),
+    cp AS (
+      SELECT vec_id AS neighbor_id, v AS nv, cid FROM (
+        SELECT vec_id, v, cid,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY csim DESC, cid) AS pr
+        FROM cassign)
+      WHERE pr <= 3),
+    qp AS (
+      SELECT vec_id AS query_id, v AS qv, cid FROM (
+        SELECT vec_id, v, cid,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY csim DESC, cid) AS pr
+        FROM cassign WHERE vec_id % 50 = 0)
+      WHERE pr <= 3),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id, qv, nv
+      FROM cp JOIN qp USING (cid)
+      WHERE query_id <> neighbor_id),
+    scored AS (
+      SELECT query_id, neighbor_id, {_cosine_duck('qv', 'nv')} AS sim
+      FROM cand),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, neighbor_id, CAST(rn AS INT) AS "rank", sim
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def pipeline_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF (k ≈ 2·sqrt(n) sampled centroids,
+    nprobe=3 on both sides) — the bucket-count-scales-with-n
+    alternative to hyperplane LSH; recall calibrated in
+    tests/test_dedup_calibration.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(emb, queries, dim=EMB_DIM, k=5, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

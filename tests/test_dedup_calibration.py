@@ -171,3 +171,25 @@ def test_winnowing_shared_run_guarantee(spark):
     }
     assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF top-5 recall@5 vs the exact brute-force baseline at sf0.01
+    (nprobe=3): candidate buckets scale with the corpus, so recall
+    must beat the round-1 single-table LSH floor by a wide margin."""
+    from incubator_impala_spark.operators import similarity
+    from incubator_impala_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.where("vec_id % 50 = 0")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, queries, dim=64, k=5,
+                                     nprobe=3).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"IVF top-5 recall@5: {recall:.2f}"
