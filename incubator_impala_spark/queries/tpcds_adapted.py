@@ -6,7 +6,8 @@ so these entries reproduce the *distinctive plan shapes* of well-known
 DS queries on the TPC-H-subset tables: rollup + grouping() + rank
 within grouping level (q36), compare-to-group-average with a
 correlated threshold (q1), one-row multi-band scalar aggregates (q88),
-and order-size distribution banding (q34).
+order-size distribution banding (q34), period-over-period self-join
+of an aggregate (q59), and rolling-window deviation filtering (q89).
 
 Determinism: ratios are single double divisions of exact decimal sums;
 every rank has a total tie-break; rollup NULL slots are normalized
@@ -191,4 +192,144 @@ def tpcds_q34_style_order_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_items").cast("bigint").alias("min_items"),
             F.max("n_items").cast("bigint").alias("max_items"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q59 shape: period-over-period — the same aggregate joined to itself
+# one month apart, ratio per segment
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q59_style_month_over_month",
+    """
+    WITH monthly AS (
+      SELECT c_mktsegment AS seg,
+             year(o_orderdate) AS y, month(o_orderdate) AS m,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, year(o_orderdate), month(o_orderdate))
+    SELECT a.seg, CAST(a.y AS INT) AS y, CAST(a.m AS INT) AS m,
+      CAST(a.rev AS DECIMAL(38,2)) AS rev,
+      CAST(b.rev AS DECIMAL(38,2)) AS prev_rev,
+      CAST(a.rev AS DOUBLE) / CAST(b.rev AS DOUBLE) AS mom_ratio
+    FROM monthly a JOIN monthly b
+      ON a.seg = b.seg AND a.y * 12 + a.m = b.y * 12 + b.m + 1
+    ORDER BY a.seg, y, m
+    """,
+)
+def tpcds_q59_style_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period self-join of one aggregate (q59 shape).
+    Scale: monthly agg shuffles once on (seg, y, m); the self-join key
+    reuses that partitioning; ratio is one double division over exact
+    decimal sums (bit-identical both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(F.sum(_d("o_totalprice")).alias("rev"))
+    )
+    a = monthly.select(
+        "seg", F.col("y").alias("ya"), F.col("m").alias("ma"),
+        F.col("rev").alias("rev_a"),
+    )
+    b = monthly.select(
+        F.col("seg").alias("seg_b"), F.col("y").alias("yb"),
+        F.col("m").alias("mb"), F.col("rev").alias("rev_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("seg") == F.col("seg_b"))
+            & (F.col("ya") * 12 + F.col("ma") == F.col("yb") * 12 + F.col("mb") + 1),
+        )
+        .select(
+            "seg",
+            F.col("ya").cast("int").alias("y"),
+            F.col("ma").cast("int").alias("m"),
+            F.col("rev_a").cast("decimal(38,2)").alias("rev"),
+            F.col("rev_b").cast("decimal(38,2)").alias("prev_rev"),
+            (F.col("rev_a").cast("double") / F.col("rev_b").cast("double"))
+            .alias("mom_ratio"),
+        )
+        .orderBy("seg", "y", "m")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89 shape: rolling-window deviation — monthly revenue per part type
+# vs its 3-month centered rolling sum, flag months far above trend
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q89_style_rolling_deviation",
+    """
+    WITH monthly AS (
+      SELECT p_type,
+             year(o_orderdate) AS y, month(o_orderdate) AS m,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      GROUP BY p_type, year(o_orderdate), month(o_orderdate)),
+    rolled AS (
+      SELECT p_type, y, m, rev,
+        SUM(rev) OVER (PARTITION BY p_type ORDER BY y * 12 + m
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS roll_sum,
+        COUNT(*) OVER (PARTITION BY p_type ORDER BY y * 12 + m
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS roll_n
+      FROM monthly)
+    SELECT p_type, CAST(y AS INT) AS y, CAST(m AS INT) AS m,
+      CAST(rev AS DECIMAL(38,2)) AS rev,
+      CAST(roll_sum AS DECIMAL(38,2)) AS roll_sum,
+      CAST(roll_n AS BIGINT) AS roll_n
+    FROM rolled
+    WHERE rev * 2 > roll_sum AND roll_n = 3
+    ORDER BY p_type, y, m
+    """,
+)
+def tpcds_q89_style_rolling_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window deviation filter (q89 shape): months whose
+    revenue exceeds the rest of their 3-month window combined. The
+    deviation test is pure decimal arithmetic (rev*2 > roll_sum) —
+    no float rounding at the filter boundary."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    monthly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_type",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(F.sum(_d("l_extendedprice")).alias("rev"))
+    )
+    w = Window.partitionBy("p_type").orderBy(F.col("y") * 12 + F.col("m")).rowsBetween(-1, 1)
+    rolled = monthly.select(
+        "p_type", "y", "m", "rev",
+        F.sum("rev").over(w).alias("roll_sum"),
+        F.count("*").over(w).alias("roll_n"),
+    )
+    return (
+        rolled.where((F.col("rev") * 2 > F.col("roll_sum")) & (F.col("roll_n") == 3))
+        .select(
+            "p_type",
+            F.col("y").cast("int").alias("y"),
+            F.col("m").cast("int").alias("m"),
+            F.col("rev").cast("decimal(38,2)").alias("rev"),
+            F.col("roll_sum").cast("decimal(38,2)").alias("roll_sum"),
+            F.col("roll_n").cast("bigint").alias("roll_n"),
+        )
+        .orderBy("p_type", "y", "m")
     )
