@@ -11,13 +11,13 @@ specification/) directly: varint/zigzag binary encoding, `null` and
 `deflate` codecs (stdlib zlib), and the reader-schema resolution the
 reference implements.
 
-Spark integration is `read_avro()`: `binaryFile` datasource →
-Arrow-batched `mapInPandas` decode, so each container file decodes in
-an executor task and bytes never collect to the driver. Parallelism
-unit is a file (the reference additionally splits one file on sync
-markers; at 100 TB you get the same task fan-out by writing many
-~128 MB container files, which is how Avro datasets are laid out in
-practice).
+Spark integration is `read_avro()`: the driver plans (file, start,
+end) byte-range splits (header-only read per file), and each range
+decodes in an executor task via Arrow-batched `mapInPandas` — bytes
+never collect to the driver. Like the reference's scan-range splits,
+one large container file is split on sync markers (`_decode_range`
+seeks the next marker), so a single multi-GB file fans out across
+tasks instead of serializing on one.
 
 `write_avro()` is likewise distributed: each partition encodes and
 writes its own container file (no driver collect). The engine's
@@ -164,18 +164,47 @@ def _decode(schema, buf: io.BytesIO):
 # ---------------------------------------------------------------------------
 
 
+def _branch_matches(branch, val, strict: bool) -> bool:
+    """Does a Python value fit a union branch? Two passes: `strict`
+    wants the natural type; the loose pass allows the spec's encodable
+    coercions (int→double, str→bytes, ...)."""
+    import numbers
+
+    t = _type_name(_norm(branch))
+    if val is None:
+        return t == "null"
+    if isinstance(val, bool):
+        return t == "boolean"
+    if isinstance(val, numbers.Integral):  # covers numpy ints
+        return t in (("int", "long") if strict
+                     else ("int", "long", "float", "double"))
+    if isinstance(val, numbers.Real):
+        return t in (("float", "double") if strict else ("float", "double"))
+    if isinstance(val, str):
+        return t in (("string", "enum") if strict
+                     else ("string", "enum", "bytes"))
+    if isinstance(val, (bytes, bytearray)):
+        return t in (("bytes", "fixed") if strict
+                     else ("bytes", "fixed", "string"))
+    if isinstance(val, dict):
+        return t in ("record", "map")
+    if isinstance(val, (list, tuple)):
+        return t == "array"
+    return False
+
+
 def _encode(schema, val, out: bytearray) -> None:
     schema = _norm(schema)
     if isinstance(schema, list):
-        for i, branch in enumerate(schema):
-            bt = _type_name(branch)
-            if val is None and bt == "null":
-                _write_long(out, i)
-                return
-            if val is not None and bt != "null":
-                _write_long(out, i)
-                _encode(branch, val, out)
-                return
+        # pick the branch whose type matches the value (ADVICE r2: the
+        # old first-non-null rule forced e.g. a str through a "long"
+        # branch in ["null","long","string"] unions)
+        for strict in (True, False):
+            for i, branch in enumerate(schema):
+                if _branch_matches(branch, val, strict):
+                    _write_long(out, i)
+                    _encode(branch, val, out)
+                    return
         raise ValueError(f"no union branch for {val!r}")
     t = _type_name(schema)
     if t == "null":
@@ -234,10 +263,22 @@ def _names(field: dict) -> set[str]:
     return {field["name"], *field.get("aliases", [])}
 
 
+def _unwrap_nullable(schema):
+    """["null", X] (either order) → X; anything else unchanged."""
+    schema = _norm(schema)
+    if isinstance(schema, list):
+        non_null = [s for s in schema if _type_name(s) != "null"]
+        if len(non_null) == 1:
+            return _norm(non_null[0])
+    return schema
+
+
 def resolve(writer_record: dict, reader_record: dict, rec: dict) -> dict:
     """Resolve one decoded writer record against the reader schema:
     match by name or reader-side alias, apply defaults for fields the
-    writer lacks, drop writer-only fields, promote numerics."""
+    writer lacks, drop writer-only fields, promote numerics and
+    string<->bytes (hdfs-avro-scanner.h:60-90). Nullable unions are
+    unwrapped on both sides before the promotion check (ADVICE r2)."""
     out = {}
     writer_fields = {f["name"]: f for f in writer_record["fields"]}
     for rf in reader_record["fields"]:
@@ -253,14 +294,17 @@ def resolve(writer_record: dict, reader_record: dict, rec: dict) -> dict:
                 out[rf["name"]] = None
             continue
         v = rec[src["name"]]
-        wt, rt = _type_name(src["type"]), _type_name(rf["type"])
-        if (
-            v is not None
-            and wt in _PROMOTIONS
-            and rt in ("float", "double")
-            and wt in ("int", "long")
-        ):
-            v = float(v)
+        wt = _type_name(_unwrap_nullable(src["type"]))
+        rt = _type_name(_unwrap_nullable(rf["type"]))
+        if v is not None and wt != rt and rt in _PROMOTIONS.get(wt, ()):
+            if rt in ("float", "double") and wt in ("int", "long"):
+                v = float(v)
+            elif wt == "float" and rt == "double":
+                v = float(v)
+            elif wt == "string" and rt == "bytes":
+                v = v.encode("utf-8")
+            elif wt == "bytes" and rt == "string":
+                v = v.decode("utf-8")
         out[rf["name"]] = v
     return out
 
@@ -270,15 +314,27 @@ def resolve(writer_record: dict, reader_record: dict, rec: dict) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def read_header(fh) -> tuple[dict, str, bytes]:
+    """Parse ONLY the container header from a readable byte stream:
+    magic + metadata map + sync marker → (writer_schema, codec, sync).
+
+    Stops before the first data block, so schema discovery on a large
+    file reads a few KB, never the records (ADVICE r2: the old path
+    decoded the whole first file on the driver). Works on a plain file
+    handle — the varint readers only need `.read`."""
+    if fh.read(4) != MAGIC:
+        raise ValueError("not an Avro object container (bad magic)")
+    meta = _decode({"type": "map", "values": "bytes"}, fh)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    sync = fh.read(16)
+    return schema, codec, sync
+
+
 def read_container(data: bytes) -> tuple[dict, list[dict]]:
     """Decode one object-container file → (writer_schema, records)."""
     buf = io.BytesIO(data)
-    if buf.read(4) != MAGIC:
-        raise ValueError("not an Avro object container (bad magic)")
-    meta = _decode({"type": "map", "values": "bytes"}, buf)
-    schema = json.loads(meta["avro.schema"].decode("utf-8"))
-    codec = meta.get("avro.codec", b"null").decode("utf-8")
-    sync = buf.read(16)
+    schema, codec, sync = read_header(buf)
     records: list[dict] = []
     while True:
         head = buf.read(1)
@@ -301,8 +357,11 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
 
 
 def write_container(schema: dict, records: list[dict],
-                    codec: str = "null") -> bytes:
-    """Encode records into one object-container byte string."""
+                    codec: str = "null",
+                    max_block_records: int | None = None) -> bytes:
+    """Encode records into one object-container byte string.
+    `max_block_records` caps records per data block (default: one
+    block) — multi-block files are what intra-file splitting needs."""
     out = bytearray()
     out.extend(MAGIC)
     meta = {
@@ -311,9 +370,11 @@ def write_container(schema: dict, records: list[dict],
     }
     _encode({"type": "map", "values": "bytes"}, meta, out)
     out.extend(SYNC)
-    if records:
+    step = max_block_records or len(records) or 1
+    for lo in range(0, len(records), step):
+        chunk = records[lo : lo + step]
         block = bytearray()
-        for r in records:
+        for r in chunk:
             _encode(schema, r, block)
         payload = bytes(block)
         if codec == "deflate":
@@ -321,7 +382,7 @@ def write_container(schema: dict, records: list[dict],
             payload = co.compress(payload) + co.flush()
         elif codec != "null":
             raise ValueError(f"unsupported codec {codec!r}")
-        _write_long(out, len(records))
+        _write_long(out, len(chunk))
         _write_long(out, len(payload))
         out.extend(payload)
         out.extend(SYNC)
@@ -370,23 +431,120 @@ def spark_schema_for(reader_schema: dict) -> str:
     )
 
 
-def read_avro(spark, path: str, reader_schema: dict | None = None):
-    """Distributed Avro scan: binaryFile source → per-file decode in
-    mapInPandas, resolving each file's writer schema against
-    `reader_schema` (schema evolution, like the reference's scanner).
-    With no reader schema, the first file's writer schema is used
-    (driver reads only that file's header)."""
+def _find_sync(fh, sync: bytes, from_pos: int, limit: int) -> int | None:
+    """First block-boundary position `b` (byte just after a sync
+    marker) with from_pos+16 <= b and b-16 < limit; None if none.
+    Streams in 64 KB chunks with a 15-byte overlap — never loads the
+    file."""
+    chunk_size = 65536
+    fh.seek(from_pos)
+    carry = b""
+    pos = from_pos
+    while pos - len(carry) - 16 < limit:
+        chunk = fh.read(chunk_size)
+        if not chunk:
+            return None
+        hay = carry + chunk
+        idx = hay.find(sync)
+        if idx != -1:
+            q = pos - len(carry) + idx  # absolute sync start
+            if q < limit:
+                return q + 16
+            return None
+        carry = hay[-15:]
+        pos += len(chunk)
+    return None
+
+
+def _decode_range(fh, reader: dict, start: int, end: int) -> list[dict]:
+    """Decode all blocks whose boundary position lies in [start, end)
+    of one container file, resolving writer→reader schema. `start` at
+    or before the header decodes from the first block. This is the
+    reference's scan-range split (`hdfs-avro-scanner.cc`: a range owns
+    the blocks that *begin* inside it, found by seeking the next sync
+    marker) re-expressed over a byte stream."""
+    writer, codec, sync = read_header(fh)
+    header_end = fh.tell()
+    if start <= header_end:
+        pos = header_end
+    else:
+        # a sync occupies [b-16, b); the first boundary >= start has
+        # its sync starting at >= start-16
+        found = _find_sync(fh, sync, start - 16, end - 16)
+        if found is None:
+            return []
+        pos = found
+    out: list[dict] = []
+    fh.seek(pos)
+    while pos < end:
+        try:
+            n_records = _read_long(fh)
+        except EOFError:  # clean end of file
+            break
+        n_bytes = _read_long(fh)
+        block = fh.read(n_bytes)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec!r}")
+        bbuf = io.BytesIO(block)
+        for _ in range(n_records):
+            out.append(resolve(writer, reader, _decode(writer, bbuf)))
+        if fh.read(16) != sync:
+            raise ValueError("sync marker mismatch")
+        pos = fh.tell()
+    return out
+
+
+def plan_avro_splits(path: str, split_bytes: int) -> list[tuple[str, int, int]]:
+    """Driver-side split planning: (file, start, end) byte ranges, one
+    per ~split_bytes of data, reading only each file's header + size.
+    Boundaries are arbitrary byte offsets — `_decode_range` aligns them
+    to sync markers in the task."""
     import glob as _glob
     import os
 
+    files = sorted(
+        _glob.glob(os.path.join(path, "*.avro"))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    splits: list[tuple[str, int, int]] = []
+    for p in files:
+        size = os.path.getsize(p)
+        with open(p, "rb") as fh:
+            read_header(fh)
+            header_end = fh.tell()
+        body = max(0, size - header_end)
+        n = max(1, -(-body // split_bytes))  # ceil
+        step = -(-body // n) if n else body
+        for k in range(n):
+            lo = header_end + k * step
+            hi = min(header_end + (k + 1) * step, size)
+            if lo < hi or k == 0:
+                splits.append((p, lo, hi))
+    return splits
+
+
+def read_avro(spark, path: str, reader_schema: dict | None = None,
+              split_bytes: int = 32 << 20):
+    """Distributed Avro scan with intra-file splitting: the driver
+    plans (file, start, end) byte ranges on sync-marker-agnostic
+    boundaries (header-only read per file); each task opens its file,
+    seeks the next sync marker, and decodes only the blocks beginning
+    in its range — so ONE multi-block container file fans out across
+    tasks, like the reference's scan-range splits
+    (`be/src/exec/hdfs-avro-scanner.cc`). Each file's writer schema is
+    resolved against `reader_schema` (schema evolution); with no
+    reader schema, the first file's header supplies it."""
     if reader_schema is None:
-        candidates = sorted(
-            _glob.glob(os.path.join(path, "*.avro"))
-            if os.path.isdir(path)
-            else [path]
-        )
-        with open(candidates[0], "rb") as fh:
-            reader_schema, _ = read_container(fh.read())
+        splits = plan_avro_splits(path, split_bytes)
+        with open(splits[0][0], "rb") as fh:
+            reader_schema, _, _ = read_header(fh)
+    else:
+        splits = plan_avro_splits(path, split_bytes)
     schema_json = json.dumps(reader_schema)
     ddl = spark_schema_for(reader_schema)
     field_names = [f["name"] for f in reader_schema["fields"]]
@@ -396,19 +554,19 @@ def read_avro(spark, path: str, reader_schema: dict | None = None):
 
         reader = json.loads(schema_json)
         for pdf in it:
-            for content in pdf["content"]:
-                writer, recs = read_container(bytes(content))
-                resolved = [resolve(writer, reader, r) for r in recs]
+            for p, lo, hi in zip(pdf["path"], pdf["start"], pdf["end"]):
+                with open(p, "rb") as fh:
+                    resolved = _decode_range(fh, reader, int(lo), int(hi))
                 yield pd.DataFrame(
                     {n: [r[n] for r in resolved] for n in field_names}
                     if resolved
                     else {n: [] for n in field_names}
                 )
 
-    files = spark.read.format("binaryFile").option(
-        "pathGlobFilter", "*.avro"
-    ).load(path)
-    return files.select("content").mapInPandas(_batches, schema=ddl)
+    split_df = spark.createDataFrame(
+        splits, schema="path string, start long, end long"
+    ).repartition(len(splits))
+    return split_df.mapInPandas(_batches, schema=ddl)
 
 
 # keys are DataType.simpleString() spellings
@@ -471,7 +629,11 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
                 recs.append(rec)
         fname = os.path.join(path, f"part-{pid:05d}.avro")
         with open(fname, "wb") as fh:
-            fh.write(write_container(json.loads(schema_json), recs, codec))
+            # bounded blocks so the read side's sync-marker splitting
+            # can fan one large output file back out across tasks
+            fh.write(write_container(
+                json.loads(schema_json), recs, codec, max_block_records=4096
+            ))
         yield pd.DataFrame({"file": [fname], "n": [len(recs)]})
 
     report = df.mapInPandas(_write_part, schema="file string, n long")

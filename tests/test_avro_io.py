@@ -143,3 +143,91 @@ def test_json_schema_string_compat():
         "id", "old_name", "dropped", "score",
     ]
     assert len(out) == 3
+
+
+# --- round 3: header-only discovery, intra-file splits, union/promotions ---
+
+
+def test_read_header_stops_before_first_block():
+    blob = A.write_container(WRITER, _records(1000))
+    import io as _io
+
+    fh = _io.BytesIO(blob)
+    schema, codec, sync = A.read_header(fh)
+    assert schema == WRITER and codec == "null" and len(sync) == 16
+    # header of this schema is well under 1 KB; the 1000-record body
+    # must not have been consumed
+    assert fh.tell() < 1024 < len(blob)
+
+
+def test_multi_block_roundtrip():
+    recs = _records(1000)
+    blob = A.write_container(WRITER, recs, max_block_records=100)
+    schema, out = A.read_container(blob)
+    assert out == recs
+
+
+def test_single_file_splits_into_multiple_tasks(spark, tmp_path):
+    """One multi-block container file must fan out across >1 task
+    (reference scan-range splitting, hdfs-avro-scanner.cc) and still
+    decode every record exactly once."""
+    recs = _records(5000)
+    blob = A.write_container(WRITER, recs, max_block_records=100)
+    p = tmp_path / "big.avro"
+    p.write_bytes(blob)
+    # ~50 blocks; split every 4 KB → many ranges
+    df = A.read_avro(spark, str(p), reader_schema=READER, split_bytes=4096)
+    n_parts = df.rdd.getNumPartitions()
+    assert n_parts > 1
+    ids = sorted(r.id for r in df.collect())
+    assert ids == list(range(5000))  # no dup, no loss across ranges
+
+
+def test_split_planning_covers_file_exactly():
+    import os
+
+    recs = _records(2000)
+    blob = A.write_container(WRITER, recs, max_block_records=50)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "f.avro")
+        with open(p, "wb") as fh:
+            fh.write(blob)
+        splits = A.plan_avro_splits(p, 2048)
+        assert len(splits) > 1
+        # contiguous, non-overlapping, ending at file size
+        for (f1, _, e1), (f2, s2, _) in zip(splits, splits[1:]):
+            assert e1 == s2
+        assert splits[-1][2] == len(blob)
+
+
+def test_union_branch_selected_by_value_type():
+    schema = {
+        "type": "record",
+        "name": "u",
+        "fields": [{"name": "v", "type": ["null", "long", "string"]}],
+    }
+    recs = [{"v": None}, {"v": 42}, {"v": "forty-two"}]
+    _, out = A.read_container(A.write_container(schema, recs))
+    assert out == recs
+
+
+def test_resolve_string_bytes_promotion():
+    w = {"type": "record", "name": "r",
+         "fields": [{"name": "a", "type": "string"},
+                    {"name": "b", "type": "bytes"}]}
+    r = {"type": "record", "name": "r",
+         "fields": [{"name": "a", "type": "bytes"},
+                    {"name": "b", "type": "string"}]}
+    out = A.resolve(w, r, {"a": "hi", "b": b"yo"})
+    assert out == {"a": b"hi", "b": "yo"}
+
+
+def test_resolve_promotion_through_nullable_union():
+    w = {"type": "record", "name": "r",
+         "fields": [{"name": "x", "type": ["null", "int"]}]}
+    r = {"type": "record", "name": "r",
+         "fields": [{"name": "x", "type": ["null", "double"]}]}
+    assert A.resolve(w, r, {"x": 7}) == {"x": 7.0}
+    assert A.resolve(w, r, {"x": None}) == {"x": None}

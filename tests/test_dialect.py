@@ -194,3 +194,59 @@ def test_cast_format_end_to_end(engine):
 def test_cast_without_format_untouched():
     sql = "SELECT CAST(x AS STRING) FROM t"
     assert tr(sql) == sql
+
+
+# --- round-3 fixes: literal/comment-blind keyword scanning (ADVICE r2) ---
+
+
+def test_order_by_inside_string_literal_untouched():
+    sql = "SELECT * FROM t WHERE s = 'ORDER BY oops' AND y=1"
+    assert tr(sql) == sql
+
+
+def test_order_by_inside_comment_untouched():
+    sql = "SELECT * FROM t -- ORDER BY c\nWHERE x = 1"
+    assert tr(sql) == sql
+    sql2 = "SELECT * FROM t /* ORDER BY c */ WHERE x = 1"
+    assert tr(sql2) == sql2
+
+
+def test_order_by_after_string_literal_still_rewritten():
+    out = tr("SELECT a FROM t WHERE s='ORDER BY x' ORDER BY a DESC LIMIT 5")
+    assert out == (
+        "SELECT a FROM t WHERE s='ORDER BY x' ORDER BY a DESC NULLS FIRST LIMIT 5"
+    )
+
+
+def test_macro_name_inside_string_literal_untouched():
+    sql = "SELECT 'zeroifnull(x)' FROM t"
+    assert tr(sql) == sql
+
+
+def test_cast_format_parenthesized_expr():
+    out = tr("SELECT CAST(f(x) AS STRING FORMAT 'YYYY-MM-DD') FROM t")
+    assert out == "SELECT date_format(f(x), 'yyyy-MM-dd') FROM t"
+
+
+def test_cast_format_nested_inside_plain_cast():
+    out = tr("CAST(concat(CAST(d AS STRING FORMAT 'YYYY'), '-x') AS STRING)")
+    assert out == "CAST(concat(date_format(d, 'yyyy'), '-x') AS STRING)"
+
+
+def test_cast_format_untranslatable_token_left_alone():
+    sql = "SELECT CAST(x AS STRING FORMAT 'SSSSS') FROM t"
+    assert "FORMAT 'SSSSS'" in tr(sql)
+
+
+def test_cast_format_varchar_with_length():
+    out = tr("SELECT CAST(ts AS VARCHAR(10) FORMAT 'YYYY-MM-DD') FROM t")
+    assert out == "SELECT date_format(ts, 'yyyy-MM-dd') FROM t"
+
+
+def test_show_functions_in_db_keeps_qualifier():
+    assert dialect.translate_statement("SHOW FUNCTIONS IN mydb") == (
+        "SHOW USER FUNCTIONS IN mydb"
+    )
+    assert dialect.translate_statement("SHOW FUNCTIONS IN mydb 'foo*'") == (
+        "SHOW USER FUNCTIONS IN mydb LIKE 'foo*'"
+    )
