@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from incubator_impala_spark.operators import dedup, multimodal, similarity, text
 from incubator_impala_spark.operators.dedup import LSH_BANDS, MINHASH_K
 from incubator_impala_spark.operators.similarity import LSH_PLANES, _plane_component
-from incubator_impala_spark.sources.tables import load_table
+from incubator_impala_spark.sources.tables import load_table, parquet_num_rows
 
 QUERIES: dict = {}
 ORACLE_SQL: dict = {}
@@ -326,9 +326,14 @@ def pipeline_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucket count scales with the data, so candidate volume is ~n^1.5
     — unlike fixed-plane sign banding, which degenerates to all-pairs
     as n grows at this corpus's borderline (~0.5) thresholds. Recall
-    vs the exact baseline calibrated in tests/test_dedup_calibration.py."""
+    vs the exact baseline calibrated in tests/test_dedup_calibration.py.
+    Centroid stride is sized from the parquet footer row count (no
+    count job — what table stats give for free on a catalog)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.ivf_dup_pairs(emb, dim=EMB_DIM, nprobe=3, threshold=0.45)
+    return dedup.ivf_dup_pairs(
+        emb, dim=EMB_DIM, nprobe=3, threshold=0.45,
+        n=parquet_num_rows(sf_dir, "embeddings"),
+    )
 
 
 @_register(
@@ -377,10 +382,14 @@ def pipeline_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via IVF (k ≈ 2·sqrt(n) sampled centroids,
     nprobe=3 on both sides) — the bucket-count-scales-with-n
     alternative to hyperplane LSH; recall calibrated in
-    tests/test_dedup_calibration.py."""
+    tests/test_dedup_calibration.py. Centroid stride sized from the
+    parquet footer row count (no count job)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    return similarity.ivf_topk(emb, queries, dim=EMB_DIM, k=5, nprobe=3)
+    return similarity.ivf_topk(
+        emb, queries, dim=EMB_DIM, k=5, nprobe=3,
+        n=parquet_num_rows(sf_dir, "embeddings"),
+    )
 
 
 # ---------------------------------------------------------------------------

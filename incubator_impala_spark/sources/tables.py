@@ -48,6 +48,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_num_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata — a driver-side
+    file-metadata read, no Spark job. This is what table stats provide
+    for free on a real catalog (reference: HdfsTable row-count stats);
+    operators that size themselves on n (IVF centroid stride) take it
+    from here instead of a `df.count()` action."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else glob.glob(os.path.join(path, "*.parquet"))
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register all test tables as temp views for `spark.sql` queries.
 
