@@ -22,12 +22,13 @@ from incubator_impala_spark.queries import (
     sql_surface,
     streaming_batch,
     tpcds_adapted,
+    tpcds_round3,
     tpch,
 )
 
 _MODULES = [
     tpch, relational, pipeline, streaming_batch, functions_sweep, nested,
-    sql_surface, tpcds_adapted,
+    sql_surface, tpcds_adapted, tpcds_round3,
 ]
 
 QUERIES = {}

@@ -1,0 +1,826 @@
+"""TPC-DS plan shapes, round 3 — the distinct shapes not yet covered
+by `tpcds_adapted.py` (reference corpus: 205 files under
+`testdata/workloads/tpcds/queries/`, e.g. tpcds-q51.test,
+tpcds-q53.test, tpcds-q47.test, tpcds-q78.test, tpcds-q95.test).
+
+Each entry reproduces one query's *plan shape* on the driver's
+TPC-H-subset tables (the full DS schema isn't present):
+
+- q51: per-segment cumulative sums of two channels FULL OUTER JOINed,
+  crossover filter (window over FOJ).
+- q53/q63: case-filtered quarterly aggregate vs its group average,
+  deviation filter (agg + whole-partition window).
+- q47/q57: monthly aggregate with LAG/LEAD around a yearly average,
+  deviation filter (three window specs over one agg).
+- q67: 3-level ROLLUP + rank within grouping level, top-k filter.
+- q74: year-over-year growth ratio compared across two channels
+  (4-way self-join of one agg, cross-multiplied ratio compare).
+- q78: per-channel aggregates of never-returned items (anti-join)
+  joined into a cross-channel ratio.
+- q93: returns-adjusted net sales (LEFT JOIN returns + CASE).
+- q95: double semi-join chain (EXISTS-and-EXISTS).
+- q98: revenue share of class via whole-partition window ratio.
+- q49: per-channel return-ratio rankings, UNION ALL of channels.
+
+Determinism rules (see also tpcds_adapted.py): all money math is
+DECIMAL end-to-end with scale-preserving casts (never rounding);
+ratios are ONE double division of exactly-converted decimals; ratio
+comparisons cross-multiply in decimal instead of dividing; every rank
+has a total tie-break; channels are deterministic key-parity or value
+predicates, never sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from incubator_impala_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLE_SQL: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _d(col: str):
+    return F.col(col).cast("decimal(12,2)")
+
+
+# ---------------------------------------------------------------------------
+# q51 shape: cumulative sums of two channels over a FULL OUTER JOIN,
+# filtered where one channel's running total overtakes the other
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q51_style_cumulative_crossover",
+    """
+    WITH web AS (
+      SELECT p_type, year(l_shipdate) * 12 + month(l_shipdate) AS ym,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_partkey % 2 = 0
+      GROUP BY p_type, year(l_shipdate) * 12 + month(l_shipdate)),
+    store AS (
+      SELECT p_type, year(l_shipdate) * 12 + month(l_shipdate) AS ym,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_partkey % 2 = 1
+      GROUP BY p_type, year(l_shipdate) * 12 + month(l_shipdate)),
+    j AS (
+      SELECT COALESCE(w.p_type, s.p_type) AS p_type,
+             COALESCE(w.ym, s.ym) AS ym,
+             w.rev AS wrev, s.rev AS srev
+      FROM web w FULL OUTER JOIN store s
+        ON w.p_type = s.p_type AND w.ym = s.ym),
+    cum AS (
+      SELECT p_type, ym,
+        SUM(COALESCE(wrev, 0)) OVER (PARTITION BY p_type ORDER BY ym
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS web_cum,
+        SUM(COALESCE(srev, 0)) OVER (PARTITION BY p_type ORDER BY ym
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS store_cum
+      FROM j)
+    SELECT p_type, CAST(ym AS INT) AS ym,
+           CAST(web_cum AS DECIMAL(38,2)) AS web_cum,
+           CAST(store_cum AS DECIMAL(38,2)) AS store_cum
+    FROM cum WHERE web_cum > store_cum
+    ORDER BY p_type, ym
+    """,
+)
+def tpcds_q51_style_cumulative_crossover(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q51 shape (web_v1/store_v1 FOJ + running max/sum crossover).
+    Scale: both channel aggs shuffle once on (p_type, ym); the FULL
+    OUTER JOIN reuses that key, and the cumulative window partitions
+    by p_type (never a single global partition). Cumulative sums are
+    decimal — order-independent, so exact under any merge order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    base = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    ym = (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("ym")
+
+    def channel(par):
+        return (
+            base.where(F.col("l_partkey") % 2 == par)
+            .groupBy("p_type", ym)
+            .agg(F.sum(_d("l_extendedprice")).alias("rev"))
+        )
+
+    w = channel(0).select(
+        F.col("p_type").alias("wt"), F.col("ym").alias("wym"),
+        F.col("rev").alias("wrev"),
+    )
+    s = channel(1).select(
+        F.col("p_type").alias("st"), F.col("ym").alias("sym"),
+        F.col("rev").alias("srev"),
+    )
+    j = w.join(
+        s, (F.col("wt") == F.col("st")) & (F.col("wym") == F.col("sym")),
+        "full_outer",
+    ).select(
+        F.coalesce("wt", "st").alias("p_type"),
+        F.coalesce("wym", "sym").alias("ym"),
+        "wrev", "srev",
+    )
+    win = (
+        Window.partitionBy("p_type")
+        .orderBy("ym")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    cum = j.select(
+        "p_type", F.col("ym").cast("int").alias("ym"),
+        F.sum(F.coalesce("wrev", zero)).over(win).alias("web_cum"),
+        F.sum(F.coalesce("srev", zero)).over(win).alias("store_cum"),
+    )
+    return (
+        cum.where(F.col("web_cum") > F.col("store_cum"))
+        .select(
+            "p_type", "ym",
+            F.col("web_cum").cast("decimal(38,2)").alias("web_cum"),
+            F.col("store_cum").cast("decimal(38,2)").alias("store_cum"),
+        )
+        .orderBy("p_type", "ym")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53/q63 shape: case-filtered quarterly revenue vs whole-group average
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q53_style_deviation_from_avg",
+    """
+    WITH qtr AS (
+      SELECT p_brand, year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4))
+          AS rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE (p_type IN ('PROMO', 'ECONOMY') AND p_size BETWEEN 1 AND 25)
+         OR (p_type IN ('STANDARD', 'LARGE') AND p_size BETWEEN 26 AND 50)
+      GROUP BY p_brand, year(o_orderdate), quarter(o_orderdate)),
+    v AS (
+      SELECT p_brand, y, q, rev,
+        CAST(SUM(rev) OVER (PARTITION BY p_brand) AS DECIMAL(18,4)) AS tot,
+        COUNT(*) OVER (PARTITION BY p_brand) AS n
+      FROM qtr)
+    SELECT p_brand, CAST(y AS INT) AS y, CAST(q AS INT) AS q,
+      CAST(rev AS DECIMAL(38,4)) AS rev,
+      CAST(tot AS DOUBLE) / n AS brand_avg
+    FROM v
+    WHERE ABS(rev * CAST(n AS INT) - tot) * 10 > ABS(tot)
+    ORDER BY p_brand, y, q
+    """,
+)
+def tpcds_q53_style_deviation_from_avg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q53/q63 shape (manufacturer-filtered quarterly sales vs the
+    item's average, keep quarters deviating >10%). The deviation
+    filter cross-multiplies in exact decimal (|rev·n − tot|·10 >
+    |tot|) so no division enters the predicate; the reported average
+    is one double division. Scale: one fact shuffle on (brand, y, q);
+    dims broadcast; the window is per-brand over ≤28 quarter rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    keep = (
+        (F.col("p_type").isin("PROMO", "ECONOMY")
+         & F.col("p_size").between(1, 25))
+        | (F.col("p_type").isin("STANDARD", "LARGE")
+           & F.col("p_size").between(26, 50))
+    )
+    disc = _d("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _d("l_discount")
+    )
+    qtr = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(keep)
+        .groupBy(
+            "p_brand",
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+        )
+        .agg(F.sum(disc).cast("decimal(18,4)").alias("rev"))
+    )
+    wb = Window.partitionBy("p_brand")
+    v = qtr.select(
+        "p_brand", "y", "q", "rev",
+        F.sum("rev").over(wb).cast("decimal(18,4)").alias("tot"),
+        F.count("*").over(wb).alias("n"),
+    )
+    dev = F.abs(F.col("rev") * F.col("n").cast("int") - F.col("tot")) * 10
+    return (
+        v.where(dev > F.abs(F.col("tot")))
+        .select(
+            "p_brand",
+            F.col("y").cast("int").alias("y"),
+            F.col("q").cast("int").alias("q"),
+            F.col("rev").cast("decimal(38,4)").alias("rev"),
+            (F.col("tot").cast("double") / F.col("n")).alias("brand_avg"),
+        )
+        .orderBy("p_brand", "y", "q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q47/q57 shape: monthly revenue with LAG/LEAD around the yearly average
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q47_style_lag_lead_year_avg",
+    """
+    WITH monthly AS (
+      SELECT c_mktsegment AS seg, year(o_orderdate) AS y,
+             month(o_orderdate) AS m,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, year(o_orderdate), month(o_orderdate)),
+    v AS (
+      SELECT seg, y, m, rev,
+        CAST(SUM(rev) OVER (PARTITION BY seg, y) AS DECIMAL(18,2)) AS yr_tot,
+        COUNT(*) OVER (PARTITION BY seg, y) AS yr_n,
+        LAG(rev) OVER (PARTITION BY seg ORDER BY y, m) AS prev_rev,
+        LEAD(rev) OVER (PARTITION BY seg ORDER BY y, m) AS next_rev
+      FROM monthly)
+    SELECT seg, CAST(y AS INT) AS y, CAST(m AS INT) AS m,
+      CAST(rev AS DECIMAL(38,2)) AS rev,
+      CAST(prev_rev AS DECIMAL(38,2)) AS prev_rev,
+      CAST(next_rev AS DECIMAL(38,2)) AS next_rev,
+      CAST(yr_tot AS DOUBLE) / yr_n AS yr_avg
+    FROM v
+    WHERE yr_n = 12
+      AND ABS(rev * CAST(yr_n AS INT) - yr_tot) * 10 > ABS(yr_tot)
+    ORDER BY seg, y, m
+    """,
+)
+def tpcds_q47_style_lag_lead_year_avg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q47/q57 shape (months deviating >10% from the year's average,
+    reported with the neighboring months via LAG/LEAD). Three window
+    specs over one aggregate: a (seg, y) whole-partition sum/count and
+    a (seg) ordered lag/lead. Deviation cross-multiplies in decimal;
+    yr_avg is one double division. Scale: one shuffle on the monthly
+    grain; both windows repartition only the tiny aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(F.sum(_d("o_totalprice")).cast("decimal(18,2)").alias("rev"))
+    )
+    wy = Window.partitionBy("seg", "y")
+    ws = Window.partitionBy("seg").orderBy("y", "m")
+    v = monthly.select(
+        "seg", "y", "m", "rev",
+        F.sum("rev").over(wy).cast("decimal(18,2)").alias("yr_tot"),
+        F.count("*").over(wy).alias("yr_n"),
+        F.lag("rev").over(ws).alias("prev_rev"),
+        F.lead("rev").over(ws).alias("next_rev"),
+    )
+    dev = F.abs(F.col("rev") * F.col("yr_n").cast("int") - F.col("yr_tot")) * 10
+    return (
+        v.where((F.col("yr_n") == 12) & (dev > F.abs(F.col("yr_tot"))))
+        .select(
+            "seg",
+            F.col("y").cast("int").alias("y"),
+            F.col("m").cast("int").alias("m"),
+            F.col("rev").cast("decimal(38,2)").alias("rev"),
+            F.col("prev_rev").cast("decimal(38,2)").alias("prev_rev"),
+            F.col("next_rev").cast("decimal(38,2)").alias("next_rev"),
+            (F.col("yr_tot").cast("double") / F.col("yr_n")).alias("yr_avg"),
+        )
+        .orderBy("seg", "y", "m")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q67 shape: 3-level ROLLUP, rank within grouping level, top-k
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q67_style_rollup_topk",
+    """
+    WITH agg AS (
+      SELECT p_type, p_brand, year(o_orderdate) AS y,
+        CAST(GROUPING(p_type) * 4 + GROUPING(p_brand) * 2
+             + GROUPING(year(o_orderdate)) AS INT) AS lvl,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      GROUP BY ROLLUP(p_type, p_brand, year(o_orderdate)))
+    SELECT lvl, p_type, p_brand, y, rev, rk FROM (
+      SELECT lvl, p_type, p_brand, CAST(y AS INT) AS y,
+        CAST(rev AS DECIMAL(38,2)) AS rev,
+        CAST(RANK() OVER (PARTITION BY lvl, p_type
+             ORDER BY rev DESC, COALESCE(p_brand, ''), COALESCE(y, -1))
+             AS BIGINT) AS rk
+      FROM agg) t
+    WHERE rk <= 5
+    ORDER BY lvl, p_type, rk
+    """,
+)
+def tpcds_q67_style_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q67 shape (ROLLUP over the full hierarchy, rank sales within
+    each grouping level, keep the top 5 per (lvl, type)). The rank's
+    ORDER BY is totalized with COALESCEd hierarchy columns so subtotal
+    rows (NULL slots) order identically in both engines. Scale: one
+    fact shuffle feeds the rollup (Spark expands grouping sets after
+    the partial agg); window partitions are per (lvl, p_type)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("y", F.year("o_orderdate"))
+        .rollup("p_type", "p_brand", "y")
+        .agg(
+            F.sum(_d("l_extendedprice")).alias("rev"),
+            (F.grouping("p_type") * 4 + F.grouping("p_brand") * 2
+             + F.grouping("y")).cast("int").alias("lvl"),
+        )
+    )
+    w = Window.partitionBy("lvl", "p_type").orderBy(
+        F.desc("rev"), F.coalesce("p_brand", F.lit("")),
+        F.coalesce("y", F.lit(-1)),
+    )
+    ranked = agg.select(
+        "lvl", "p_type", "p_brand",
+        F.col("y").cast("int").alias("y"),
+        F.col("rev").cast("decimal(38,2)").alias("rev"),
+        F.rank().over(w).cast("bigint").alias("rk"),
+    )
+    return ranked.where(F.col("rk") <= 5).orderBy("lvl", "p_type", "rk")
+
+
+# ---------------------------------------------------------------------------
+# q74 shape: year-over-year growth compared across two channels
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q74_style_yoy_growth_compare",
+    """
+    WITH t AS (
+      SELECT o_custkey, year(o_orderdate) AS y,
+        CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 'hi' ELSE 'lo' END AS ch,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+      FROM orders WHERE year(o_orderdate) IN (1996, 2000)
+      GROUP BY o_custkey, year(o_orderdate),
+        CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 'hi' ELSE 'lo' END)
+    SELECT h1.o_custkey AS custkey,
+      CAST(h1.rev AS DECIMAL(38,2)) AS hi_y1,
+      CAST(h2.rev AS DECIMAL(38,2)) AS hi_y2,
+      CAST(l1.rev AS DECIMAL(38,2)) AS lo_y1,
+      CAST(l2.rev AS DECIMAL(38,2)) AS lo_y2
+    FROM t h1
+    JOIN t h2 ON h1.o_custkey = h2.o_custkey
+    JOIN t l1 ON h1.o_custkey = l1.o_custkey
+    JOIN t l2 ON h1.o_custkey = l2.o_custkey
+    WHERE h1.ch = 'hi' AND h1.y = 1996
+      AND h2.ch = 'hi' AND h2.y = 2000
+      AND l1.ch = 'lo' AND l1.y = 1996
+      AND l2.ch = 'lo' AND l2.y = 2000
+      AND h1.rev > 0 AND l1.rev > 0
+      AND l2.rev * h1.rev > h2.rev * l1.rev
+    ORDER BY custkey
+    """,
+)
+def tpcds_q74_style_yoy_growth_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q74 shape (customers whose low-priority spend grew faster
+    year-over-year than their high-priority spend). One aggregate
+    self-joined four ways on custkey; the growth-ratio comparison
+    lo_y2/lo_y1 > hi_y2/hi_y1 cross-multiplies in exact decimal so no
+    division (and no float) enters the predicate. Scale: the agg
+    shuffles once on (custkey, y, ch); all four join legs reuse the
+    custkey hash; filters prune each leg before the join."""
+    orders = load_table(spark, sf_dir, "orders")
+    ch = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi"
+    ).otherwise("lo")
+    t = (
+        orders.where(F.year("o_orderdate").isin(1996, 2000))
+        .groupBy(
+            "o_custkey", F.year("o_orderdate").alias("y"), ch.alias("ch")
+        )
+        .agg(F.sum(_d("o_totalprice")).cast("decimal(18,2)").alias("rev"))
+    )
+
+    def leg(chv, yv, alias):
+        return t.where((F.col("ch") == chv) & (F.col("y") == yv)).select(
+            F.col("o_custkey").alias(f"{alias}_ck"),
+            F.col("rev").alias(alias),
+        )
+
+    h1, h2 = leg("hi", 1996, "hi_y1"), leg("hi", 2000, "hi_y2")
+    l1, l2 = leg("lo", 1996, "lo_y1"), leg("lo", 2000, "lo_y2")
+    joined = (
+        h1.join(h2, F.col("hi_y1_ck") == F.col("hi_y2_ck"))
+        .join(l1, F.col("hi_y1_ck") == F.col("lo_y1_ck"))
+        .join(l2, F.col("hi_y1_ck") == F.col("lo_y2_ck"))
+    )
+    return (
+        joined.where(
+            (F.col("hi_y1") > 0) & (F.col("lo_y1") > 0)
+            & (F.col("lo_y2") * F.col("hi_y1") > F.col("hi_y2") * F.col("lo_y1"))
+        )
+        .select(
+            F.col("hi_y1_ck").alias("custkey"),
+            F.col("hi_y1").cast("decimal(38,2)").alias("hi_y1"),
+            F.col("hi_y2").cast("decimal(38,2)").alias("hi_y2"),
+            F.col("lo_y1").cast("decimal(38,2)").alias("lo_y1"),
+            F.col("lo_y2").cast("decimal(38,2)").alias("lo_y2"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q78 shape: per-channel never-returned aggregates, cross-channel ratio
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q78_style_no_return_channel_ratio",
+    """
+    WITH ret AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE l_returnflag = 'R'),
+    fchan AS (
+      SELECT o_custkey,
+        CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+          AS f_qty,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+          AS f_rev
+      FROM lineitem l JOIN orders ON l.l_orderkey = o_orderkey
+      WHERE l.l_linestatus = 'F' AND NOT EXISTS (
+        SELECT 1 FROM ret r
+        WHERE r.l_orderkey = l.l_orderkey
+          AND r.l_linenumber = l.l_linenumber)
+      GROUP BY o_custkey),
+    ochan AS (
+      SELECT o_custkey,
+        CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+          AS o_qty,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+          AS o_rev
+      FROM lineitem l JOIN orders ON l.l_orderkey = o_orderkey
+      WHERE l.l_linestatus = 'O' AND NOT EXISTS (
+        SELECT 1 FROM ret r
+        WHERE r.l_orderkey = l.l_orderkey
+          AND r.l_linenumber = l.l_linenumber)
+      GROUP BY o_custkey)
+    SELECT f.o_custkey AS custkey, f_qty, f_rev, o_qty, o_rev,
+      CAST(f_rev AS DOUBLE) / CAST(o_rev AS DOUBLE) AS channel_ratio
+    FROM fchan f JOIN ochan o ON f.o_custkey = o.o_custkey
+    WHERE o_rev > 0
+    ORDER BY channel_ratio DESC, custkey
+    LIMIT 100
+    """,
+)
+def tpcds_q78_style_no_return_channel_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q78 shape (per-customer sales that were never returned, per
+    channel, joined into a cross-channel ratio; top 100). The
+    returned-item exclusion is a LEFT ANTI join on the line identity
+    (orderkey, linenumber); the ratio is one double division of exact
+    decimal sums with a total ORDER BY tie-break before LIMIT.
+    Scale: the anti join and both aggregates shuffle on orderkey-
+    grained keys; the final cust-level join is two small aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ret = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_ok"), F.col("l_linenumber").alias("r_ln")
+    )
+
+    def chan(status, qn, rn):
+        kept = li.where(F.col("l_linestatus") == status).join(
+            ret,
+            (F.col("l_orderkey") == F.col("r_ok"))
+            & (F.col("l_linenumber") == F.col("r_ln")),
+            "left_anti",
+        )
+        return (
+            kept.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(_d("l_quantity")).cast("decimal(38,2)").alias(qn),
+                F.sum(_d("l_extendedprice")).cast("decimal(38,2)").alias(rn),
+            )
+        )
+
+    f = chan("F", "f_qty", "f_rev").withColumnRenamed("o_custkey", "custkey")
+    o = chan("O", "o_qty", "o_rev")
+    return (
+        f.join(o, F.col("custkey") == F.col("o_custkey"))
+        .where(F.col("o_rev") > 0)
+        .select(
+            "custkey", "f_qty", "f_rev", "o_qty", "o_rev",
+            (F.col("f_rev").cast("double") / F.col("o_rev").cast("double"))
+            .alias("channel_ratio"),
+        )
+        .orderBy(F.desc("channel_ratio"), "custkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93 shape: returns-adjusted net sales (LEFT JOIN returns + CASE)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q93_style_returns_adjusted",
+    """
+    WITH ret AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE l_returnflag = 'R'),
+    adj AS (
+      SELECT o_custkey,
+        CASE WHEN r.l_orderkey IS NOT NULL
+             THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * CAST(0.5 AS DECIMAL(2,1))
+             ELSE CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1.0 AS DECIMAL(2,1)) END AS net
+      FROM lineitem l
+      JOIN orders ON l.l_orderkey = o_orderkey
+      LEFT JOIN ret r ON r.l_orderkey = l.l_orderkey
+                     AND r.l_linenumber = l.l_linenumber)
+    SELECT o_custkey AS custkey, CAST(SUM(net) AS DECIMAL(38,3)) AS net_paid
+    FROM adj GROUP BY o_custkey
+    ORDER BY net_paid, custkey
+    LIMIT 100
+    """,
+)
+def tpcds_q93_style_returns_adjusted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q93 shape (net sales after refunding returned lines at 50%):
+    LEFT JOIN the sale to its return event on the line identity, CASE
+    the refund into the measure, aggregate per customer. All money
+    math is decimal (×0.5 at scale 3 is exact — never rounds).
+    Scale: the left join and agg shuffle on orderkey/custkey; the
+    returns side is a filtered projection of the same fact, so the
+    join is fact-to-subset, never row-multiplying (line id unique)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ret = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_ok"),
+        F.col("l_linenumber").alias("r_ln"),
+        F.lit(1).alias("r_hit"),
+    )
+    half = F.lit(0.5).cast("decimal(2,1)")
+    full = F.lit(1.0).cast("decimal(2,1)")
+    adj = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            ret,
+            (F.col("l_orderkey") == F.col("r_ok"))
+            & (F.col("l_linenumber") == F.col("r_ln")),
+            "left",
+        )
+        .select(
+            "o_custkey",
+            F.when(F.col("r_hit").isNotNull(), _d("l_extendedprice") * half)
+            .otherwise(_d("l_extendedprice") * full)
+            .alias("net"),
+        )
+    )
+    return (
+        adj.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum("net").cast("decimal(38,3)").alias("net_paid"))
+        .orderBy("net_paid", "custkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 shape: double semi-join chain (EXISTS and EXISTS)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q95_style_double_semijoin",
+    """
+    WITH multi AS (
+      SELECT DISTINCT l1.l_orderkey
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey),
+    ret AS (
+      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_orderkey IN (SELECT l_orderkey FROM multi)
+      AND o_orderkey IN (SELECT l_orderkey FROM ret)
+    """,
+)
+def tpcds_q95_style_double_semijoin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q95 shape (orders shipped from ≥2 suppliers AND having a
+    return — two chained LEFT SEMI joins into one scalar aggregate).
+    The multi-supplier set is a self-join on orderkey with a supplier
+    inequality (in-order pair blowup only: avg items/order is small
+    and bounded). Scale: self-join and both semis all hash on
+    orderkey — one key, three reuses; final agg is a single row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    l1 = li.select(F.col("l_orderkey").alias("ok1"),
+                   F.col("l_suppkey").alias("sk1"))
+    l2 = li.select(F.col("l_orderkey").alias("ok2"),
+                   F.col("l_suppkey").alias("sk2"))
+    multi = (
+        l1.join(l2, (F.col("ok1") == F.col("ok2"))
+                & (F.col("sk1") != F.col("sk2")))
+        .select(F.col("ok1").alias("m_ok"))
+        .distinct()
+    )
+    ret = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("rt_ok"))
+        .distinct()
+    )
+    return (
+        orders.where(F.col("o_orderstatus") == "F")
+        .join(multi, F.col("o_orderkey") == F.col("m_ok"), "left_semi")
+        .join(ret, F.col("o_orderkey") == F.col("rt_ok"), "left_semi")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_d("o_totalprice")).cast("decimal(38,2)")
+            .alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98/q12/q20 shape: revenue share of class via whole-partition window
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q98_style_class_revenue_share",
+    """
+    WITH agg AS (
+      SELECT p_type, p_brand,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4))
+          AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_type, p_brand)
+    SELECT p_type, p_brand, CAST(rev AS DECIMAL(38,4)) AS rev,
+      CAST(rev AS DOUBLE) * 100
+        / CAST(CAST(SUM(rev) OVER (PARTITION BY p_type) AS DECIMAL(18,4))
+               AS DOUBLE) AS revenueratio
+    FROM agg
+    ORDER BY p_type, p_brand
+    """,
+)
+def tpcds_q98_style_class_revenue_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q98/q12/q20 shape (each item's share of its class's revenue —
+    the `revenueratio` pattern). The share is (rev·100)/class_total
+    with both operands exactly converted from decimal; both engines
+    evaluate the identical two IEEE ops. Scale: one fact shuffle on
+    (type, brand); the share window repartitions only the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc = _d("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _d("l_discount")
+    )
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum(disc).cast("decimal(18,4)").alias("rev"))
+    )
+    wt = Window.partitionBy("p_type")
+    return (
+        agg.select(
+            "p_type", "p_brand",
+            F.col("rev").cast("decimal(38,4)").alias("rev"),
+            (
+                F.col("rev").cast("double") * 100
+                / F.sum("rev").over(wt).cast("decimal(18,4)").cast("double")
+            ).alias("revenueratio"),
+        )
+        .orderBy("p_type", "p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q49 shape: per-channel return-ratio rankings, UNION ALL of channels
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q49_style_return_rank_union",
+    """
+    WITH base AS (
+      SELECT CASE WHEN l_suppkey % 2 = 0 THEN 'web' ELSE 'store' END AS ch,
+        l_partkey,
+        CAST(SUM(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(l_quantity AS DECIMAL(12,2))
+                      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2))
+          AS ret_qty,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+          AS tot_qty
+      FROM lineitem
+      GROUP BY CASE WHEN l_suppkey % 2 = 0 THEN 'web' ELSE 'store' END,
+               l_partkey),
+    web AS (
+      SELECT ch, l_partkey,
+        CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE) AS ret_ratio,
+        CAST(DENSE_RANK() OVER (ORDER BY
+             CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE) DESC,
+             l_partkey) AS BIGINT) AS rk
+      FROM base WHERE ch = 'web' AND tot_qty > 0),
+    store AS (
+      SELECT ch, l_partkey,
+        CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE) AS ret_ratio,
+        CAST(DENSE_RANK() OVER (ORDER BY
+             CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE) DESC,
+             l_partkey) AS BIGINT) AS rk
+      FROM base WHERE ch = 'store' AND tot_qty > 0)
+    SELECT ch, l_partkey AS partkey, ret_ratio, rk FROM (
+      SELECT * FROM web WHERE rk <= 10
+      UNION ALL
+      SELECT * FROM store WHERE rk <= 10) u
+    ORDER BY ch, rk, partkey
+    """,
+)
+def tpcds_q49_style_return_rank_union(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q49 shape (worst return ratios per channel: rank inside each
+    channel, UNION ALL the channel top-10s). The ratio is one double
+    division of exact decimals, and the rank's ORDER BY tie-breaks on
+    partkey so dense_rank is totalized. Scale: one fact shuffle on
+    (ch, partkey); each channel's window is an independent partition
+    (the per-channel CTEs keep the union legs separately rankable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ch = F.when(F.col("l_suppkey") % 2 == 0, "web").otherwise("store")
+    zero = F.lit(0).cast("decimal(12,2)")
+    base = (
+        li.groupBy(ch.alias("ch"), "l_partkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", _d("l_quantity"))
+                  .otherwise(zero)).cast("decimal(18,2)").alias("ret_qty"),
+            F.sum(_d("l_quantity")).cast("decimal(18,2)").alias("tot_qty"),
+        )
+    )
+
+    def channel(name):
+        ratio = F.col("ret_qty").cast("double") / F.col("tot_qty").cast("double")
+        w = Window.partitionBy("ch").orderBy(
+            (F.col("ret_qty").cast("double")
+             / F.col("tot_qty").cast("double")).desc(),
+            F.col("l_partkey"),
+        )
+        return (
+            base.where((F.col("ch") == name) & (F.col("tot_qty") > 0))
+            .select(
+                "ch", "l_partkey", ratio.alias("ret_ratio"),
+                F.dense_rank().over(w).cast("bigint").alias("rk"),
+            )
+            .where(F.col("rk") <= 10)
+        )
+
+    return (
+        channel("web").unionAll(channel("store"))
+        .select(
+            "ch", F.col("l_partkey").alias("partkey"), "ret_ratio", "rk"
+        )
+        .orderBy("ch", "rk", "partkey")
+    )
