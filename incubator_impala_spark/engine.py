@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 import re
 
 from incubator_impala_spark import dialect
+from incubator_impala_spark.grants import GrantRegistry
 from incubator_impala_spark.functions.registry import (
     MACROS,
     QUERY_OPTION_MAP,
@@ -55,6 +56,9 @@ class Engine:
     def __init__(self, spark: SparkSession, sf_dir: str | None = None):
         self.spark = configure_session(spark)
         register_all(self.spark)
+        # GRANT/REVOKE/role veneer (no auth service in env; see
+        # grants.py — accept-and-record, SHOW answers from the record)
+        self.grants = GrantRegistry()
         if sf_dir:
             register_tables(self.spark, sf_dir)
 
@@ -88,6 +92,9 @@ class Engine:
         if m:
             self.set_option(m.group(1), m.group(2).strip("'\""))
             return self.spark.sql("SELECT 1 AS status")
+        granted = self.grants.handle(self.spark, sql_text)
+        if granted is not None:
+            return granted
         m = _LOAD_DATA.match(sql_text)
         if m:
             return self._load_data(

@@ -348,3 +348,44 @@ def test_refresh_and_comment(spark, engine, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS rf_t")
+
+
+def test_grant_revoke_lifecycle(engine):
+    """GRANT/REVOKE veneer (GrantRevokeRoleStmt.java,
+    GrantRevokePrivStmt.java, ShowGrantPrincipalStmt.java): parse,
+    record in-memory, answer SHOW from the record. No enforcement
+    exists in this environment (no auth service) — documented."""
+    eng = engine
+    eng.sql("CREATE ROLE analyst")
+    eng.sql("CREATE ROLE admin_r")
+    assert [r.role_name for r in eng.sql("SHOW ROLES").collect()] == [
+        "admin_r", "analyst",
+    ]
+    eng.sql("GRANT ROLE analyst TO GROUP data_eng")
+    assert [r.role_name for r in
+            eng.sql("SHOW ROLE GRANT GROUP data_eng").collect()] == ["analyst"]
+    eng.sql("GRANT SELECT ON TABLE lineitem TO ROLE analyst")
+    eng.sql("GRANT INSERT ON DATABASE default TO analyst WITH GRANT OPTION")
+    rows = eng.sql("SHOW GRANT ROLE analyst").collect()
+    assert {(r.scope, r.name, r.privilege, r.grant_option) for r in rows} == {
+        ("table", "lineitem", "select", False),
+        ("database", "default", "insert", True),
+    }
+    # group principals resolve through membership
+    via_group = eng.sql("SHOW GRANT GROUP data_eng").collect()
+    assert {r.privilege for r in via_group} == {"select", "insert"}
+    # ON-object filter
+    only_tbl = eng.sql("SHOW GRANT ROLE analyst ON TABLE lineitem").collect()
+    assert len(only_tbl) == 1 and only_tbl[0].privilege == "select"
+    eng.sql("REVOKE SELECT ON TABLE lineitem FROM ROLE analyst")
+    assert len(eng.sql("SHOW GRANT ROLE analyst").collect()) == 1
+    eng.sql("DROP ROLE analyst")
+    assert [r.role_name for r in eng.sql("SHOW ROLES").collect()] == ["admin_r"]
+    assert eng.sql("SHOW GRANT GROUP data_eng").collect() == []
+
+
+def test_grant_to_unknown_role_raises(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="role does not exist"):
+        engine.sql("GRANT SELECT ON TABLE lineitem TO ROLE nonexistent_role")
