@@ -97,11 +97,55 @@ def read_as(spark: SparkSession, path: str, fmt: str,
 # writes Hadoop SequenceFiles natively (sc.sequenceFile /
 # saveAsSequenceFile), so the scan is: values -> split -> cast, all
 # JVM-side after the initial read.
-# RCFile (hdfs-rcfile-scanner.cc) stays out of scope: Spark reads it
-# only through a Hive-catalog table (STORED AS RCFILE), not as a
-# path-based datasource — documented gap, lowest-priority legacy
-# format in SURVEY §2.1.
+# RCFile (hdfs-rcfile-scanner.cc): Spark has no path-based RCFile
+# datasource — the read path is a Hive-catalog serde table
+# (STORED AS RCFILE, ColumnarSerDe from the bundled hive-serde jar).
+# read_rcfile/write_rcfile below wrap that: an EXTERNAL serde table
+# over the path, so the bytes live wherever the caller says and the
+# scan/write go through Spark's normal HiveTableScan/InsertIntoHive
+# operators (distributed, column-pruned via the columnar serde).
+# Requires spark.sql.catalogImplementation=hive at session build —
+# tested in a subprocess JVM like the Hive-UDF call-through.
 # ---------------------------------------------------------------------------
+
+
+def _require_hive_catalog(spark: SparkSession) -> None:
+    impl = spark.conf.get("spark.sql.catalogImplementation", "in-memory")
+    if impl != "hive":
+        raise RuntimeError(
+            "RCFile needs a Hive serde table: build the session with "
+            "spark.sql.catalogImplementation=hive (reference scanner: "
+            "be/src/exec/hdfs-rcfile-scanner.cc)"
+        )
+
+
+def _rcfile_ext_table(spark: SparkSession, path: str,
+                      schema: StructType) -> str:
+    name = f"rcfile_ext_{abs(hash(path)) % 10**8}"
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE EXTERNAL TABLE {name} ({cols}) STORED AS RCFILE "
+        f"LOCATION '{path}'"
+    )
+    return name
+
+
+def read_rcfile(spark: SparkSession, path: str,
+                schema: StructType) -> DataFrame:
+    """Scan an RCFile directory through an external Hive serde table."""
+    _require_hive_catalog(spark)
+    return spark.table(_rcfile_ext_table(spark, path, schema))
+
+
+def write_rcfile(df: DataFrame, path: str) -> None:
+    """Write a DataFrame as RCFile via an external Hive serde table."""
+    spark = df.sparkSession
+    _require_hive_catalog(spark)
+    name = _rcfile_ext_table(spark, path, df.schema)
+    df.write.insertInto(name, overwrite=True)
 
 
 def read_sequence_text(spark: SparkSession, path: str,

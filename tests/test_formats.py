@@ -156,3 +156,41 @@ def test_sequencefile_text_roundtrip(spark, li, tmp_path):
         F.sum("l_orderkey").alias("k"),
     ).collect()[0]
     assert (got.s, got.k) == (want.s, want.k)
+
+
+def test_rcfile_roundtrip_via_hive_serde():
+    """RCFile scan/write (reference: be/src/exec/hdfs-rcfile-scanner.cc)
+    through an external Hive serde table — needs
+    spark.sql.catalogImplementation=hive at session build, so run in a
+    subprocess JVM (same pattern as the Hive-UDF call-through)."""
+    import subprocess
+    import sys
+
+    code = """
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+from incubator_impala_spark.sources.formats import read_rcfile, write_rcfile
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.catalogImplementation", "hive")
+         .config("spark.sql.warehouse.dir", "/tmp/hive_rcfile_wh")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+src = spark.createDataFrame(
+    [(1, "alpha", 1.5), (2, "beta", None), (3, None, -2.25)],
+    "k int, s string, v double")
+write_rcfile(src, "/tmp/rcfile_rt")
+back = read_rcfile(spark, "/tmp/rcfile_rt", src.schema)
+got = sorted([tuple(r) for r in back.collect()])
+want = sorted([tuple(r) for r in src.collect()])
+assert got == want, (got, want)
+# column pruning reaches the serde scan: single-column projection runs
+one = back.select("s").collect()
+assert sorted(x.s for x in one if x.s) == ["alpha", "beta"]
+print("RCFILE_OK")
+"""
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, cwd="/tmp",
+    )
+    assert "RCFILE_OK" in res.stdout, res.stderr[-2000:]
