@@ -44,6 +44,25 @@ class GoldenFile:
 _SECTION = re.compile(r"^----\s+(QUERY|RESULTS|TYPES|CATCH)\s*$")
 
 
+def _split_types(s: str) -> list[str]:
+    """Split a TYPES line on commas outside parens/angle brackets, so
+    `decimal(38,2)` and `array<int>` stay whole."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [t for t in out if t]
+
+
 def parse_test_file(path: str) -> GoldenFile:
     out = GoldenFile(path=path)
     cur: dict[str, list[str]] = {}
@@ -58,7 +77,7 @@ def parse_test_file(path: str) -> GoldenFile:
                     query=q,
                     results=[ln for ln in cur.get("RESULTS", [])] if "RESULTS" in cur else None,
                     types=(
-                        [t.strip() for t in ",".join(cur["TYPES"]).split(",")]
+                        _split_types(",".join(cur["TYPES"]))
                         if "TYPES" in cur
                         else None
                     ),
