@@ -824,3 +824,302 @@ def tpcds_q49_style_return_rank_union(
         )
         .orderBy("ch", "rk", "partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q23 shape: two derived semi-join filters (frequent items + best
+# customers) feeding one scalar aggregate
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q23_style_frequent_best",
+    """
+    WITH freq AS (
+      SELECT l_partkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY l_partkey
+      HAVING COUNT(DISTINCT o_orderkey) > 4),
+    spend AS (
+      SELECT o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+          AS total
+      FROM orders GROUP BY o_custkey),
+    best AS (
+      SELECT o_custkey FROM spend
+      WHERE total * 2 > (SELECT MAX(total) FROM spend))
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+      AS total_rev
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_partkey IN (SELECT l_partkey FROM freq)
+      AND o_custkey IN (SELECT o_custkey FROM best)
+    """,
+)
+def tpcds_q23_style_frequent_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q23 shape (sales of frequently-bought items to top-spend
+    customers): two independently-derived key sets applied as LEFT
+    SEMI joins to the fact, one scalar aggregate out. The best-
+    customer threshold (spend > half the max) cross-multiplies in
+    decimal; the max itself is a broadcast one-row join — the same
+    plan both engines build for the scalar subquery. Scale: freq and
+    spend shuffle on their own keys; the fact reuses the orderkey join
+    then semi-joins on partkey/custkey — all hash-partitioned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fact = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    freq = (
+        fact.where(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy("l_partkey")
+        .agg(F.count_distinct("o_orderkey").alias("n_ord"))
+        .where(F.col("n_ord") > 4)
+        .select(F.col("l_partkey").alias("f_pk"))
+    )
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_d("o_totalprice")).cast("decimal(18,2)").alias("total")
+    )
+    mx = spend.agg(F.max("total").alias("mx"))
+    best = (
+        spend.join(F.broadcast(mx))
+        .where(F.col("total") * 2 > F.col("mx"))
+        .select(F.col("o_custkey").alias("b_ck"))
+    )
+    return (
+        fact.join(freq, F.col("l_partkey") == F.col("f_pk"), "left_semi")
+        .join(best, F.col("o_custkey") == F.col("b_ck"), "left_semi")
+        .agg(
+            F.sum(_d("l_extendedprice")).cast("decimal(38,2)")
+            .alias("total_rev")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38 shape: N-way INTERSECT of channel key sets, counted
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q38_style_three_way_intersect",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_loyal FROM (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998) t
+    """,
+)
+def tpcds_q38_style_three_way_intersect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q38 shape (customers active in all three periods): chained
+    INTERSECT (distinct semi-join pipeline) into one count. Scale:
+    each leg is a pruned scan + distinct on custkey; Spark plans the
+    chain as two left-semi hash joins over the same key partitioning."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def leg(y):
+        return (
+            orders.where(F.year("o_orderdate") == y)
+            .select("o_custkey")
+        )
+
+    loyal = leg(1996).intersect(leg(1997)).intersect(leg(1998))
+    return loyal.agg(F.count("*").alias("n_loyal"))
+
+
+# ---------------------------------------------------------------------------
+# q41 shape: EXISTS self-join on the dimension (attribute contrast)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q41_style_dimension_exists",
+    """
+    SELECT DISTINCT p1.p_name AS p_name
+    FROM part p1
+    WHERE p1.p_size BETWEEN 1 AND 10
+      AND EXISTS (
+        SELECT 1 FROM part p2
+        WHERE p2.p_brand = p1.p_brand AND p2.p_type <> p1.p_type)
+    ORDER BY p_name
+    LIMIT 20
+    """,
+)
+def tpcds_q41_style_dimension_exists(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q41 shape (items whose brand also sells a contrasting variant):
+    EXISTS as a LEFT SEMI self-join on the dimension with an
+    inequality conjunct. Scale: dimension-only — broadcastable both
+    sides; the fact never participates."""
+    part = load_table(spark, sf_dir, "part")
+    p2 = part.select(
+        F.col("p_brand").alias("b2"), F.col("p_type").alias("t2")
+    )
+    return (
+        part.where(F.col("p_size").between(1, 10))
+        .join(
+            F.broadcast(p2),
+            (F.col("p_brand") == F.col("b2"))
+            & (F.col("p_type") != F.col("t2")),
+            "left_semi",
+        )
+        .select("p_name")
+        .distinct()
+        .orderBy("p_name")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44 shape: mirrored best/worst rankings joined on rank position
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q44_style_best_worst_rank_join",
+    """
+    WITH perf AS (
+      SELECT l_suppkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS q
+      FROM lineitem GROUP BY l_suppkey),
+    best AS (
+      SELECT l_suppkey AS best_supp,
+        CAST(RANK() OVER (ORDER BY q DESC, l_suppkey) AS BIGINT) AS rk
+      FROM perf),
+    worst AS (
+      SELECT l_suppkey AS worst_supp,
+        CAST(RANK() OVER (ORDER BY q ASC, l_suppkey) AS BIGINT) AS rk
+      FROM perf)
+    SELECT b.rk AS rk, best_supp, worst_supp
+    FROM best b JOIN worst w ON b.rk = w.rk
+    WHERE b.rk <= 10
+    ORDER BY rk
+    """,
+)
+def tpcds_q44_style_best_worst_rank_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q44 shape (best and worst performers paired by rank position):
+    one aggregate ranked twice in opposite directions, joined on the
+    rank. Ranks tie-break on the key, so both engines produce the
+    same pairing. Scale: the aggregate shuffles once on suppkey; the
+    two windows and the rank join run over the small aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    perf = li.groupBy("l_suppkey").agg(
+        F.sum(_d("l_quantity")).cast("decimal(18,2)").alias("q")
+    )
+    best = perf.select(
+        F.col("l_suppkey").alias("best_supp"),
+        F.rank().over(
+            Window.orderBy(F.desc("q"), F.col("l_suppkey"))
+        ).cast("bigint").alias("rk"),
+    )
+    worst = perf.select(
+        F.col("l_suppkey").alias("worst_supp"),
+        F.rank().over(
+            Window.orderBy(F.asc("q"), F.col("l_suppkey"))
+        ).cast("bigint").alias("w_rk"),
+    )
+    return (
+        best.where(F.col("rk") <= 10)
+        .join(worst, F.col("rk") == F.col("w_rk"))
+        .select("rk", "best_supp", "worst_supp")
+        .orderBy("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q54 shape: banded histogram of a per-customer aggregate
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q54_style_spend_band_histogram",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+          AS total
+      FROM orders GROUP BY o_custkey)
+    SELECT CAST(FLOOR(CAST(total AS DOUBLE) / 500000) AS INT) AS band,
+      CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM spend
+    GROUP BY CAST(FLOOR(CAST(total AS DOUBLE) / 500000) AS INT)
+    ORDER BY band
+    """,
+)
+def tpcds_q54_style_spend_band_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q54 shape (customer-revenue histogram in fixed bands): an
+    aggregate of an aggregate with arithmetic banding. The band is
+    floor of one double division of an exact decimal — identical
+    bits, identical floor, both engines. Scale: first agg shuffles on
+    custkey; the histogram re-agg is over one row per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_d("o_totalprice")).cast("decimal(18,2)").alias("total")
+    )
+    band = F.floor(F.col("total").cast("double") / 500000).cast("int")
+    return (
+        spend.groupBy(band.alias("band"))
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97 shape: channel-overlap counts via FULL OUTER JOIN of key sets
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q97_style_channel_overlap",
+    """
+    WITH hi AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+    lo AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+    SELECT
+      CAST(SUM(CASE WHEN h.o_custkey IS NOT NULL AND l.o_custkey IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS hi_only,
+      CAST(SUM(CASE WHEN h.o_custkey IS NULL AND l.o_custkey IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS lo_only,
+      CAST(SUM(CASE WHEN h.o_custkey IS NOT NULL AND l.o_custkey IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS both_channels
+    FROM hi h FULL OUTER JOIN lo l ON h.o_custkey = l.o_custkey
+    """,
+)
+def tpcds_q97_style_channel_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q97 shape (customer overlap between channels): FULL OUTER JOIN
+    of two distinct key sets, null-indicator CASE counts out. Scale:
+    both distincts and the FOJ hash on custkey — one key end-to-end;
+    the result is a single row."""
+    orders = load_table(spark, sf_dir, "orders")
+    hi_pri = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    hi = (
+        orders.where(hi_pri)
+        .select(F.col("o_custkey").alias("h_ck")).distinct()
+    )
+    lo = (
+        orders.where(~hi_pri)
+        .select(F.col("o_custkey").alias("l_ck")).distinct()
+    )
+    j = hi.join(lo, F.col("h_ck") == F.col("l_ck"), "full_outer")
+
+    def cnt(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return j.agg(
+        cnt(F.col("h_ck").isNotNull() & F.col("l_ck").isNull(), "hi_only"),
+        cnt(F.col("h_ck").isNull() & F.col("l_ck").isNotNull(), "lo_only"),
+        cnt(F.col("h_ck").isNotNull() & F.col("l_ck").isNotNull(),
+            "both_channels"),
+    )
