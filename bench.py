@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "pipeline_corpus_curation",    # dedup ∩ quality ∩ split end-to-end
     "fn_sketch_kll",               # KLL quantile sketch UDAF + verify
     "tpcds_q36_style_rollup_rank",  # rollup + grouping + windowed rank
+    "tpcds_q51_style_cumulative_crossover",  # FOJ + cumulative windows
+    "tpcds_q78_style_no_return_channel_ratio",  # anti join x2 + ratio
+    "tpcds_q95_style_double_semijoin",  # self-join + chained semis
 ]
 
 
