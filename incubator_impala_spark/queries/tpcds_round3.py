@@ -1123,3 +1123,244 @@ def tpcds_q97_style_channel_overlap(
         cnt(F.col("h_ck").isNotNull() & F.col("l_ck").isNotNull(),
             "both_channels"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q66 shape: 12-month wide pivot (CASE-sum columns) per segment-year
+# ---------------------------------------------------------------------------
+
+_Q66_MONTHS = ", ".join(
+    "CAST(SUM(CASE WHEN month(o_orderdate) = {m} "
+    "THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(38,2)) "
+    "AS m{m}".format(m=m)
+    for m in range(1, 13)
+)
+
+
+@_register(
+    "tpcds_q66_style_monthly_pivot",
+    f"""
+    SELECT c_mktsegment AS seg, CAST(year(o_orderdate) AS INT) AS y,
+      {_Q66_MONTHS}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, year(o_orderdate)
+    ORDER BY seg, y
+    """,
+)
+def tpcds_q66_style_monthly_pivot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q66 shape (wide month-columns report): one aggregate producing
+    twelve conditional-sum columns — the manual-pivot pattern the
+    reference plans as a single grouping agg, not 12 scans. Scale:
+    one shuffle on (segment, year); all 12 sums are partial-agg
+    (map-side) combinable; customer broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    base = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    aggs = [
+        F.sum(F.when(F.month("o_orderdate") == m, _d("o_totalprice")))
+        .cast("decimal(38,2)")
+        .alias(f"m{m}")
+        for m in range(1, 13)
+    ]
+    return (
+        base.groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").cast("int").alias("y"),
+        )
+        .agg(*aggs)
+        .orderBy("seg", "y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q75 shape: multi-channel UNION ALL, year-over-year decline join
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q75_style_yoy_decline",
+    """
+    WITH all_ch AS (
+      SELECT year(o_orderdate) AS y, p_brand,
+        SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_linestatus = 'F'
+      GROUP BY year(o_orderdate), p_brand
+      UNION ALL
+      SELECT year(o_orderdate) AS y, p_brand,
+        SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_linestatus = 'O'
+      GROUP BY year(o_orderdate), p_brand),
+    tot AS (
+      SELECT y, p_brand, CAST(SUM(qty) AS DECIMAL(18,2)) AS qty
+      FROM all_ch GROUP BY y, p_brand)
+    SELECT cur.p_brand AS p_brand, CAST(prev.y AS INT) AS prev_year,
+      CAST(cur.y AS INT) AS cur_year,
+      CAST(prev.qty AS DECIMAL(38,2)) AS prev_qty,
+      CAST(cur.qty AS DECIMAL(38,2)) AS cur_qty,
+      CAST(cur.qty - prev.qty AS DECIMAL(38,2)) AS qty_diff
+    FROM tot cur JOIN tot prev
+      ON cur.p_brand = prev.p_brand AND cur.y = prev.y + 1
+    WHERE cur.qty < prev.qty
+    ORDER BY p_brand, cur_year
+    """,
+)
+def tpcds_q75_style_yoy_decline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q75 shape (brands whose combined-channel volume declined year
+    over year): per-channel aggregates UNION ALLed, re-aggregated,
+    then self-joined one year apart with a decline filter — all in
+    exact decimal. Scale: each channel agg shuffles on (y, brand);
+    the union re-agg and the self-join reuse that grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+
+    def chan(status):
+        return (
+            li.where(F.col("l_linestatus") == status)
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy(F.year("o_orderdate").alias("y"), F.col("p_brand"))
+            .agg(F.sum(_d("l_quantity")).alias("qty"))
+        )
+
+    tot = (
+        chan("F").unionAll(chan("O"))
+        .groupBy("y", "p_brand")
+        .agg(F.sum("qty").cast("decimal(18,2)").alias("qty"))
+    )
+    cur = tot.select(
+        F.col("y").alias("cy"), F.col("p_brand"),
+        F.col("qty").alias("cur_qty"),
+    )
+    prev = tot.select(
+        F.col("y").alias("py"), F.col("p_brand").alias("pb"),
+        F.col("qty").alias("prev_qty"),
+    )
+    return (
+        cur.join(
+            prev,
+            (F.col("p_brand") == F.col("pb"))
+            & (F.col("cy") == F.col("py") + 1),
+        )
+        .where(F.col("cur_qty") < F.col("prev_qty"))
+        .select(
+            "p_brand",
+            F.col("py").cast("int").alias("prev_year"),
+            F.col("cy").cast("int").alias("cur_year"),
+            F.col("prev_qty").cast("decimal(38,2)").alias("prev_qty"),
+            F.col("cur_qty").cast("decimal(38,2)").alias("cur_qty"),
+            (F.col("cur_qty") - F.col("prev_qty"))
+            .cast("decimal(38,2)").alias("qty_diff"),
+        )
+        .orderBy("p_brand", "cur_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q90 shape: ratio of two time-band counts (one-row report)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q90_style_time_band_ratio",
+    """
+    SELECT
+      CAST(count(*) FILTER (WHERE hour(ts) BETWEEN 8 AND 11) AS BIGINT)
+        AS am_events,
+      CAST(count(*) FILTER (WHERE hour(ts) BETWEEN 19 AND 22) AS BIGINT)
+        AS pm_events,
+      CAST(CAST(count(*) FILTER (WHERE hour(ts) BETWEEN 8 AND 11) AS BIGINT)
+           AS DOUBLE)
+        / CAST(CAST(count(*) FILTER (WHERE hour(ts) BETWEEN 19 AND 22)
+                    AS BIGINT) AS DOUBLE) AS am_pm_ratio
+    FROM events
+    """,
+)
+def tpcds_q90_style_time_band_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q90 shape (morning/evening activity ratio): two conditional
+    counts of one scan and a single double division — the reference
+    plans this as two scalar subqueries; one pass is strictly better.
+    Scale: one scan, one single-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    am = F.count(
+        F.when(F.hour("ts").between(8, 11), 1)
+    ).alias("am_events")
+    pm = F.count(
+        F.when(F.hour("ts").between(19, 22), 1)
+    ).alias("pm_events")
+    return ev.agg(am, pm).select(
+        "am_events", "pm_events",
+        (F.col("am_events").cast("double")
+         / F.col("pm_events").cast("double")).alias("am_pm_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99 shape: duration-band counting matrix per category
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q99_style_delay_band_matrix",
+    """
+    WITH d AS (
+      SELECT o_orderpriority,
+        datediff('day', o_orderdate, l_shipdate) AS delay
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT o_orderpriority,
+      CAST(count(*) FILTER (WHERE delay <= 30) AS BIGINT) AS d30,
+      CAST(count(*) FILTER (WHERE delay > 30 AND delay <= 60) AS BIGINT)
+        AS d60,
+      CAST(count(*) FILTER (WHERE delay > 60 AND delay <= 90) AS BIGINT)
+        AS d90,
+      CAST(count(*) FILTER (WHERE delay > 90 AND delay <= 120) AS BIGINT)
+        AS d120,
+      CAST(count(*) FILTER (WHERE delay > 120) AS BIGINT) AS d_over
+    FROM d GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpcds_q99_style_delay_band_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q99 shape (shipping-delay distribution matrix per priority):
+    banded conditional counts over a date difference. Spark spells
+    the diff datediff(end, start); the oracle uses DuckDB's
+    datediff('day', start, end) — same integer. Scale: one join
+    shuffle on orderkey, one agg on the 5-value priority key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    base = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority", delay.alias("delay")
+    )
+
+    def band(cond, name):
+        return F.count(F.when(cond, 1)).alias(name)
+
+    d = F.col("delay")
+    return (
+        base.groupBy("o_orderpriority")
+        .agg(
+            band(d <= 30, "d30"),
+            band((d > 30) & (d <= 60), "d60"),
+            band((d > 60) & (d <= 90), "d90"),
+            band((d > 90) & (d <= 120), "d120"),
+            band(d > 120, "d_over"),
+        )
+        .orderBy("o_orderpriority")
+    )
