@@ -137,7 +137,8 @@ def test_create_function_ddl_translation(engine):
     )
     assert out == "CREATE TEMPORARY FUNCTION my_fn AS 'com.example.MyFn'"
     out = engine.translate("SHOW AGGREGATE FUNCTIONS IN mydb 'ds_kll*'")
-    assert out == "SHOW USER FUNCTIONS LIKE 'ds_kll*'"
+    # the db qualifier is kept (ADVICE r2: it was silently dropped)
+    assert out == "SHOW USER FUNCTIONS IN mydb LIKE 'ds_kll*'"
     out = engine.translate("DROP FUNCTION IF EXISTS my_fn(INT, STRING)")
     assert out == "DROP TEMPORARY FUNCTION IF EXISTS my_fn"
 
