@@ -74,6 +74,10 @@ def main() -> None:
     # the JIT, and keeps round-over-round comparisons stable.
     per_query: dict[str, float] = {}
     for name in names:
+        # clear accumulated .persist() state from earlier queries:
+        # each entry re-persists its own intermediates, and leftover
+        # copies cause eviction churn that swings timings 2-3x
+        spark.catalog.clearCache()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
