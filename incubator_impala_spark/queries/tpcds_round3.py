@@ -1364,3 +1364,206 @@ def tpcds_q99_style_delay_band_matrix(
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q87 shape: chained EXCEPT (set difference) count
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q87_style_except_chain",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lapsed FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998) t
+    """,
+)
+def tpcds_q87_style_except_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q87 shape (customers active in period 1 but in neither later
+    period): chained EXCEPT — Spark plans each as a LEFT ANTI hash
+    join over the distinct key set, all on the same custkey
+    partitioning. The q38 twin on the anti side."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def leg(y):
+        return orders.where(F.year("o_orderdate") == y).select("o_custkey")
+
+    # SQL EXCEPT is distinct set difference — DataFrame `subtract`,
+    # NOT exceptAll (multiset difference keeps surplus duplicates)
+    lapsed = leg(1996).subtract(leg(1997)).subtract(leg(1998))
+    return lapsed.agg(F.count("*").alias("n_lapsed"))
+
+
+# ---------------------------------------------------------------------------
+# q39 shape: variance filter on a two-period self-join (exact-decimal
+# variance algebra — no stddev() accumulation-order dependence)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q39_style_variance_pairs",
+    """
+    WITH s AS (
+      SELECT l_suppkey, year(l_shipdate) * 12 + month(l_shipdate) AS ym,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DECIMAL(10,2)) AS sx,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
+                 * CAST(l_quantity AS DECIMAL(8,2))) AS DECIMAL(12,4)) AS sxx,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_suppkey, year(l_shipdate) * 12 + month(l_shipdate)),
+    flagged AS (
+      SELECT l_suppkey, ym, sx, sxx, n FROM s
+      WHERE n >= 3 AND sx > 0
+        AND n * (n * sxx - sx * sx) * 100 > (n - 1) * sx * sx * 49)
+    SELECT a.l_suppkey AS suppkey, CAST(a.ym AS INT) AS ym,
+      CAST(a.n AS BIGINT) AS n1, CAST(b.n AS BIGINT) AS n2,
+      SQRT(CAST(a.n * a.sxx - a.sx * a.sx AS DOUBLE)
+           / CAST(a.n * (a.n - 1) AS DOUBLE))
+        / (CAST(a.sx AS DOUBLE) / a.n) AS cov1,
+      SQRT(CAST(b.n * b.sxx - b.sx * b.sx AS DOUBLE)
+           / CAST(b.n * (b.n - 1) AS DOUBLE))
+        / (CAST(b.sx AS DOUBLE) / b.n) AS cov2
+    FROM flagged a JOIN flagged b
+      ON a.l_suppkey = b.l_suppkey AND b.ym = a.ym + 1
+    ORDER BY suppkey, ym
+    """,
+)
+def tpcds_q39_style_variance_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q39 shape (suppliers whose demand is high-variance in two
+    consecutive months): per-(supplier, month) moment sums, a
+    coefficient-of-variation filter, and a one-month-apart self-join.
+    The cov > 0.7 predicate is pure exact-decimal algebra
+    (n(n·Σx²−(Σx)²)·100 > (n−1)(Σx)²·49) — stddev() is deliberately
+    avoided because its float accumulation order is engine-dependent;
+    the reported covs are IEEE-deterministic (sqrt + two divisions of
+    exactly-converted decimals). Scale: one fact shuffle on
+    (suppkey, month); the self-join reuses the tiny flagged set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q8 = F.col("l_quantity").cast("decimal(8,2)")
+    s = (
+        li.groupBy(
+            "l_suppkey",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("ym"),
+        )
+        .agg(
+            F.sum(q8).cast("decimal(10,2)").alias("sx"),
+            F.sum(q8 * q8).cast("decimal(12,4)").alias("sxx"),
+            F.count("*").alias("n"),
+        )
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    flagged = s.where(
+        (n >= 3) & (sx > 0)
+        & (n * (n * sxx - sx * sx) * 100 > (n - 1) * sx * sx * 49)
+    )
+
+    def cov(p):
+        nn = F.col(f"{p}n")
+        psx, psxx = F.col(f"{p}sx"), F.col(f"{p}sxx")
+        var = (nn * psxx - psx * psx).cast("double") / (
+            nn * (nn - 1)
+        ).cast("double")
+        return F.sqrt(var) / (psx.cast("double") / nn)
+
+    a = flagged.select(
+        "l_suppkey", "ym",
+        F.col("n").alias("an"), F.col("sx").alias("asx"),
+        F.col("sxx").alias("asxx"),
+    )
+    b = flagged.select(
+        F.col("l_suppkey").alias("bk"), F.col("ym").alias("bym"),
+        F.col("n").alias("bn"), F.col("sx").alias("bsx"),
+        F.col("sxx").alias("bsxx"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("l_suppkey") == F.col("bk"))
+            & (F.col("bym") == F.col("ym") + 1),
+        )
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("ym").cast("int").alias("ym"),
+            F.col("an").cast("bigint").alias("n1"),
+            F.col("bn").cast("bigint").alias("n2"),
+            cov("a").alias("cov1"),
+            cov("b").alias("cov2"),
+        )
+        .orderBy("suppkey", "ym")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33/q56/q60 shape: three-channel UNION ALL re-aggregated over a
+# restricted item list, top-k
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q60_style_three_channel_items",
+    """
+    WITH items AS (
+      SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+    cha AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem WHERE l_returnflag = 'A'
+        AND l_partkey IN (SELECT p_partkey FROM items)
+      GROUP BY l_partkey),
+    chn AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem WHERE l_returnflag = 'N'
+        AND l_partkey IN (SELECT p_partkey FROM items)
+      GROUP BY l_partkey),
+    chr AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem WHERE l_returnflag = 'R'
+        AND l_partkey IN (SELECT p_partkey FROM items)
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey,
+      CAST(SUM(rev) AS DECIMAL(38,2)) AS total_rev
+    FROM (SELECT * FROM cha UNION ALL SELECT * FROM chn
+          UNION ALL SELECT * FROM chr) u
+    GROUP BY l_partkey
+    ORDER BY total_rev DESC, partkey
+    LIMIT 20
+    """,
+)
+def tpcds_q60_style_three_channel_items(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q33/q56/q60 shape (revenue of a restricted item list summed
+    across three channels): each channel aggregates independently
+    after a LEFT SEMI item-list restriction, UNION ALL re-aggregates,
+    top-20 with a total tie-break. Scale: the item list broadcasts as
+    a semi join into each channel's scan; all three aggs and the
+    re-agg share the partkey grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = part.where(F.col("p_type") == "PROMO").select(
+        F.col("p_partkey").alias("i_pk")
+    )
+
+    def chan(flag):
+        return (
+            li.where(F.col("l_returnflag") == flag)
+            .join(F.broadcast(items), F.col("l_partkey") == F.col("i_pk"),
+                  "left_semi")
+            .groupBy("l_partkey")
+            .agg(F.sum(_d("l_extendedprice")).alias("rev"))
+        )
+
+    u = chan("A").unionAll(chan("N")).unionAll(chan("R"))
+    return (
+        u.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum("rev").cast("decimal(38,2)").alias("total_rev"))
+        .orderBy(F.desc("total_rev"), "partkey")
+        .limit(20)
+    )
