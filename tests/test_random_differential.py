@@ -287,3 +287,54 @@ def test_random_decimal_arith_differential(engines, sql):
     want = con.execute(sql).df()
     problems = compare_frames(got, want)
     assert not problems, f"{sql}\n{problems}"
+
+
+@st.composite
+def string_fn_specs(draw):
+    """Random string-function pipelines over customer names, inside
+    the dialect-safe envelope: positive indices only (Spark and DuckDB
+    diverge on substr(0)/negative starts — a documented dialect
+    difference, not a bug), instr/locate on literal needles, and
+    concat/trim/pad compositions."""
+    inner = draw(st.sampled_from([
+        "c_name",
+        "upper(c_name)",
+        "lower(c_name)",
+        "reverse(c_name)",
+        "trim(c_name)",
+    ]))
+    start = draw(st.integers(min_value=1, max_value=12))
+    ln = draw(st.integers(min_value=0, max_value=10))
+    needle = draw(st.sampled_from(["0", "1", "Customer", "#", "er", "zz"]))
+    pad = draw(st.integers(min_value=1, max_value=20))
+    exprs = [
+        f"substr({inner}, {start}, {ln}) AS sub",
+        f"CAST(length({inner}) AS INT) AS len",
+        f"CAST(instr({inner}, '{needle}') AS INT) AS pos",
+        f"concat_ws('|', {inner}, 'x') AS cw",
+        f"lpad({inner}, {pad}, '.') AS lp",
+        f"replace({inner}, '{needle}', '_') AS rep",
+    ]
+    picked = draw(st.lists(st.sampled_from(exprs), min_size=1, max_size=3,
+                           unique=True))
+    cut = draw(st.integers(min_value=50, max_value=1500))
+    return (
+        f"SELECT c_custkey, {', '.join(picked)} FROM customer "
+        f"WHERE c_custkey <= {cut}"
+    )
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=string_fn_specs())
+def test_random_string_fn_differential(engines_joined, sql):
+    spark, con = engines_joined
+    from incubator_impala_spark.testing.oracle import compare_frames
+
+    got = spark.sql(sql).toPandas()
+    want = con.execute(sql).df()
+    problems = compare_frames(got, want)
+    assert not problems, f"{sql}\n{problems}"
