@@ -1567,3 +1567,156 @@ def tpcds_q60_style_three_channel_items(
         .orderBy(F.desc("total_rev"), "partkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q29 shape: purchase -> return -> repurchase funnel (multi-fact
+# temporal chain with a date-inequality residual)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q29_style_return_repurchase",
+    """
+    WITH returned AS (
+      SELECT o_custkey, l_partkey, o_orderdate
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'),
+    repurchase AS (
+      SELECT DISTINCT r.o_custkey, r.l_partkey
+      FROM returned r
+      JOIN orders o2 ON o2.o_custkey = r.o_custkey
+      JOIN lineitem l2 ON l2.l_orderkey = o2.o_orderkey
+                      AND l2.l_partkey = r.l_partkey
+      WHERE o2.o_orderdate > r.o_orderdate)
+    SELECT l_partkey AS partkey, CAST(COUNT(*) AS BIGINT) AS n_repurchasers
+    FROM repurchase
+    GROUP BY l_partkey
+    ORDER BY n_repurchasers DESC, partkey
+    LIMIT 25
+    """,
+)
+def tpcds_q29_style_return_repurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q29 shape (customers who returned an item and later bought the
+    same item again): a three-fact temporal chain — the return event
+    joined to later orders of the same customer, then to the matching
+    item lines, with the date inequality as a join residual (never a
+    cartesian). Scale: the chain hashes on custkey then (orderkey,
+    partkey); DISTINCT collapses before the per-part count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    returned = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("r_ck"),
+            F.col("l_partkey").alias("r_pk"),
+            F.col("o_orderdate").alias("r_date"),
+        )
+    )
+    o2 = orders.select(
+        F.col("o_orderkey").alias("o2_ok"), F.col("o_custkey").alias("o2_ck"),
+        F.col("o_orderdate").alias("o2_date"),
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_ok"), F.col("l_partkey").alias("l2_pk")
+    )
+    repurchase = (
+        returned.join(
+            o2,
+            (F.col("o2_ck") == F.col("r_ck"))
+            & (F.col("o2_date") > F.col("r_date")),
+        )
+        .join(
+            l2,
+            (F.col("l2_ok") == F.col("o2_ok"))
+            & (F.col("l2_pk") == F.col("r_pk")),
+        )
+        .select(F.col("r_ck"), F.col("r_pk"))
+        .distinct()
+    )
+    return (
+        repurchase.groupBy(F.col("r_pk").alias("partkey"))
+        .agg(F.count("*").alias("n_repurchasers"))
+        .orderBy(F.desc("n_repurchasers"), "partkey")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2 shape: day-of-week pivot, year-over-year ratio per weekday
+# ---------------------------------------------------------------------------
+
+_Q2_DOW = {
+    1: "sun", 2: "mon", 3: "tue", 4: "wed", 5: "thu", 6: "fri", 7: "sat"
+}
+# Spark dayofweek() is 1-based (1=Sunday); DuckDB's is 0-based — the
+# oracle subtracts one (playbook-documented dialect difference).
+_Q2_COLS_SPARK = ", ".join(
+    "CAST(SUM(CASE WHEN dayofweek(o_orderdate) = {d} "
+    "THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) "
+    "AS {n}".format(d=d, n=n)
+    for d, n in _Q2_DOW.items()
+)
+_Q2_COLS_DUCK = ", ".join(
+    "CAST(SUM(CASE WHEN dayofweek(o_orderdate) = {d} "
+    "THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) "
+    "AS {n}".format(d=d - 1, n=n)
+    for d, n in _Q2_DOW.items()
+)
+_Q2_RATIOS = ", ".join(
+    "CAST(a.{n} AS DOUBLE) / CAST(b.{n} AS DOUBLE) AS {n}_ratio".format(n=n)
+    for n in _Q2_DOW.values()
+)
+
+
+@_register(
+    "tpcds_q2_style_dow_yoy_ratio",
+    f"""
+    WITH wk AS (
+      SELECT year(o_orderdate) AS y, {_Q2_COLS_DUCK}
+      FROM orders GROUP BY year(o_orderdate))
+    SELECT CAST(a.y AS INT) AS y1, CAST(b.y AS INT) AS y2, {_Q2_RATIOS}
+    FROM wk a JOIN wk b ON b.y = a.y + 1
+    ORDER BY y1
+    """,
+)
+def tpcds_q2_style_dow_yoy_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q2 shape (weekly sales pivoted by day-of-week, consecutive
+    years ratioed per weekday): one 7-column conditional-sum pivot,
+    self-joined one year apart, seven single double divisions. Spark's
+    dayofweek() is 1-based, DuckDB's 0-based — the oracle shifts the
+    constant, not the data. Scale: one shuffle on year; the self-join
+    is over a handful of year rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [
+        F.sum(
+            F.when(F.dayofweek("o_orderdate") == d, _d("o_totalprice"))
+        ).cast("decimal(18,2)").alias(n)
+        for d, n in _Q2_DOW.items()
+    ]
+    wk = orders.groupBy(F.year("o_orderdate").alias("y")).agg(*aggs)
+    a = wk.select(
+        F.col("y").alias("ya"), *[F.col(n).alias(f"a_{n}") for n in _Q2_DOW.values()]
+    )
+    b = wk.select(
+        F.col("y").alias("yb"), *[F.col(n).alias(f"b_{n}") for n in _Q2_DOW.values()]
+    )
+    ratios = [
+        (F.col(f"a_{n}").cast("double") / F.col(f"b_{n}").cast("double"))
+        .alias(f"{n}_ratio")
+        for n in _Q2_DOW.values()
+    ]
+    return (
+        a.join(b, F.col("yb") == F.col("ya") + 1)
+        .select(
+            F.col("ya").cast("int").alias("y1"),
+            F.col("yb").cast("int").alias("y2"),
+            *ratios,
+        )
+        .orderBy("y1")
+    )
