@@ -503,3 +503,65 @@ def ivf_dup_pairs(df: DataFrame, dim: int, vec_col: str = "embedding",
         "id1", "id2",
         (dot_product("va", "vb") / (F.col("na") * F.col("nb"))).alias("sim"),
     ).where(F.col("sim") >= threshold)
+
+
+def dup_clusters(pairs: DataFrame, id1: str = "d1",
+                 id2: str = "d2", max_iters: int = 50) -> DataFrame:
+    """Near-dup clustering: connected components over dup pairs,
+    returning (doc_id, canonical_id) with canonical = min id in the
+    component — the step after pair generation in a dedup pipeline
+    (keep one canonical doc per cluster, drop the rest).
+
+    Algorithm: iterative min-label propagation to fixpoint — the
+    standard distributed connected-components recipe (what GraphX
+    does), converging in O(component diameter) rounds; dup clusters
+    are shallow (pair chains), so this is 2-4 rounds in practice.
+    Each round is one hash join + grouped min on the edge key; lineage
+    is cut per round with localCheckpoint so plans stay flat. The
+    driver-side loop is the iteration counter only — per-round work is
+    fully distributed (reference equivalent: no single operator; the
+    reference leaves clustering to clients).
+
+    Deterministic: min-label fixpoint is the component minimum
+    regardless of join or merge order.
+    """
+    from pyspark import StorageLevel
+
+    fwd = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    edges = (
+        fwd.unionAll(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nl", "label"))
+                .alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+    )

@@ -820,3 +820,34 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")),
     )
     return dedup.diff_snapshots(old, new, key="doc_id")
+
+
+@_register(
+    "pipeline_dedup_clusters",
+    "WITH RECURSIVE p AS (SELECT d1, d2 FROM ("
+    + ORACLE_SQL["pipeline_dedup_ngram_jaccard"]
+    + """) q),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2 AS a, d1 AS b FROM p),
+    reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+    SELECT CAST(src AS BIGINT) AS doc_id,
+           CAST(MIN(dst) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY src
+    """,
+)
+def pipeline_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: exact Jaccard pairs (threshold 0.5) →
+    connected components → (doc_id, canonical_id) with canonical =
+    component minimum. The oracle walks the same edges with a
+    recursive CTE; the Spark side is iterative min-label propagation
+    (see operators/dedup.dup_clusters — O(diameter) rounds, each one
+    distributed join + grouped min)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.dup_clusters(pairs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("canonical_id").cast("bigint").alias("canonical_id"),
+    )

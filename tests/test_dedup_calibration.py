@@ -193,3 +193,31 @@ def test_ivf_topk_recall_vs_exact(spark):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, f"IVF top-5 recall@5: {recall:.2f}"
+
+
+def test_dup_clusters_chain_transitivity(spark):
+    """A-B, B-C, D-E pairs must produce components {A,B,C}->A and
+    {D,E}->D: min-label propagation crosses the chain even though A
+    and C never share a pair."""
+    from incubator_impala_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "d1 bigint, d2 bigint"
+    )
+    got = {
+        (r.doc_id, r.canonical_id) for r in dup_clusters(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds; the
+    fixpoint must still be the global component minimum."""
+    from incubator_impala_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "d1 bigint, d2 bigint"
+    )
+    got = dup_clusters(pairs)
+    assert {r.canonical_id for r in got.collect()} == {1}
+    assert got.count() == 12
