@@ -28,6 +28,11 @@ def _hash_prefix(key: Column) -> Column:
 def _threshold_hex(fraction: float) -> str:
     n = int(round(fraction * (16 ** _PREFIX_WIDTH)))
     n = max(0, min(16 ** _PREFIX_WIDTH, n))
+    if n >= 16 ** _PREFIX_WIDTH:
+        # fraction 1.0: 'g' sorts above every hex prefix, so the
+        # predicate keeps everything (a 9-digit hex threshold would
+        # compare lexicographically wrong against 8-char prefixes)
+        return "g"
     return format(n, f"0{_PREFIX_WIDTH}x")
 
 
@@ -105,4 +110,42 @@ def sampled_ndv(df: DataFrame, col: str, key: str,
         F.col("singletons").cast("long").alias("singletons"),
         F.col("sample_rows").cast("long").alias("sample_rows"),
         est.alias("ndv_estimate"),
+    )
+
+
+def stratified_sample(df: DataFrame, key: str, stratum: str,
+                      fractions: dict, default: float = 1.0) -> DataFrame:
+    """Deterministic per-stratum sampling — the training-mix
+    rebalancing step (downsample dominant languages/sources, keep
+    rare ones whole). Membership is a pure function of (key), so the
+    mix is reproducible across engines, reruns, and cluster sizes;
+    the per-stratum threshold just moves the md5-prefix cut line.
+    Everything is one generated CASE expression over the scan — no
+    sampling state, no shuffle."""
+    from pyspark.sql import functions as F
+
+    expr = None
+    for value, frac in sorted(fractions.items()):
+        cond = F.col(stratum) == value
+        branch = _hash_prefix(F.col(key).cast("string")) < _threshold_hex(frac)
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    keep = expr.otherwise(
+        _hash_prefix(F.col(key).cast("string")) < _threshold_hex(default)
+    ) if expr is not None else F.lit(True)
+    return df.where(keep)
+
+
+def stratified_sample_sql(key_expr: str, stratum: str,
+                          fractions: dict, default: float = 1.0) -> str:
+    """The equivalent predicate in portable SQL (oracle twin)."""
+    branches = "".join(
+        f"WHEN {stratum} = '{v}' THEN "
+        f"substr(md5(CAST({key_expr} AS VARCHAR)), 1, {_PREFIX_WIDTH})"
+        f" < '{_threshold_hex(f)}' "
+        for v, f in sorted(fractions.items())
+    )
+    return (
+        f"CASE {branches}ELSE "
+        f"substr(md5(CAST({key_expr} AS VARCHAR)), 1, {_PREFIX_WIDTH})"
+        f" < '{_threshold_hex(default)}' END"
     )

@@ -19,7 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from incubator_impala_spark.operators import dedup, multimodal, similarity, text
+from incubator_impala_spark.operators import (
+    dedup, multimodal, sampling, similarity, text,
+)
 from incubator_impala_spark.operators.dedup import LSH_BANDS, MINHASH_K
 from incubator_impala_spark.operators.similarity import LSH_PLANES, _plane_component
 from incubator_impala_spark.sources.tables import load_table, parquet_num_rows
@@ -850,4 +852,42 @@ def pipeline_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(pairs).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("canonical_id").cast("bigint").alias("canonical_id"),
+    )
+
+
+@_register(
+    "pipeline_stratified_sample",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT)
+        AS max_doc
+    FROM documents
+    WHERE """
+    + sampling.stratified_sample_sql(
+        "doc_id", "lang", {"en": 0.25, "zh": 1.0}, default=0.5
+    )
+    + """
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing: per-language deterministic sampling
+    (en downsampled to 25%, zh kept whole, default 50%) — one
+    generated CASE predicate over the scan, membership a pure function
+    of doc_id (reproducible across engines/reruns/cluster sizes).
+    Reported as per-language kept-counts."""
+    from incubator_impala_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sampling.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.25, "zh": 1.0}, default=0.5
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("lang")
     )
