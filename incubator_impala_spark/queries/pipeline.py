@@ -891,3 +891,51 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@_register(
+    "pipeline_vocab_doc_freq",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents),
+    df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM toks
+      GROUP BY token)
+    SELECT token, doc_freq,
+      CAST(doc_freq AS DOUBLE)
+        / (SELECT COUNT(*) FROM documents) AS doc_share
+    FROM df
+    ORDER BY doc_freq DESC, token
+    LIMIT 50
+    """,
+)
+def pipeline_vocab_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: per-token document frequency and share —
+    the corpus-statistics pass before tokenizer training or stopword
+    induction. Tokens are deduped per doc BEFORE the explode (cheaper
+    rows), the explode is preceded by a repartition (single-file
+    parquet would otherwise explode on one core), and doc_share is
+    one double division of exact counts. IDF itself is left to the
+    caller: ln() is not bit-portable across libm implementations."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = parquet_num_rows(sf_dir, "documents")
+    toks = (
+        docs.repartition(32, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+        )
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .select(
+            "token", "doc_freq",
+            (F.col("doc_freq").cast("double") / F.lit(n_docs)).alias(
+                "doc_share"
+            ),
+        )
+        .orderBy(F.desc("doc_freq"), "token")
+        .limit(50)
+    )
