@@ -1720,3 +1720,207 @@ def tpcds_q2_style_dow_yoy_ratio(
         )
         .orderBy("y1")
     )
+
+
+# ---------------------------------------------------------------------------
+# q58 shape: items with near-equal revenue across two channels
+# (BETWEEN-band join predicate, decimal cross-multiplied)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q58_style_channel_parity",
+    """
+    WITH a AS (
+      SELECT l_partkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+          AS rev_f
+      FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_partkey),
+    b AS (
+      SELECT l_partkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+          AS rev_o
+      FROM lineitem WHERE l_linestatus = 'O' GROUP BY l_partkey)
+    SELECT a.l_partkey AS partkey,
+      CAST(rev_f AS DECIMAL(38,2)) AS rev_f,
+      CAST(rev_o AS DECIMAL(38,2)) AS rev_o
+    FROM a JOIN b ON a.l_partkey = b.l_partkey
+    WHERE rev_f * 10 >= rev_o * 9 AND rev_f * 10 <= rev_o * 11
+    ORDER BY partkey
+    """,
+)
+def tpcds_q58_style_channel_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q58 shape (items selling near-equally in both channels): two
+    per-channel aggregates joined with a ±10% tolerance band, the
+    band cross-multiplied in exact decimal (rev_f·10 within
+    [rev_o·9, rev_o·11]) so no division or float enters the
+    predicate. Scale: both aggs and the join share the partkey hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def chan(status, name):
+        return (
+            li.where(F.col("l_linestatus") == status)
+            .groupBy("l_partkey")
+            .agg(
+                F.sum(_d("l_extendedprice")).cast("decimal(18,2)").alias(name)
+            )
+        )
+
+    a = chan("F", "rev_f")
+    b = chan("O", "rev_o").withColumnRenamed("l_partkey", "pk_b")
+    return (
+        a.join(b, F.col("l_partkey") == F.col("pk_b"))
+        .where(
+            (F.col("rev_f") * 10 >= F.col("rev_o") * 9)
+            & (F.col("rev_f") * 10 <= F.col("rev_o") * 11)
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("rev_f").cast("decimal(38,2)").alias("rev_f"),
+            F.col("rev_o").cast("decimal(38,2)").alias("rev_o"),
+        )
+        .orderBy("partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q83 shape: three-channel return quantities joined, per-channel share
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q83_style_return_shares",
+    """
+    WITH r0 AS (
+      SELECT l_partkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS q0
+      FROM lineitem WHERE l_returnflag = 'R' AND l_suppkey % 3 = 0
+      GROUP BY l_partkey),
+    r1 AS (
+      SELECT l_partkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS q1
+      FROM lineitem WHERE l_returnflag = 'R' AND l_suppkey % 3 = 1
+      GROUP BY l_partkey),
+    r2 AS (
+      SELECT l_partkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS q2
+      FROM lineitem WHERE l_returnflag = 'R' AND l_suppkey % 3 = 2
+      GROUP BY l_partkey)
+    SELECT r0.l_partkey AS partkey,
+      CAST(q0 AS DECIMAL(38,2)) AS q0, CAST(q1 AS DECIMAL(38,2)) AS q1,
+      CAST(q2 AS DECIMAL(38,2)) AS q2,
+      CAST(q0 AS DOUBLE) / CAST(q0 + q1 + q2 AS DOUBLE) * 100 AS share0,
+      CAST(q1 AS DOUBLE) / CAST(q0 + q1 + q2 AS DOUBLE) * 100 AS share1,
+      CAST(q2 AS DOUBLE) / CAST(q0 + q1 + q2 AS DOUBLE) * 100 AS share2
+    FROM r0
+    JOIN r1 ON r0.l_partkey = r1.l_partkey
+    JOIN r2 ON r0.l_partkey = r2.l_partkey
+    ORDER BY partkey
+    """,
+)
+def tpcds_q83_style_return_shares(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q83 shape (per-item return volume split across three
+    channels): three per-channel aggregates three-way joined on the
+    item, each channel's share one double division of exact decimal
+    sums (then ×100 — both IEEE ops in the same order both engines).
+    Scale: all three aggs and both joins share the partkey hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def chan(rem, name):
+        return (
+            li.where(
+                (F.col("l_returnflag") == "R")
+                & (F.col("l_suppkey") % 3 == rem)
+            )
+            .groupBy("l_partkey")
+            .agg(F.sum(_d("l_quantity")).cast("decimal(18,2)").alias(name))
+        )
+
+    r0 = chan(0, "q0")
+    r1 = chan(1, "q1").withColumnRenamed("l_partkey", "pk1")
+    r2 = chan(2, "q2").withColumnRenamed("l_partkey", "pk2")
+    tot = (F.col("q0") + F.col("q1") + F.col("q2")).cast("double")
+
+    def share(c, name):
+        return (F.col(c).cast("double") / tot * 100).alias(name)
+
+    return (
+        r0.join(r1, F.col("l_partkey") == F.col("pk1"))
+        .join(r2, F.col("l_partkey") == F.col("pk2"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("q0").cast("decimal(38,2)").alias("q0"),
+            F.col("q1").cast("decimal(38,2)").alias("q1"),
+            F.col("q2").cast("decimal(38,2)").alias("q2"),
+            share("q0", "share0"), share("q1", "share1"),
+            share("q2", "share2"),
+        )
+        .orderBy("partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q46/q68 shape: order-level rollup filtered on an agg property,
+# joined to the customer dimension
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q46_style_split_shipment_orders",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+          AS total,
+        COUNT(DISTINCT year(l_shipdate) * 12 + month(l_shipdate))
+          AS n_months
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING COUNT(DISTINCT year(l_shipdate) * 12 + month(l_shipdate)) > 3)
+    SELECT c_name, o_orderkey AS orderkey,
+      CAST(total AS DECIMAL(38,2)) AS total,
+      CAST(n_months AS BIGINT) AS n_months
+    FROM per_order p
+    JOIN orders o ON p.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c_custkey
+    ORDER BY c_name, orderkey
+    LIMIT 100
+    """,
+)
+def tpcds_q46_style_split_shipment_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q46/q68 shape (orders with an interesting order-level property
+    — here shipments spread over >3 months — reported with customer
+    attributes): order-grain aggregate with a HAVING on a distinct
+    count, then dimension joins for the report columns. Scale: one
+    orderkey-grain agg; the HAVING prunes before the joins; customer
+    broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ym = F.year("l_shipdate") * 12 + F.month("l_shipdate")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(_d("l_extendedprice")).cast("decimal(18,2)").alias("total"),
+            F.count_distinct(ym).alias("n_months"),
+        )
+        .where(F.col("n_months") > 3)
+    )
+    return (
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("total").cast("decimal(38,2)").alias("total"),
+            F.col("n_months").cast("bigint").alias("n_months"),
+        )
+        .orderBy("c_name", "orderkey")
+        .limit(100)
+    )
