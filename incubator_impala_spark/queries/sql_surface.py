@@ -159,3 +159,66 @@ def sql_except_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL bag semantics (with INTERSECT ALL, the strict
     superset of the reference's DISTINCT-only set operations)."""
     return _sql(spark, sf_dir, ["orders"], _EXCEPT_ALL)
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTEs (Spark 4 WITH RECURSIVE; reference: out of the
+# reference's grammar, a beyond-reference surface both engines share)
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_SERIES = """
+WITH RECURSIVE seq(n) AS (
+  SELECT 1
+  UNION ALL
+  SELECT n + 1 FROM seq WHERE n < 100)
+SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS cnt,
+  CAST(SUM(CASE WHEN n % 7 = 0 THEN n ELSE 0 END) AS BIGINT) AS sum_mult7
+FROM seq
+"""
+
+
+@_register("sql_recursive_series", _RECURSIVE_SERIES)
+def sql_recursive_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE series generation + aggregate — the minimal
+    fixpoint-iteration surface, identical SQL on both engines."""
+    return _sql(spark, sf_dir, [], _RECURSIVE_SERIES)
+
+
+def _recursive_sessionize(epoch_fn: str) -> str:
+    # Spark spells seconds-since-epoch unix_timestamp(), DuckDB epoch()
+    return f"""
+WITH RECURSIVE linked AS (
+  SELECT user_id, event_id, ts,
+    lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_id,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL
+           OR {epoch_fn}(ts)
+              - {epoch_fn}(lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)) > 21600
+         THEN 1 ELSE 0 END AS is_head
+  FROM events),
+walk(user_id, head_id, event_id) AS (
+  SELECT user_id, event_id, event_id FROM linked WHERE is_head = 1
+  UNION ALL
+  SELECT l.user_id, w.head_id, l.event_id
+  FROM walk w JOIN linked l
+    ON l.user_id = w.user_id AND l.prev_id = w.event_id AND l.is_head = 0)
+SELECT user_id, head_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM walk GROUP BY user_id, head_id
+"""
+
+
+@_register(
+    "sql_recursive_sessionize",
+    _recursive_sessionize("epoch"),
+)
+def sql_recursive_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as a recursive chain walk: session heads seed
+    the recursion (gap > 6h or first event), each step follows the
+    predecessor link (lag of event_id) — cross-validating the
+    streaming sessionizer's gap semantics through a totally different
+    plan (fixpoint joins instead of stateful windows). Chain depth at
+    this gap is ~10, far under the recursion limit."""
+    return _sql(spark, sf_dir, ["events"],
+                _recursive_sessionize("unix_timestamp"))
