@@ -827,7 +827,7 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "pipeline_dedup_clusters",
     "WITH RECURSIVE p AS (SELECT d1, d2 FROM ("
-    + ORACLE_SQL["pipeline_dedup_ngram_jaccard"]
+    + ORACLE_SQL["pipeline_dedup_minhash_lsh"]
     + """) q),
     edges AS (
       SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2 AS a, d1 AS b FROM p),
@@ -841,14 +841,15 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pipeline_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: exact Jaccard pairs (threshold 0.5) →
+    """Near-dup clustering: MinHash-LSH pairs (Jaccard-verified at
+    0.5, the scale path — not the O(shingle-fanout) exact baseline) →
     connected components → (doc_id, canonical_id) with canonical =
-    component minimum. The oracle walks the same edges with a
-    recursive CTE; the Spark side is iterative min-label propagation
-    (see operators/dedup.dup_clusters — O(diameter) rounds, each one
-    distributed join + grouped min)."""
+    component minimum. The oracle runs the same LSH pipeline and walks
+    the same edges with a recursive CTE; the Spark side is iterative
+    min-label propagation (operators/dedup.dup_clusters — O(diameter)
+    rounds, each one distributed join + grouped min)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
     return dedup.dup_clusters(pairs).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("canonical_id").cast("bigint").alias("canonical_id"),
