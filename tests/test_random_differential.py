@@ -109,6 +109,7 @@ def engines(spark):
 @settings(
     max_examples=30,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(sql=query_specs())
@@ -162,6 +163,7 @@ def engines_joined(spark):
 @settings(
     max_examples=20,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(sql=join_window_specs())
@@ -224,6 +226,7 @@ def window_frame_specs(draw):
 @settings(
     max_examples=25,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(sql=window_frame_specs())
@@ -243,28 +246,42 @@ def decimal_exprs(draw, depth=0):
     calculus, so the final CAST is scale-preserving (exact — never
     rounds) in both engines. Division is excluded by design: Spark
     yields DECIMAL(·,13) quotients, DuckDB yields DOUBLE — a
-    documented dialect divergence, not a bug to fuzz. Returns
-    (sql_fragment, scale)."""
+    documented dialect divergence, not a bug to fuzz.
+
+    Precision is tracked so a multiply is only drawn when the
+    operands' precisions sum to ≤ 18: DuckDB executes a multiply whose
+    declared result width is ≤ 18 in int64, and the column magnitudes
+    here (unscaled ≤ ~1.05e7 at DECIMAL(9,2)) keep every such product
+    below 2^63 — no runtime `Overflow in multiplication of
+    DECIMAL(18)` in the oracle (VERDICT r3 #2). Wider multiplies are
+    re-drawn as +/- instead. Returns (sql_fragment, precision, scale).
+    """
     if depth >= 2 or draw(st.booleans()):
         kind = draw(st.sampled_from(["col", "lit"]))
         if kind == "col":
             col = draw(st.sampled_from(
                 ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]))
-            return f"CAST({col} AS DECIMAL(12,2))", 2
+            return f"CAST({col} AS DECIMAL(9,2))", 9, 2
         s = draw(st.integers(min_value=0, max_value=3))
         mag = draw(st.integers(min_value=-999, max_value=999))
         val = mag / (10 ** s)
-        return f"CAST({val:.{s}f} AS DECIMAL(6,{s}))", s
-    a, sa = draw(decimal_exprs(depth=depth + 1))
-    b, sb = draw(decimal_exprs(depth=depth + 1))
+        return f"CAST({val:.{s}f} AS DECIMAL(6,{s}))", 6, s
+    a, pa, sa = draw(decimal_exprs(depth=depth + 1))
+    b, pb, sb = draw(decimal_exprs(depth=depth + 1))
     op = draw(st.sampled_from(["+", "-", "*"]))
-    scale = sa + sb if op == "*" else max(sa, sb)
-    return f"({a} {op} {b})", scale
+    if op == "*" and pa + pb > 18:
+        op = draw(st.sampled_from(["+", "-"]))
+    if op == "*":
+        prec, scale = pa + pb, sa + sb
+    else:
+        scale = max(sa, sb)
+        prec = max(pa - sa, pb - sb) + scale + 1
+    return f"({a} {op} {b})", prec, scale
 
 
 @st.composite
 def decimal_arith_specs(draw):
-    expr, scale = draw(decimal_exprs())
+    expr, _prec, scale = draw(decimal_exprs())
     cut = draw(st.integers(min_value=200, max_value=3000))
     return f"""
     SELECT l_orderkey, l_linenumber,
@@ -276,6 +293,7 @@ def decimal_arith_specs(draw):
 @settings(
     max_examples=30,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(sql=decimal_arith_specs())
@@ -287,6 +305,49 @@ def test_random_decimal_arith_differential(engines, sql):
     want = con.execute(sql).df()
     problems = compare_frames(got, want)
     assert not problems, f"{sql}\n{problems}"
+
+
+def test_decimal_product_of_product_and_sum_pinned(engines):
+    """Pinned regression for VERDICT r3 #2: the round-3 fuzzer's
+    falsifying shape (product·(product+sum)) with widths the new
+    precision calculus would allow — DECIMAL(9,2)·DECIMAL(9,2) (width
+    18, int64-safe given quantity ≤ 50) times a narrow sum. Both
+    engines must agree bit-exactly; neither may overflow."""
+    spark, con = engines
+    from incubator_impala_spark.testing.oracle import compare_frames
+
+    sql = """
+    SELECT l_orderkey, l_linenumber,
+      CAST((CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)))
+           * (CAST(l_discount AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))
+           AS DECIMAL(38,6)) AS val
+    FROM lineitem WHERE l_orderkey <= 1500
+    """
+    got = spark.sql(sql).toPandas()
+    want = con.execute(sql).df()
+    problems = compare_frames(got, want)
+    assert not problems, f"{sql}\n{problems}"
+
+
+def test_decimal_expr_generator_never_overflows_oracle(engines):
+    """The generator's own invariant, tested directly: every fragment
+    the precision calculus admits must execute in DuckDB without a
+    runtime decimal overflow (the round-3 failure mode). 200
+    deterministic draws, each run against the full lineitem view."""
+    _, con = engines
+    seen = []
+
+    @settings(max_examples=200, deadline=None, derandomize=True)
+    @given(t=decimal_exprs())
+    def collect(t):
+        seen.append(t)
+
+    collect()
+    assert len(seen) >= 50, "generator produced too few expressions"
+    for expr, _prec, scale in seen:
+        con.execute(
+            f"SELECT CAST({expr} AS DECIMAL(38,{scale})) AS v FROM lineitem"
+        ).fetchall()
 
 
 @st.composite
@@ -327,6 +388,7 @@ def string_fn_specs(draw):
 @settings(
     max_examples=30,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(sql=string_fn_specs())
