@@ -75,7 +75,7 @@ SHOW_ROLE_GRANT_GROUP = re.compile(
 SHOW_GRANT = re.compile(
     r"^\s*SHOW\s+GRANT\s+(?P<ptype>ROLE|USER|GROUP)\s+"
     r"(?P<principal>[A-Za-z_][\w]*)"
-    r"(?:\s+ON\s+" + _OBJ + r")?\s*;?\s*$",
+    r"(?P<onclause>\s+ON\s+" + _OBJ + r")?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -181,9 +181,11 @@ class GrantRegistry:
             # directory service, a user's groups = the group of the
             # same name (documented simplification).
             roles = self.group_roles.get(principal, set())
-        obj_filter = None
-        if m.group("db") or m.group("tbl") or m.group("uri") or m.group("server"):
-            obj_filter = _obj(m)
+        # Filter on the *presence* of the ON clause, not the individual
+        # object groups: `SHOW GRANT ... ON SERVER` (no server name)
+        # leaves every object group None but must still restrict to
+        # server scope with the same 'server1' default GRANT uses.
+        obj_filter = _obj(m) if m.group("onclause") else None
         rows = [
             (ptype, principal, scope, name, priv, wgo)
             for (role, scope, name, priv), wgo in sorted(self.privs.items())

@@ -536,6 +536,7 @@ def dup_clusters(pairs: DataFrame, id1: str = "d1",
     labels = edges.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.b == labels.node)
@@ -560,8 +561,17 @@ def dup_clusters(pairs: DataFrame, id1: str = "d1",
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # Convergence needs O(component diameter) rounds; silently
+        # returning would yield wrong canonical_ids for chains longer
+        # than max_iters with no signal.
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds; "
+            "raise max_iters (component diameter exceeds it)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
     )

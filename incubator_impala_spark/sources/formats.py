@@ -121,7 +121,14 @@ def _require_hive_catalog(spark: SparkSession) -> None:
 
 def _rcfile_ext_table(spark: SparkSession, path: str,
                       schema: StructType) -> str:
-    name = f"rcfile_ext_{abs(hash(path)) % 10**8}"
+    # Stable digest, not hash(): Python string hashing is randomized
+    # per process, which would mint a fresh metastore table per session
+    # for the same path. With a stable name, re-reads replace the one
+    # helper table (bounded residency: one table per distinct path; it
+    # cannot be dropped eagerly because the returned scan is lazy).
+    import hashlib
+
+    name = f"rcfile_ext_{hashlib.md5(path.encode()).hexdigest()[:8]}"
     cols = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
     )

@@ -64,6 +64,10 @@ def parquet_num_rows(sf_dir: str, name: str) -> int:
         if os.path.isfile(path)
         else glob.glob(os.path.join(path, "*.parquet"))
     )
+    if not files:
+        # A silent 0 would make n-sized operators (IVF stride) degrade
+        # toward all-pairs with no error at the call site.
+        raise FileNotFoundError(f"no parquet files at {path}")
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 

@@ -385,6 +385,25 @@ def test_grant_revoke_lifecycle(engine):
     assert eng.sql("SHOW GRANT GROUP data_eng").collect() == []
 
 
+def test_show_grant_on_server_filters_to_server_scope(engine):
+    """`SHOW GRANT ... ON SERVER` with no server name must restrict to
+    server-scope grants (default server1, matching GRANT's default) —
+    not fall through to all scopes (ADVICE r3)."""
+    eng = engine
+    eng.sql("CREATE ROLE srv_role")
+    try:
+        eng.sql("GRANT ALL ON SERVER TO ROLE srv_role")
+        eng.sql("GRANT SELECT ON TABLE lineitem TO ROLE srv_role")
+        rows = eng.sql("SHOW GRANT ROLE srv_role ON SERVER").collect()
+        assert [(r.scope, r.name, r.privilege) for r in rows] == [
+            ("server", "server1", "all")
+        ]
+        named = eng.sql("SHOW GRANT ROLE srv_role ON SERVER server1").collect()
+        assert [(r.scope, r.name) for r in named] == [("server", "server1")]
+    finally:
+        eng.sql("DROP ROLE srv_role")
+
+
 def test_grant_to_unknown_role_raises(engine):
     import pytest as _pytest
 
