@@ -23,12 +23,13 @@ from incubator_impala_spark.queries import (
     streaming_batch,
     tpcds_adapted,
     tpcds_round3,
+    tpcds_round4,
     tpch,
 )
 
 _MODULES = [
     tpch, relational, pipeline, streaming_batch, functions_sweep, nested,
-    sql_surface, tpcds_adapted, tpcds_round3,
+    sql_surface, tpcds_adapted, tpcds_round3, tpcds_round4,
 ]
 
 QUERIES = {}

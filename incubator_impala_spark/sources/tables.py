@@ -38,13 +38,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # int64 nanos -> µs TimestampType (truncating division; all
-        # event times are post-epoch). Keep ts_ns for full precision.
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-        )
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            # int64 nanos -> µs TimestampType (truncating division; all
+            # event times are post-epoch). Keep ts_ns for full precision.
+            df = (
+                df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+            )
+        else:
+            # µs-native file (TIMESTAMP or TIMESTAMP_NTZ — the NTZ form
+            # matches the reference's timezoneless semantics,
+            # timestamp-value.h:45-61). Derive ts_ns so the loader
+            # contract (raw int64 nanos alongside ts) holds for both
+            # physical layouts; session tz is UTC so the cast is exact.
+            df = df.withColumn(
+                "ts_ns",
+                F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000),
+            )
     return df
 
 

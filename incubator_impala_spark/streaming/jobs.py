@@ -27,10 +27,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Physical schema of events.parquet under nanosAsLong: ts is int64 nanos
-# (the reference's TIMESTAMP is nanosecond-resolution,
-# be/src/runtime/timestamp-value.h:45-61; Spark is µs — see
-# sources/tables.py for the documented truncation).
+# Physical schema of events.parquet under nanosAsLong when the file
+# carries TIMESTAMP(NANOS): ts is int64 nanos (the reference's TIMESTAMP
+# is nanosecond-resolution, be/src/runtime/timestamp-value.h:45-61;
+# Spark is µs — see sources/tables.py for the documented truncation).
+# Driver data may instead ship µs-native timestamps; read_events_stream
+# adapts to either layout by probing the footer with a batch read.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -45,17 +47,24 @@ EVENTS_RAW_SCHEMA = StructType(
 
 def read_events_stream(spark: SparkSession, events_dir: str,
                        max_files_per_trigger: int | None = None) -> DataFrame:
-    """File-source stream of events; ts normalized int64-nanos -> µs
-    TimestampType exactly like the batch loader."""
+    """File-source stream of events; ts normalized to µs timestamp with
+    raw int64 nanos kept in ts_ns, exactly like the batch loader.
+    The file-source needs an explicit schema: probe it with a driver-side
+    batch read (footer-only, no job) and branch on the physical layout."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(events_dir)
-    return (
-        df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    if dict(df.dtypes).get("ts") == "bigint":
+        return (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        )
+    return df.withColumn(
+        "ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
     )
 
 
