@@ -754,3 +754,467 @@ def tpcds_q9_style_case_bucket_scalars(
             .alias(f"bucket{i}")
         )
     return b.select(*out)
+
+
+# ---------------------------------------------------------------------------
+# q16/q94 shape: multi-supplier orders with no returned lines
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q16_style_multi_supplier_no_returns",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS order_count,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        AS total_price
+    FROM orders o
+    WHERE year(o_orderdate) = 1997
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_orderkey
+        HAVING COUNT(DISTINCT l.l_suppkey) >= 2)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem r
+        WHERE r.l_orderkey = o.o_orderkey AND r.l_returnflag = 'R')
+    """,
+)
+def tpcds_q16_style_multi_supplier_no_returns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q16 shape (q94 is the web-channel twin): orders fulfilled from
+    at least two suppliers (EXISTS over a grouped HAVING) with no
+    returned line (NOT EXISTS), reduced to a single-row count + sum.
+    Spark plan: distinct-supplier agg on orderkey -> LEFT SEMI join,
+    returned-keys LEFT ANTI join — both reuse the orderkey hash; the
+    final agg is a 1-row reduce. No correlated re-execution: the
+    reference's subplan becomes two hash joins.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q16.test,
+    tpcds-q94.test."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .where(F.col("ns") >= 2)
+        .select(F.col("l_orderkey").alias("m_ok"))
+    )
+    returned = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("r_ok"))
+        .distinct()
+    )
+    qual = (
+        orders.where(F.year("o_orderdate") == 1997)
+        .join(multi, F.col("o_orderkey") == F.col("m_ok"), "left_semi")
+        .join(returned, F.col("o_orderkey") == F.col("r_ok"), "left_anti")
+    )
+    return qual.agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count"),
+        F.sum(_d("o_totalprice")).cast("decimal(38,2)").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 shape: per-supplier before/after pivot-date quantity ratio band
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q21_style_pivot_ratio_bands",
+    """
+    WITH t AS (
+      SELECT s_name,
+        CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-07-01'
+          THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE 0 END)
+          AS DECIMAL(38,2)) AS qty_before,
+        CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-07-01'
+          THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE 0 END)
+          AS DECIMAL(38,2)) AS qty_after
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE year(l_shipdate) = 1998
+      GROUP BY s_name)
+    SELECT s_name, qty_before, qty_after
+    FROM t
+    WHERE qty_before > 0 AND qty_after > 0
+      AND 3 * qty_after >= 2 * qty_before
+      AND 2 * qty_after <= 3 * qty_before
+    ORDER BY s_name
+    """,
+)
+def tpcds_q21_style_pivot_ratio_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q21 shape: inventory-style before/after split around a pivot
+    date, keeping suppliers whose after/before ratio lies in
+    [2/3, 3/2]. Both band bounds cross-multiply in decimal — no
+    division. Scale: single fact pass with conditional aggregates
+    (the reference plans two scans + a join; conditional sums do it
+    in one), supplier broadcasts, one s_name-keyed shuffle.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q21.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    pivot = F.lit("1998-07-01").cast("timestamp")
+    t = (
+        li.where(F.year("l_shipdate") == 1998)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(
+            F.sum(
+                F.when(F.col("l_shipdate") < pivot, _d("l_quantity")).otherwise(0)
+            ).cast("decimal(38,2)").alias("qty_before"),
+            F.sum(
+                F.when(F.col("l_shipdate") >= pivot, _d("l_quantity")).otherwise(0)
+            ).cast("decimal(38,2)").alias("qty_after"),
+        )
+    )
+    return (
+        t.where(
+            (F.col("qty_before") > 0) & (F.col("qty_after") > 0)
+            & (3 * F.col("qty_after") >= 2 * F.col("qty_before"))
+            & (2 * F.col("qty_after") <= 3 * F.col("qty_before"))
+        )
+        .select("s_name", "qty_before", "qty_after")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32/q92 shape: excess-discount revenue vs 1.3x per-item average
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q32_style_excess_discount",
+    """
+    WITH avg_d AS (
+      SELECT l_partkey AS a_pk,
+        CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS sd,
+        CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey)
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        AS excess_revenue,
+      CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN avg_d ON l_partkey = a_pk
+    WHERE CAST(l_discount AS DECIMAL(12,4)) * 10 * cnt > 13 * sd
+    """,
+)
+def tpcds_q32_style_excess_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q32 shape (q92 is the web twin): revenue of lines discounted
+    more than 1.3x their item's average discount. The correlated
+    scalar subquery decorrelates to a per-item aggregate joined back
+    to the fact; the 1.3x-average comparison cross-multiplies
+    (d * 10 * cnt > 13 * sum_d) so the average is never divided and
+    the predicate is exact decimal on both engines. Scale: the agg
+    and the join share the partkey shuffle; final agg is a 1-row
+    reduce. Reference: testdata/workloads/tpcds/queries/
+    tpcds-q32.test, tpcds-q92.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dd = F.col("l_discount").cast("decimal(12,4)")
+    avg_d = li.groupBy(F.col("l_partkey").alias("a_pk")).agg(
+        F.sum(dd).cast("decimal(38,4)").alias("sd"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    joined = li.join(avg_d, F.col("l_partkey") == F.col("a_pk"))
+    return joined.where(dd * 10 * F.col("cnt") > 13 * F.col("sd")).agg(
+        F.sum(_d("l_extendedprice")).cast("decimal(38,2)")
+        .alias("excess_revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35/q69 shape: customers active in one channel AND (either of two)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q35_style_multi_channel_exists",
+    """
+    SELECT n_name,
+      CAST(COUNT(*) AS BIGINT) AS cnt,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderkey % 3 = 0)
+      AND EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderkey % 3 IN (1, 2))
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpcds_q35_style_multi_channel_exists(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q35 shape (q69 is the NOT-EXISTS twin): customers with store
+    activity AND web-or-catalog activity (EXISTS and an OR of EXISTS,
+    planned as two LEFT SEMI joins), demographic rollup per nation.
+    Scale: both semi joins hash on custkey against pre-filtered order
+    sets; nation broadcasts; the group-by key space is |nation|.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q35.test,
+    tpcds-q69.test."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    store = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_custkey").alias("st_ck")
+    )
+    wb_ct = orders.where((F.col("o_orderkey") % 3).isin(1, 2)).select(
+        F.col("o_custkey").alias("wc_ck")
+    )
+    qual = (
+        cust.join(store, F.col("c_custkey") == F.col("st_ck"), "left_semi")
+        .join(wb_ct, F.col("c_custkey") == F.col("wc_ck"), "left_semi")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        qual.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(_d("c_acctbal")).cast("decimal(38,2)").alias("sum_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37/q82 shape: price-band items with activity in a date window
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q37_style_price_band_active_items",
+    """
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice BETWEEN 900 AND 1100
+      AND p_size IN (10, 20, 30, 40, 50)
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1998-07-01')
+    ORDER BY p_partkey
+    LIMIT 100
+    """,
+)
+def tpcds_q37_style_price_band_active_items(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q37 shape (q82 is the store twin): items in a retail-price band
+    and size list that had activity in a six-month window — a dim
+    filter plus a LEFT SEMI probe into the fact, top-100 by key.
+    Scale: the part filter prunes before the semi join; the fact side
+    prunes on the ship-date window at the scan (pushed predicate);
+    the semi join hashes on partkey. p_retailprice passes through
+    untouched (no arithmetic), so DOUBLE is bit-stable.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q37.test,
+    tpcds-q82.test."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    window_lines = li.where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
+    ).select("l_partkey")
+    return (
+        part.where(
+            F.col("p_retailprice").between(900, 1100)
+            & F.col("p_size").isin(10, 20, 30, 40, 50)
+        )
+        .join(window_lines, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q40 shape: before/after pivot net sales with return adjustment
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q40_style_pivot_net_returns",
+    """
+    SELECT n_name,
+      CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-07-01'
+        THEN CASE WHEN l_returnflag = 'R' THEN 0
+                  ELSE CAST(l_extendedprice AS DECIMAL(12,2)) END
+        ELSE 0 END) AS DECIMAL(38,2)) AS net_before,
+      CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-07-01'
+        THEN CASE WHEN l_returnflag = 'R' THEN 0
+                  ELSE CAST(l_extendedprice AS DECIMAL(12,2)) END
+        ELSE 0 END) AS DECIMAL(38,2)) AS net_after
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE year(l_shipdate) = 1998
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpcds_q40_style_pivot_net_returns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q40 shape: net-of-returns sales split before/after a pivot date
+    per supplier nation (the reference LEFT JOINs catalog_returns and
+    zeroes returned amounts — here the return flag zeroes in place,
+    same algebra). Scale: one fact pass, both dims broadcast, one
+    |nation|-key shuffle; nested CASEs stay in codegen.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q40.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pivot = F.lit("1998-07-01").cast("timestamp")
+    net = F.when(F.col("l_returnflag") == "R", F.lit(0)).otherwise(
+        _d("l_extendedprice")
+    )
+    return (
+        li.where(F.year("l_shipdate") == 1998)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") < pivot, net).otherwise(0))
+            .cast("decimal(38,2)").alias("net_before"),
+            F.sum(F.when(F.col("l_shipdate") >= pivot, net).otherwise(0))
+            .cast("decimal(38,2)").alias("net_after"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q76 shape: UNION ALL of channels counting null-keyed rows
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q76_style_null_key_channels",
+    """
+    SELECT ch, y,
+      CAST(COUNT(*) AS BIGINT) AS n_null_key,
+      CAST(SUM(price) AS DECIMAL(38,2)) AS revenue
+    FROM (
+      SELECT 'store' AS ch, year(o_orderdate) AS y,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders
+      WHERE NULLIF(o_orderpriority, '4-NOT SPECIFIED') IS NULL
+      UNION ALL
+      SELECT 'web' AS ch, year(l_shipdate) AS y,
+        CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+      FROM lineitem
+      WHERE NULLIF(l_returnflag, 'N') IS NULL
+      UNION ALL
+      SELECT 'catalog' AS ch, year(l_shipdate) AS y,
+        CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+      FROM lineitem
+      WHERE NULLIF(l_linestatus, 'O') IS NULL) u
+    GROUP BY ch, y
+    ORDER BY ch, y
+    """,
+)
+def tpcds_q76_style_null_key_channels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q76 shape: three channel branches each selecting rows whose
+    dimension key is NULL (here NULLIF manufactures the reference's
+    null-key semantics over never-null synthetic columns), UNION ALLed
+    and counted per (channel, year). Scale: three scans with pushed
+    filters union cheaply (no shuffle until the final small agg);
+    each branch's filter is sargable post-NULLIF simplification.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q76.test."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    store = orders.where(
+        F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")).isNull()
+    ).select(
+        F.lit("store").alias("ch"),
+        F.year("o_orderdate").alias("y"),
+        _d("o_totalprice").alias("price"),
+    )
+    web = li.where(F.nullif(F.col("l_returnflag"), F.lit("N")).isNull()).select(
+        F.lit("web").alias("ch"),
+        F.year("l_shipdate").alias("y"),
+        _d("l_extendedprice").alias("price"),
+    )
+    catalog = li.where(
+        F.nullif(F.col("l_linestatus"), F.lit("O")).isNull()
+    ).select(
+        F.lit("catalog").alias("ch"),
+        F.year("l_shipdate").alias("y"),
+        _d("l_extendedprice").alias("price"),
+    )
+    return (
+        store.unionAll(web).unionAll(catalog)
+        .groupBy("ch", "y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_null_key"),
+            F.sum("price").cast("decimal(38,2)").alias("revenue"),
+        )
+        .orderBy("ch", "y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 shape: product-hierarchy ROLLUP of average quantity
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q22_style_rollup_avg_qty",
+    """
+    SELECT CAST(GROUPING(p_type) * 4 + GROUPING(p_brand) * 2
+                + GROUPING(p_size) AS INT) AS lvl,
+      p_type, p_brand, CAST(p_size AS INT) AS p_size,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        AS sum_qty,
+      CAST(COUNT(*) AS BIGINT) AS cnt,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        AS avg_qty
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY ROLLUP(p_type, p_brand, p_size)
+    ORDER BY lvl, COALESCE(p_type, ''), COALESCE(p_brand, ''),
+      COALESCE(p_size, -1)
+    """,
+)
+def tpcds_q22_style_rollup_avg_qty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q22 shape: average on-hand quantity rolled up the full product
+    hierarchy (type -> brand -> size) with subtotals at every level.
+    The average is ONE double division of an exact decimal sum by an
+    exact count, computed after the rollup so every engine divides
+    identical inputs. Scale: part broadcasts; Spark expands grouping
+    sets after the partial agg so the fact shuffles once.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q22.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .rollup("p_type", "p_brand", "p_size")
+        .agg(
+            F.sum(_d("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            (F.grouping("p_type") * 4 + F.grouping("p_brand") * 2
+             + F.grouping("p_size")).cast("int").alias("lvl"),
+        )
+    )
+    return agg.select(
+        "lvl", "p_type", "p_brand",
+        F.col("p_size").cast("int").alias("p_size"),
+        "sum_qty", "cnt",
+        (F.col("sum_qty").cast("double") / F.col("cnt")).alias("avg_qty"),
+    ).orderBy(
+        "lvl", F.coalesce("p_type", F.lit("")),
+        F.coalesce("p_brand", F.lit("")), F.coalesce("p_size", F.lit(-1)),
+    )
