@@ -213,3 +213,68 @@ def test_ivf_probe_has_no_window_exchange(spark):
     n = parquet_num_rows(SF_SMALL, "embeddings")
     df = ivf_dup_pairs(emb, dim=64, nprobe=3, n=n)
     assert "Window" not in _plan(df)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 TPC-DS shapes: plan guards for the new batch
+# ---------------------------------------------------------------------------
+
+
+def test_tpcds_q4_no_nested_loop_six_leg_chain(q):
+    """The six-leg custkey self-join must plan as equi hash/merge
+    joins throughout — a nested-loop anywhere would be quadratic in
+    customers at scale."""
+    plan = _plan(q["tpcds_q4_style_three_channel_yoy_preference"])
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpcds_q14_intersect_plans_as_semi_joins(q):
+    """The INTERSECT chain must lower to (semi) hash joins on
+    partkey, and the shared set must prune the fact via LEFT SEMI
+    before the rollup — at least 3 semi joins total."""
+    plan = _plan(q["tpcds_q14_style_shared_items_rollup"])
+    assert plan.count("LeftSemi") >= 3
+    assert "Expand" in plan  # rollup grouping-set expansion present
+
+
+def test_tpcds_q72_residual_probe_is_hash_join(q):
+    """The date-offset conjunct must ride the orderkey equi hash join
+    as a residual condition — never a BroadcastNestedLoopJoin over
+    the full fact."""
+    plan = _plan(q["tpcds_q72_style_late_ship_residual_probe"])
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_region = plan[: plan.index("FileScan")]
+    assert "l_shipdate" in join_region  # residual evaluated at the join
+
+
+def test_tpcds_q16_semi_then_anti(q):
+    """Multi-supplier EXISTS -> LEFT SEMI; no-returns NOT EXISTS ->
+    LEFT ANTI; both on the orderkey key."""
+    plan = _plan(q["tpcds_q16_style_multi_supplier_no_returns"])
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_tpcds_q64_single_fact_shuffle_rest_broadcast(q):
+    """The snowflake's only shuffled join is fact⋈orders; customer,
+    nation, part, and supplier must all broadcast."""
+    plan = _plan(q["tpcds_q64_style_snowflake_year_compare"])
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_tpcds_q32_excess_discount_partkey_reuse(q):
+    """The decorrelated per-item average joins back on partkey as an
+    equi hash join; the whole query has exactly one fact table, read
+    twice at most (agg side + probe side)."""
+    plan = _plan(q["tpcds_q32_style_excess_discount"])
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") <= 2
+
+
+def test_tpcds_q37_pushes_band_filters_to_part_scan(q):
+    """The retail-price band and size list must reach the part scan
+    as pushed filters, pruning before the semi join."""
+    plan = _plan(q["tpcds_q37_style_price_band_active_items"])
+    scan = plan[plan.index("FileScan") :]
+    assert "p_retailprice" in scan.split("PushedFilters: [")[1].split("]")[0] or \
+        "p_retailprice" in scan
