@@ -17,6 +17,7 @@ from __future__ import annotations
 from incubator_impala_spark.queries import (
     functions_sweep,
     nested,
+    nested_tpch,
     pipeline,
     relational,
     sql_surface,
@@ -29,7 +30,7 @@ from incubator_impala_spark.queries import (
 
 _MODULES = [
     tpch, relational, pipeline, streaming_batch, functions_sweep, nested,
-    sql_surface, tpcds_adapted, tpcds_round3, tpcds_round4,
+    nested_tpch, sql_surface, tpcds_adapted, tpcds_round3, tpcds_round4,
 ]
 
 QUERIES = {}

@@ -278,3 +278,30 @@ def test_tpcds_q37_pushes_band_filters_to_part_scan(q):
     scan = plan[plan.index("FileScan") :]
     assert "p_retailprice" in scan.split("PushedFilters: [")[1].split("]")[0] or \
         "p_retailprice" in scan
+
+
+# ---------------------------------------------------------------------------
+# Nested TPC-H: collection computations must not explode or re-join
+# ---------------------------------------------------------------------------
+
+
+def test_nested_tpch_hof_entries_have_no_generate(q):
+    """Per-customer collection aggregates (order totals, two-level
+    fold, EXISTS) run INSIDE the row via higher-order functions — the
+    plan must contain no Generate (explode) and no join besides the
+    fixture build's two nest joins."""
+    for name in [
+        "nested_tpch_order_totals",
+        "nested_tpch_two_level_max_order_qty",
+        "nested_tpch_exists_urgent_by_segment",
+    ]:
+        plan = _plan(q[name])
+        assert "Generate" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_nested_tpch_unnest_is_generate_explode(q):
+    """The correlated-unnest entry is the one place a Generate node
+    belongs (SubplanNode+UnnestNode analogue)."""
+    plan = _plan(q["nested_tpch_unnest_urgent_orders"])
+    assert "Generate explode" in plan
