@@ -337,7 +337,8 @@ def cosine_sim(a: str | Column, b: str | Column) -> Column:
 def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                         id_col: str = "vec_id",
                         threshold: float = 0.45,
-                        max_rows: int | None = 10_000) -> DataFrame:
+                        max_rows: int | None = 10_000,
+                        n: int | None = None) -> DataFrame:
     """Exact pairwise cosine >= threshold (id1 < id2).
 
     CALIBRATION-ONLY baseline: the plan is an all-pairs theta join
@@ -348,9 +349,14 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     with unbounded input (VERDICT r2 "What's wrong" #2); pass
     max_rows=None only from calibration tests that knowingly bound
     their input.
+
+    `n` is the caller-known input row count (from table stats /
+    parquet footers, `tables.parquet_num_rows`) so the cap check runs
+    driver-side with no count job; None falls back to `df.count()`.
     """
     if max_rows is not None:
-        n = df.count()
+        if n is None:
+            n = df.count()
         if n > max_rows:
             raise ValueError(
                 f"embedding_dup_pairs is the exact all-pairs calibration "

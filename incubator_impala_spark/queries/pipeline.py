@@ -189,7 +189,11 @@ def pipeline_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic 1/5 sample. O(n²) by design (it verifies the LSH
     path); the graded scale path is pipeline_dedup_embedding_ivf."""
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
-    return dedup.embedding_dup_pairs(emb, threshold=0.45)
+    # vec_ids are dense 0..n-1, so the 1/5 sample's exact size derives
+    # from the parquet footer count — the cap guard runs with no
+    # count job (VERDICT r3 #6).
+    n_sample = (parquet_num_rows(sf_dir, "embeddings") + 4) // 5
+    return dedup.embedding_dup_pairs(emb, threshold=0.45, n=n_sample)
 
 
 # ---------------------------------------------------------------------------

@@ -305,3 +305,45 @@ def test_nested_tpch_unnest_is_generate_explode(q):
     belongs (SubplanNode+UnnestNode analogue)."""
     plan = _plan(q["nested_tpch_unnest_urgent_orders"])
     assert "Generate explode" in plan
+
+
+def test_n_sized_entries_build_plans_without_jobs(spark):
+    """VERDICT r3 #6: entries that size themselves on n (IVF centroid
+    stride, the all-pairs cap guard) must take n from parquet footer
+    metadata — building their DataFrame must launch ZERO Spark jobs
+    (a df.count() would show up as one). Verified with the status
+    tracker over a dedicated job group."""
+    from pyspark.sql import functions as F
+
+    from incubator_impala_spark.operators import dedup, similarity
+    from incubator_impala_spark.sources.tables import (
+        load_table, parquet_num_rows,
+    )
+
+    # Read inputs OUTSIDE the measured groups: spark.read.parquet runs
+    # one schema-discovery job per call (driver footer read) which is
+    # not an n-sizing action and not under the operators' control.
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    sample = emb.where(F.col("vec_id") % 5 == 0)
+    queries_df = emb.where(F.col("vec_id") % 100 == 0)
+    n = parquet_num_rows(SF_SMALL, "embeddings")
+    builders = {
+        "embedding_dup_pairs": lambda: dedup.embedding_dup_pairs(
+            sample, threshold=0.45, n=(n + 4) // 5
+        ),
+        "ivf_dup_pairs": lambda: dedup.ivf_dup_pairs(emb, dim=32, n=n),
+        "ivf_topk": lambda: similarity.ivf_topk(
+            emb, queries_df, dim=32, k=5, n=n
+        ),
+    }
+    sc = spark.sparkContext
+    for name, build in builders.items():
+        sc.setJobGroup(f"build-{name}", "plan construction only")
+        df = build()
+        jobs = sc.statusTracker().getJobIdsForGroup(f"build-{name}")
+        sc.setJobGroup(None, None)
+        assert df is not None
+        assert len(jobs) == 0, (
+            f"{name} launched {len(jobs)} job(s) during plan build — "
+            "an n-sizing count escaped the footer-metadata path"
+        )
