@@ -47,11 +47,16 @@ BENCH_QUERIES = [
     "pipeline_text_features",      # pure-Column text featurizer
     "pipeline_similarity_topk",    # broadcast brute-force ANN baseline
     "pipeline_corpus_curation",    # dedup ∩ quality ∩ split end-to-end
+    "pipeline_dedup_clusters",     # iterative min-label CC (r4 promote)
+    "pipeline_stratified_sample",  # per-stratum hash sampling (r4 promote)
     "fn_sketch_kll",               # KLL quantile sketch UDAF + verify
     "tpcds_q36_style_rollup_rank",  # rollup + grouping + windowed rank
     "tpcds_q51_style_cumulative_crossover",  # FOJ + cumulative windows
     "tpcds_q78_style_no_return_channel_ratio",  # anti join x2 + ratio
     "tpcds_q95_style_double_semijoin",  # self-join + chained semis
+    "tpcds_q4_style_three_channel_yoy_preference",  # 6-leg self-join (r4)
+    "tpcds_q64_style_snowflake_year_compare",  # wide snowflake (r4)
+    "nested_tpch_two_level_max_order_qty",  # nested HOF folds (r4)
 ]
 
 

@@ -1,0 +1,107 @@
+"""Golden explain-plan corpus — the reference's PlannerTest methodology.
+
+The reference asserts whole explain-plan text against golden files
+(`fe/src/test/java/org/apache/impala/planner/PlannerTest.java`,
+`testdata/workloads/functional-planner/queries/PlannerTest/*.test`) so
+that ANY plan regression — a broadcast turning into a shuffle, a filter
+sliding off a scan, a new exchange — fails a test naming the query.
+Spark's physical plans carry unstable tokens (expression ids, paths,
+codegen stage ids, sizes); `normalize()` scrubs them so the golden text
+pins exactly the *structure*: operator tree, join strategies, pushed
+filters, read schemas, partial/final agg modes.
+
+Snapshot with `scripts/snapshot_plans.py`; diffed by
+`tests/test_golden_plans.py`.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden_plans",
+)
+
+# The headline set (bench.py) — the plans whose shape is the perf
+# contract. Kept as an explicit list so a rename fails loudly.
+PLAN_QUERIES = [
+    "tpch_q1", "tpch_q3", "tpch_q4_adapted", "tpch_q5", "tpch_q6",
+    "tpch_q9_adapted", "tpch_q13", "tpch_q18", "tpch_q21_adapted",
+    "analytic_window_frames", "agg_rollup",
+    "events_session_windows", "events_asof_last_click",
+    "pipeline_dedup_minhash_lsh", "pipeline_dedup_simhash",
+    "pipeline_dedup_embedding_ivf", "pipeline_text_features",
+    "pipeline_similarity_topk", "pipeline_corpus_curation",
+    "pipeline_stratified_sample",
+    "tpcds_q36_style_rollup_rank", "tpcds_q51_style_cumulative_crossover",
+    "tpcds_q78_style_no_return_channel_ratio",
+    "tpcds_q95_style_double_semijoin",
+    "tpcds_q4_style_three_channel_yoy_preference",
+    "tpcds_q64_style_snowflake_year_compare",
+    "nested_tpch_two_level_max_order_qty",
+]
+
+
+def explain_formatted(df) -> str:
+    """EXPLAIN FORMATTED text of a DataFrame (pre-execution plan —
+    AQE re-optimization happens at run time; the golden corpus pins
+    the static plan the optimizer commits to)."""
+    jqe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jqe.explainString(mode)
+
+
+_SCRUBS = [
+    # expression / plan ids: l_orderkey#123L -> l_orderkey#xL
+    (re.compile(r"#\d+"), "#x"),
+    # codegen stage ids and whole-stage markers: (12) -> (n) is NOT
+    # scrubbed (operator numbering is stable); codegen ids are:
+    (re.compile(r"\[codegen id : \d+\]"), "[codegen id : x]"),
+    # paths & locations: [file:/root/testdata/sf0.001/...] -> [path]
+    (re.compile(r"\[?file:[^\],\s]+\]?"), "[path]"),
+    (re.compile(r"InMemoryFileIndex\([^)]*\)"), "InMemoryFileIndex(x)"),
+    # statistics / sizes
+    (re.compile(r"Statistics\([^)]*\)"), "Statistics(x)"),
+    (re.compile(r"\b\d+(\.\d+)?\s*(B|KiB|MiB|GiB)\b"), "xB"),
+    # temp/checkpoint dirs and uuids
+    (re.compile(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-"
+                r"[0-9a-f]{12}"), "uuid"),
+    # broadcast exchange ids / reuse ids
+    (re.compile(r"\[plan_id=\d+\]"), "[plan_id=x]"),
+]
+
+
+def normalize(plan: str) -> str:
+    out = []
+    for line in plan.splitlines():
+        s = line.rstrip()
+        for rx, rep in _SCRUBS:
+            s = rx.sub(rep, s)
+        out.append(s)
+    # drop trailing blank lines, normalize to single trailing newline
+    text = "\n".join(out).rstrip() + "\n"
+    return text
+
+
+def golden_path(name: str) -> str:
+    return os.path.join(GOLDEN_DIR, f"{name}.plan")
+
+
+def snapshot(spark, sf_dir: str, names=None) -> list[str]:
+    """(Re)write golden plan files; returns the list written."""
+    from incubator_impala_spark.queries import QUERIES
+
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    written = []
+    for name in names or PLAN_QUERIES:
+        df = QUERIES[name](spark, sf_dir)
+        text = normalize(explain_formatted(df))
+        with open(golden_path(name), "w") as f:
+            f.write(text)
+        written.append(name)
+    return written
