@@ -38,6 +38,11 @@ MACROS = {
     "strleft": lambda a: f"left({a[0]}, {a[1]})",
     "strright": lambda a: f"right({a[0]}, {a[1]})",
     "char_length": lambda a: f"length({a[0]})",
+    # base64 pair (string-functions-ir.cc Base64Encode/Base64Decode):
+    # Impala's forms are STRING->STRING; Spark's base64/unbase64 work
+    # on BINARY, so cast both directions.
+    "base64encode": lambda a: f"base64(cast({a[0]} as binary))",
+    "base64decode": lambda a: f"cast(unbase64({a[0]}) as string)",
     # math (be/src/exprs/math-functions-ir.cc)
     "dround": lambda a: f"round({', '.join(a)})",
     "dceil": lambda a: f"ceil({a[0]})",
