@@ -94,6 +94,9 @@ MACROS = {
     "rotateleft": lambda a: (
         f"((({a[0]}) << ({a[1]})) | shiftrightunsigned({a[0]}, 64 - ({a[1]})))"
     ),
+    "rotateright": lambda a: (
+        f"(shiftrightunsigned({a[0]}, {a[1]}) | (({a[0]}) << (64 - ({a[1]}))))"
+    ),
     "getbit": lambda a: f"((({a[0]}) >> ({a[1]})) & 1)",
     # misc
     "group_concat": lambda a: (
