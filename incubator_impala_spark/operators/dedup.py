@@ -549,23 +549,22 @@ def dup_clusters(pairs: DataFrame, id1: str = "d1",
             .groupBy("a")
             .agg(F.min("label").alias("nl"))
         )
-        new_labels = (
+        # The change flag rides the same projection (a neighbor min
+        # strictly below the current label is the only way a label
+        # moves), so convergence is a filter on the checkpointed
+        # result — no extra self-join per round.
+        upd = (
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nl", "label"))
                 .alias("label"),
+                (F.col("nl") < F.col("label")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = upd.where(F.col("chg")).limit(1).count()
+        labels = upd.drop("chg")
         if changed == 0:
             converged = True
             break
