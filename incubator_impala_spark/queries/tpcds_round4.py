@@ -31,7 +31,7 @@ tie-break; channels are deterministic key-mod predicates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from incubator_impala_spark.sources.tables import load_table
@@ -1217,4 +1217,560 @@ def tpcds_q22_style_rollup_avg_qty(
     ).orderBy(
         "lvl", F.coalesce("p_type", F.lit("")),
         F.coalesce("p_brand", F.lit("")), F.coalesce("p_size", F.lit(-1)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q6 shape: items priced above 1.2x their type average, per nation
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q6_style_above_avg_price_items",
+    """
+    WITH t AS (
+      SELECT p_type AS t_type,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+          AS sum_price,
+        CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM part GROUP BY p_type),
+    pricey AS (
+      SELECT p_partkey FROM part JOIN t ON p_type = t_type
+      WHERE CAST(p_retailprice AS DECIMAL(12,2)) * 10 * cnt
+            >= 12 * sum_price)
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_partkey IN (SELECT p_partkey FROM pricey)
+      AND year(l_shipdate) = 1998 AND month(l_shipdate) = 1
+    GROUP BY n_name
+    HAVING COUNT(*) >= 10
+    ORDER BY cnt DESC, n_name
+    """,
+)
+def tpcds_q6_style_above_avg_price_items(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q6 shape: customers (by nation) buying items priced at least
+    1.2x the average for their item type in one month. The correlated
+    type-average decorrelates to a per-type aggregate joined back to
+    part; the 1.2x compare cross-multiplies (price*10*cnt >= 12*sum)
+    so no division enters the predicate. Scale: the pricey-item set
+    is dimension-sized and semi-joins the fact scan (month-pruned);
+    dims broadcast; one |nation| agg shuffle.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q6.test."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    t = part.groupBy(F.col("p_type").alias("t_type")).agg(
+        F.sum(_d("p_retailprice")).cast("decimal(38,2)").alias("sum_price"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    pricey = (
+        part.join(F.broadcast(t), F.col("p_type") == F.col("t_type"))
+        .where(_d("p_retailprice") * 10 * F.col("cnt") >= 12 * F.col("sum_price"))
+        .select("p_partkey")
+    )
+    return (
+        li.where((F.year("l_shipdate") == 1998) & (F.month("l_shipdate") == 1))
+        .join(F.broadcast(pricey), F.col("l_partkey") == F.col("p_partkey"),
+              "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .where(F.col("cnt") >= 10)
+        .orderBy(F.desc("cnt"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q7/q26 shape: dimension-filtered average battery per item
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q7_style_dim_filtered_avgs",
+    """
+    SELECT p_brand,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*)
+        AS avg_disc,
+      CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE o_orderpriority = '3-MEDIUM' AND year(o_orderdate) = 1997
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def tpcds_q7_style_dim_filtered_avgs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q7 shape (q26 is the catalog twin): the four-AVG battery per
+    item under demographic/promo dimension filters. Each average is
+    ONE double division of an exact decimal sum by the group count —
+    both engines divide identical inputs, so doubles hash-match.
+    Scale: one orderkey shuffle (priority+year filters push to the
+    orders scan), part broadcasts, one |brand| agg shuffle.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q7.test,
+    tpcds-q26.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    base = (
+        li.join(
+            orders.where(
+                (F.col("o_orderpriority") == "3-MEDIUM")
+                & (F.year("o_orderdate") == 1997)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        base.groupBy("p_brand")
+        .agg(
+            (F.sum(_d("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(_d("l_extendedprice")).cast("double") / cnt)
+            .alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(12,4)")).cast("double")
+             / cnt).alias("avg_disc"),
+            cnt.cast("bigint").alias("cnt"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 shape: disjunctive customer/order qualification per nation
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q15_style_disjunctive_qualification",
+    """
+    SELECT n_name,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE year(o_orderdate) = 1998 AND quarter(o_orderdate) = 1
+      AND (c_acctbal > 9000
+           OR c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+           OR o_totalprice > 300000)
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpcds_q15_style_disjunctive_qualification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q15 shape: the OR-of-qualifications filter (zip list OR state
+    list OR sale amount) that cannot fully push to either side of the
+    join — it must evaluate post-join while the conjunctive
+    quarter/year part still prunes the orders scan. Scale: customer
+    broadcasts; one |nation| agg shuffle; the sargable date conjuncts
+    reach the scan (plan-guarded).
+    Reference: testdata/workloads/tpcds/queries/tpcds-q15.test."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.where(
+            (F.year("o_orderdate") == 1998) & (F.quarter("o_orderdate") == 1)
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(
+            (F.col("c_acctbal") > 9000)
+            | F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+            | (F.col("o_totalprice") > 300000)
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_d("o_totalprice")).cast("decimal(38,2)").alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42/q52/q55 (and q3) shape: year x brand revenue top-N
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q42_style_year_brand_topn",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS y, p_brand,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type LIKE 'STANDARD%'
+    GROUP BY year(o_orderdate), p_brand
+    ORDER BY revenue DESC, y, p_brand
+    LIMIT 10
+    """,
+)
+def tpcds_q42_style_year_brand_topn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q42 shape (q52/q55/q3 are the same plan with different dim
+    filters): filtered dim join -> (year, brand) aggregate -> revenue
+    top-N. Spark plans TakeOrderedAndProject (the reference's TopNNode)
+    over the agg — no global sort. The LIMIT carries a total (y,
+    brand) tie-break so equal revenues order identically.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q42.test,
+    tpcds-q52.test, tpcds-q55.test, tpcds-q3.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(part.where(F.col("p_type").like("STANDARD%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.year("o_orderdate").cast("int").alias("y"), "p_brand")
+        .agg(F.sum(_d("l_extendedprice")).cast("decimal(38,2)").alias("revenue"))
+        .orderBy(F.desc("revenue"), "y", "p_brand")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 shape: IN-subquery OR local predicate (the unpushable OR)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q45_style_subquery_or_local",
+    """
+    SELECT p_type,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+       OR p_brand = 'Brand#11'
+    GROUP BY p_type
+    ORDER BY p_type
+    """,
+)
+def tpcds_q45_style_subquery_or_local(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q45 shape: `key IN (subquery) OR local_predicate` — the OR
+    means the IN cannot lower to a plain semi join (rows failing the
+    IN may still pass the local side). Planned as a LEFT OUTER join
+    to the DISTINCT subquery set with a mark column, then a filter on
+    (mark OR local) — the standard existence-join decorrelation the
+    reference plans for this. Scale: the subquery set is dim-sized
+    (broadcast); the fact never duplicates (distinct keys); one
+    |p_type| agg shuffle.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q45.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    small = (
+        part.where(F.col("p_size") == 1)
+        .select(F.col("p_partkey").alias("sq_pk"))
+        .distinct()
+        .withColumn("mark", F.lit(True))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(small), F.col("l_partkey") == F.col("sq_pk"), "left")
+        .where(F.coalesce("mark", F.lit(False)) | (F.col("p_brand") == "Brand#11"))
+        .groupBy("p_type")
+        .agg(F.sum(_d("l_extendedprice")).cast("decimal(38,2)").alias("revenue"))
+        .orderBy("p_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q48 shape: sum under a three-arm band disjunction
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q48_style_band_disjunction_sum",
+    """
+    SELECT
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        AS total_qty,
+      CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE (o_orderpriority = '1-URGENT'
+           AND l_quantity BETWEEN 1 AND 20
+           AND l_discount BETWEEN 0.00 AND 0.05)
+       OR (o_orderpriority = '3-MEDIUM'
+           AND l_quantity BETWEEN 21 AND 40
+           AND l_discount BETWEEN 0.02 AND 0.08)
+       OR (o_orderpriority = '5-LOW'
+           AND l_quantity BETWEEN 41 AND 50
+           AND l_discount BETWEEN 0.04 AND 0.10)
+    """,
+)
+def tpcds_q48_style_band_disjunction_sum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q48 shape: a single-row sum under a three-arm disjunction of
+    ANDed range bands spanning both join sides (demographic x price
+    bands in the reference). The common columns (quantity 1..50,
+    discount 0..0.10 envelopes) are inferable but the cross-side OR
+    itself evaluates post-join. Scale: one orderkey shuffle, 1-row
+    reduce; all arms stay in codegen as one predicate tree.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q48.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    arm = lambda pri, qlo, qhi, dlo, dhi: (  # noqa: E731
+        (F.col("o_orderpriority") == pri)
+        & F.col("l_quantity").between(qlo, qhi)
+        & F.col("l_discount").between(dlo, dhi)
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            arm("1-URGENT", 1, 20, 0.00, 0.05)
+            | arm("3-MEDIUM", 21, 40, 0.02, 0.08)
+            | arm("5-LOW", 41, 50, 0.04, 0.10)
+        )
+        .agg(
+            F.sum(_d("l_quantity")).cast("decimal(38,2)").alias("total_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q65 shape: items earning at most 10% of their group's average
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q65_style_low_revenue_items",
+    """
+    WITH rev AS (
+      SELECT n_name, p_brand,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+          AS brand_rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN part ON l_partkey = p_partkey
+      GROUP BY n_name, p_brand),
+    tot AS (
+      SELECT n_name AS t_n,
+        CAST(SUM(brand_rev) AS DECIMAL(38,2)) AS nation_rev,
+        CAST(COUNT(*) AS BIGINT) AS n_brands
+      FROM rev GROUP BY n_name)
+    SELECT r.n_name, r.p_brand, r.brand_rev
+    FROM rev r JOIN tot t ON r.n_name = t.t_n
+    WHERE r.brand_rev * 10 * t.n_brands <= t.nation_rev
+    ORDER BY n_name, p_brand
+    """,
+)
+def tpcds_q65_style_low_revenue_items(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q65 shape: items whose revenue is at most 10% of the average
+    item revenue in their store (here: brand revenue vs its nation's
+    average). Two-level aggregate — the inner (nation, brand) agg
+    re-aggregates to nation totals, joined back on nation; the 0.1x-
+    average compare cross-multiplies (rev*10*cnt <= total), keeping
+    the whole predicate exact decimal. Scale: the outer agg and the
+    join reuse the nation key; dims broadcast into the fact pass.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q65.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.sum(_d("l_extendedprice")).cast("decimal(38,2)")
+            .alias("brand_rev")
+        )
+    )
+    tot = rev.groupBy(F.col("n_name").alias("t_n")).agg(
+        F.sum("brand_rev").cast("decimal(38,2)").alias("nation_rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+    )
+    return (
+        rev.join(tot, F.col("n_name") == F.col("t_n"))
+        .where(
+            F.col("brand_rev") * 10 * F.col("n_brands") <= F.col("nation_rev")
+        )
+        .select("n_name", "p_brand", "brand_rev")
+        .orderBy("n_name", "p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q70 shape: rollup restricted to window-ranked top groups
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q70_style_ranked_nation_rollup",
+    """
+    WITH base AS (
+      SELECT n_name, s_name,
+        CAST(l_extendedprice AS DECIMAL(12,2)) AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey),
+    top5 AS (
+      SELECT n_name FROM (
+        SELECT n_name,
+          RANK() OVER (ORDER BY SUM(rev) DESC, n_name) AS rk
+        FROM base GROUP BY n_name) t
+      WHERE rk <= 5)
+    SELECT CAST(GROUPING(n_name) * 2 + GROUPING(s_name) AS INT) AS lvl,
+      n_name, s_name,
+      CAST(SUM(rev) AS DECIMAL(38,2)) AS revenue
+    FROM base WHERE n_name IN (SELECT n_name FROM top5)
+    GROUP BY ROLLUP(n_name, s_name)
+    ORDER BY lvl, COALESCE(n_name, ''), COALESCE(s_name, '')
+    """,
+)
+def tpcds_q70_style_ranked_nation_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q70 shape: a ROLLUP report restricted to the top-5 states by
+    profitability, where "top-5" is itself a windowed rank over an
+    aggregate (subquery in the IN). The rank's ORDER BY carries the
+    n_name tie-break. Scale: the rank input is a |nation|-row
+    aggregate (broadcast semi join back into the fact); the rollup
+    shuffles the fact once on its composite key.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q70.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "s_name", _d("l_extendedprice").alias("rev"))
+    )
+    by_nation = base.groupBy("n_name").agg(F.sum("rev").alias("nrev"))
+    w = Window.orderBy(F.desc("nrev"), "n_name")
+    top5 = (
+        by_nation.select("n_name", F.rank().over(w).alias("rk"))
+        .where(F.col("rk") <= 5)
+        .select(F.col("n_name").alias("top_n"))
+    )
+    agg = (
+        base.join(F.broadcast(top5), F.col("n_name") == F.col("top_n"),
+                  "left_semi")
+        .rollup("n_name", "s_name")
+        .agg(
+            F.sum("rev").cast("decimal(38,2)").alias("revenue"),
+            (F.grouping("n_name") * 2 + F.grouping("s_name")).cast("int")
+            .alias("lvl"),
+        )
+    )
+    return agg.select("lvl", "n_name", "s_name", "revenue").orderBy(
+        "lvl", F.coalesce("n_name", F.lit("")), F.coalesce("s_name", F.lit(""))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q91 shape: returned-revenue loss matrix by priority x segment
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q91_style_returns_loss_matrix",
+    """
+    SELECT o_orderpriority, c_mktsegment,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        AS returned_loss,
+      CAST(COUNT(*) AS BIGINT) AS n_returns
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+      AND year(l_shipdate) = 1998 AND month(l_shipdate) = 9
+    GROUP BY o_orderpriority, c_mktsegment
+    ORDER BY o_orderpriority, c_mktsegment
+    """,
+)
+def tpcds_q91_style_returns_loss_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q91 shape: one month's returned-revenue loss cross-tabbed over
+    two demographic dimensions (call center x demographics in the
+    reference). Scale: the return flag and ship month push to the
+    fact scan; customer broadcasts; the matrix key space is tiny
+    (5 priorities x 5 segments).
+    Reference: testdata/workloads/tpcds/queries/tpcds-q91.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.where(
+            (F.col("l_returnflag") == "R")
+            & (F.year("l_shipdate") == 1998)
+            & (F.month("l_shipdate") == 9)
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderpriority", "c_mktsegment")
+        .agg(
+            F.sum(_d("l_extendedprice")).cast("decimal(38,2)")
+            .alias("returned_loss"),
+            F.count(F.lit(1)).cast("bigint").alias("n_returns"),
+        )
+        .orderBy("o_orderpriority", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q96 shape: narrow-band count probe
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q96_style_band_count",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE year(l_shipdate) = 1998 AND quarter(l_shipdate) = 2
+      AND o_orderpriority = '1-URGENT' AND l_linestatus = 'O'
+    """,
+)
+def tpcds_q96_style_band_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q96 shape: a bare COUNT(*) through a narrow dimensional band
+    (half-hour x household x store in the reference) — the "how fast
+    is a filtered count through a join" probe. Scale: both filters
+    push to their scans before the orderkey join; the count is a
+    1-row reduce with map-side partials.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q96.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.where(
+            (F.year("l_shipdate") == 1998)
+            & (F.quarter("l_shipdate") == 2)
+            & (F.col("l_linestatus") == "O")
+        )
+        .join(
+            orders.where(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
