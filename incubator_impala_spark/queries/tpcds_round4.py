@@ -1774,3 +1774,302 @@ def tpcds_q96_style_band_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q5 shape: UNION ALL of per-channel sales/returns arms + rollup
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q5_style_union_pnl_rollup",
+    """
+    WITH u AS (
+      SELECT 'store' AS ch, n_name,
+        CASE WHEN l_returnflag = 'R' THEN 0
+             ELSE CAST(l_extendedprice AS DECIMAL(12,2)) END AS sales,
+        CASE WHEN l_returnflag = 'R'
+             THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE 0 END AS returns
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_orderkey % 3 = 0
+      UNION ALL
+      SELECT 'catalog' AS ch, n_name,
+        CASE WHEN l_returnflag = 'R' THEN 0
+             ELSE CAST(l_extendedprice AS DECIMAL(12,2)) END,
+        CASE WHEN l_returnflag = 'R'
+             THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE 0 END
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_orderkey % 3 = 1
+      UNION ALL
+      SELECT 'web' AS ch, n_name,
+        CASE WHEN l_returnflag = 'R' THEN 0
+             ELSE CAST(l_extendedprice AS DECIMAL(12,2)) END,
+        CASE WHEN l_returnflag = 'R'
+             THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE 0 END
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_orderkey % 3 = 2)
+    SELECT CAST(GROUPING(ch) * 2 + GROUPING(n_name) AS INT) AS lvl,
+      ch, n_name,
+      CAST(SUM(sales) AS DECIMAL(38,2)) AS sales,
+      CAST(SUM(returns) AS DECIMAL(38,2)) AS returns,
+      CAST(SUM(sales) - SUM(returns) AS DECIMAL(38,2)) AS profit
+    FROM u
+    GROUP BY ROLLUP(ch, n_name)
+    ORDER BY lvl, COALESCE(ch, ''), COALESCE(n_name, '')
+    """,
+)
+def tpcds_q5_style_union_pnl_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q5 shape: each channel contributes its own (sales, returns)
+    arm; the arms UNION ALL into one relation rolled up over
+    (channel, nation) — distinct from the q77 entry, which FULL OUTER
+    JOINs two aggregates instead of unioning arms. Scale: the three
+    arms share scan structure (Spark reuses the exchange under AQE
+    where possible); the rollup shuffles the union once on its
+    composite key; dims broadcast into each arm.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q5.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    zero = F.lit(0).cast("decimal(12,2)")
+
+    def arm(m: int, name: str):
+        return (
+            li.where(F.col("l_orderkey") % 3 == m)
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select(
+                F.lit(name).alias("ch"),
+                "n_name",
+                F.when(F.col("l_returnflag") == "R", zero)
+                .otherwise(_d("l_extendedprice")).alias("sales"),
+                F.when(F.col("l_returnflag") == "R", _d("l_extendedprice"))
+                .otherwise(zero).alias("returns"),
+            )
+        )
+
+    u = arm(0, "store").unionAll(arm(1, "catalog")).unionAll(arm(2, "web"))
+    agg = u.rollup("ch", "n_name").agg(
+        F.sum("sales").cast("decimal(38,2)").alias("sales"),
+        F.sum("returns").cast("decimal(38,2)").alias("returns"),
+        (F.sum("sales") - F.sum("returns")).cast("decimal(38,2)")
+        .alias("profit"),
+        (F.grouping("ch") * 2 + F.grouping("n_name")).cast("int").alias("lvl"),
+    )
+    return agg.select("lvl", "ch", "n_name", "sales", "returns", "profit") \
+        .orderBy("lvl", F.coalesce("ch", F.lit("")),
+                 F.coalesce("n_name", F.lit("")))
+
+
+# ---------------------------------------------------------------------------
+# q18/q27 shape: rollup of the average battery over demographics
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q18_style_rollup_avg_battery",
+    """
+    SELECT CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS INT) AS lvl,
+      n_name, c_mktsegment,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        AS avg_price,
+      CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE year(o_orderdate) = 1998
+    GROUP BY ROLLUP(n_name, c_mktsegment)
+    ORDER BY lvl, COALESCE(n_name, ''), COALESCE(c_mktsegment, '')
+    """,
+)
+def tpcds_q18_style_rollup_avg_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q18 shape (q27 is the store twin): averages of purchase
+    measures rolled up a demographic hierarchy (country -> state ->
+    county in the reference; nation -> segment here), subtotals at
+    every level. Averages divide exact decimal sums by exact counts
+    AFTER the rollup, so subtotal rows divide identical inputs on
+    both engines. Scale: one fact shuffle feeds the grouping-set
+    expansion; dims broadcast.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q18.test,
+    tpcds-q27.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        li.join(
+            orders.where(F.year("o_orderdate") == 1998),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = base.rollup("n_name", "c_mktsegment").agg(
+        F.sum(_d("l_quantity")).alias("sq"),
+        F.sum(_d("l_extendedprice")).alias("sp"),
+        F.count(F.lit(1)).alias("c"),
+        (F.grouping("n_name") * 2 + F.grouping("c_mktsegment")).cast("int")
+        .alias("lvl"),
+    )
+    return agg.select(
+        "lvl", "n_name", "c_mktsegment",
+        (F.col("sq").cast("double") / F.col("c")).alias("avg_qty"),
+        (F.col("sp").cast("double") / F.col("c")).alias("avg_price"),
+        F.col("c").cast("bigint").alias("cnt"),
+    ).orderBy(
+        "lvl", F.coalesce("n_name", F.lit("")),
+        F.coalesce("c_mktsegment", F.lit("")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q28 shape: six-band multi-DISTINCT single-row report
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q28_style_six_band_distinct",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 5
+        THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DECIMAL(38,2))
+        AS sum_b1,
+      CAST(COUNT(CASE WHEN l_quantity BETWEEN 1 AND 5 THEN 1 END) AS BIGINT)
+        AS cnt_b1,
+      CAST(COUNT(DISTINCT CASE WHEN l_quantity BETWEEN 1 AND 5
+        THEN l_extendedprice END) AS BIGINT) AS dist_b1,
+      CAST(SUM(CASE WHEN l_quantity BETWEEN 6 AND 10
+        THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DECIMAL(38,2))
+        AS sum_b2,
+      CAST(COUNT(CASE WHEN l_quantity BETWEEN 6 AND 10 THEN 1 END) AS BIGINT)
+        AS cnt_b2,
+      CAST(COUNT(DISTINCT CASE WHEN l_quantity BETWEEN 6 AND 10
+        THEN l_extendedprice END) AS BIGINT) AS dist_b2,
+      CAST(SUM(CASE WHEN l_quantity BETWEEN 11 AND 15
+        THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DECIMAL(38,2))
+        AS sum_b3,
+      CAST(COUNT(CASE WHEN l_quantity BETWEEN 11 AND 15 THEN 1 END) AS BIGINT)
+        AS cnt_b3,
+      CAST(COUNT(DISTINCT CASE WHEN l_quantity BETWEEN 11 AND 15
+        THEN l_extendedprice END) AS BIGINT) AS dist_b3,
+      CAST(SUM(CASE WHEN l_quantity BETWEEN 16 AND 20
+        THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DECIMAL(38,2))
+        AS sum_b4,
+      CAST(COUNT(CASE WHEN l_quantity BETWEEN 16 AND 20 THEN 1 END) AS BIGINT)
+        AS cnt_b4,
+      CAST(COUNT(DISTINCT CASE WHEN l_quantity BETWEEN 16 AND 20
+        THEN l_extendedprice END) AS BIGINT) AS dist_b4,
+      CAST(SUM(CASE WHEN l_quantity BETWEEN 21 AND 25
+        THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DECIMAL(38,2))
+        AS sum_b5,
+      CAST(COUNT(CASE WHEN l_quantity BETWEEN 21 AND 25 THEN 1 END) AS BIGINT)
+        AS cnt_b5,
+      CAST(COUNT(DISTINCT CASE WHEN l_quantity BETWEEN 21 AND 25
+        THEN l_extendedprice END) AS BIGINT) AS dist_b5,
+      CAST(SUM(CASE WHEN l_quantity BETWEEN 26 AND 30
+        THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DECIMAL(38,2))
+        AS sum_b6,
+      CAST(COUNT(CASE WHEN l_quantity BETWEEN 26 AND 30 THEN 1 END) AS BIGINT)
+        AS cnt_b6,
+      CAST(COUNT(DISTINCT CASE WHEN l_quantity BETWEEN 26 AND 30
+        THEN l_extendedprice END) AS BIGINT) AS dist_b6
+    FROM lineitem
+    """,
+)
+def tpcds_q28_style_six_band_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q28 shape: six quantity bands each reporting sum, count, and
+    COUNT(DISTINCT) in ONE single-row query — the reference's
+    MULTI_AGGREGATION stressor (MultiAggregateInfo duplicates agg
+    classes per distinct set; Spark plans the same via Expand). The
+    distinct target is the band-gated price (NULL outside the band),
+    so each distinct class deduplicates only its own band. Scale: one
+    scan, Expand x6 before the partial agg — map-side combine still
+    applies; final reduce is 1 row.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q28.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = [(1, 5), (6, 10), (11, 15), (16, 20), (21, 25), (26, 30)]
+    aggs = []
+    for i, (lo, hi) in enumerate(bands, start=1):
+        inb = F.col("l_quantity").between(lo, hi)
+        gated_dec = F.when(inb, _d("l_extendedprice"))
+        gated_raw = F.when(inb, F.col("l_extendedprice"))
+        aggs.append(F.sum(gated_dec).cast("decimal(38,2)").alias(f"sum_b{i}"))
+        aggs.append(
+            F.count(F.when(inb, F.lit(1))).cast("bigint").alias(f"cnt_b{i}")
+        )
+        aggs.append(
+            F.countDistinct(gated_raw).cast("bigint").alias(f"dist_b{i}")
+        )
+    return li.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# q71 shape: hour-of-day breakdown across a channel union
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q71_style_hourly_channel_union",
+    """
+    SELECT ch, CAST(hour(ts) AS INT) AS hr,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS amount
+    FROM (
+      SELECT 'web' AS ch, ts, value FROM events
+      WHERE event_type IN ('click', 'view')
+      UNION ALL
+      SELECT 'store' AS ch, ts, value FROM events
+      WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT 'catalog' AS ch, ts, value FROM events
+      WHERE event_type = 'signup') u
+    GROUP BY ch, hour(ts)
+    ORDER BY ch, hr
+    """,
+)
+def tpcds_q71_style_hourly_channel_union(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q71 shape: three channel arms UNION ALLed and broken down by
+    time-of-day (the reference joins a time dim for meal-hours; hours
+    here). Scale: each arm's type filter pushes to the scan; the
+    union aggregates once on (channel, hour) — 72 groups.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q71.test."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def arm(name: str, pred):
+        return ev.where(pred).select(
+            F.lit(name).alias("ch"), "ts", "value"
+        )
+
+    u = (
+        arm("web", F.col("event_type").isin("click", "view"))
+        .unionAll(arm("store", F.col("event_type") == "purchase"))
+        .unionAll(arm("catalog", F.col("event_type") == "signup"))
+    )
+    return (
+        u.groupBy("ch", F.hour("ts").cast("int").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("decimal(38,2)").alias("amount"),
+        )
+        .orderBy("ch", "hr")
+    )
