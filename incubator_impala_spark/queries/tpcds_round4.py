@@ -2073,3 +2073,430 @@ def tpcds_q71_style_hourly_channel_union(
         )
         .orderBy("ch", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# q8 shape: sales restricted to aggregate-qualified regions
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q8_style_agg_qualified_regions",
+    """
+    WITH pref AS (
+      SELECT c_nationkey AS pn FROM customer
+      WHERE c_acctbal > 5000
+      GROUP BY c_nationkey
+      HAVING COUNT(*) >= 20)
+    SELECT n_name,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_nationkey IN (SELECT pn FROM pref)
+      AND year(o_orderdate) = 1998
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpcds_q8_style_agg_qualified_regions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q8 shape: the qualifying region set is ITSELF an aggregate
+    (zips with >=10 preferred customers in the reference; nations
+    with >=20 high-balance customers here) semi-joined into the sales
+    aggregate — a dim filter derived by aggregation, not a literal
+    list. Scale: the qualifier agg is dim-sized and broadcasts as a
+    semi join; the fact prunes on year at the scan.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q8.test."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    pref = (
+        cust.where(F.col("c_acctbal") > 5000)
+        .groupBy(F.col("c_nationkey").alias("pn"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .where(F.col("nc") >= 20)
+        .select("pn")
+    )
+    return (
+        orders.where(F.year("o_orderdate") == 1998)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(pref), F.col("c_nationkey") == F.col("pn"),
+              "left_semi")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_d("o_totalprice")).cast("decimal(38,2)").alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 shape: EXISTS and (EXISTS or EXISTS) demographic counts
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q10_style_exists_or_exists_counts",
+    """
+    SELECT c_mktsegment,
+      CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND year(o_orderdate) = 1998
+          AND quarter(o_orderdate) = 1)
+      AND (EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND year(o_orderdate) = 1998
+              AND quarter(o_orderdate) = 2)
+        OR EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND year(o_orderdate) = 1998
+              AND quarter(o_orderdate) = 3))
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def tpcds_q10_style_exists_or_exists_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q10 shape: customers active in Q1 AND (Q2 OR Q3) — the OR of
+    correlated EXISTS cannot both lower to semi joins directly; the
+    OR arm plans as existence-mark (left outer + mark) joins combined
+    with a disjunctive filter, the AND arm as a plain LEFT SEMI.
+    Here: semi join for Q1; the Q2-or-Q3 arm is a single semi join on
+    the union predicate quarter IN (2,3) — equivalent algebra with
+    one fewer probe (EXISTS a OR EXISTS b == EXISTS (a UNION b) on
+    the same key). Scale: both order sets prune at the scan and hash
+    on custkey. Reference: testdata/workloads/tpcds/queries/
+    tpcds-q10.test, tpcds-q69.test."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    o98 = orders.where(F.year("o_orderdate") == 1998)
+    q1 = o98.where(F.quarter("o_orderdate") == 1).select(
+        F.col("o_custkey").alias("q1_ck")
+    )
+    q23 = o98.where(F.quarter("o_orderdate").isin(2, 3)).select(
+        F.col("o_custkey").alias("q23_ck")
+    )
+    return (
+        cust.join(q1, F.col("c_custkey") == F.col("q1_ck"), "left_semi")
+        .join(q23, F.col("c_custkey") == F.col("q23_ck"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13/q85 shape: average battery under a cross-side band disjunction
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q13_style_band_disjunction_avgs",
+    """
+    SELECT
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        AS avg_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        AS sum_price,
+      CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE (c_mktsegment = 'BUILDING'
+           AND o_totalprice BETWEEN 100000 AND 200000
+           AND l_quantity BETWEEN 1 AND 25)
+       OR (c_mktsegment = 'MACHINERY'
+           AND o_totalprice BETWEEN 150000 AND 250000
+           AND l_quantity BETWEEN 26 AND 50)
+       OR (c_mktsegment = 'HOUSEHOLD'
+           AND o_totalprice BETWEEN 50000 AND 150000
+           AND l_quantity BETWEEN 10 AND 40)
+    """,
+)
+def tpcds_q13_style_band_disjunction_avgs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q13 shape (q85 is the returns twin): the single-row AVERAGE
+    battery under a three-arm disjunction whose arms span THREE
+    relations (demographic x order amount x line quantity) — no arm
+    can fully push to any single scan. Averages are one double
+    division of exact decimal sums each. Scale: one orderkey shuffle,
+    customer broadcasts, 1-row reduce.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q13.test,
+    tpcds-q85.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    arm = lambda seg, plo, phi, qlo, qhi: (  # noqa: E731
+        (F.col("c_mktsegment") == seg)
+        & F.col("o_totalprice").between(plo, phi)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            arm("BUILDING", 100000, 200000, 1, 25)
+            | arm("MACHINERY", 150000, 250000, 26, 50)
+            | arm("HOUSEHOLD", 50000, 150000, 10, 40)
+        )
+        .agg(
+            (F.sum(_d("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(_d("l_extendedprice")).cast("double") / cnt)
+            .alias("avg_price"),
+            F.sum(_d("l_extendedprice")).cast("decimal(38,2)")
+            .alias("sum_price"),
+            cnt.cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 shape: cross-border brand revenue (buyer nation != seller nation)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q19_style_cross_border_brands",
+    """
+    SELECT p_brand,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        AS revenue,
+      CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE c_nationkey <> s_nationkey AND year(o_orderdate) = 1998
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def tpcds_q19_style_cross_border_brands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q19 shape: brand revenue where the buyer's and seller's
+    locations DIFFER (the reference's store-zip != customer-zip) — an
+    inequality predicate across two dimensions that only evaluates
+    after both joins. Scale: the inequality is a post-join filter (it
+    cannot prune either scan); dims broadcast; one orderkey shuffle
+    then one |brand| agg.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q19.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(
+            orders.where(F.year("o_orderdate") == 1998),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_d("l_extendedprice")).cast("decimal(38,2)").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q30/q81 shape: customers returning above 1.2x their nation's average
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q30_style_above_avg_returners",
+    """
+    WITH cr AS (
+      SELECT c_custkey AS ck, c_nationkey AS nk,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+          AS ret_amt
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_nationkey),
+    na AS (
+      SELECT nk AS a_nk,
+        CAST(SUM(ret_amt) AS DECIMAL(38,2)) AS tot,
+        CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cr GROUP BY nk)
+    SELECT n_name, cr.ck AS custkey, cr.ret_amt
+    FROM cr
+    JOIN na ON cr.nk = na.a_nk
+    JOIN nation ON cr.nk = n_nationkey
+    WHERE cr.ret_amt * 10 * na.cnt > 12 * na.tot
+    ORDER BY n_name, custkey
+    """,
+)
+def tpcds_q30_style_above_avg_returners(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q30 shape (q81 is the catalog twin): customers whose total
+    returns exceed 1.2x the average return total of their state. The
+    per-customer aggregate re-aggregates per nation; the 1.2x-average
+    compare cross-multiplies (amt*10*cnt > 12*tot) — exact decimal
+    throughout. Scale: the nation-level re-agg is dim-sized and
+    broadcasts back onto the customer-grained relation.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q30.test,
+    tpcds-q81.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cr = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk")
+        )
+        .agg(F.sum(_d("l_extendedprice")).cast("decimal(18,2)").alias("ret_amt"))
+    )
+    na = cr.groupBy(F.col("nk").alias("a_nk")).agg(
+        F.sum("ret_amt").cast("decimal(38,2)").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    return (
+        cr.join(F.broadcast(na), F.col("nk") == F.col("a_nk"))
+        .where(F.col("ret_amt") * 10 * F.col("cnt") > 12 * F.col("tot"))
+        .join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .select("n_name", F.col("ck").alias("custkey"), "ret_amt")
+        .orderBy("n_name", "custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 shape: day-of-week sales pivot per supplier nation
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q43_style_dow_pivot",
+    """
+    SELECT n_name,
+      CAST(SUM(CASE WHEN dayofweek(l_shipdate) = 0
+        THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE 0 END)
+        AS DECIMAL(38,2)) AS sun_sales,
+      CAST(SUM(CASE WHEN dayofweek(l_shipdate) = 1
+        THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE 0 END)
+        AS DECIMAL(38,2)) AS mon_sales,
+      CAST(SUM(CASE WHEN dayofweek(l_shipdate) = 2
+        THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE 0 END)
+        AS DECIMAL(38,2)) AS tue_sales,
+      CAST(SUM(CASE WHEN dayofweek(l_shipdate) = 3
+        THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE 0 END)
+        AS DECIMAL(38,2)) AS wed_sales,
+      CAST(SUM(CASE WHEN dayofweek(l_shipdate) = 4
+        THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE 0 END)
+        AS DECIMAL(38,2)) AS thu_sales,
+      CAST(SUM(CASE WHEN dayofweek(l_shipdate) = 5
+        THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE 0 END)
+        AS DECIMAL(38,2)) AS fri_sales,
+      CAST(SUM(CASE WHEN dayofweek(l_shipdate) = 6
+        THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE 0 END)
+        AS DECIMAL(38,2)) AS sat_sales
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE year(l_shipdate) = 1998
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpcds_q43_style_dow_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q43 shape: one year's sales pivoted into seven day-of-week
+    columns per store (supplier nation here) — seven conditional
+    decimal sums in ONE aggregate pass, not seven scans.
+    Spark dayofweek() is 1=Sunday..7=Saturday while DuckDB's is
+    0=Sunday..6=Saturday — the oracle uses the 0-based values for the
+    same calendar days. Scale: one
+    fact pass with pushed year filter, dims broadcast, |nation| agg.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q43.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    days = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+    aggs = [
+        F.sum(
+            F.when(F.dayofweek("l_shipdate") == i + 1, _d("l_extendedprice"))
+            .otherwise(0)
+        ).cast("decimal(38,2)").alias(f"{d}_sales")
+        for i, d in enumerate(days)
+    ]
+    return (
+        li.where(F.year("l_shipdate") == 1998)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(*aggs)
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q61 shape: promotional-sales share ratio of two aggregates
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q61_style_promo_share",
+    """
+    WITH promo AS (
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+        AS DECIMAL(38,2)) AS p
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND l_discount >= 0.05 AND year(l_shipdate) = 1998),
+    total AS (
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+        AS DECIMAL(38,2)) AS t
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND year(l_shipdate) = 1998)
+    SELECT p AS promo_rev, t AS total_rev,
+      CAST(p AS DOUBLE) / CAST(t AS DOUBLE) AS promo_share
+    FROM promo, total
+    """,
+)
+def tpcds_q61_style_promo_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q61 shape: promotional revenue over total revenue as a ratio
+    of two single-row aggregates cross-joined (1x1 — the one place a
+    cross join is free). The share is ONE double division of exact
+    decimal sums. Scale: two fact passes with pushed filters (the
+    promo pass is a strict subset predicate), 1-row join.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q61.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    base = li.join(
+        orders.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).where(F.year("l_shipdate") == 1998)
+    promo = base.where(F.col("l_discount") >= 0.05).agg(
+        F.sum(_d("l_extendedprice")).cast("decimal(38,2)").alias("promo_rev")
+    )
+    total = base.agg(
+        F.sum(_d("l_extendedprice")).cast("decimal(38,2)").alias("total_rev")
+    )
+    return promo.crossJoin(total).select(
+        "promo_rev", "total_rev",
+        (F.col("promo_rev").cast("double") / F.col("total_rev").cast("double"))
+        .alias("promo_share"),
+    )
