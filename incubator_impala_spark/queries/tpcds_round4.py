@@ -2500,3 +2500,133 @@ def tpcds_q61_style_promo_share(
         (F.col("promo_rev").cast("double") / F.col("total_rev").cast("double"))
         .alias("promo_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q17/q25 shape: buy -> return -> re-buy chain with quantity stats
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q17_style_buy_return_rebuy_stats",
+    """
+    WITH first_buy AS (
+      SELECT o_custkey AS ck, l_partkey AS pk, l_quantity AS q1
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE quarter(o_orderdate) = 1 AND year(o_orderdate) = 1998),
+    returned AS (
+      SELECT DISTINCT o_custkey AS rck, l_partkey AS rpk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R' AND year(o_orderdate) = 1998),
+    rebuy AS (
+      SELECT o_custkey AS bck, l_partkey AS bpk, l_quantity AS q2
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE quarter(o_orderdate) >= 2 AND year(o_orderdate) = 1998)
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_chains,
+      CAST(SUM(CAST(q1 AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        AS avg_first_qty,
+      CAST(SUM(CAST(q2 AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        AS avg_rebuy_qty
+    FROM first_buy f
+    JOIN returned r ON f.ck = r.rck AND f.pk = r.rpk
+    JOIN rebuy b ON f.ck = b.bck AND f.pk = b.bpk
+    """,
+)
+def tpcds_q17_style_buy_return_rebuy_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q17 shape (q25 is the profit twin): three instances of the
+    fact chained on (customer, item) — a first-quarter purchase, a
+    return of the same item, and a later re-purchase — with quantity
+    statistics over the surviving chains. The return set is
+    DISTINCTed before joining so chain fan-out is purchase x rebuy
+    only (deterministic). Averages are one double division each.
+    Scale: all three legs shuffle on the same (custkey, partkey)
+    composite key; year/quarter filters push to the orders scans.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q17.test,
+    tpcds-q25.test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    y98 = F.year("o_orderdate") == 1998
+    first_buy = j.where(y98 & (F.quarter("o_orderdate") == 1)).select(
+        F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"),
+        F.col("l_quantity").alias("q1"),
+    )
+    returned = (
+        j.where(y98 & (F.col("l_returnflag") == "R"))
+        .select(F.col("o_custkey").alias("rck"), F.col("l_partkey").alias("rpk"))
+        .distinct()
+    )
+    rebuy = j.where(y98 & (F.quarter("o_orderdate") >= 2)).select(
+        F.col("o_custkey").alias("bck"), F.col("l_partkey").alias("bpk"),
+        F.col("l_quantity").alias("q2"),
+    )
+    chains = (
+        first_buy.join(
+            returned,
+            (F.col("ck") == F.col("rck")) & (F.col("pk") == F.col("rpk")),
+        )
+        .join(
+            rebuy,
+            (F.col("ck") == F.col("bck")) & (F.col("pk") == F.col("bpk")),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    return chains.agg(
+        cnt.cast("bigint").alias("n_chains"),
+        (F.sum(F.col("q1").cast("decimal(12,2)")).cast("double") / cnt)
+        .alias("avg_first_qty"),
+        (F.sum(F.col("q2").cast("decimal(12,2)")).cast("double") / cnt)
+        .alias("avg_rebuy_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 shape: customers spending above 5% of the overall average total
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpcds_q24_style_share_threshold",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey AS ck,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+          AS spend
+      FROM orders GROUP BY o_custkey),
+    tot AS (
+      SELECT CAST(SUM(spend) AS DECIMAL(38,2)) AS t,
+        CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM per_cust)
+    SELECT ck AS custkey, spend
+    FROM per_cust, tot
+    WHERE spend * 20 * cnt > t
+    ORDER BY custkey
+    """,
+)
+def tpcds_q24_style_share_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q24 shape: keep customers whose total exceeds 5% of the
+    average customer total — a scalar aggregate-of-aggregate
+    threshold (the reference's `having sum > 0.05 * (select avg ...)`).
+    The 5%-of-average compare cross-multiplies (spend*20*cnt > tot);
+    the 1-row total broadcasts onto the per-customer relation.
+    Scale: one custkey shuffle; the re-agg is a 1-row reduce.
+    Reference: testdata/workloads/tpcds/queries/tpcds-q24.test."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(_d("o_totalprice")).cast("decimal(18,2)").alias("spend")
+    )
+    tot = per_cust.agg(
+        F.sum("spend").cast("decimal(38,2)").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(tot))
+        .where(F.col("spend") * 20 * F.col("cnt") > F.col("t"))
+        .select(F.col("ck").alias("custkey"), "spend")
+        .orderBy("custkey")
+    )

@@ -59,6 +59,9 @@ def explain_formatted(df) -> str:
 _SCRUBS = [
     # expression / plan ids: l_orderkey#123L -> l_orderkey#xL
     (re.compile(r"#\d+"), "#x"),
+    # lambda variable names carry a session-global counter
+    # (lambda x_29#x) — scrub the counter, keep the variable letter
+    (re.compile(r"\blambda ([a-zA-Z]+)_\d+"), r"lambda \1_n"),
     # codegen stage ids and whole-stage markers: (12) -> (n) is NOT
     # scrubbed (operator numbering is stable); codegen ids are:
     (re.compile(r"\[codegen id : \d+\]"), "[codegen id : x]"),
