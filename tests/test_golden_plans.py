@@ -32,6 +32,10 @@ def test_golden_plan(spark, name):
     assert os.path.exists(path), (
         f"no golden plan for {name}; run scripts/snapshot_plans.py"
     )
+    # Cold-cache state: a persisted intermediate materialized by an
+    # earlier test carries exact size statistics that can flip a join
+    # strategy, making the plan depend on test order.
+    spark.catalog.clearCache()
     got = plansnap.normalize(
         plansnap.explain_formatted(QUERIES[name](spark, SF_SMALL))
     )
