@@ -25,6 +25,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+
+def _par(df: DataFrame) -> int:
+    """Cluster parallelism for CPU-dense exchanges. These stages do
+    heavy per-row compute (md5 batteries, HOF cosine lambdas) over few
+    bytes, so AQE's byte-based coalescing would shrink an implicit
+    repartition(col) to 1-2 partitions and serialize the work; an
+    explicit count pins the exchange (AQE honors user-specified
+    numbers) and defaultParallelism scales with the cluster."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -66,7 +77,7 @@ def shingle_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sh = f"transform(sequence(1, size(_toks) - {n - 1}), i -> concat_ws(' ', {parts}))"
     return (
         df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
-        .repartition(F.col(id_col))
+        .repartition(_par(df), F.col(id_col))
         .select(F.col(id_col), F.explode(F.expr(sh)).alias("sh"))
         .distinct()
     )
@@ -366,7 +377,7 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     a = df.select(
         F.col(id_col).alias("id1"), F.col(vec_col).alias("va"),
         vec_norm(vec_col).alias("na"),
-    ).repartition(F.col("id1"))
+    ).repartition(_par(df), F.col("id1"))
     b = df.select(
         F.col(id_col).alias("id2"), F.col(vec_col).alias("vb"),
         vec_norm(vec_col).alias("nb"),
@@ -464,7 +475,7 @@ def ivf_dup_pairs(df: DataFrame, dim: int, vec_col: str = "embedding",
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
         vec_norm(vec_col).alias("nrm"),
-    ).repartition(F.col("vid"))
+    ).repartition(_par(df), F.col("vid"))
     cents = base.where(F.col("vid") % stride == 0).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from incubator_impala_spark.operators.dedup import dot_product, vec_norm
+from incubator_impala_spark.operators.dedup import _par, dot_product, vec_norm
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -37,7 +37,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         vec_norm(vec_col).alias("cn"),
-    ).repartition(F.col("neighbor_id"))
+    ).repartition(_par(corpus), F.col("neighbor_id"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -121,7 +121,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     cross join at 100 TB; recall is tuned by bands × planes-per-band.
     """
     cb = lsh_bucket_bands(
-        corpus.repartition(F.col(id_col)).select(
+        corpus.repartition(_par(corpus), F.col(id_col)).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
             vec_norm(vec_col).alias("cn"),
         ),
@@ -172,7 +172,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     """
     import math
 
-    from incubator_impala_spark.operators.dedup import dot_product, vec_norm
+    from incubator_impala_spark.operators.dedup import _par, dot_product, vec_norm
 
     if n is None:
         n = corpus.count()
@@ -180,7 +180,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         vec_norm(vec_col).alias("cn"),
-    ).repartition(F.col("neighbor_id"))
+    ).repartition(_par(corpus), F.col("neighbor_id"))
     cents = c.where(F.col("neighbor_id") % stride == 0).select(
         F.col("neighbor_id").alias("cid"), F.col("cv").alias("centv"),
         F.col("cn").alias("centn"),

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from incubator_impala_spark.operators.dedup import _par
+
 # Small per-language stopword lists for the n-gram/stopword heuristic.
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
@@ -121,7 +123,7 @@ def winnow_fingerprints(df: DataFrame, col: str = "text",
     toks = F.split(F.col(col), " ")
     base = df.select(F.col(id_col), toks.alias("_toks")).where(
         F.size("_toks") >= n_min
-    ).repartition(F.col(id_col))
+    ).repartition(_par(df), F.col(id_col))
     kgrams = F.expr(
         f"transform(sequence(1, size(_toks) - {k - 1}), "
         f"i -> substr(md5(concat_ws(' ', slice(_toks, i, {k}))), 1, 8))"
