@@ -294,3 +294,110 @@ def nested_tpch_exists_urgent_by_segment(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# In-row top-k: slice the sorted collection (TopN inside the subplan)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "nested_tpch_top2_orders_per_customer",
+    """
+    SELECT c_custkey, o_orderkey,
+      CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice
+    FROM (
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey) t
+    WHERE rn <= 2
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def nested_tpch_top2_orders_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-N inside the collection: each customer's two most expensive
+    orders, computed by sorting the c_orders array IN THE ROW
+    (sort_array over a reordered struct) and slicing — the reference
+    plans a TopNNode inside the subplan; the flat-relational
+    equivalent is a row_number window (the oracle). Zero shuffles
+    after the fixture build and zero window exchanges — the per-group
+    top-k never leaves the row. The sort key embeds (-price, orderkey)
+    so ties break identically in both engines.
+    Reference: testdata/workloads/tpch_nested/ (order ranking)."""
+    nested = _nested_customers(spark, sf_dir)
+    rekeyed = F.expr(
+        "slice(sort_array(transform(c_orders, o -> struct("
+        "  -cast(o.o_totalprice as decimal(12,2)) AS negprice,"
+        "  o.o_orderkey AS o_orderkey,"
+        "  cast(o.o_totalprice as decimal(12,2)) AS o_totalprice))), 1, 2)"
+    )
+    ex = nested.select(
+        "c_custkey", F.explode(rekeyed).alias("t")
+    )
+    return ex.select(
+        "c_custkey",
+        F.col("t.o_orderkey").alias("o_orderkey"),
+        F.col("t.o_totalprice").alias("o_totalprice"),
+    ).orderBy("c_custkey", F.desc("o_totalprice"), "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Filtered fold: aggregate only matching collection elements
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "nested_tpch_urgent_spend_share",
+    """
+    SELECT c.c_custkey,
+      CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+        THEN CAST(o.o_totalprice AS DECIMAL(12,2)) END), 0)
+        AS DECIMAL(38,2)) AS urgent_spend,
+      CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0)
+        AS DECIMAL(38,2)) AS total_spend
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    HAVING SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+      THEN CAST(o.o_totalprice AS DECIMAL(12,2)) END) > 0
+    ORDER BY c_custkey
+    """,
+)
+def nested_tpch_urgent_spend_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filtered fold over the collection: urgent-priority spend next
+    to total spend per customer — the reference evaluates the
+    priority conjunct inside the subplan's unnest; here `filter()`
+    prunes the array before the decimal fold, all inside the row.
+    Customers without orders drop via the urgent>0 guard (matching
+    the oracle's inner-join HAVING). Scale: narrow map after the nest
+    build; no explosion.
+    Reference: testdata/workloads/tpch_nested/ (filtered collection
+    aggregates)."""
+    nested = _nested_customers(spark, sf_dir)
+
+    def fold(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("decimal(18,2)"),
+            lambda acc, o: (
+                acc + o["o_totalprice"].cast("decimal(12,2)")
+            ).cast("decimal(18,2)"),
+        )
+
+    urgent = fold(
+        F.filter("c_orders", lambda o: o["o_orderpriority"] == "1-URGENT")
+    )
+    total = fold(F.col("c_orders"))
+    return (
+        nested.select(
+            "c_custkey",
+            urgent.cast("decimal(38,2)").alias("urgent_spend"),
+            total.cast("decimal(38,2)").alias("total_spend"),
+        )
+        .where(F.col("urgent_spend") > 0)
+        .orderBy("c_custkey")
+    )
