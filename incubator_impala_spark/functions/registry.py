@@ -79,7 +79,109 @@ MACROS = {
     "minutes_sub": lambda a: f"({a[0]} - make_interval(0,0,0,0,0,{a[1]},0))",
     "seconds_add": lambda a: f"({a[0]} + make_interval(0,0,0,0,0,0,{a[1]}))",
     "seconds_sub": lambda a: f"({a[0]} - make_interval(0,0,0,0,0,0,{a[1]}))",
+    # sub-second interval arithmetic (impala_functions.py
+    # milliseconds_add/microseconds_add/nanoseconds_add): make_interval's
+    # seconds arg takes fractional decimals; nanos truncate to µs (the
+    # documented TIMESTAMP precision gap, SURVEY.md §1.2)
+    "milliseconds_add": lambda a: (
+        f"({a[0]} + make_interval(0,0,0,0,0,0,"
+        f" cast({a[1]} as decimal(20,3)) / 1000))"
+    ),
+    "milliseconds_sub": lambda a: (
+        f"({a[0]} - make_interval(0,0,0,0,0,0,"
+        f" cast({a[1]} as decimal(20,3)) / 1000))"
+    ),
+    "microseconds_add": lambda a: (
+        f"({a[0]} + make_interval(0,0,0,0,0,0,"
+        f" cast({a[1]} as decimal(24,6)) / 1000000))"
+    ),
+    "microseconds_sub": lambda a: (
+        f"({a[0]} - make_interval(0,0,0,0,0,0,"
+        f" cast({a[1]} as decimal(24,6)) / 1000000))"
+    ),
+    "nanoseconds_add": lambda a: (
+        f"({a[0]} + make_interval(0,0,0,0,0,0,"
+        f" cast(({a[1]}) div 1000 as decimal(24,6)) / 1000000))"
+    ),
+    "nanoseconds_sub": lambda a: (
+        f"({a[0]} - make_interval(0,0,0,0,0,0,"
+        f" cast(({a[1]}) div 1000 as decimal(24,6)) / 1000000))"
+    ),
+    "months_add_interval": lambda a: (
+        f"({a[0]} + make_interval(0,{a[1]},0,0,0,0,0))"
+    ),
+    "months_sub_interval": lambda a: (
+        f"({a[0]} - make_interval(0,{a[1]},0,0,0,0,0))"
+    ),
+    "millisecond": lambda a: f"cast(date_format({a[0]}, 'SSS') as int)",
+    "week": lambda a: f"weekofyear({a[0]})",
+    "weekofyear": lambda a: f"weekofyear({a[0]})",
+    "int_months_between": lambda a: (
+        f"cast(floor(months_between({a[0]}, {a[1]})) as int)"
+    ),
+    "from_timestamp": lambda a: f"date_format({a[0]}, {a[1]})",
+    "date_cmp": lambda a: (
+        f"(CASE WHEN {a[0]} < {a[1]} THEN -1 WHEN {a[0]} > {a[1]} THEN 1 "
+        f"WHEN {a[0]} = {a[1]} THEN 0 END)"
+    ),
+    "timestamp_cmp": lambda a: (
+        f"(CASE WHEN {a[0]} < {a[1]} THEN -1 WHEN {a[0]} > {a[1]} THEN 1 "
+        f"WHEN {a[0]} = {a[1]} THEN 0 END)"
+    ),
+    "unix_micros_to_utc_timestamp": lambda a: f"timestamp_micros({a[0]})",
+    "utc_to_unix_micros": lambda a: (
+        f"unix_micros(cast({a[0]} as timestamp))"
+    ),
+    "timeofday": lambda a: (
+        "date_format(now(), 'EEE MMM dd HH:mm:ss yyyy z')"
+    ),
     "utc_timestamp": lambda a: "to_utc_timestamp(now(), current_timezone())",
+    # predicates / inspection (operators-ir.cc, utility-functions-ir.cc)
+    "distinctfrom": lambda a: f"(({a[0]}) IS DISTINCT FROM ({a[1]}))",
+    "notdistinct": lambda a: f"(({a[0]}) IS NOT DISTINCT FROM ({a[1]}))",
+    "is_nan": lambda a: f"isnan({a[0]})",
+    "is_inf": lambda a: (
+        f"(abs(cast({a[0]} as double)) = cast('Infinity' as double))"
+    ),
+    "effective_user": lambda a: "current_user()",
+    # decimal introspection (decimal-functions-ir.cc precision/scale):
+    # derived from typeof() text — works on any expression, stays in
+    # codegen after constant folding
+    "precision": lambda a: (
+        f"(CASE WHEN typeof({a[0]}) LIKE 'decimal%' THEN "
+        f"cast(regexp_extract(typeof({a[0]}), 'decimal\\\\((\\\\d+)', 1) "
+        f"as int) END)"
+    ),
+    "scale": lambda a: (
+        f"(CASE WHEN typeof({a[0]}) LIKE 'decimal%' THEN "
+        f"cast(regexp_extract(typeof({a[0]}), ',(\\\\d+)\\\\)', 1) "
+        f"as int) END)"
+    ),
+    # integer type bounds (math-functions-ir.cc MaxInt/MinInt family)
+    "max_tinyint": lambda a: "cast(127 as tinyint)",
+    "min_tinyint": lambda a: "cast(-128 as tinyint)",
+    "max_smallint": lambda a: "cast(32767 as smallint)",
+    "min_smallint": lambda a: "cast(-32768 as smallint)",
+    "max_int": lambda a: "cast(2147483647 as int)",
+    "min_int": lambda a: "cast(-2147483648 as int)",
+    "max_bigint": lambda a: "cast(9223372036854775807 as bigint)",
+    "min_bigint": lambda a: "cast(-9223372036854775808 as bigint)",
+    # regex utilities (string-functions-ir.cc RegexpEscape/MatchCount)
+    "regexp_escape": lambda a: (
+        f"regexp_replace({a[0]}, "
+        "'([.\\\\\\\\^$*+?()\\\\[\\\\]{}|])', '\\\\\\\\$1')"
+    ),
+    "regexp_match_count": lambda a: (
+        f"size(regexp_extract_all({a[0]}, {a[1]}, 0))"
+    ),
+    "setbit": lambda a: (
+        f"(({a[0]}) | (1 << ({a[1]})))"
+        if len(a) == 2
+        else (
+            f"(CASE WHEN ({a[2]}) = 0 THEN (({a[0]}) & ~(1 << ({a[1]}))) "
+            f"ELSE (({a[0]}) | (1 << ({a[1]}))) END)"
+        )
+    ),
     # bit/byte (be/src/exprs/bit-byte-functions-ir.cc)
     "bitand": lambda a: f"(({a[0]}) & ({a[1]}))",
     "bitor": lambda a: f"(({a[0]}) | ({a[1]}))",
