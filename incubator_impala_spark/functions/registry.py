@@ -116,8 +116,11 @@ MACROS = {
     "millisecond": lambda a: f"cast(date_format({a[0]}, 'SSS') as int)",
     "week": lambda a: f"weekofyear({a[0]})",
     "weekofyear": lambda a: f"weekofyear({a[0]})",
+    # reference truncates toward zero (static_cast<int32_t>,
+    # timestamp-functions-ir.cc:603); Spark's double->int cast matches
+    # (floor() would be off by one for negative differences)
     "int_months_between": lambda a: (
-        f"cast(floor(months_between({a[0]}, {a[1]})) as int)"
+        f"cast(months_between({a[0]}, {a[1]}) as int)"
     ),
     "from_timestamp": lambda a: f"date_format({a[0]}, {a[1]})",
     "date_cmp": lambda a: (
@@ -167,19 +170,27 @@ MACROS = {
     "max_bigint": lambda a: "cast(9223372036854775807 as bigint)",
     "min_bigint": lambda a: "cast(-9223372036854775808 as bigint)",
     # regex utilities (string-functions-ir.cc RegexpEscape/MatchCount)
+    # byte-exact escape set from the reference (string-functions-ir.cc
+    # RegexpEscape): .\+*?[^]$(){}=!<>|:- — includes = ! < > : - which a
+    # minimal regex-metachar set would omit
     "regexp_escape": lambda a: (
         f"regexp_replace({a[0]}, "
-        "'([.\\\\\\\\^$*+?()\\\\[\\\\]{}|])', '\\\\\\\\$1')"
+        "'([.\\\\\\\\+*?\\\\[^\\\\]$(){}=!<>|:-])', '\\\\\\\\$1')"
     ),
     "regexp_match_count": lambda a: (
         f"size(regexp_extract_all({a[0]}, {a[1]}, 0))"
     ),
+    # the one being shifted must be BIGINT: shiftleft on an INT masks the
+    # count to 5 bits, so setbit(BIGINT, 40) would set bit 8. The reference
+    # supports positions up to 63 (impala_functions.py:800). Result widens
+    # to BIGINT for narrower inputs (documented in DIALECT.md).
     "setbit": lambda a: (
-        f"(({a[0]}) | (1 << ({a[1]})))"
+        f"(({a[0]}) | (cast(1 as bigint) << ({a[1]})))"
         if len(a) == 2
         else (
-            f"(CASE WHEN ({a[2]}) = 0 THEN (({a[0]}) & ~(1 << ({a[1]}))) "
-            f"ELSE (({a[0]}) | (1 << ({a[1]}))) END)"
+            f"(CASE WHEN ({a[2]}) = 0 THEN "
+            f"(({a[0]}) & ~(cast(1 as bigint) << ({a[1]}))) "
+            f"ELSE (({a[0]}) | (cast(1 as bigint) << ({a[1]}))) END)"
         )
     ),
     # bit/byte (be/src/exprs/bit-byte-functions-ir.cc)

@@ -52,11 +52,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # matches the reference's timezoneless semantics,
             # timestamp-value.h:45-61). Derive ts_ns so the loader
             # contract (raw int64 nanos alongside ts) holds for both
-            # physical layouts; session tz is UTC so the cast is exact.
+            # physical layouts, and normalize ts itself to TimestampType
+            # so the contract's ts dtype does not depend on the physical
+            # file layout (unix_micros(ts) etc. work unconditionally);
+            # session tz is pinned UTC so the NTZ->TZ cast is exact.
             df = df.withColumn(
                 "ts_ns",
                 F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000),
-            )
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -53,7 +53,13 @@ def read_events_stream(spark: SparkSession, events_dir: str,
     batch read (footer-only, no job) and branch on the physical layout."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(events_dir).schema
+    try:
+        schema = spark.read.parquet(events_dir).schema
+    except Exception:
+        # Standard file-stream startup pattern: the directory may be
+        # empty (or not yet created) when the stream starts and files
+        # arrive later — fall back to the documented raw layout.
+        schema = EVENTS_RAW_SCHEMA
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -65,7 +71,7 @@ def read_events_stream(spark: SparkSession, events_dir: str,
         )
     return df.withColumn(
         "ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
-    )
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def watermarked(events: DataFrame, delay: str = "2 hours") -> DataFrame:

@@ -205,3 +205,31 @@ def test_append_mode_window_emission_contract(spark, tmp_path):
     import pandas as pd
 
     assert got["day"].max() < pd.Timestamp("2024-01-30")
+
+
+def test_stream_starts_on_empty_directory(spark, tmp_path):
+    """File-stream startup pattern: the source directory may be empty
+    when the stream starts and files arrive later. The schema probe
+    must fall back to EVENTS_RAW_SCHEMA instead of throwing, and the
+    stream must pick up files written after start (ts normalized to
+    timestamp, ts_ns carried, exactly like the batch loader)."""
+    import duckdb
+
+    from incubator_impala_spark.streaming import jobs
+
+    src = f"{tmp_path}/empty_then_filled"
+    os.makedirs(src, exist_ok=True)
+    ev = jobs.read_events_stream(spark, src)
+    assert ev.isStreaming
+    dt = dict(ev.dtypes)
+    assert dt["ts"] == "timestamp" and dt["ts_ns"] == "bigint"
+    # now drop a file matching the raw layout and drain
+    duckdb.sql(
+        "COPY (SELECT 1::BIGINT AS event_id, 1577836800000000000::BIGINT AS ts,"
+        " 7::BIGINT AS user_id, 'click' AS event_type, 1.5::DOUBLE AS value,"
+        " '{}' AS props) TO '%s/part0.parquet' (FORMAT PARQUET)" % src
+    )
+    out = jobs.run_available_now(ev, output_mode="append")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["ts_ns"] == 1577836800000000000
