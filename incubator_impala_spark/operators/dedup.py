@@ -284,16 +284,30 @@ def simhash_pair_sql(dialect: str, max_hamming: int = 6,
     if n_segments is None:
         n_segments = max_hamming + 1
     sig = simhash60_sql(dialect)
+    segments = simhash_segments(SIMHASH_BITS, n_segments)
     if dialect == "spark":
         xor = "c.h1 ^ c.h2"
+        pair_xor = "(s1.simhash ^ s2.simhash)"
         shift = "shiftright(s.simhash, seg.off)"
+        pair_shift = "shiftright({x}, {off})"
     else:
         xor = "xor(c.h1, c.h2)"
+        pair_xor = "xor(s1.simhash, s2.simhash)"
         shift = "(s.simhash >> seg.off)"
-    seg_rows = ", ".join(
-        f"({i}, {off}, {mask})"
-        for i, off, mask in simhash_segments(SIMHASH_BITS, n_segments)
-    )
+        pair_shift = "({x} >> {off})"
+    seg_rows = ", ".join(f"({i}, {off}, {mask})" for i, off, mask in segments)
+    # Dedup-free candidate emission: a pair agreeing on k segments would
+    # come out of the equi-join k times; instead of a `SELECT DISTINCT`
+    # (a full shuffle over the candidate stream) emit each pair only
+    # from its FIRST matching segment. The first match is computable
+    # from the pair's XOR alone (segment j matches iff the XOR's bits
+    # in that segment are all zero), so it's a constant-size CASE
+    # evaluated join-side — no extra exchange anywhere in the plan.
+    first_match = "CASE " + " ".join(
+        f"WHEN ({pair_shift.format(x=pair_xor, off=off)} & {mask}) = 0 "
+        f"THEN {i}"
+        for i, off, mask in segments
+    ) + " END"
     return f"""
     WITH sig AS ({sig}),
     segs AS (
@@ -301,11 +315,12 @@ def simhash_pair_sql(dialect: str, max_hamming: int = 6,
              ({shift} & seg.mask) AS seg_val
       FROM sig s CROSS JOIN (VALUES {seg_rows}) AS seg(seg_idx, off, mask)),
     cand AS (
-      SELECT DISTINCT s1.doc_id AS d1, s2.doc_id AS d2,
+      SELECT s1.doc_id AS d1, s2.doc_id AS d2,
              s1.simhash AS h1, s2.simhash AS h2
       FROM segs s1 JOIN segs s2
         ON s1.seg_idx = s2.seg_idx AND s1.seg_val = s2.seg_val
-       AND s1.doc_id < s2.doc_id)
+       AND s1.doc_id < s2.doc_id
+      WHERE s1.seg_idx = ({first_match}))
     SELECT c.d1, c.d2, CAST(bit_count({xor}) AS INT) AS hamming
     FROM cand c
     WHERE bit_count({xor}) <= {max_hamming}
