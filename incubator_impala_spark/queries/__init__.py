@@ -23,6 +23,7 @@ from incubator_impala_spark.queries import (
     sql_surface,
     streaming_batch,
     tpcds_adapted,
+    tpcds_real,
     tpcds_round3,
     tpcds_round4,
     tpch,
@@ -31,6 +32,7 @@ from incubator_impala_spark.queries import (
 _MODULES = [
     tpch, relational, pipeline, streaming_batch, functions_sweep, nested,
     nested_tpch, sql_surface, tpcds_adapted, tpcds_round3, tpcds_round4,
+    tpcds_real,
 ]
 
 QUERIES = {}

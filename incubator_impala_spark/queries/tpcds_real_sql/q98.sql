@@ -1,0 +1,30 @@
+-- TPC-DS q98 (public benchmark query text, as carried by the
+-- reference at testdata/workloads/tpcds/queries/tpcds-decimal_v2-q98.test)
+-- RESULT MISMATCH FROM ORIGINAL
+-- FIXED, ADDED ROUND() TO LAST COLUMN
+select i_item_id,
+       i_item_desc,
+       i_category,
+       i_class,
+       i_current_price,
+       sum(ss_ext_sales_price) as itemrevenue,
+       round(cast(sum(ss_ext_sales_price) as double)*100/cast(sum(sum(ss_ext_sales_price)) over
+          (partition by i_class) as double), 2) as revenueratio
+from store_sales,
+     item,
+     date_dim
+where ss_item_sk = i_item_sk
+      and i_category in ('Sports', 'Books', 'Home')
+      and ss_sold_date_sk = d_date_sk
+      and cast(d_date as timestamp) between cast('1999-02-22' as timestamp)
+                                    and (cast('1999-02-22' as timestamp) + interval 30 days)
+group by i_item_id,
+         i_item_desc,
+         i_category,
+         i_class,
+         i_current_price
+order by i_category,
+         i_class,
+         i_item_id,
+         i_item_desc,
+         revenueratio

@@ -1,0 +1,1291 @@
+"""Generate the committed TPC-DS-schema parquet fixture (fixtures/tpcds/).
+
+Synthetic, deterministic (fixed numpy seed), SMALL (~400k fact rows
+total) data over the PUBLIC TPC-DS schema so the reference's own query
+texts (testdata/workloads/tpcds/queries/tpcds-*.test — the public
+TPC-DS benchmark queries) run against this repo with DuckDB oracles.
+This is NOT dsdgen output and copies nothing from the reference: value
+domains (store names, cities, counties, income bands, buy-potential
+strings...) follow the public TPC-DS specification's distributions just
+closely enough that the benchmark queries' literal predicates select
+non-empty results.
+
+Run once; the parquet output is committed. Regenerate only when the
+schema or domains change:
+
+    python3 scripts/gen_tpcds_fixture.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from datetime import date, timedelta
+from decimal import Decimal
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from incubator_impala_spark.sources.tpcds_schema import TPCDS_SCHEMA  # noqa: E402
+
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "tpcds"
+)
+
+SEED = 20260814
+rng = np.random.default_rng(SEED)
+
+# --- public TPC-DS value domains (spec distributions, abridged) -----------
+
+SYLLABLES = ["ought", "able", "pri", "ese", "anti", "cally", "ation",
+             "eing", "ein", "bar"]
+CITIES = [
+    "Fairview", "Midway", "Edgewood", "Five Points", "Oak Grove",
+    "Pleasant Hill", "Centerville", "Liberty", "Salem", "Glendale",
+    "Marion", "Union", "Greenfield", "Clinton", "Springfield",
+    "Riverside", "Shiloh", "Mount Olive", "Greenwood", "Franklin",
+    "Oakland", "Jamestown", "Clifton", "Hopewell", "Wilson",
+    "Plainview", "Sunnyside", "Antioch", "Arlington", "Bethel",
+    "Lakewood", "Harmony", "Ashland", "Belmont", "Bridgeport",
+    "Concord", "Deerfield", "Enterprise", "Fairfield", "Farmington",
+    "Florence", "Georgetown", "Glenwood", "Greenville", "Hamilton",
+    "Highland", "Jackson", "Kingston", "Lebanon", "Lincoln",
+    "Macedonia", "Maple Grove", "Newport", "Oak Hill", "Oak Ridge",
+    "Pine Grove", "Pleasant Grove", "Pleasant Valley", "Providence",
+    "Red Hill", "Riverview", "Rosewood", "Summit", "Walnut Grove",
+    "Waterloo", "Wildwood", "Woodland", "Woodville", "White Oak",
+    "Youngstown",
+]
+COUNTIES = [
+    "Williamson County", "Franklin Parish", "Bronx County",
+    "Orange County", "Ziebach County", "Walker County",
+    "Daviess County", "Barrow County", "Fairfield County",
+    "Huron County", "Kittitas County", "Mobile County",
+    "Luce County", "Richland County", "Furnas County",
+    "Maverick County", "Pennington County", "Perry County",
+]
+STATES = ["TN", "GA", "AL", "SC", "NC", "VA", "KY", "OH", "IL", "TX",
+          "CA", "NY", "FL", "MI", "IN", "MO", "WA", "OR", "CO", "NM",
+          "SD", "LA", "MN", "IA", "KS"]
+CATEGORIES = ["Books", "Children", "Electronics", "Home", "Jewelry",
+              "Men", "Music", "Shoes", "Sports", "Women"]
+CLASSES = {
+    "Books": ["arts", "business", "computers", "cooking",
+              "entertainments", "fiction", "history", "home repair",
+              "mystery", "parenting", "reference", "romance",
+              "science", "self-help", "sports", "travel"],
+    "Children": ["infants", "newborn", "school-uniforms", "toddlers"],
+    "Electronics": ["audio", "automotive", "cameras", "camcorders",
+                    "dvd/vcr players", "disk drives", "karoke",
+                    "memory", "monitors", "musical", "personal",
+                    "portable", "scanners", "stereo", "televisions",
+                    "wireless"],
+    "Home": ["accent", "bathroom", "bedding", "blinds/shades",
+             "curtains/drapes", "decor", "flatware", "furniture",
+             "glassware", "kids", "lighting", "mattresses", "paint",
+             "rugs", "tables", "wallpaper"],
+    "Jewelry": ["birdal", "costume", "custom", "diamonds", "estate",
+                "gold", "jewelry boxes", "loose stones", "mens watch",
+                "pendants", "rings", "semi-precious", "womens watch"],
+    "Men": ["accessories", "pants", "shirts", "sports-apparel"],
+    "Music": ["classical", "country", "pop", "rock"],
+    "Shoes": ["athletic", "kids", "mens", "womens"],
+    "Sports": ["archery", "athletic shoes", "baseball", "basketball",
+               "camping", "fishing", "fitness", "football", "golf",
+               "guns", "hockey", "hunting", "optics", "outdoor",
+               "pools", "sailing", "tennis"],
+    "Women": ["dresses", "fragrances", "maternity", "swimwear"],
+}
+COLORS = ["aquamarine", "azure", "beige", "black", "blanched", "blue",
+          "blush", "brown", "burlywood", "burnished", "chartreuse",
+          "chiffon", "chocolate", "coral", "cornflower", "cornsilk",
+          "cream", "cyan", "dark", "deep", "dim", "dodger", "drab",
+          "firebrick", "floral", "forest", "frosted", "gainsboro",
+          "ghost", "goldenrod", "green", "grey", "honeydew", "hot",
+          "indian", "ivory", "khaki", "lace", "lavender", "lawn",
+          "lemon", "light", "lime", "linen", "magenta", "maroon",
+          "medium", "metallic", "midnight", "mint", "misty",
+          "moccasin", "navajo", "navy", "olive", "orange", "orchid",
+          "pale", "papaya", "peach", "peru", "pink", "plum", "powder",
+          "puff", "purple", "red", "rose", "rosy", "royal", "saddle",
+          "salmon", "sandy", "seashell", "sienna", "sky", "slate",
+          "smoke", "snow", "spring", "steel", "thistle", "tomato",
+          "turquoise", "violet", "wheat", "white", "yellow"]
+SIZES = ["small", "medium", "large", "extra large", "economy", "N/A",
+         "petite"]
+UNITS = ["Each", "Dozen", "Case", "Pallet", "Gross", "Box", "Pound",
+         "Ounce", "Bunch", "Cup", "Dram", "Carton", "Ton", "Tbl",
+         "Oz", "Lb", "Bundle", "Unknown"]
+BUY_POTENTIAL = ["0-500", "501-1000", "1001-5000", "5001-10000",
+                 ">10000", "Unknown"]
+EDUCATION = ["Primary", "Secondary", "College", "2 yr Degree",
+             "4 yr Degree", "Advanced Degree", "Unknown"]
+MARITAL = ["M", "S", "D", "W", "U"]
+CREDIT = ["Low Risk", "High Risk", "Good", "Unknown"]
+PURCHASE_EST = [500, 1000, 1500, 2000, 2500, 3000, 5000, 7000, 9000,
+                10000]
+FIRST_NAMES = ["James", "John", "Robert", "Michael", "William",
+               "David", "Richard", "Charles", "Joseph", "Thomas",
+               "Mary", "Patricia", "Linda", "Barbara", "Elizabeth",
+               "Jennifer", "Maria", "Susan", "Margaret", "Dorothy",
+               "Daniel", "Paul", "Mark", "Donald", "George",
+               "Kenneth", "Steven", "Edward", "Brian", "Ronald",
+               "Anna", "Helen", "Sandra", "Donna", "Carol", "Ruth",
+               "Sharon", "Michelle", "Laura", "Sarah", "Kimberly",
+               "Jason", "Matthew", "Gary", "Timothy", "Jose",
+               "Larry", "Jeffrey", "Frank", "Scott", "Eric", None]
+LAST_NAMES = ["Smith", "Johnson", "Williams", "Jones", "Brown",
+              "Davis", "Miller", "Wilson", "Moore", "Taylor",
+              "Anderson", "Thomas", "Jackson", "White", "Harris",
+              "Martin", "Thompson", "Garcia", "Martinez", "Robinson",
+              "Clark", "Rodriguez", "Lewis", "Lee", "Walker", "Hall",
+              "Allen", "Young", "Hernandez", "King", "Wright",
+              "Lopez", "Hill", "Scott", "Green", "Adams", "Baker",
+              "Gonzalez", "Nelson", "Carter", "Mitchell", "Perez",
+              "Roberts", "Turner", "Phillips", "Campbell", "Parker",
+              "Evans", "Edwards", "Collins", None]
+SALUTATIONS = ["Mr.", "Mrs.", "Ms.", "Miss", "Dr.", "Sir"]
+COUNTRIES = ["United States"]
+BIRTH_COUNTRIES = ["CHILE", "INDIA", "JAPAN", "BRAZIL", "FRANCE",
+                   "GERMANY", "CANADA", "MEXICO", "NIGERIA", "KENYA",
+                   "PERU", "SPAIN", "ITALY", "GREECE", "NORWAY",
+                   "POLAND", "TURKEY", "EGYPT", "ISRAEL", "JORDAN"]
+STREET_NAMES = ["Main", "Oak", "Park", "First", "Second", "Elm",
+                "Maple", "Cedar", "Pine", "Lake", "Hill", "Walnut",
+                "Spring", "North", "Ridge", "Church", "Willow",
+                "Mill", "Sunset", "Railroad", "Jackson", "River",
+                "Highland", "Johnson", "Sycamore", "Dogwood",
+                "Chestnut", "Locust", "Poplar", "College"]
+STREET_TYPES = ["Street", "Avenue", "Blvd", "Drive", "Court", "Lane",
+                "Road", "Way", "Circle", "Parkway", "Pkwy", "ST",
+                "Ave", "Dr", "Ct", "Ln", "RD", "Cir", "Wy", "Boulevard"]
+SM_TYPES = ["EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "TWO DAY",
+            "LIBRARY"]
+SM_CARRIERS = ["UPS", "FEDEX", "AIRBORNE", "USPS", "DHL", "TBS",
+               "ZHOU", "ZOUROS", "MSC", "LATVIAN", "ALLIANCE",
+               "ORIENTAL", "BARIAN", "BOXBUNDLES", "GERMA",
+               "DIAMOND", "RUPEKSA", "HARMSTORF", "PRIVATECARRIER",
+               "GREAT EASTERN"]
+CC_NAMES = ["NY Metro", "Mid Atlantic", "North Midwest", "California",
+            "New England", "Pacific Northwest"]
+REASONS = ["Package was damaged", "Stopped working",
+           "Did not get it on time",
+           "Not the product that was ordred", "Parts missing",
+           "Does not work with a product that I have",
+           "Gift exchange", "Did not like the color",
+           "Did not like the model", "Did not fit", "Wrong size",
+           "Lost my job", "unauthoized purchase",
+           "Found a better price in a store",
+           "Found a better extension", "No service location",
+           "Not enough memory", "Did not like the warranty",
+           "duplicate purchase", "Its the right schtick",
+           # past the named distribution dsdgen falls back to
+           # "reason N" (q93 filters r_reason_desc = 'reason 28')
+           ] + [f"reason {i}" for i in range(21, 36)]
+BRAND_SYL = ["amalg", "importo", "exporti", "edu pack", "scholar",
+             "brand", "corp", "maxi", "univ", "nameless"]
+# (category, class, brand, brand_num) anchor items so q53/q63's literal
+# brand-name predicates select rows
+ITEM_ANCHORS = (
+    [(cat, cls, b, n)
+     for cat, cls in [("Electronics", "personal"),
+                      ("Electronics", "portable"),
+                      ("Books", "self-help"), ("Books", "reference")]
+     for b, n in [("scholaramalgamalg", 14), ("scholaramalgamalg", 7),
+                  ("exportiunivamalg", 9)]]
+    + [(cat, cls, b, n)
+       for cat, cls in [("Women", "fragrances"), ("Music", "classical"),
+                        ("Men", "accessories"), ("Men", "pants")]
+       for b, n in [("amalgimporto", 1), ("edu packscholar", 1),
+                    ("exportiimporto", 1)]])
+MEAL_TIMES = {range(6, 10): "breakfast", range(11, 15): "lunch",
+              range(17, 21): "dinner"}
+# queried manufact ids get guaranteed item coverage
+HOT_MANUFACT = [128, 129, 270, 320, 423, 436, 677, 694, 744, 808,
+                821, 891, 940]
+DAY_NAMES = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+             "Friday", "Saturday"]
+
+N_ITEM = 2000
+N_CUST = 5000
+N_ADDR = 2500
+N_STORE = 12
+N_WAREHOUSE = 5
+N_WEB_SITE = 4
+N_WEB_PAGE = 60
+N_CC = 6
+N_CATALOG_PAGE = 120
+N_PROMO = 60
+N_TICKETS = 12000
+N_CS_ORDERS = 7000
+N_WS_ORDERS = 6000
+
+DATE_LO, DATE_HI = date(1996, 1, 1), date(2003, 12, 31)
+SOLD_LO, SOLD_HI = date(1998, 1, 2), date(2002, 12, 1)
+
+JDN_OFFSET = 1721425  # toordinal(2000-01-01)=730120 <-> d_date_sk 2451545
+
+
+def jdn(d: date) -> int:
+    return d.toordinal() + JDN_OFFSET
+
+
+def _id16(prefix: str, n: int) -> list[str]:
+    out = []
+    for i in range(1, n + 1):
+        tail, x = "", i
+        for _ in range(8):
+            tail += chr(ord("A") + x % 26)
+            x //= 26
+        out.append((prefix + tail)[:16].ljust(16, "A"))
+    return out
+
+
+def _dec(cents, p: int = 7, s: int = 2):
+    """int cents (numpy array, python list; None allowed) -> decimal(p,s)."""
+    scale = Decimal(10) ** -s
+    vals = [None if c is None else Decimal(int(c)) * scale for c in cents]
+    return pa.array(vals, type=pa.decimal128(p, s))
+
+
+_PA_TYPES = {"int": pa.int32(), "bigint": pa.int64(), "string": pa.string(),
+             "date": pa.date32()}
+
+
+def _pa_type(t: str):
+    if t in _PA_TYPES:
+        return _PA_TYPES[t]
+    if t.startswith("decimal"):
+        p, s = t[8:-1].split(",")
+        return pa.decimal128(int(p), int(s))
+    raise ValueError(t)
+
+
+def write(name: str, data: dict) -> None:
+    cols = TPCDS_SCHEMA[name]
+    missing = [c for c, _ in cols if c not in data]
+    extra = [c for c in data if c not in {c for c, _ in cols}]
+    assert not missing and not extra, (name, missing, extra)
+    arrays, fields = [], []
+    for c, t in cols:
+        typ = _pa_type(t)
+        v = data[c]
+        if isinstance(v, pa.Array):
+            assert v.type == typ, (name, c, v.type, typ)
+            arr = v
+        else:
+            if isinstance(v, np.ndarray) and v.dtype.kind == "f":
+                v = [None if np.isnan(x) else int(x) for x in v]
+            arr = pa.array(
+                [None if x is None else x for x in (v.tolist() if isinstance(v, np.ndarray) else list(v))],
+                type=typ,
+            )
+        arrays.append(arr)
+        fields.append(pa.field(c, typ))
+    table = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+    os.makedirs(OUT_DIR, exist_ok=True)
+    pq.write_table(table, os.path.join(OUT_DIR, f"{name}.parquet"),
+                   compression="zstd")
+    print(f"{name}: {table.num_rows} rows")
+
+
+def with_nulls(arr: np.ndarray, frac: float) -> list:
+    mask = rng.random(len(arr)) < frac
+    return [None if m else int(v) for v, m in zip(arr, mask)]
+
+
+def cd_sk_for(gender: str, marital: str, edu: str,
+              pe: int = 500, credit: str = "Good") -> int:
+    """cd_demo_sk of a (gender, marital, education, ...) combo — the
+    demographics tables are deterministic cross products, so anchor
+    rows can compute the exact sk for a queried combination."""
+    gi = "MF".index(gender)
+    idx = (((gi * 5 + MARITAL.index(marital)) * 7 + EDUCATION.index(edu))
+           * 10 + PURCHASE_EST.index(pe)) * 4 + CREDIT.index(credit)
+    return idx + 1
+
+
+def hd_sk_for(ib: int, bp: str, dep: int, veh: int) -> int:
+    idx = (((ib - 1) * 6 + BUY_POTENTIAL.index(bp)) * 10 + dep) * 6 + (veh + 1)
+    return idx + 1
+
+
+# --------------------------------------------------------------- date_dim
+
+def gen_date_dim():
+    days = [DATE_LO + timedelta(n)
+            for n in range((DATE_HI - DATE_LO).days + 1)]
+    sks = [jdn(d) for d in days]
+    dows = [d.toordinal() % 7 for d in days]  # 0 = Sunday
+    base_sunday = date(1996, 1, 7).toordinal()  # first Sunday in range
+
+    def week_seq(d):
+        return (d.toordinal() - base_sunday) // 7 + 5010
+
+    data = {
+        "d_date_sk": sks,
+        "d_date_id": _id16("", len(days)),
+        "d_date": pa.array(days, type=pa.date32()),
+        "d_month_seq": [(d.year - 1900) * 12 + d.month - 1 for d in days],
+        "d_week_seq": [week_seq(d) for d in days],
+        "d_quarter_seq": [(d.year - 1900) * 4 + (d.month - 1) // 3 for d in days],
+        "d_year": [d.year for d in days],
+        "d_dow": dows,
+        "d_moy": [d.month for d in days],
+        "d_dom": [d.day for d in days],
+        "d_qoy": [(d.month - 1) // 3 + 1 for d in days],
+        "d_fy_year": [d.year for d in days],
+        "d_fy_quarter_seq": [(d.year - 1900) * 4 + (d.month - 1) // 3 for d in days],
+        "d_fy_week_seq": [week_seq(d) for d in days],
+        "d_day_name": [DAY_NAMES[w] for w in dows],
+        "d_quarter_name": [f"{d.year}Q{(d.month - 1) // 3 + 1}" for d in days],
+        "d_holiday": ["Y" if (d.month, d.day) in ((1, 1), (7, 4), (12, 25)) else "N"
+                      for d in days],
+        "d_weekend": ["Y" if w in (0, 6) else "N" for w in dows],
+        "d_following_holiday": ["Y" if (d.month, d.day) in ((1, 2), (7, 5), (12, 26))
+                                else "N" for d in days],
+        "d_first_dom": [jdn(d.replace(day=1)) for d in days],
+        "d_last_dom": [jdn((d.replace(day=28) + timedelta(4)).replace(day=1)
+                           - timedelta(1)) for d in days],
+        "d_same_day_ly": [sk - 365 for sk in sks],
+        "d_same_day_lq": [sk - 91 for sk in sks],
+        "d_current_day": ["N"] * len(days),
+        "d_current_week": ["N"] * len(days),
+        "d_current_month": ["N"] * len(days),
+        "d_current_quarter": ["N"] * len(days),
+        "d_current_year": ["N"] * len(days),
+    }
+    write("date_dim", data)
+    return days
+
+
+def gen_time_dim():
+    sks = np.arange(86400)
+    hours = sks // 3600
+    mins = (sks % 3600) // 60
+
+    def meal(h):
+        for r, m in MEAL_TIMES.items():
+            if h in r:
+                return m
+        return None
+
+    write("time_dim", {
+        "t_time_sk": sks,
+        "t_time_id": _id16("", 86400),
+        "t_time": sks,
+        "t_hour": hours,
+        "t_minute": mins,
+        "t_second": sks % 60,
+        "t_am_pm": ["AM" if h < 12 else "PM" for h in hours],
+        "t_shift": ["first" if h < 8 else "second" if h < 16 else "third"
+                    for h in hours],
+        "t_sub_shift": ["night" if h < 6 else "morning" if h < 12
+                        else "afternoon" if h < 18 else "evening"
+                        for h in hours],
+        "t_meal_time": [meal(h) for h in hours],
+    })
+
+
+def gen_small_dims(days):
+    write("income_band", {
+        "ib_income_band_sk": list(range(1, 21)),
+        "ib_lower_bound": [0] + [i * 10000 + 1 for i in range(1, 20)],
+        "ib_upper_bound": [(i + 1) * 10000 for i in range(20)],
+    })
+
+    # household_demographics: the real full cross product (7200 rows)
+    hd = [(sk, ib, bp, dep, veh)
+          for sk, (ib, bp, dep, veh) in enumerate(
+              ((ib, bp, dep, veh)
+               for ib in range(1, 21) for bp in BUY_POTENTIAL
+               for dep in range(10) for veh in range(-1, 5)), start=1)]
+    write("household_demographics", {
+        "hd_demo_sk": [r[0] for r in hd],
+        "hd_income_band_sk": [r[1] for r in hd],
+        "hd_buy_potential": [r[2] for r in hd],
+        "hd_dep_count": [r[3] for r in hd],
+        "hd_vehicle_count": [r[4] for r in hd],
+    })
+
+    cd = [(sk, g, m, e, pe, cr)
+          for sk, (g, m, e, pe, cr) in enumerate(
+              ((g, m, e, pe, cr)
+               for g in "MF" for m in MARITAL for e in EDUCATION
+               for pe in PURCHASE_EST for cr in CREDIT), start=1)]
+    write("customer_demographics", {
+        "cd_demo_sk": [r[0] for r in cd],
+        "cd_gender": [r[1] for r in cd],
+        "cd_marital_status": [r[2] for r in cd],
+        "cd_education_status": [r[3] for r in cd],
+        "cd_purchase_estimate": [r[4] for r in cd],
+        "cd_credit_rating": [r[5] for r in cd],
+        "cd_dep_count": [r[0] % 7 for r in cd],
+        "cd_dep_employed_count": [(r[0] // 7) % 7 for r in cd],
+        "cd_dep_college_count": [(r[0] // 49) % 7 for r in cd],
+    })
+    n_cd = len(cd)
+
+    write("reason", {
+        "r_reason_sk": list(range(1, 36)),
+        "r_reason_id": _id16("", 35),
+        "r_reason_desc": REASONS,
+    })
+
+    write("ship_mode", {
+        "sm_ship_mode_sk": list(range(1, 21)),
+        "sm_ship_mode_id": _id16("", 20),
+        "sm_type": [SM_TYPES[i % 6] for i in range(20)],
+        "sm_code": ["AIR", "SURFACE", "SEA", "SHIP"] * 5,
+        "sm_carrier": SM_CARRIERS,
+        "sm_contract": _id16("", 20),
+    })
+    return n_cd
+
+
+def gen_addresses():
+    sks = np.arange(1, N_ADDR + 1)
+    cities = [CITIES[i] for i in rng.integers(0, len(CITIES), N_ADDR)]
+    states = [STATES[i] for i in rng.integers(0, len(STATES), N_ADDR)]
+    gmt = rng.choice([-500, -600, -700, -800], N_ADDR,
+                     p=[0.35, 0.35, 0.2, 0.1]).tolist()
+    # anchor: sks 1..12 are Edgewood / gmt -7 (q84's city literal,
+    # q91's gmt filter) — anchored customers point here
+    for i in range(12):
+        cities[i], states[i], gmt[i] = "Edgewood", "TN", -700
+    by_state = {}
+    for i, st in enumerate(states):
+        by_state.setdefault(st, []).append(i + 1)
+    write("customer_address", {
+        "ca_address_sk": sks,
+        "ca_address_id": _id16("", N_ADDR),
+        "ca_street_number": [str(int(x)) for x in rng.integers(1, 1000, N_ADDR)],
+        "ca_street_name": [f"{rng.choice(STREET_NAMES)} {rng.choice(STREET_NAMES)}"
+                           for _ in range(N_ADDR)],
+        "ca_street_type": [STREET_TYPES[i % len(STREET_TYPES)] for i in range(N_ADDR)],
+        "ca_suite_number": [f"Suite {int(x)}" if x % 3 else f"Suite {chr(65 + int(x) % 26)}"
+                            for x in rng.integers(0, 500, N_ADDR)],
+        "ca_city": cities,
+        "ca_county": [COUNTIES[i] for i in rng.integers(0, len(COUNTIES), N_ADDR)],
+        "ca_state": states,
+        "ca_zip": [f"{int(x):05d}" for x in rng.integers(10000, 99999, N_ADDR)],
+        "ca_country": ["United States"] * N_ADDR,
+        "ca_gmt_offset": _dec(gmt, 5, 2),
+        "ca_location_type": [["apartment", "condo", "single family"][i % 3]
+                             for i in range(N_ADDR)],
+    })
+    return by_state
+
+
+def gen_customers(days, n_cd):
+    sks = np.arange(1, N_CUST + 1)
+    first_sale = rng.integers(jdn(date(1997, 1, 1)), jdn(date(2001, 1, 1)), N_CUST)
+    cdemo = with_nulls(rng.integers(1, n_cd + 1, N_CUST), 0.02)
+    hdemo = with_nulls(rng.integers(1, 7201, N_CUST), 0.02)
+    addr = rng.integers(1, N_ADDR + 1, N_CUST).tolist()
+    # anchor customers 1..60: current demographics pinned to the
+    # (marital, education) pairs q91 filters, household rows with
+    # buy_potential 'Unknown' in income bands 5..8 (q84's ib bounds),
+    # addresses 1..12 (Edgewood / gmt -7)
+    pairs = [("M", "Unknown"), ("W", "Advanced Degree")]
+    for i in range(60):
+        m, e = pairs[i % 2]
+        cdemo[i] = cd_sk_for("M" if i % 4 < 2 else "F", m, e)
+        hdemo[i] = hd_sk_for(5 + i % 4, "Unknown", 2 + i % 3, 1)
+        addr[i] = 1 + i % 12
+    write("customer", {
+        "c_customer_sk": sks,
+        "c_customer_id": _id16("", N_CUST),
+        "c_current_cdemo_sk": cdemo,
+        "c_current_hdemo_sk": hdemo,
+        "c_current_addr_sk": addr,
+        "c_first_shipto_date_sk": (first_sale + 30).tolist(),
+        "c_first_sales_date_sk": first_sale.tolist(),
+        "c_salutation": [SALUTATIONS[i % 6] if i % 29 else None for i in sks],
+        "c_first_name": [FIRST_NAMES[i % len(FIRST_NAMES)] for i in sks],
+        "c_last_name": [LAST_NAMES[(i * 7) % len(LAST_NAMES)] for i in sks],
+        "c_preferred_cust_flag": ["Y" if i % 3 == 0 else "N" for i in sks],
+        "c_birth_day": rng.integers(1, 29, N_CUST),
+        "c_birth_month": rng.integers(1, 13, N_CUST),
+        "c_birth_year": rng.integers(1930, 1993, N_CUST),
+        "c_birth_country": [BIRTH_COUNTRIES[i % len(BIRTH_COUNTRIES)] for i in sks],
+        "c_login": [None] * N_CUST,
+        "c_email_address": [f"Customer.{i}@example.edu" for i in sks],
+        "c_last_review_date": [str(int(x)) for x in
+                               rng.integers(jdn(date(2001, 1, 1)),
+                                            jdn(date(2002, 12, 31)), N_CUST)],
+    })
+
+
+def gen_items():
+    sks = np.arange(1, N_ITEM + 1)
+    cat_idx = rng.integers(0, 10, N_ITEM).tolist()
+    cls_pick = rng.integers(0, 1 << 30, N_ITEM)
+    brand_num = rng.integers(1, 10, N_ITEM).tolist()
+    brand_syl = rng.integers(0, 10, N_ITEM)
+    manufact_id = rng.integers(1, 1001, N_ITEM).tolist()
+    price_c = rng.integers(9, 30000, N_ITEM)  # 0.09 .. 299.99
+    manager_id = rng.integers(1, 101, N_ITEM).tolist()
+
+    cats = [CATEGORIES[i] for i in cat_idx]
+    cls_idx = [int(p) % len(CLASSES[c]) for p, c in zip(cls_pick, cats)]
+    brands = [f"{BRAND_SYL[int(s)]}{BRAND_SYL[int(ci)]} #{int(b)}"
+              for ci, s, b in zip(cat_idx, brand_syl, brand_num)]
+    # anchor items (sks 1..36): exact (category, class, brand) combos
+    # from q53/q63's literal predicates; managers cycle the queried ids
+    for i, (cat, cls, b, num) in enumerate(ITEM_ANCHORS):
+        cat_idx[i] = CATEGORIES.index(cat)
+        cats[i] = cat
+        cls_idx[i] = CLASSES[cat].index(cls)
+        brands[i] = f"{b} #{num}"
+        brand_num[i] = num
+        manager_id[i] = [1, 8, 28, 40][i % 4]
+    classes = [CLASSES[c][j] for c, j in zip(cats, cls_idx)]
+    brand_id = [(int(ci) + 1) * 1_000_000 + (j + 1) * 1000 + int(b)
+                for ci, j, b in zip(cat_idx, cls_idx, brand_num)]
+    # inventory covers item_sk % 4 == 0 (gen_inventory): give those sks
+    # the queried manufacturer ids and price bands so the
+    # inventory-driven queries (q21: 0.99-1.49; q37: 68-98; q82: 62-92)
+    # select anchored stock
+    inv_sks = list(range(4, N_ITEM + 1, 4))
+    for k, sk in enumerate(inv_sks):
+        manufact_id[sk - 1] = HOT_MANUFACT[k % len(HOT_MANUFACT)]
+        if k < 16:
+            price_c[sk - 1] = 99 + (k * 3) % 51          # 0.99 .. 1.49
+        elif k % 3 == 0:
+            price_c[sk - 1] = 6300 + (k * 37) % 2900     # 63 .. 92
+    wholesale_c = (price_c * rng.integers(40, 90, N_ITEM)) // 100
+    write("item", {
+        "i_item_sk": sks.astype("int64"),
+        "i_item_id": _id16("", N_ITEM),
+        "i_rec_start_date": ["1997-10-27"] * N_ITEM,
+        "i_rec_end_date": [None] * N_ITEM,
+        "i_item_desc": [f"{rng.choice(COLORS)} {rng.choice(UNITS)} "
+                        f"{rng.choice(CLASSES[c])} item {i}"
+                        for i, c in zip(sks, cats)],
+        "i_current_price": _dec(price_c),
+        "i_wholesale_cost": _dec(wholesale_c),
+        "i_brand_id": brand_id,
+        "i_brand": brands,
+        "i_class_id": [int(ci) * 16 + j + 1 for ci, j in zip(cat_idx, cls_idx)],
+        "i_class": classes,
+        "i_category_id": [int(ci) + 1 for ci in cat_idx],
+        "i_category": cats,
+        "i_manufact_id": manufact_id,
+        "i_manufact": [f"{BRAND_SYL[int(m) % 10]}{BRAND_SYL[(int(m) // 10) % 10]}"
+                       for m in manufact_id],
+        "i_size": [SIZES[i % 7] for i in sks],
+        "i_formulation": [f"{int(x):010d}" for x in rng.integers(0, 10**10, N_ITEM)],
+        "i_color": [COLORS[i] for i in rng.integers(0, len(COLORS), N_ITEM)],
+        "i_units": [UNITS[i % len(UNITS)] for i in sks],
+        "i_container": ["Unknown"] * N_ITEM,
+        "i_manager_id": manager_id,
+        "i_product_name": [f"{SYLLABLES[i % 10]}{SYLLABLES[(i // 10) % 10]}"
+                           f"{SYLLABLES[(i // 100) % 10]}" for i in sks],
+    })
+    return price_c
+
+
+def gen_stores():
+    sks = list(range(1, N_STORE + 1))
+    # the reference-scale dataset puts all stores in Williamson County,
+    # cities Midway/Fairview — queries hardcode those literals
+    write("store", {
+        "s_store_sk": sks,
+        "s_store_id": _id16("", N_STORE),
+        "s_rec_start_date": ["1997-03-13"] * N_STORE,
+        "s_rec_end_date": [None] * N_STORE,
+        "s_closed_date_sk": [None] * N_STORE,
+        "s_store_name": [SYLLABLES[(i - 1) % 10] for i in sks],
+        "s_number_employees": [200 + (i * 13) % 101 for i in sks],
+        "s_floor_space": [5000000 + i * 250000 for i in sks],
+        "s_hours": ["8AM-8PM", "8AM-4PM", "8AM-12AM"] * 4,
+        "s_manager": [f"{FIRST_NAMES[i * 3 % 50]} {LAST_NAMES[i * 5 % 49]}"
+                      for i in sks],
+        "s_market_id": [(i - 1) % 10 + 1 for i in sks],
+        "s_geography_class": ["Unknown"] * N_STORE,
+        "s_market_desc": [f"Market description {i}" for i in sks],
+        "s_market_manager": [f"{FIRST_NAMES[i * 7 % 50]} {LAST_NAMES[i * 11 % 49]}"
+                             for i in sks],
+        "s_division_id": [1] * N_STORE,
+        "s_division_name": ["Unknown"] * N_STORE,
+        "s_company_id": [1] * N_STORE,
+        "s_company_name": ["Unknown"] * N_STORE,
+        "s_street_number": [str(100 + i * 37) for i in sks],
+        "s_street_name": [f"{STREET_NAMES[i % 30]} {STREET_TYPES[i % 20]}"
+                          for i in sks],
+        "s_street_type": [STREET_TYPES[i % 20] for i in sks],
+        "s_suite_number": [f"Suite {i * 10}" for i in sks],
+        "s_city": ["Midway" if i % 2 else "Fairview" for i in sks],
+        "s_county": ["Williamson County"] * N_STORE,
+        "s_state": ["TN"] * N_STORE,
+        "s_zip": [f"{37000 + i * 111}" for i in sks],
+        "s_country": ["United States"] * N_STORE,
+        "s_gmt_offset": _dec([-500 if i % 3 else -600 for i in sks], 5, 2),
+        "s_tax_precentage": _dec([(i % 12)for i in sks], 5, 2),
+    })
+
+
+def gen_warehouses():
+    sks = list(range(1, N_WAREHOUSE + 1))
+    names = ["Conventional childr", "Important issues liv",
+             "Doors canno", "Bad cards must make", "Rooms cook up"]
+    write("warehouse", {
+        "w_warehouse_sk": sks,
+        "w_warehouse_id": _id16("", N_WAREHOUSE),
+        "w_warehouse_name": names,
+        "w_warehouse_sq_ft": [73065, 977787, 294242, 621234, 977787],
+        "w_street_number": [str(100 + i * 41) for i in sks],
+        "w_street_name": [f"{STREET_NAMES[i % 30]}" for i in sks],
+        "w_street_type": [STREET_TYPES[i % 20] for i in sks],
+        "w_suite_number": [f"Suite {i * 50}" for i in sks],
+        "w_city": ["Fairview", "Midway", "Fairview", "Midway", "Fairview"],
+        "w_county": ["Williamson County"] * N_WAREHOUSE,
+        "w_state": ["TN"] * N_WAREHOUSE,
+        "w_zip": [f"{37100 + i * 37}" for i in sks],
+        "w_country": ["United States"] * N_WAREHOUSE,
+        "w_gmt_offset": _dec([-500] * N_WAREHOUSE, 5, 2),
+    })
+
+
+def gen_web_dims(days):
+    sks = list(range(1, N_WEB_SITE + 1))
+    write("web_site", {
+        "web_site_sk": sks,
+        "web_site_id": _id16("", N_WEB_SITE),
+        "web_rec_start_date": ["1997-08-16"] * N_WEB_SITE,
+        "web_rec_end_date": [None] * N_WEB_SITE,
+        "web_name": [f"site_{i - 1}" for i in sks],
+        "web_open_date_sk": [jdn(date(1997, 8, 16))] * N_WEB_SITE,
+        "web_close_date_sk": [None] * N_WEB_SITE,
+        "web_class": ["Unknown"] * N_WEB_SITE,
+        "web_manager": [f"{FIRST_NAMES[i * 3 % 50]} {LAST_NAMES[i * 7 % 49]}"
+                        for i in sks],
+        "web_mkt_id": [(i - 1) % 6 + 1 for i in sks],
+        "web_mkt_class": [f"Market class {i}" for i in sks],
+        "web_mkt_desc": [f"Market description {i}" for i in sks],
+        "web_market_manager": [f"{FIRST_NAMES[i * 9 % 50]} {LAST_NAMES[i * 13 % 49]}"
+                               for i in sks],
+        "web_company_id": [(i - 1) % 6 + 1 for i in sks],
+        "web_company_name": [SYLLABLES[i % 10] for i in sks],
+        "web_street_number": [str(100 + i * 17) for i in sks],
+        "web_street_name": [STREET_NAMES[i % 30] for i in sks],
+        "web_street_type": [STREET_TYPES[i % 20] for i in sks],
+        "web_suite_number": [f"Suite {i * 25}" for i in sks],
+        "web_city": ["Midway", "Fairview", "Midway", "Fairview"],
+        "web_county": ["Williamson County"] * N_WEB_SITE,
+        "web_state": ["TN"] * N_WEB_SITE,
+        "web_zip": [f"{37200 + i * 53}" for i in sks],
+        "web_country": ["United States"] * N_WEB_SITE,
+        "web_gmt_offset": _dec([-500] * N_WEB_SITE, 5, 2),
+        "web_tax_percentage": _dec([(i % 12) for i in sks], 5, 2),
+    })
+
+    sks = np.arange(1, N_WEB_PAGE + 1)
+    char_count = rng.integers(100, 8000, N_WEB_PAGE)
+    char_count[::7] = rng.integers(5000, 5201, len(char_count[::7]))
+    write("web_page", {
+        "wp_web_page_sk": sks,
+        "wp_web_page_id": _id16("", N_WEB_PAGE),
+        "wp_rec_start_date": ["1997-09-03"] * N_WEB_PAGE,
+        "wp_rec_end_date": [None] * N_WEB_PAGE,
+        "wp_creation_date_sk": [jdn(date(1997, 9, 3))] * N_WEB_PAGE,
+        "wp_access_date_sk": rng.integers(jdn(date(1998, 1, 1)),
+                                          jdn(date(2002, 1, 1)), N_WEB_PAGE),
+        "wp_autogen_flag": ["Y" if i % 4 == 0 else "N" for i in sks],
+        "wp_customer_sk": with_nulls(rng.integers(1, N_CUST + 1, N_WEB_PAGE), 0.7),
+        "wp_url": ["http://www.foo.com"] * N_WEB_PAGE,
+        "wp_type": [["general", "order", "welcome", "protected", "dynamic",
+                     "feedback", "ad", "review"][i % 8] for i in sks],
+        "wp_char_count": char_count,
+        "wp_link_count": rng.integers(2, 25, N_WEB_PAGE),
+        "wp_image_count": rng.integers(1, 7, N_WEB_PAGE),
+        "wp_max_ad_count": rng.integers(0, 4, N_WEB_PAGE),
+    })
+
+
+def gen_call_centers():
+    sks = list(range(1, N_CC + 1))
+    write("call_center", {
+        "cc_call_center_sk": sks,
+        "cc_call_center_id": _id16("", N_CC),
+        "cc_rec_start_date": ["1998-01-01"] * N_CC,
+        "cc_rec_end_date": [None] * N_CC,
+        "cc_closed_date_sk": [None] * N_CC,
+        "cc_open_date_sk": [jdn(date(1998, 1, 1))] * N_CC,
+        "cc_name": CC_NAMES,
+        "cc_class": ["small", "medium", "large"] * 2,
+        "cc_employees": [rng.integers(100, 700) for _ in sks],
+        "cc_sq_ft": [rng.integers(10000, 2000000) for _ in sks],
+        "cc_hours": ["8AM-4PM", "8AM-12AM", "8AM-8PM"] * 2,
+        "cc_manager": [f"{FIRST_NAMES[i * 5 % 50]} {LAST_NAMES[i * 3 % 49]}"
+                       for i in sks],
+        "cc_mkt_id": [(i - 1) % 6 + 1 for i in sks],
+        "cc_mkt_class": [f"Class {i}" for i in sks],
+        "cc_mkt_desc": [f"Description {i}" for i in sks],
+        "cc_market_manager": [f"{FIRST_NAMES[i * 11 % 50]} {LAST_NAMES[i * 17 % 49]}"
+                              for i in sks],
+        "cc_division": [(i - 1) % 2 + 1 for i in sks],
+        "cc_division_name": [SYLLABLES[i % 10] for i in sks],
+        "cc_company": [(i - 1) % 6 + 1 for i in sks],
+        "cc_company_name": [SYLLABLES[(i * 3) % 10] for i in sks],
+        "cc_street_number": [str(100 + i * 29) for i in sks],
+        "cc_street_name": [STREET_NAMES[i % 30] for i in sks],
+        "cc_street_type": [STREET_TYPES[i % 20] for i in sks],
+        "cc_suite_number": [f"Suite {i * 75}" for i in sks],
+        "cc_city": ["Midway", "Fairview"] * 3,
+        "cc_county": ["Williamson County"] * N_CC,
+        "cc_state": ["TN"] * N_CC,
+        "cc_zip": [f"{37300 + i * 67}" for i in sks],
+        "cc_country": ["United States"] * N_CC,
+        "cc_gmt_offset": _dec([-500] * N_CC, 5, 2),
+        "cc_tax_percentage": _dec([(i % 12) for i in sks], 5, 2),
+    })
+
+
+def gen_catalog_pages():
+    sks = np.arange(1, N_CATALOG_PAGE + 1)
+    write("catalog_page", {
+        "cp_catalog_page_sk": sks,
+        "cp_catalog_page_id": _id16("", N_CATALOG_PAGE),
+        "cp_start_date_sk": [jdn(date(1998 + (int(i) - 1) // 24, 1, 1))
+                             for i in sks],
+        "cp_end_date_sk": [jdn(date(1998 + (int(i) - 1) // 24, 12, 31))
+                           for i in sks],
+        "cp_department": ["DEPARTMENT"] * N_CATALOG_PAGE,
+        "cp_catalog_number": [(int(i) - 1) // 12 + 1 for i in sks],
+        "cp_catalog_page_number": [(int(i) - 1) % 12 + 1 for i in sks],
+        "cp_description": [f"Catalog page description {int(i)}" for i in sks],
+        "cp_type": [["bi-annual", "quarterly", "monthly"][int(i) % 3]
+                    for i in sks],
+    })
+
+
+def gen_promotions():
+    sks = np.arange(1, N_PROMO + 1)
+    write("promotion", {
+        "p_promo_sk": sks,
+        "p_promo_id": _id16("", N_PROMO),
+        "p_start_date_sk": rng.integers(jdn(date(1998, 1, 1)),
+                                        jdn(date(2002, 1, 1)), N_PROMO),
+        "p_end_date_sk": rng.integers(jdn(date(1998, 6, 1)),
+                                      jdn(date(2002, 12, 1)), N_PROMO),
+        "p_item_sk": with_nulls(rng.integers(1, N_ITEM + 1, N_PROMO).astype("int64"), 0.1),
+        "p_cost": _dec([100000] * N_PROMO, 15, 2),
+        "p_response_target": [1] * N_PROMO,
+        "p_promo_name": [SYLLABLES[int(i) % 10] for i in sks],
+        "p_channel_dmail": ["Y" if int(i) % 2 else "N" for i in sks],
+        "p_channel_email": ["N" if int(i) % 10 else "Y" for i in sks],
+        "p_channel_catalog": ["N" if int(i) % 9 else "Y" for i in sks],
+        "p_channel_tv": ["N" if int(i) % 8 else "Y" for i in sks],
+        "p_channel_radio": ["N" if int(i) % 7 else "Y" for i in sks],
+        "p_channel_press": ["N" if int(i) % 6 else "Y" for i in sks],
+        "p_channel_event": ["N" if int(i) % 10 else "Y" for i in sks],
+        "p_channel_demo": ["N"] * N_PROMO,
+        "p_channel_details": [f"Promo details {int(i)}" for i in sks],
+        "p_purpose": ["Unknown"] * N_PROMO,
+        "p_discount_active": ["N"] * N_PROMO,
+    })
+
+
+# ----------------------------------------------------------------- facts
+
+def money(qty, list_c, sales_c, wholesale_c, tax_pct, coupon_frac):
+    """Integer-cents money columns shared by the three sales channels."""
+    ext_discount = qty * (list_c - sales_c)
+    ext_sales = qty * sales_c
+    ext_wholesale = qty * wholesale_c
+    ext_list = qty * list_c
+    tax = (ext_sales * tax_pct) // 100
+    coupon = (ext_sales * coupon_frac) // 100
+    net_paid = ext_sales - coupon
+    net_paid_inc_tax = net_paid + tax
+    net_profit = net_paid - ext_wholesale
+    return (ext_discount, ext_sales, ext_wholesale, ext_list, tax, coupon,
+            net_paid, net_paid_inc_tax, net_profit)
+
+
+def sold_date_pool(days):
+    """Date sks for fact sales, uniform over 1998-2002 (the years the
+    benchmark queries filter on)."""
+    return np.array([jdn(d) for d in days if SOLD_LO <= d <= SOLD_HI])
+
+
+def sks_in(days, year: int, months) -> np.ndarray:
+    return np.array([jdn(d) for d in days
+                     if d.year == year and d.month in months])
+
+
+# (sales_price_cents, qty, wholesale_cents, marital, education,
+#  hd_dep, addr_states) — one per predicate arm of q13/q48 (store) and
+# q85 (web): sales price lands in the arm's band, profit
+# qty*(price-wholesale) lands in the paired geo arm's net_profit band
+STORE_ANCHOR_TYPES = [
+    (13000, 1, 1000, "M", "Advanced Degree", 3, ["TX", "OH"]),   # q13 arm 1
+    (7500, 3, 2167, "S", "College", 1, ["OR", "NM", "KY"]),      # q13 arm 2
+    (17500, 1, 7500, "W", "2 yr Degree", 1, ["VA", "TX"]),       # q13 arm 3
+    (13000, 1, 1000, "M", "4 yr Degree", 3, ["KY", "GA", "NM"]),  # q48 arm 1
+    (7500, 3, 2167, "M", "4 yr Degree", 1, ["OR", "IN"]),        # q48 arm 2
+    (17500, 1, 7500, "M", "4 yr Degree", 1, ["MO"]),             # q48 arm 3
+]
+WEB_ANCHOR_TYPES = [
+    (13000, 1, 1000, "M", "4 yr Degree", ["KY", "GA", "NM"]),    # q85 arm 1
+    (7500, 3, 2167, "D", "Primary", ["OR", "IN"]),               # q85 arm 2
+    (17500, 1, 7500, "U", "Advanced Degree", ["MO"]),            # q85 arm 3
+]
+N_SS_ANCHOR = 180
+N_WS_ANCHOR = 150
+
+
+def gen_store_sales(days, n_cd, item_price_c, addr_by_state):
+    dates = sold_date_pool(days)
+    # ticket-level draws (ticket shares customer/store/date/demo/addr)
+    t_date = rng.choice(dates, N_TICKETS)
+    t_time = rng.integers(8 * 3600, 22 * 3600, N_TICKETS)
+    t_cust = rng.integers(1, N_CUST + 1, N_TICKETS)
+    t_cdemo = rng.integers(1, n_cd + 1, N_TICKETS)
+    t_hdemo = rng.integers(1, 7201, N_TICKETS)
+    t_addr = rng.integers(1, N_ADDR + 1, N_TICKETS)
+    t_store = rng.integers(1, N_STORE + 1, N_TICKETS)
+    # line counts: geometric body + a heavy tail so per-ticket counts
+    # span the 1..25 ranges the benchmark queries bucket on (q34: 15-20)
+    lines = 1 + np.minimum(rng.geometric(0.25, N_TICKETS), 20)
+    lines[::97] = rng.integers(15, 26, len(lines[::97]))
+    idx = np.repeat(np.arange(N_TICKETS), lines)
+    n = len(idx)
+
+    item = rng.integers(1, N_ITEM + 1, n)
+    qty = rng.integers(1, 101, n)
+    wholesale_c = ((item_price_c[item - 1]
+                    * rng.integers(40, 90, n)) // 100).astype("int64")
+    list_c = item_price_c[item - 1].astype("int64")
+    sales_c = (list_c * rng.integers(20, 101, n)) // 100
+    coupon_frac = np.where(rng.random(n) < 0.15,
+                           rng.integers(1, 51, n), 0)
+
+    # per-line anchor overrides satisfying q13 (2001) / q48 (1998)
+    date_l = t_date[idx].copy()
+    cdemo_l = t_cdemo[idx].copy()
+    hdemo_l = t_hdemo[idx].copy()
+    addr_l = t_addr[idx].copy()
+    sks_2001 = sks_in(days, 2001, range(1, 13))
+    sks_1998 = sks_in(days, 1998, range(1, 13))
+    for i in range(N_SS_ANCHOR):
+        price, q, wh, m, e, dep, states = (
+            STORE_ANCHOR_TYPES[i % len(STORE_ANCHOR_TYPES)])
+        sales_c[i], qty[i], wholesale_c[i] = price, q, wh
+        list_c[i] = max(list_c[i], price)
+        coupon_frac[i] = 0
+        date_l[i] = rng.choice(sks_2001 if i % 6 < 3 else sks_1998)
+        cdemo_l[i] = cd_sk_for("MF"[i % 2], m, e)
+        hdemo_l[i] = hd_sk_for(3 + i % 10, "1001-5000", dep, 2)
+        addr_l[i] = rng.choice(addr_by_state[states[i % len(states)]])
+
+    (ext_discount, ext_sales, ext_wholesale, ext_list, tax, coupon,
+     net_paid, net_paid_inc_tax, net_profit) = money(
+        qty, list_c, sales_c, wholesale_c,
+        rng.integers(0, 10, n), coupon_frac)
+
+    write("store_sales", {
+        "ss_sold_date_sk": with_nulls(date_l, 0.01),
+        "ss_sold_time_sk": with_nulls(t_time[idx], 0.01),
+        "ss_item_sk": item.astype("int64"),
+        "ss_customer_sk": with_nulls(t_cust[idx], 0.02),
+        "ss_cdemo_sk": with_nulls(cdemo_l, 0.02),
+        "ss_hdemo_sk": with_nulls(hdemo_l, 0.02),
+        "ss_addr_sk": with_nulls(addr_l, 0.02),
+        "ss_store_sk": with_nulls(t_store[idx], 0.02),
+        "ss_promo_sk": with_nulls(rng.integers(1, N_PROMO + 1, n), 0.03),
+        "ss_ticket_number": (idx + 1).astype("int64"),
+        "ss_quantity": qty,
+        "ss_wholesale_cost": _dec(wholesale_c),
+        "ss_list_price": _dec(list_c),
+        "ss_sales_price": _dec(sales_c),
+        "ss_ext_discount_amt": _dec(ext_discount),
+        "ss_ext_sales_price": _dec(ext_sales),
+        "ss_ext_wholesale_cost": _dec(ext_wholesale),
+        "ss_ext_list_price": _dec(ext_list),
+        "ss_ext_tax": _dec(tax),
+        "ss_coupon_amt": _dec(coupon),
+        "ss_net_paid": _dec(net_paid),
+        "ss_net_paid_inc_tax": _dec(net_paid_inc_tax),
+        "ss_net_profit": _dec(net_profit),
+    })
+    return {"date": date_l, "item": item, "ticket": idx + 1,
+            "cust": t_cust[idx], "qty": qty, "sales_c": sales_c,
+            "store": t_store[idx], "n": n}
+
+
+def gen_store_returns(ss, n_cd):
+    pick = np.sort(rng.choice(ss["n"], ss["n"] // 10, replace=False))
+    n = len(pick)
+    ret_qty = np.minimum(1 + rng.integers(0, 100, n) % ss["qty"][pick],
+                         ss["qty"][pick])
+    ret_amt = ret_qty * ss["sales_c"][pick]
+    tax = (ret_amt * rng.integers(0, 10, n)) // 100
+    fee = rng.integers(50, 10001, n)
+    ship = (ret_amt * rng.integers(0, 30, n)) // 100
+    refunded = (ret_amt * rng.integers(0, 101, n)) // 100
+    reversed_c = ret_amt - refunded
+    write("store_returns", {
+        "sr_returned_date_sk": with_nulls(ss["date"][pick]
+                                          + rng.integers(1, 91, n), 0.02),
+        "sr_return_time_sk": rng.integers(8 * 3600, 22 * 3600, n),
+        "sr_item_sk": ss["item"][pick].astype("int64"),
+        "sr_customer_sk": with_nulls(ss["cust"][pick], 0.03),
+        "sr_cdemo_sk": with_nulls(rng.integers(1, n_cd + 1, n), 0.03),
+        "sr_hdemo_sk": with_nulls(rng.integers(1, 7201, n), 0.03),
+        "sr_addr_sk": with_nulls(rng.integers(1, N_ADDR + 1, n), 0.03),
+        "sr_store_sk": with_nulls(ss["store"][pick], 0.02),
+        "sr_reason_sk": rng.integers(1, 36, n),
+        "sr_ticket_number": ss["ticket"][pick].astype("int64"),
+        "sr_return_quantity": ret_qty,
+        "sr_return_amt": _dec(ret_amt),
+        "sr_return_tax": _dec(tax),
+        "sr_return_amt_inc_tax": _dec(ret_amt + tax),
+        "sr_fee": _dec(fee),
+        "sr_return_ship_cost": _dec(ship),
+        "sr_refunded_cash": _dec(refunded),
+        "sr_reversed_charge": _dec(reversed_c),
+        "sr_store_credit": _dec(np.zeros(n, dtype="int64")),
+        "sr_net_loss": _dec(fee + tax + ship),
+    })
+    return pick
+
+
+def gen_catalog(days, n_cd, item_price_c, ss, sr_pick):
+    dates = sold_date_pool(days)
+    o_date = rng.choice(dates, N_CS_ORDERS)
+    o_bill = rng.integers(1, N_CUST + 1, N_CS_ORDERS)
+    # ~20% of orders ship to a different customer (q* bill<>ship shapes)
+    o_ship = np.where(rng.random(N_CS_ORDERS) < 0.2,
+                      rng.integers(1, N_CUST + 1, N_CS_ORDERS), o_bill)
+    o_cc = rng.integers(1, N_CC + 1, N_CS_ORDERS)
+    lines = 1 + np.minimum(rng.geometric(0.3, N_CS_ORDERS), 14)
+    idx = np.repeat(np.arange(N_CS_ORDERS), lines)
+    n = len(idx)
+
+    item = rng.integers(1, N_ITEM + 1, n)
+    qty = rng.integers(1, 101, n)
+    date_l = o_date[idx].copy()
+    bill_l = o_bill[idx].copy()
+
+    # cross-channel anchors: q25 (ss sold 2001-04, sr returned 4..10,
+    # cs purchase by the same (customer, item) in months 4..10) and q29
+    # (ss 1999-09, sr 9..12, cs in 1999-2001). Returned store-sale
+    # lines in those windows get a matching catalog purchase.
+    sk_to_ym = {jdn(d): (d.year, d.month) for d in days}
+    ret_apr01 = [j for j in sr_pick
+                 if sk_to_ym.get(int(ss["date"][j])) == (2001, 4)]
+    ret_sep99 = [j for j in sr_pick
+                 if sk_to_ym.get(int(ss["date"][j])) == (1999, 9)]
+    cs_a, cs_b = sks_in(days, 2001, range(5, 10)), sold_date_pool(days)
+    cs_b = cs_b[(cs_b >= jdn(date(1999, 10, 1)))
+                & (cs_b <= jdn(date(2001, 12, 1)))]
+    pos = 0
+    for pool, ds in ((ret_apr01, cs_a), (ret_sep99, cs_b)):
+        for j in pool[:120]:
+            bill_l[pos] = ss["cust"][j]
+            item[pos] = ss["item"][j]
+            date_l[pos] = rng.choice(ds)
+            pos += 1
+    list_c = item_price_c[item - 1].astype("int64")
+    wholesale_c = (list_c * rng.integers(40, 90, n)) // 100
+    sales_c = (list_c * rng.integers(20, 101, n)) // 100
+    (ext_discount, ext_sales, ext_wholesale, ext_list, tax, coupon,
+     net_paid, net_paid_inc_tax, net_profit) = money(
+        qty, list_c, sales_c, wholesale_c,
+        rng.integers(0, 10, n), np.where(rng.random(n) < 0.15,
+                                         rng.integers(1, 51, n), 0))
+    ship_cost = (ext_sales * rng.integers(0, 50, n)) // 100
+    ship_date = date_l + rng.integers(1, 141, n)
+
+    write("catalog_sales", {
+        "cs_sold_date_sk": with_nulls(date_l, 0.01),
+        "cs_sold_time_sk": rng.integers(0, 86400, n),
+        "cs_ship_date_sk": with_nulls(ship_date, 0.01),
+        "cs_bill_customer_sk": with_nulls(bill_l, 0.02),
+        "cs_bill_cdemo_sk": with_nulls(rng.integers(1, n_cd + 1, n), 0.02),
+        "cs_bill_hdemo_sk": with_nulls(rng.integers(1, 7201, n), 0.02),
+        "cs_bill_addr_sk": with_nulls(rng.integers(1, N_ADDR + 1, n), 0.02),
+        "cs_ship_customer_sk": with_nulls(o_ship[idx], 0.02),
+        "cs_ship_cdemo_sk": with_nulls(rng.integers(1, n_cd + 1, n), 0.02),
+        "cs_ship_hdemo_sk": with_nulls(rng.integers(1, 7201, n), 0.02),
+        "cs_ship_addr_sk": with_nulls(rng.integers(1, N_ADDR + 1, n), 0.02),
+        "cs_call_center_sk": with_nulls(o_cc[idx], 0.02),
+        "cs_catalog_page_sk": with_nulls(
+            rng.integers(1, N_CATALOG_PAGE + 1, n), 0.02),
+        "cs_ship_mode_sk": with_nulls(rng.integers(1, 21, n), 0.02),
+        "cs_warehouse_sk": with_nulls(rng.integers(1, N_WAREHOUSE + 1, n), 0.02),
+        "cs_item_sk": item.astype("int64"),
+        "cs_promo_sk": with_nulls(rng.integers(1, N_PROMO + 1, n), 0.03),
+        "cs_order_number": (idx + 1).astype("int64"),
+        "cs_quantity": qty,
+        "cs_wholesale_cost": _dec(wholesale_c),
+        "cs_list_price": _dec(list_c),
+        "cs_sales_price": _dec(sales_c),
+        "cs_ext_discount_amt": _dec(ext_discount),
+        "cs_ext_sales_price": _dec(ext_sales),
+        "cs_ext_wholesale_cost": _dec(ext_wholesale),
+        "cs_ext_list_price": _dec(ext_list),
+        "cs_ext_tax": _dec(tax),
+        "cs_coupon_amt": _dec(coupon),
+        "cs_ext_ship_cost": _dec(ship_cost),
+        "cs_net_paid": _dec(net_paid),
+        "cs_net_paid_inc_tax": _dec(net_paid_inc_tax),
+        "cs_net_paid_inc_ship": _dec(net_paid + ship_cost),
+        "cs_net_paid_inc_ship_tax": _dec(net_paid + ship_cost + tax),
+        "cs_net_profit": _dec(net_profit),
+    })
+    return {"date": date_l, "item": item, "order": idx + 1,
+            "bill": bill_l, "ship": o_ship[idx], "cc": o_cc[idx],
+            "qty": qty, "sales_c": sales_c, "n": n}
+
+
+def gen_catalog_returns(cs, n_cd, days):
+    pick = np.sort(rng.choice(cs["n"], cs["n"] // 10, replace=False))
+    n = len(pick)
+    ret_qty = np.minimum(1 + rng.integers(0, 100, n) % cs["qty"][pick],
+                         cs["qty"][pick])
+    ret_amt = ret_qty * cs["sales_c"][pick]
+    tax = (ret_amt * rng.integers(0, 10, n)) // 100
+    fee = rng.integers(50, 10001, n)
+    ship = (ret_amt * rng.integers(0, 30, n)) // 100
+    refunded = (ret_amt * rng.integers(0, 101, n)) // 100
+    ret_date = cs["date"][pick] + rng.integers(1, 91, n)
+    returning = cs["ship"][pick].copy()
+    cc = cs["cc"][pick].copy()
+    # q91 anchors: returns in 1998-11 by the anchored customers
+    # (whose current demographics satisfy the marital/education,
+    # buy-potential and gmt-offset literals)
+    nov98 = sks_in(days, 1998, [11])
+    for i in range(80):
+        ret_date[i] = rng.choice(nov98)
+        returning[i] = 1 + i % 60
+        cc[i] = 1 + i % N_CC
+    write("catalog_returns", {
+        "cr_returned_date_sk": ret_date,
+        "cr_returned_time_sk": rng.integers(0, 86400, n),
+        "cr_item_sk": cs["item"][pick].astype("int64"),
+        "cr_refunded_customer_sk": with_nulls(cs["bill"][pick], 0.03),
+        "cr_refunded_cdemo_sk": with_nulls(rng.integers(1, n_cd + 1, n), 0.03),
+        "cr_refunded_hdemo_sk": with_nulls(rng.integers(1, 7201, n), 0.03),
+        "cr_refunded_addr_sk": with_nulls(rng.integers(1, N_ADDR + 1, n), 0.03),
+        "cr_returning_customer_sk": with_nulls(returning, 0.03),
+        "cr_returning_cdemo_sk": with_nulls(rng.integers(1, n_cd + 1, n), 0.03),
+        "cr_returning_hdemo_sk": with_nulls(rng.integers(1, 7201, n), 0.03),
+        "cr_returning_addr_sk": with_nulls(rng.integers(1, N_ADDR + 1, n), 0.03),
+        "cr_call_center_sk": with_nulls(cc, 0.02),
+        "cr_catalog_page_sk": with_nulls(
+            rng.integers(1, N_CATALOG_PAGE + 1, n), 0.02),
+        "cr_ship_mode_sk": with_nulls(rng.integers(1, 21, n), 0.02),
+        "cr_warehouse_sk": with_nulls(rng.integers(1, N_WAREHOUSE + 1, n), 0.02),
+        "cr_reason_sk": rng.integers(1, 36, n),
+        "cr_order_number": cs["order"][pick].astype("int64"),
+        "cr_return_quantity": ret_qty,
+        "cr_return_amount": _dec(ret_amt),
+        "cr_return_tax": _dec(tax),
+        "cr_return_amt_inc_tax": _dec(ret_amt + tax),
+        "cr_fee": _dec(fee),
+        "cr_return_ship_cost": _dec(ship),
+        "cr_refunded_cash": _dec(refunded),
+        "cr_reversed_charge": _dec(ret_amt - refunded),
+        "cr_store_credit": _dec(np.zeros(n, dtype="int64")),
+        "cr_net_loss": _dec(fee + tax + ship),
+    })
+
+
+def gen_web_sales(days_, n_cd, item_price_c):
+    dates = sold_date_pool(days_)
+    o_date = rng.choice(dates, N_WS_ORDERS)
+    o_bill = rng.integers(1, N_CUST + 1, N_WS_ORDERS)
+    o_ship = np.where(rng.random(N_WS_ORDERS) < 0.2,
+                      rng.integers(1, N_CUST + 1, N_WS_ORDERS), o_bill)
+    o_site = rng.integers(1, N_WEB_SITE + 1, N_WS_ORDERS)
+    lines = 1 + np.minimum(rng.geometric(0.35, N_WS_ORDERS), 12)
+    idx = np.repeat(np.arange(N_WS_ORDERS), lines)
+    n = len(idx)
+
+    item = rng.integers(1, N_ITEM + 1, n)
+    qty = rng.integers(1, 101, n)
+    list_c = item_price_c[item - 1].astype("int64")
+    wholesale_c = (list_c * rng.integers(40, 90, n)) // 100
+    sales_c = (list_c * rng.integers(20, 101, n)) // 100
+    coupon_frac = np.where(rng.random(n) < 0.15,
+                           rng.integers(1, 51, n), 0)
+    date_l = o_date[idx].copy()
+    page_l = rng.integers(1, N_WEB_PAGE + 1, n)
+    # q85 anchors: first N_WS_ANCHOR lines sold in 1998 with price and
+    # profit pinned inside the query's band arms; the matching
+    # web_returns rows carry the demographic pairs
+    sks_98 = sks_in(days_, 1998, range(1, 13))
+    for i in range(N_WS_ANCHOR):
+        price, q, wh, _m, _e, _states = (
+            WEB_ANCHOR_TYPES[i % len(WEB_ANCHOR_TYPES)])
+        sales_c[i], qty[i], wholesale_c[i] = price, q, wh
+        list_c[i] = max(list_c[i], price)
+        coupon_frac[i] = 0
+        date_l[i] = rng.choice(sks_98)
+    (ext_discount, ext_sales, ext_wholesale, ext_list, tax, coupon,
+     net_paid, net_paid_inc_tax, net_profit) = money(
+        qty, list_c, sales_c, wholesale_c,
+        rng.integers(0, 10, n), coupon_frac)
+    ship_cost = (ext_sales * rng.integers(0, 50, n)) // 100
+    ship_date = date_l + rng.integers(1, 141, n)
+    page_nulls = with_nulls(page_l, 0.02)
+    for i in range(N_WS_ANCHOR):
+        page_nulls[i] = int(page_l[i])
+
+    write("web_sales", {
+        "ws_sold_date_sk": with_nulls(date_l, 0.01),
+        "ws_sold_time_sk": rng.integers(0, 86400, n),
+        "ws_ship_date_sk": with_nulls(ship_date, 0.01),
+        "ws_item_sk": item.astype("int64"),
+        "ws_bill_customer_sk": with_nulls(o_bill[idx], 0.02),
+        "ws_bill_cdemo_sk": with_nulls(rng.integers(1, n_cd + 1, n), 0.02),
+        "ws_bill_hdemo_sk": with_nulls(rng.integers(1, 7201, n), 0.02),
+        "ws_bill_addr_sk": with_nulls(rng.integers(1, N_ADDR + 1, n), 0.02),
+        "ws_ship_customer_sk": with_nulls(o_ship[idx], 0.02),
+        "ws_ship_cdemo_sk": with_nulls(rng.integers(1, n_cd + 1, n), 0.02),
+        "ws_ship_hdemo_sk": with_nulls(rng.integers(1, 7201, n), 0.02),
+        "ws_ship_addr_sk": with_nulls(rng.integers(1, N_ADDR + 1, n), 0.02),
+        "ws_web_page_sk": page_nulls,
+        "ws_web_site_sk": with_nulls(o_site[idx], 0.02),
+        "ws_ship_mode_sk": with_nulls(rng.integers(1, 21, n), 0.02),
+        "ws_warehouse_sk": with_nulls(rng.integers(1, N_WAREHOUSE + 1, n), 0.02),
+        "ws_promo_sk": with_nulls(rng.integers(1, N_PROMO + 1, n), 0.03),
+        "ws_order_number": (idx + 1).astype("int64"),
+        "ws_quantity": qty,
+        "ws_wholesale_cost": _dec(wholesale_c),
+        "ws_list_price": _dec(list_c),
+        "ws_sales_price": _dec(sales_c),
+        "ws_ext_discount_amt": _dec(ext_discount),
+        "ws_ext_sales_price": _dec(ext_sales),
+        "ws_ext_wholesale_cost": _dec(ext_wholesale),
+        "ws_ext_list_price": _dec(ext_list),
+        "ws_ext_tax": _dec(tax),
+        "ws_coupon_amt": _dec(coupon),
+        "ws_ext_ship_cost": _dec(ship_cost),
+        "ws_net_paid": _dec(net_paid),
+        "ws_net_paid_inc_tax": _dec(net_paid_inc_tax),
+        "ws_net_paid_inc_ship": _dec(net_paid + ship_cost),
+        "ws_net_paid_inc_ship_tax": _dec(net_paid + ship_cost + tax),
+        "ws_net_profit": _dec(net_profit),
+    })
+    return {"date": date_l, "item": item, "order": idx + 1,
+            "bill": o_bill[idx], "ship": o_ship[idx],
+            "qty": qty, "sales_c": sales_c, "n": n}
+
+
+def gen_web_returns(ws, n_cd, addr_by_state):
+    # anchored ws lines (0..N_WS_ANCHOR) are always returned — q85
+    # joins sales to returns and filters on the RETURN's demographics
+    rest = np.setdiff1d(
+        rng.choice(np.arange(N_WS_ANCHOR, ws["n"]), ws["n"] // 10,
+                   replace=False),
+        np.arange(N_WS_ANCHOR))
+    pick = np.sort(np.concatenate([np.arange(N_WS_ANCHOR), rest]))
+    n = len(pick)
+    ret_qty = np.minimum(1 + rng.integers(0, 100, n) % ws["qty"][pick],
+                         ws["qty"][pick])
+    ret_amt = ret_qty * ws["sales_c"][pick]
+    tax = (ret_amt * rng.integers(0, 10, n)) // 100
+    fee = rng.integers(50, 10001, n)
+    ship = (ret_amt * rng.integers(0, 30, n)) // 100
+    refunded = (ret_amt * rng.integers(0, 101, n)) // 100
+    # the refunding and returning party usually share demographics —
+    # q85's cd1 = cd2 equality needs the correlation to ever hold
+    ref_cdemo = rng.integers(1, n_cd + 1, n)
+    ret_cdemo = np.where(rng.random(n) < 0.7, ref_cdemo,
+                         rng.integers(1, n_cd + 1, n))
+    ref_addr = rng.integers(1, N_ADDR + 1, n)
+    for i in range(n):
+        if pick[i] < N_WS_ANCHOR:
+            _p, _q, _w, m, e, states = (
+                WEB_ANCHOR_TYPES[pick[i] % len(WEB_ANCHOR_TYPES)])
+            ref_cdemo[i] = ret_cdemo[i] = cd_sk_for("MF"[i % 2], m, e)
+            ref_addr[i] = rng.choice(
+                addr_by_state[states[i % len(states)]])
+    write("web_returns", {
+        "wr_returned_date_sk": with_nulls(ws["date"][pick]
+                                          + rng.integers(1, 91, n), 0.02),
+        "wr_returned_time_sk": rng.integers(0, 86400, n),
+        "wr_item_sk": ws["item"][pick].astype("int64"),
+        "wr_refunded_customer_sk": with_nulls(ws["bill"][pick], 0.03),
+        "wr_refunded_cdemo_sk": with_nulls(ref_cdemo, 0.03),
+        "wr_refunded_hdemo_sk": with_nulls(rng.integers(1, 7201, n), 0.03),
+        "wr_refunded_addr_sk": with_nulls(ref_addr, 0.03),
+        "wr_returning_customer_sk": with_nulls(ws["ship"][pick], 0.03),
+        "wr_returning_cdemo_sk": with_nulls(ret_cdemo, 0.03),
+        "wr_returning_hdemo_sk": with_nulls(rng.integers(1, 7201, n), 0.03),
+        "wr_returning_addr_sk": with_nulls(rng.integers(1, N_ADDR + 1, n), 0.03),
+        "wr_web_page_sk": with_nulls(rng.integers(1, N_WEB_PAGE + 1, n), 0.02),
+        "wr_reason_sk": rng.integers(1, 36, n),
+        "wr_order_number": ws["order"][pick].astype("int64"),
+        "wr_return_quantity": ret_qty,
+        "wr_return_amt": _dec(ret_amt),
+        "wr_return_tax": _dec(tax),
+        "wr_return_amt_inc_tax": _dec(ret_amt + tax),
+        "wr_fee": _dec(fee),
+        "wr_return_ship_cost": _dec(ship),
+        "wr_refunded_cash": _dec(refunded),
+        "wr_reversed_charge": _dec(ret_amt - refunded),
+        "wr_account_credit": _dec(np.zeros(n, dtype="int64")),
+        "wr_net_loss": _dec(fee + tax + ship),
+    })
+
+
+def gen_inventory(days):
+    # weekly Monday snapshots (real dsdgen inventory is weekly), items
+    # sampled 1-in-4, all warehouses
+    snap_days = [d for d in days
+                 if d.toordinal() % 7 == 1 and 1999 <= d.year <= 2002]
+    snaps = np.array([jdn(d) for d in snap_days])
+    items = np.arange(4, N_ITEM + 1, 4)
+    wh = np.arange(1, N_WAREHOUSE + 1)
+    date_col = np.repeat(snaps, len(items) * len(wh))
+    item_col = np.tile(np.repeat(items, len(wh)), len(snaps))
+    wh_col = np.tile(wh, len(snaps) * len(items))
+    n = len(date_col)
+    qty = rng.integers(0, 1001, n)
+    write("inventory", {
+        "inv_date_sk": date_col,
+        "inv_item_sk": item_col.astype("int64"),
+        "inv_warehouse_sk": wh_col,
+        "inv_quantity_on_hand": with_nulls(qty, 0.02),
+    })
+
+
+def main():
+    days = gen_date_dim()
+    gen_time_dim()
+    n_cd = gen_small_dims(days)
+    addr_by_state = gen_addresses()
+    gen_customers(days, n_cd)
+    item_price_c = gen_items()
+    gen_stores()
+    gen_warehouses()
+    gen_web_dims(days)
+    gen_call_centers()
+    gen_catalog_pages()
+    gen_promotions()
+    ss = gen_store_sales(days, n_cd, item_price_c, addr_by_state)
+    sr_pick = gen_store_returns(ss, n_cd)
+    cs = gen_catalog(days, n_cd, item_price_c, ss, sr_pick)
+    gen_catalog_returns(cs, n_cd, days)
+    ws = gen_web_sales(days, n_cd, item_price_c)
+    gen_web_returns(ws, n_cd, addr_by_state)
+    gen_inventory(days)
+    total = sum(
+        pq.ParquetFile(os.path.join(OUT_DIR, f)).metadata.num_rows
+        for f in os.listdir(OUT_DIR) if f.endswith(".parquet"))
+    size = sum(os.path.getsize(os.path.join(OUT_DIR, f))
+               for f in os.listdir(OUT_DIR)) / 1e6
+    print(f"TOTAL {total} rows, {size:.1f} MB in {OUT_DIR}")
+
+
+if __name__ == "__main__":
+    main()
