@@ -401,3 +401,528 @@ def nested_tpch_urgent_spend_share(
         .where(F.col("urgent_spend") > 0)
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier-side nesting (tpch_nested q2 / q9 / q20 family)
+#
+# The reference's nested schema also nests partsupp under supplier
+# (supplier.s_partsupps) and nation under region (region.r_nations) —
+# tpch_nested-q2.test reads `from supplier s, s.s_partsupps ps, ...
+# region r, r.r_nations n`. The driver's flat tables carry no partsupp,
+# so ps_supplycost / ps_availqty are DERIVED deterministically from the
+# (l_partkey, l_suppkey) pairs present in lineitem with the same
+# integer formula in Spark and in the DuckDB oracle — both engines see
+# the identical synthetic partsupp relation, keeping the entries
+# bit-checkable. Costs are integer-valued decimals (no division).
+# ---------------------------------------------------------------------------
+
+_PS_COST = "CAST((({pk} * 7 + {sk} * 13) % 10000) + 100 AS DECIMAL(12,2))"
+_PS_AVAIL = "CAST((({pk} * 5 + {sk} * 11) % 9999) + 1 AS INT)"
+
+_PS_FLAT_CTE = f"""
+    partsupp AS (
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        {_PS_COST.format(pk='l_partkey', sk='l_suppkey')} AS ps_supplycost,
+        {_PS_AVAIL.format(pk='l_partkey', sk='l_suppkey')} AS ps_availqty
+      FROM lineitem)
+"""
+
+
+def _nested_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier rows carrying an s_partsupps array<struct> — the
+    tpch_nested supplier shape. One shuffle on suppkey to collect the
+    derived partsupp rows; sort_array makes the layout deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.select("l_partkey", "l_suppkey").distinct()
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+            F.expr(_PS_COST.format(pk="l_partkey", sk="l_suppkey"))
+            .alias("ps_supplycost"),
+            F.expr(_PS_AVAIL.format(pk="l_partkey", sk="l_suppkey"))
+            .alias("ps_availqty"),
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nested = ps.groupBy(F.col("ps_suppkey").alias("k")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("ps_partkey", "ps_supplycost", "ps_availqty"))
+        ).alias("s_partsupps"))
+    return supp.join(nested, supp["s_suppkey"] == nested["k"], "left").drop("k")
+
+
+def _nested_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region rows carrying r_nations array<struct> (tpch_nested
+    region shape); broadcast-size at any SF (25 nations, 5 regions)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nested = nation.groupBy(F.col("n_regionkey").alias("k")).agg(
+        F.sort_array(
+            F.collect_list(F.struct("n_nationkey", "n_name"))
+        ).alias("r_nations"))
+    return region.join(nested, region["r_regionkey"] == nested["k"],
+                       "left").drop("k")
+
+
+@_register(
+    "nested_tpch_q2_min_cost_supplier",
+    f"""
+    WITH {_PS_FLAT_CTE}
+    SELECT CAST(s.s_acctbal AS DECIMAL(12,2)) AS s_acctbal, s.s_name,
+      n.n_name, p.p_partkey, p.p_brand
+    FROM supplier s
+    JOIN partsupp ps ON s.s_suppkey = ps.ps_suppkey
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size = 15 AND p.p_type LIKE '%BRASS'
+      AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM partsupp ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def nested_tpch_q2_min_cost_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """tpch_nested q2 (minimum-cost supplier): `from supplier s,
+    s.s_partsupps ps, part, region r, r.r_nations n` with a correlated
+    MIN over the same nested path. Spark translation: explode the
+    nested supplier's s_partsupps (the UnnestNode), broadcast-join the
+    nested region's exploded r_nations (dims stay tiny at any SF), and
+    replace the correlated scalar subquery with a min-over-window
+    partitioned by p_partkey — one pass, no re-scan of the nested
+    column per outer row (the reference re-evaluates the subplan per
+    row; a window is the set-based equivalent).
+    Reference: testdata/workloads/tpch_nested/queries/tpch_nested-q2.test.
+    """
+    from pyspark.sql import Window
+
+    supp = _nested_suppliers(spark, sf_dir)
+    reg = _nested_regions(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+
+    nations = reg.where(F.col("r_name") == "EUROPE").select(
+        F.explode("r_nations").alias("n"))
+    nations = nations.select(F.col("n.n_nationkey").alias("n_nationkey"),
+                             F.col("n.n_name").alias("n_name"))
+    sp = supp.select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal",
+        F.explode("s_partsupps").alias("ps"))
+    sp = sp.join(F.broadcast(nations),
+                 sp["s_nationkey"] == nations["n_nationkey"])
+    eligible = sp.select(
+        "s_name", F.col("s_acctbal").cast("decimal(12,2)").alias("s_acctbal"),
+        "n_name", F.col("ps.ps_partkey").alias("ps_partkey"),
+        F.col("ps.ps_supplycost").alias("ps_supplycost"))
+    w = Window.partitionBy("ps_partkey")
+    best = eligible.withColumn("min_cost", F.min("ps_supplycost").over(w))
+    part_f = part.where(
+        (F.col("p_size") == 15) & F.col("p_type").like("%BRASS"))
+    return (
+        best.where(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(part_f, F.col("ps_partkey") == part_f["p_partkey"])
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "nested_tpch_q9_profit_by_nation_year",
+    f"""
+    WITH {_PS_FLAT_CTE}
+    SELECT n.n_name AS nation, year(CAST(o.o_orderdate AS DATE)) AS o_year,
+      CAST(SUM(
+        CAST(l.l_extendedprice AS DECIMAL(12,2))
+          * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+        - ps.ps_supplycost * CAST(l.l_quantity AS DECIMAL(12,2))
+      ) AS DECIMAL(38,4)) AS sum_profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                    AND ps.ps_suppkey = l.l_suppkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%green%'
+    GROUP BY n.n_name, year(CAST(o.o_orderdate AS DATE))
+    ORDER BY nation, o_year DESC
+    """,
+)
+def nested_tpch_q9_profit_by_nation_year(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """tpch_nested q9 (product-type profit): the nested walk is
+    supplier -> s_partsupps -> lineitem; profit per (nation, year).
+    Spark: explode the nested supplier once, join lineitem on the
+    composite (partkey, suppkey) — one shuffle each side; part and
+    nation broadcast. All money math is decimal (exact, order-free);
+    the derived ps_supplycost is integer-valued decimal so the profit
+    expression carries scale 4 in both engines.
+    Reference: testdata/workloads/tpch_nested/queries/tpch_nested-q9.test
+    (and the masked variant masked-tpch_nested-q9.test)."""
+    supp = _nested_suppliers(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+
+    sp = supp.select(
+        "s_suppkey", "s_nationkey", F.explode("s_partsupps").alias("ps")
+    ).select(
+        "s_suppkey", "s_nationkey",
+        F.col("ps.ps_partkey").alias("ps_partkey"),
+        F.col("ps.ps_supplycost").alias("ps_supplycost"))
+    d = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    joined = (
+        li.join(sp, (li["l_partkey"] == sp["ps_partkey"])
+                & (li["l_suppkey"] == sp["s_suppkey"]))
+        .join(F.broadcast(part.where(F.col("p_name").like("%green%"))),
+              li["l_partkey"] == F.col("p_partkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nation),
+              sp["s_nationkey"] == nation["n_nationkey"])
+    )
+    profit = (
+        d("l_extendedprice") * (F.lit(1) - d("l_discount"))
+        - F.col("ps_supplycost") * d("l_quantity"))
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"))
+        .agg(F.sum(profit).cast("decimal(38,4)").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@_register(
+    "nested_tpch_q20_excess_stock_suppliers",
+    f"""
+    WITH {_PS_FLAT_CTE},
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+        SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_1994
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
+      GROUP BY l_partkey, l_suppkey)
+    SELECT DISTINCT s.s_name, n.n_name
+    FROM supplier s
+    JOIN partsupp ps ON ps.ps_suppkey = s.s_suppkey
+    JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                   AND sh.l_suppkey = ps.ps_suppkey
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE 'forest%'
+      AND CAST(ps.ps_availqty AS DECIMAL(12,2)) > sh.qty_1994 * 0.5
+    ORDER BY s_name, n_name
+    """,
+)
+def nested_tpch_q20_excess_stock_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """tpch_nested q20 (potential part promotion): suppliers whose
+    nested s_partsupps hold more stock of 'forest%' parts than half of
+    what they shipped in 1994. Spark: the shipped-quantity aggregate
+    shuffles once on (partkey, suppkey) and joins the exploded nested
+    supplier on the same composite key — Spark reuses the hash
+    partitioning across both. The quantity compare cross-multiplies
+    nothing: availqty is integer, qty decimal, `avail > qty * 0.5` is
+    exact decimal math in both engines.
+    Reference: testdata/workloads/tpch_nested/queries/tpch_nested-q20.test
+    (and masked-tpch_nested-q20.test)."""
+    supp = _nested_suppliers(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+
+    shipped = (
+        li.where((F.col("l_shipdate").cast("date") >= F.lit("1994-01-01"))
+                 & (F.col("l_shipdate").cast("date") < F.lit("1995-01-01")))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+             .alias("qty_1994")))
+    sp = supp.select(
+        "s_suppkey", "s_name", "s_nationkey",
+        F.explode("s_partsupps").alias("ps")
+    ).select(
+        "s_suppkey", "s_name", "s_nationkey",
+        F.col("ps.ps_partkey").alias("ps_partkey"),
+        F.col("ps.ps_availqty").alias("ps_availqty"))
+    return (
+        sp.join(shipped, (sp["ps_partkey"] == shipped["l_partkey"])
+                & (sp["s_suppkey"] == shipped["l_suppkey"]))
+        .join(F.broadcast(part.where(F.col("p_name").like("forest%"))),
+              sp["ps_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(nation),
+              sp["s_nationkey"] == nation["n_nationkey"])
+        .where(F.col("ps_availqty").cast("decimal(12,2)")
+               > F.col("qty_1994") * F.lit(0.5).cast("decimal(2,1)"))
+        .select("s_name", "n_name").distinct()
+        .orderBy("s_name", "n_name")
+    )
+
+
+@_register(
+    "nested_tpch_region_nation_rollup",
+    """
+    SELECT r.r_name, n.n_name,
+      CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers,
+      CAST(COALESCE(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 0)
+        AS DECIMAL(38,2)) AS total_acctbal
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def nested_tpch_region_nation_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """tpch_nested region.r_nations walk (`from region r, r.r_nations
+    n` in tpch_nested-q2/q5/q8): customers per (region, nation) through
+    the nested dimension. The nested region relation is 5 rows at ANY
+    scale factor — explode it and broadcast; the only shuffle is the
+    customer-side aggregate. Reference: testdata/datasets README
+    (nested region schema), tpch_nested-q5.test plan shape."""
+    reg = _nested_regions(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    nations = reg.select(
+        "r_name", F.explode("r_nations").alias("n")
+    ).select("r_name", F.col("n.n_nationkey").alias("n_nationkey"),
+             F.col("n.n_name").alias("n_name"))
+    return (
+        cust.join(F.broadcast(nations),
+                  cust["c_nationkey"] == nations["n_nationkey"], "right")
+        .groupBy("r_name", "n_name")
+        .agg(F.count("c_custkey").cast("bigint").alias("n_customers"),
+             F.coalesce(
+                 F.sum(F.col("c_acctbal").cast("decimal(12,2)")),
+                 F.lit(0).cast("decimal(12,2)"))
+             .cast("decimal(38,2)").alias("total_acctbal"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+@_register(
+    "nested_tpch_outer_ref_filter",
+    """
+    SELECT c.c_custkey, c.c_acctbal,
+      CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_big_orders,
+      CAST(MAX(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
+        AS max_big_order
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE CAST(o.o_totalprice AS DECIMAL(12,2))
+          > CAST(c.c_acctbal AS DECIMAL(12,2)) * 20
+    GROUP BY c.c_custkey, c.c_acctbal
+    ORDER BY c_custkey
+    """,
+)
+def nested_tpch_outer_ref_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nested-within-nested filtering with OUTER references — the q2
+    signature shape the round-4 review called out: the collection
+    predicate refers to the enclosing row (orders whose totalprice
+    exceeds 20x the customer's own acctbal). The reference evaluates
+    this as a SubplanNode re-running the filter per outer row; in
+    Spark the outer column is simply in scope inside the lambda —
+    `filter(c_orders, o -> o.o_totalprice > c_acctbal * 20)` — zero
+    explosion, zero shuffle after the nest build, and the oracle is a
+    plain correlated join. c_acctbal is cast to decimal inside the
+    lambda so both engines compare exact decimals."""
+    nested = _nested_customers(spark, sf_dir)
+    big = F.filter(
+        "c_orders",
+        lambda o: o["o_totalprice"].cast("decimal(12,2)")
+        > F.col("c_acctbal").cast("decimal(12,2)") * 20)
+    out = nested.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal_d"),
+        big.alias("big"))
+    return (
+        out.where(F.size("big") > 0)
+        .select(
+            "c_custkey",
+            F.col("c_acctbal_d").alias("c_acctbal"),
+            F.size("big").cast("bigint").alias("n_big_orders"),
+            F.aggregate(
+                "big", F.lit(None).cast("decimal(12,2)"),
+                lambda acc, o: F.greatest(
+                    acc, o["o_totalprice"].cast("decimal(12,2)")))
+            .alias("max_big_order"))
+        .orderBy("c_custkey")
+    )
+
+
+@_register(
+    "nested_tpch_q18_large_orders",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+      CAST(o.o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+      CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+        AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) > 250
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def nested_tpch_q18_large_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """tpch_nested q18 (large-volume customer): orders whose nested
+    o_lineitems quantities sum past a threshold. Two-level walk: the
+    inner aggregate is a decimal HOF fold per order (no explode, no
+    per-order shuffle — the reference runs a SubplanNode aggregate per
+    outer row), then the surviving orders unnest. Only orders passing
+    the threshold are exploded, so the Generate output is the RESULT
+    cardinality, not |lineitem|.
+    Reference: testdata/workloads/tpch_nested/queries/
+    tpch_nested-q18.test (and masked-tpch_nested-q18.test)."""
+    nested = _nested_customers(spark, sf_dir, with_lineitems=True)
+    qty = lambda o: F.aggregate(  # noqa: E731
+        o["o_lineitems"], F.lit(0).cast("decimal(18,2)"),
+        lambda acc, l: (acc + l["l_quantity"].cast("decimal(12,2)"))
+        .cast("decimal(18,2)"))
+    big = nested.select(
+        "c_custkey", "c_name",
+        F.explode(
+            F.filter("c_orders", lambda o: qty(o) > 250)).alias("o"))
+    return (
+        big.select(
+            "c_custkey", "c_name",
+            F.col("o.o_orderkey").alias("o_orderkey"),
+            F.col("o.o_totalprice").cast("decimal(12,2)")
+            .alias("o_totalprice"),
+            qty(F.col("o")).cast("decimal(38,2)").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "nested_tpch_q13_order_count_distribution",
+    """
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey) t
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def nested_tpch_q13_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """tpch_nested q13 (customer distribution): histogram of
+    per-customer order counts, counting only orders passing a filter.
+    On the nested layout the per-customer count is `size(filter(...))`
+    — a pure projection (the flat oracle needs a join + two
+    aggregates; the nested plan needs ONE aggregate over 150k rows/SF,
+    which is the reference's argument for nesting the fact).
+    Reference: testdata/workloads/tpch_nested/queries/
+    tpch_nested-q13.test."""
+    nested = _nested_customers(spark, sf_dir)
+    per_cust = nested.select(
+        F.size(F.filter(
+            "c_orders",
+            lambda o: o["o_orderpriority"] != "4-NOT SPECIFIED"))
+        .cast("bigint").alias("n_orders"))
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+@_register(
+    "nested_tpch_q9_masked",
+    f"""
+    WITH {_PS_FLAT_CTE}
+    SELECT
+      CASE WHEN n.n_name IN ('FRANCE', 'GERMANY') THEN n.n_name
+           ELSE regexp_replace(n.n_name, '[A-Z]', 'X') END AS nation,
+      year(CAST(o.o_orderdate AS DATE)) AS o_year,
+      CAST(SUM(
+        CAST(l.l_extendedprice AS DECIMAL(12,2))
+          * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+        - ps.ps_supplycost * CAST(l.l_quantity AS DECIMAL(12,2))
+      ) AS DECIMAL(38,4)) AS sum_profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                    AND ps.ps_suppkey = l.l_suppkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%green%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def nested_tpch_q9_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's masked-tpch_nested-q9.test variant: identical
+    nested q9 walk but with a column-masking policy applied to the
+    grouping column (nations outside an allowlist render masked — the
+    reference tests Ranger column masks over nested queries this way;
+    mask semantics per the masking family in functions/registry.py).
+    The mask is applied BEFORE the aggregate, so masked nations
+    collapse into shared groups — same contract as a real column-mask
+    policy, and the plan is the q9 plan with one extra projection.
+    Reference: testdata/workloads/tpch_nested/queries/
+    masked-tpch_nested-q9.test."""
+    # the mask is applied inside the aggregate (not post-hoc): a mask
+    # policy must collapse masked nations into shared groups
+    supp = _nested_suppliers(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    sp = supp.select(
+        "s_suppkey", "s_nationkey", F.explode("s_partsupps").alias("ps")
+    ).select(
+        "s_suppkey", "s_nationkey",
+        F.col("ps.ps_partkey").alias("ps_partkey"),
+        F.col("ps.ps_supplycost").alias("ps_supplycost"))
+    d = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    joined = (
+        li.join(sp, (li["l_partkey"] == sp["ps_partkey"])
+                & (li["l_suppkey"] == sp["s_suppkey"]))
+        .join(F.broadcast(part.where(F.col("p_name").like("%green%"))),
+              li["l_partkey"] == F.col("p_partkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nation),
+              sp["s_nationkey"] == nation["n_nationkey"])
+    )
+    masked = F.when(
+        F.col("n_name").isin("FRANCE", "GERMANY"), F.col("n_name")
+    ).otherwise(F.regexp_replace("n_name", "[A-Z]", "X"))
+    profit = (
+        d("l_extendedprice") * (F.lit(1) - d("l_discount"))
+        - F.col("ps_supplycost") * d("l_quantity"))
+    return (
+        joined.groupBy(
+            masked.alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"))
+        .agg(F.sum(profit).cast("decimal(38,4)").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
