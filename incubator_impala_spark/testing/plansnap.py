@@ -43,6 +43,34 @@ PLAN_QUERIES = [
     "nested_tpch_two_level_max_order_qty",
 ]
 
+# Entries whose plan is not statically pinnable: iterative operators
+# materialize (localCheckpoint) at build time so their final plan
+# embeds run-specific RDD state; multi-DISTINCT rewrites order their
+# Expand projections by an internal set-iteration order that varies
+# across JVM sessions (same plan shape, swapped gid assignment — a
+# diff would flap without a regression).
+_PLAN_EXCLUDE = {"pipeline_dedup_clusters", "agg_multi_distinct",
+                 "tpcds_q28_style_six_band_distinct"}
+
+
+def all_plan_queries() -> list[str]:
+    """The extended golden corpus: the explicit headline set plus every
+    tpcds_* (plan shapes AND the reference's real texts), nested_*,
+    relational (join/agg/topn/setop/unnest/analytic), sql_* and
+    pipeline_* entry — any optimizer or operator-translation regression
+    in those fails a named test (the reference runs the same breadth in
+    PlannerTest)."""
+    from incubator_impala_spark.queries import QUERIES
+
+    prefixes = ("tpcds_", "nested_", "join_", "agg_", "topn_", "setop_",
+                "unnest_", "analytic_", "sql_", "pipeline_", "events_",
+                "tpch_")
+    extra = sorted(
+        n for n in QUERIES
+        if n.startswith(prefixes) and n not in PLAN_QUERIES
+        and n not in _PLAN_EXCLUDE)
+    return PLAN_QUERIES + extra
+
 
 def explain_formatted(df) -> str:
     """EXPLAIN FORMATTED text of a DataFrame (pre-execution plan —
@@ -101,7 +129,7 @@ def snapshot(spark, sf_dir: str, names=None) -> list[str]:
 
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     written = []
-    for name in names or PLAN_QUERIES:
+    for name in names or all_plan_queries():
         df = QUERIES[name](spark, sf_dir)
         text = normalize(explain_formatted(df))
         with open(golden_path(name), "w") as f:

@@ -20,7 +20,7 @@ from tests.conftest import SF_SMALL
 def _names():
     from incubator_impala_spark.testing import plansnap
 
-    return plansnap.PLAN_QUERIES
+    return plansnap.all_plan_queries()
 
 
 @pytest.mark.parametrize("name", _names())
