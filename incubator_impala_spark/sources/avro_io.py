@@ -118,7 +118,21 @@ def _decode(schema, buf: io.BytesIO):
     if t == "boolean":
         return buf.read(1) == b"\x01"
     if t in ("int", "long"):
-        return _read_long(buf)
+        v = _read_long(buf)
+        lt = schema.get("logicalType") if isinstance(schema, dict) else None
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
+            import datetime as _dt
+
+            return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+        if lt in ("timestamp-millis", "local-timestamp-millis"):
+            import datetime as _dt
+
+            return _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=v)
+        if lt == "date":
+            import datetime as _dt
+
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+        return v
     if t == "float":
         return struct.unpack("<f", buf.read(4))[0]
     if t == "double":
@@ -405,11 +419,24 @@ _AVRO_TO_SPARK = {
 }
 
 
+_LOGICAL_TO_SPARK = {
+    # Avro spec logical types (the reference's scanner resolves the
+    # same annotations, hdfs-avro-scanner.cc / avro spec §Logical Types)
+    "timestamp-micros": "timestamp",
+    "timestamp-millis": "timestamp",
+    "local-timestamp-micros": "timestamp_ntz",
+    "local-timestamp-millis": "timestamp_ntz",
+    "date": "date",
+}
+
+
 def avro_field_spark_type(schema) -> str:
     schema = _norm(schema)
     if isinstance(schema, list):
         non_null = [s for s in schema if _type_name(s) != "null"]
         return avro_field_spark_type(non_null[0]) if non_null else "string"
+    if isinstance(schema, dict) and schema.get("logicalType") in _LOGICAL_TO_SPARK:
+        return _LOGICAL_TO_SPARK[schema["logicalType"]]
     t = _type_name(schema)
     if t in _AVRO_TO_SPARK:
         return _AVRO_TO_SPARK[t]
@@ -583,16 +610,29 @@ _SPARK_TO_AVRO = {
 }
 
 
+_SPARK_TO_AVRO_LOGICAL = {
+    "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+    "timestamp_ntz": {"type": "long",
+                      "logicalType": "local-timestamp-micros"},
+    "date": {"type": "int", "logicalType": "date"},
+}
+
+
 def avro_schema_for_df(df, name: str = "row") -> dict:
     """Derive a (nullable-union) Avro record schema from a DataFrame's
-    simple-typed columns."""
+    simple-typed columns; timestamps and dates map to the Avro spec's
+    logical types (timestamp-micros / local-timestamp-micros / date)."""
     fields = []
     for f in df.schema.fields:
         t = f.dataType.simpleString()
+        if t in _SPARK_TO_AVRO_LOGICAL:
+            fields.append({"name": f.name,
+                           "type": ["null", _SPARK_TO_AVRO_LOGICAL[t]]})
+            continue
         if t not in _SPARK_TO_AVRO:
             raise ValueError(
                 f"avro writer: unsupported spark type {t!r} for {f.name!r} "
-                "(cast dates/decimals/timestamps to string/double first)"
+                "(cast decimals/nested types to string/double first)"
             )
         fields.append({"name": f.name, "type": ["null", _SPARK_TO_AVRO[t]]})
     return {"type": "record", "name": name, "fields": fields}
@@ -613,8 +653,24 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
     schema = avro_schema_for_df(df)
     schema_json = json.dumps(schema)
     names = [f["name"] for f in schema["fields"]]
+    # logical-type converters: pandas Timestamp/date -> the underlying
+    # avro long/int (micros since epoch / days since epoch)
+    lts = {}
+    for f in schema["fields"]:
+        branch = f["type"][1]
+        if isinstance(branch, dict):
+            lts[f["name"]] = branch.get("logicalType")
+
+    def _to_avro(n, v):
+        lt = lts.get(n)
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
+            return int(v.value) // 1000  # pd.Timestamp.value is nanos
+        if lt == "date":
+            return v.toordinal() - 719163  # days since 1970-01-01
+        return v
 
     def _write_part(it):
+        import pandas as pd
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
@@ -623,9 +679,12 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
             for row in pdf.itertuples(index=False):
                 rec = {}
                 for n, v in zip(names, row):
-                    rec[n] = None if v is None or (
-                        isinstance(v, float) and v != v
-                    ) else v
+                    # scalar NA check (float NaN and pandas NaT);
+                    # sequences never go through pd.isna (ambiguous)
+                    is_na = v is None or (
+                        not isinstance(v, (list, tuple, dict, bytes, str))
+                        and not hasattr(v, "__len__") and pd.isna(v))
+                    rec[n] = None if is_na else _to_avro(n, v)
                 recs.append(rec)
         fname = os.path.join(path, f"part-{pid:05d}.avro")
         with open(fname, "wb") as fh:
