@@ -236,6 +236,36 @@ MACROS = {
     "ds_hll_union": lambda a: f"hll_union_agg({a[0]})",
     "ds_hll_estimate": lambda a: f"hll_sketch_estimate({a[0]})",
     "ds_hll_union_f": lambda a: f"hll_union({a[0]}, {a[1]})",
+    # HLL debug printers (impala_functions.py:936-942). Spark's sketch
+    # binary is a DataSketches HLL but exposes only the estimate, so
+    # the summary/bounds are computed from it: RSE for the default
+    # lgConfigK=12 HLL is ~1.04/sqrt(2^12) = 0.01625; bounds are
+    # estimate/(1+kappa*rse) .. estimate*(1+kappa*rse) (kappa defaults
+    # to 2 like the reference).
+    "ds_hll_stringify": lambda a: (
+        f"concat('### HLL sketch summary: estimate: ', "
+        f"cast(hll_sketch_estimate({a[0]}) as string))"
+    ),
+    "ds_hll_estimate_bounds_as_string": lambda a: (
+        (lambda s, kappa: (
+            f"concat_ws(',', "
+            f"cast(hll_sketch_estimate({s}) as string), "
+            f"cast(cast(hll_sketch_estimate({s}) / "
+            f"(1 + ({kappa}) * 0.01625) as bigint) as string), "
+            f"cast(cast(hll_sketch_estimate({s}) * "
+            f"(1 + ({kappa}) * 0.01625) + 1 as bigint) as string))"
+        ))(a[0], a[1] if len(a) > 1 else "2")
+    ),
+    # variadic split points -> the comma-joined convention the kll
+    # string functions use (impala_functions.py:952-954)
+    "ds_kll_cdf_as_string": lambda a: (
+        f"ds_kll_cdf_impl({a[0]}, concat_ws(',', "
+        + ", ".join(f"cast({x} as string)" for x in a[1:]) + "))"
+    ),
+    "ds_kll_pmf_as_string": lambda a: (
+        f"ds_kll_pmf_impl({a[0]}, concat_ws(',', "
+        + ", ".join(f"cast({x} as string)" for x in a[1:]) + "))"
+    ),
     # histogram (BuiltinsDb.java:1001; HistogramFinalize,
     # aggregate-functions-ir.cc:1413): equi-height bucket boundaries as
     # a comma-separated STRING. The reference samples 20k rows into a

@@ -308,6 +308,46 @@ def register(spark) -> None:
     _kll_stringify.__annotations__ = {"s": pd.Series, "return": pd.Series}
     kll_stringify = pandas_udf(_kll_stringify, "string")
 
+    def _cdf_points(sk, splits: str) -> list[float]:
+        """CDF at each split (inclusive rank, our KllSketch.rank
+        semantics) plus the trailing 1.0 — n+1 values like the
+        DataSketches get_CDF contract (reference registry:
+        ds_kll_cdf_as_string, impala_functions.py:954)."""
+        pts = [float(x) for x in str(splits).split(",")]
+        return [sk.rank(p) or 0.0 for p in pts] + [1.0]
+
+    def _kll_cdf_as_string(s, splits):
+        out = []
+        for h, sp in zip(s, splits):
+            if h is None:
+                out.append(None)
+                continue
+            sk = KllSketch.deserialize(bytes.fromhex(h))
+            out.append(", ".join(repr(v) for v in _cdf_points(sk, sp)))
+        return pd.Series(out, dtype="object")
+
+    _kll_cdf_as_string.__annotations__ = {
+        "s": pd.Series, "splits": pd.Series, "return": pd.Series
+    }
+    kll_cdf_as_string = pandas_udf(_kll_cdf_as_string, "string")
+
+    def _kll_pmf_as_string(s, splits):
+        out = []
+        for h, sp in zip(s, splits):
+            if h is None:
+                out.append(None)
+                continue
+            sk = KllSketch.deserialize(bytes.fromhex(h))
+            cdf = _cdf_points(sk, sp)
+            pmf = [cdf[0]] + [b - a for a, b in zip(cdf, cdf[1:])]
+            out.append(", ".join(repr(v) for v in pmf))
+        return pd.Series(out, dtype="object")
+
+    _kll_pmf_as_string.__annotations__ = {
+        "s": pd.Series, "splits": pd.Series, "return": pd.Series
+    }
+    kll_pmf_as_string = pandas_udf(_kll_pmf_as_string, "string")
+
     spark.udf.register("ds_kll_sketch", kll_sketch)
     spark.udf.register("ds_kll_union", kll_union)
     spark.udf.register("ds_kll_quantile", kll_quantile)
@@ -315,6 +355,8 @@ def register(spark) -> None:
     spark.udf.register("ds_kll_n", kll_n)
     spark.udf.register("ds_kll_quantiles_as_string", kll_quantiles_as_string)
     spark.udf.register("ds_kll_stringify", kll_stringify)
+    spark.udf.register("ds_kll_cdf_impl", kll_cdf_as_string)
+    spark.udf.register("ds_kll_pmf_impl", kll_pmf_as_string)
 
 
 def sampled_ndv_estimate(d: int, f1: int, sample_n: int, fraction: float) -> int:

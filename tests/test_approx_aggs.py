@@ -215,3 +215,60 @@ def test_kll_quantiles_as_string_and_stringify(engine, li_view):
     assert len(vals) == 3 and vals == sorted(vals)
     assert 1.0 <= vals[0] <= 20.0 and 35.0 <= vals[2] <= 50.0
     assert "K=200" in row.info and "N=" in row.info and "Levels=" in row.info
+
+
+def test_kll_cdf_pmf_as_string(engine, li_view):
+    """ds_kll_cdf_as_string / ds_kll_pmf_as_string (reference registry
+    impala_functions.py:952-954, variadic split points): n splits give
+    n+1 CDF points ending at 1.0; the PMF entries are the successive
+    CDF differences and sum to 1."""
+    row = engine.sql(
+        f"""
+        SELECT ds_kll_cdf_as_string(sk, 10, 25, 40) AS cdf,
+               ds_kll_pmf_as_string(sk, 10, 25, 40) AS pmf
+        FROM (SELECT ds_kll_sketch(l_quantity) AS sk FROM {li_view})
+        """
+    ).collect()[0]
+    cdf = [float(x) for x in row.cdf.split(", ")]
+    pmf = [float(x) for x in row.pmf.split(", ")]
+    assert len(cdf) == 4 and len(pmf) == 4
+    assert cdf == sorted(cdf) and cdf[-1] == 1.0
+    assert abs(sum(pmf) - 1.0) < 1e-9
+    for i in range(1, 4):
+        assert abs(pmf[i] - (cdf[i] - cdf[i - 1])) < 1e-9
+    # l_quantity is ~uniform on 1..50: the split at 25 sits near 0.5
+    assert 0.3 <= cdf[1] <= 0.7
+
+
+def test_hll_stringify_and_bounds(engine, li_view):
+    """ds_hll_stringify / ds_hll_estimate_bounds_as_string /
+    ds_hll_union_f (impala_functions.py:936-942): summary string,
+    'estimate,lower,upper' bounds bracketing the estimate (kappa
+    widens them), and the scalar two-sketch union."""
+    row = engine.sql(
+        f"""
+        SELECT ds_hll_stringify(h) AS hs,
+               ds_hll_estimate_bounds_as_string(h) AS hb,
+               ds_hll_estimate_bounds_as_string(h, 3) AS hb3
+        FROM (SELECT ds_hll_sketch(l_orderkey) AS h FROM {li_view})
+        """
+    ).collect()[0]
+    assert row.hs.startswith("### HLL sketch summary: estimate: ")
+    est, lo, hi = (float(x) for x in row.hb.split(","))
+    est3, lo3, hi3 = (float(x) for x in row.hb3.split(","))
+    assert lo <= est <= hi and lo3 <= est3 <= hi3
+    assert lo3 <= lo and hi3 >= hi  # larger kappa -> wider interval
+    u = engine.sql(
+        f"""
+        WITH a AS (SELECT ds_hll_sketch(l_orderkey) AS s FROM {li_view}
+                   WHERE l_orderkey % 2 = 0),
+             b AS (SELECT ds_hll_sketch(l_orderkey) AS s FROM {li_view}
+                   WHERE l_orderkey % 2 = 1)
+        SELECT cast(ds_hll_estimate(ds_hll_union_f(a.s, b.s)) as bigint) AS u
+        FROM a, b
+        """
+    ).collect()[0].u
+    exact = engine.sql(
+        f"SELECT count(distinct l_orderkey) AS c FROM {li_view}"
+    ).collect()[0].c
+    assert abs(u - exact) / exact < 0.1
