@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "tpcds_q4_style_three_channel_yoy_preference",  # 6-leg self-join (r4)
     "tpcds_q64_style_snowflake_year_compare",  # wide snowflake (r4)
     "nested_tpch_two_level_max_order_qty",  # nested HOF folds (r4)
+    "tpcds_real_q98",        # reference TPC-DS text: windowed class share (r5)
+    "tpcds_real_q16",        # reference TPC-DS text: EXISTS/NOT EXISTS chain (r5)
+    "nested_tpch_q9_profit_by_nation_year",  # nested supplier walk (r5)
 ]
 
 
@@ -74,21 +77,25 @@ def main() -> None:
     # warm-up (JIT/codegen/IO cache) — not counted
     QUERIES["tpch_q6"](spark, sf_dir).collect()
 
-    # min of two runs per query: the first run pays JVM/codegen/IO
-    # warm-up for that plan shape; min-of-2 measures the engine, not
-    # the JIT, and keeps round-over-round comparisons stable.
+    # median of three runs per query: the first run pays JVM/codegen/
+    # IO warm-up for that plan shape; the median measures the engine,
+    # not the JIT, and (unlike min) is robust to one lucky cache hit —
+    # and the recorded samples let a cross-round drift (slower bench
+    # box) be told apart from a real regression without forensics.
     per_query: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in names:
         # clear accumulated .persist() state from earlier queries:
         # each entry re-persists its own intermediates, and leftover
         # copies cause eviction churn that swings timings 2-3x
         spark.catalog.clearCache()
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 4)
+            runs.append(round(time.perf_counter() - t0, 4))
+        samples[name] = runs
+        per_query[name] = sorted(runs)[1]
 
     total = round(sum(per_query.values()), 4)
     print(
@@ -98,6 +105,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "samples": samples,
+                "iters": 3,
                 "sf": sf,
             }
         )
