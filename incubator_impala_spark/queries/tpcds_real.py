@@ -97,15 +97,137 @@ def _quoted_idents_to_backticks(sql: str) -> str:
     return re.sub(r'"([^"]*)"', r"`\1`", sql)
 
 
-def load_text(qnum: int) -> str:
-    with open(os.path.join(_SQL_DIR, f"q{qnum}.sql")) as f:
-        lines = [ln for ln in f if not ln.lstrip().startswith("--")]
-    return rewrite_avg("".join(lines).strip())
+def rewrite_div_double(sql: str) -> str:
+    """x / y -> cast(x as double) / y, for every division.
+
+    Spark evaluates decimal/decimal exactly (result scale widened,
+    HALF_UP) while DuckDB computes it as IEEE double division, so the
+    two engines disagree in the last ulp.  Casting the left operand to
+    double makes BOTH engines perform the identical IEEE operation —
+    int/int was already double division in Impala, Spark and DuckDB, so
+    the rewrite is value-preserving there too.  Opt-in per query label
+    (_DIV_TO_DOUBLE): only texts whose outputs carry full-precision
+    decimal quotients need it."""
+    # collect '/' operator positions, skipping strings and /* */ comments
+    positions, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+        elif c == "/" and i + 1 < n and sql[i + 1] == "*":
+            i = sql.index("*/", i) + 1
+        elif c == "/":
+            positions.append(i)
+        i += 1
+    for pos in reversed(positions):
+        j = pos - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        end = j + 1
+        if j >= 0 and sql[j] == ")":
+            depth = 0
+            while j >= 0:
+                if sql[j] == ")":
+                    depth += 1
+                elif sql[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            j -= 1
+        while j >= 0 and (sql[j].isalnum() or sql[j] in "_."):
+            j -= 1
+        start = j + 1
+        operand = sql[start:end]
+        if not operand.strip():
+            continue
+        sql = (sql[:start] + "cast(" + operand + " as double)"
+               + sql[end:pos] + sql[pos:])
+    return sql
 
 
-def _register(qnum: int) -> None:
-    text = load_text(qnum)
-    name = f"tpcds_real_q{qnum}"
+_DIV_TO_DOUBLE = {"31", "36", "59", "66"}
+
+# Literal text patches applied identically to BOTH engines' texts, so
+# they remain texts of the same query.  Three causes only:
+#  - output-naming: unaliased count(*)/quotients and duplicate
+#    self-join column names are spelled differently by each engine's
+#    auto-naming; an explicit alias is name-only.
+#  - reference resolution: DuckDB rejects unqualified ORDER BY / join
+#    columns that Impala and Spark resolve to the select-list alias;
+#    qualifying to that same column is semantics-neutral.
+#  - d_date output dtype: DATE comes back as datetime.date from Spark
+#    but datetime64 from DuckDB's pandas bridge; cast-to-timestamp in
+#    the projection makes both sides the same value domain.
+_PATCHES: dict[str, list[tuple[str, str]]] = {
+    "38": [("SELECT count(*)", "SELECT count(*) AS num_customers")],
+    "87": [("SELECT count(*)", "SELECT count(*) AS num_customers")],
+    "39_1": [
+        ("select inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy",
+         "select inv1.w_warehouse_sk wsk1,inv1.i_item_sk isk1,"
+         "inv1.d_moy moy1"),
+        (",round(inv1.mean, 2), round(inv1.cov, 8)",
+         ",round(inv1.mean, 2) mean1, round(inv1.cov, 8) cov1"),
+        (",inv2.w_warehouse_sk,inv2.i_item_sk,inv2.d_moy",
+         ",inv2.w_warehouse_sk wsk2,inv2.i_item_sk isk2,"
+         "inv2.d_moy moy2"),
+        (",round(inv2.mean, 2), round(inv2.cov, 8)",
+         ",round(inv2.mean, 2) mean2, round(inv2.cov, 8) cov2"),
+    ],
+    "51": [
+        ("ws_item_sk item_sk, d_date,",
+         "ws_item_sk item_sk, cast(d_date as timestamp) as d_date,"),
+        ("ss_item_sk item_sk, d_date,",
+         "ss_item_sk item_sk, cast(d_date as timestamp) as d_date,"),
+    ],
+    "58": [("order by item_id", "order by ss_items.item_id")],
+    "59": [
+        (",sun_sales1/sun_sales2,mon_sales1/mon_sales2",
+         ",sun_sales1/sun_sales2 r_sun,mon_sales1/mon_sales2 r_mon"),
+        (",tue_sales1/tue_sales1,wed_sales1/wed_sales2,"
+         "thu_sales1/thu_sales2",
+         ",tue_sales1/tue_sales1 r_tue,wed_sales1/wed_sales2 r_wed,"
+         "thu_sales1/thu_sales2 r_thu"),
+        (",fri_sales1/fri_sales2,sat_sales1/sat_sales2",
+         ",fri_sales1/fri_sales2 r_fri,sat_sales1/sat_sales2 r_sat"),
+    ],
+    "64": [
+        (",b_street_number desc", ",cs1.b_street_number desc"),
+        (",b_street_name desc", ",cs1.b_street_name desc"),
+        (",b_zip desc", ",cs1.b_zip desc"),
+        (",cs1.syear\n     ,cs1.cnt", ",cs1.syear syear1\n     ,cs1.cnt cnt1"),
+        (",cs2.syear\n     ,cs2.cnt", ",cs2.syear syear2\n     ,cs2.cnt cnt2"),
+    ],
+    "72": [("w_warehouse_name, d_week_seq", "w_warehouse_name, d1.d_week_seq")],
+}
+_PATCHES["39_2"] = _PATCHES["39_1"]
+
+
+def _backticks_to_quoted_idents(sql: str) -> str:
+    # some reference texts escape reserved aliases Impala-style with
+    # backticks (`returns` in q5/q77/q80, `at` in q90); DuckDB wants
+    # ANSI double quotes for the same identifier
+    return re.sub(r"`([^`]*)`", r'"\1"', sql)
+
+
+def load_text(label: str) -> str:
+    with open(os.path.join(_SQL_DIR, f"q{label}.sql")) as f:
+        lines = [ln for ln in f
+                 if not ln.lstrip().startswith(("--", "#"))]
+    text = "".join(lines).strip()
+    for old, new in _PATCHES.get(label, []):
+        assert old in text, f"q{label}: patch target not found: {old!r}"
+        text = text.replace(old, new)
+    if label in _DIV_TO_DOUBLE:
+        text = rewrite_div_double(text)
+    return rewrite_avg(text)
+
+
+def _register(label: str) -> None:
+    text = load_text(label)
+    name = f"tpcds_real_q{label}"
 
     def fn(spark: SparkSession, sf_dir: str, _t=text) -> DataFrame:
         # sf_dir is intentionally unused: the DS fixture is its own
@@ -115,17 +237,23 @@ def _register(qnum: int) -> None:
 
     fn.__name__ = name
     fn.__doc__ = (
-        f"TPC-DS q{qnum}, near-verbatim reference query text "
+        f"TPC-DS q{label}, near-verbatim reference query text "
         f"(testdata/workloads/tpcds/queries/) on the synthetic "
         f"DS-schema fixture, via the dialect shim.")
     QUERIES[name] = fn
-    ORACLE_SQL[name] = duckdb_oracle_sql(text)
+    ORACLE_SQL[name] = duckdb_oracle_sql(_backticks_to_quoted_idents(text))
 
 
-def available_qnums() -> list[int]:
-    return sorted(int(f[1:-4]) for f in os.listdir(_SQL_DIR)
-                  if re.fullmatch(r"q\d+\.sql", f))
+def available_labels() -> list[str]:
+    """Query labels, e.g. '3', '10a', '14_1' — numeric then suffix order."""
+    labels = [f[1:-4] for f in os.listdir(_SQL_DIR)
+              if re.fullmatch(r"q\d+[a-z]?(_\d)?\.sql", f)]
+    return sorted(labels,
+                  key=lambda s: (int(re.match(r"\d+", s).group()), s))
 
 
-for _q in available_qnums():
+# backward-compat alias (older tests imported available_qnums)
+available_qnums = available_labels
+
+for _q in available_labels():
     _register(_q)
