@@ -148,7 +148,41 @@ def rewrite_div_double(sql: str) -> str:
     return sql
 
 
-_DIV_TO_DOUBLE = {"31", "36", "59", "66"}
+_DIV_TO_DOUBLE = {"31", "36", "59", "66", "83"}
+
+
+def rewrite_stddev_samp(sql: str) -> str:
+    """stddev_samp(x) -> the textbook two-pass-free algebraic form in
+    double arithmetic:
+
+        sqrt((cast(sum(x*x) as double)
+              - cast(sum(x) as double) * sum(x) / count(x))
+             / (count(x) - 1))
+
+    Spark and DuckDB implement stddev_samp with different update
+    orders, so raw results differ in the last ulp.  Over integer
+    columns (q17's quantities) both sums are exact BIGINTs, after
+    which the expression is a fixed sequence of IEEE double ops —
+    bit-identical on both engines.  Opt-in per label."""
+    out, i = [], 0
+    pat = re.compile(r"\bstddev_samp\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        out.append(sql[i:m.start()])
+        open_paren = sql.index("(", m.start())
+        close = _balanced(sql, open_paren)
+        x = sql[open_paren + 1:close - 1].strip()
+        out.append(
+            f"sqrt((cast(sum(({x})*({x})) as double)"
+            f" - cast(sum({x}) as double) * sum({x}) / count({x}))"
+            f" / (count({x}) - 1))")
+        i = close
+
+
+_STDDEV_ALGEBRAIC = {"17"}
 
 # Literal text patches applied identically to BOTH engines' texts, so
 # they remain texts of the same query.  Three causes only:
@@ -182,6 +216,11 @@ _PATCHES: dict[str, list[tuple[str, str]]] = {
         ("ss_item_sk item_sk, d_date,",
          "ss_item_sk item_sk, cast(d_date as timestamp) as d_date,"),
     ],
+    "54": [("cast((revenue/50) as int)",
+            # Impala's decimal->int cast truncates toward zero while
+            # DuckDB's rounds; revenue is non-negative, so floor is
+            # the truncation both engines spell identically
+            "cast(floor(revenue/50) as int)")],
     "58": [("order by item_id", "order by ss_items.item_id")],
     "59": [
         (",sun_sales1/sun_sales2,mon_sales1/mon_sales2",
@@ -222,6 +261,8 @@ def load_text(label: str) -> str:
         text = text.replace(old, new)
     if label in _DIV_TO_DOUBLE:
         text = rewrite_div_double(text)
+    if label in _STDDEV_ALGEBRAIC:
+        text = rewrite_stddev_samp(text)
     return rewrite_avg(text)
 
 

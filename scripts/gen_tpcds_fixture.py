@@ -456,6 +456,22 @@ def gen_addresses():
     # q91's gmt filter) — anchored customers point here
     for i in range(12):
         cities[i], states[i], gmt[i] = "Edgewood", "TN", -700
+    counties = [COUNTIES[i] for i in rng.integers(0, len(COUNTIES), N_ADDR)]
+    zips = [f"{int(x):05d}" for x in rng.integers(10000, 99999, N_ADDR)]
+    # round-5 anchors:
+    #  sks 13..23 — zip '37126' (in q8's literal zip list AND sharing
+    #    the '37' prefix every store zip has); preferred customers here
+    #    make the zip clear q8's >10-customer gate
+    #  sk 25 — (Williamson County, TN): every store's county/state, so
+    #    a customer here satisfies q54's ca_county=s_county join
+    #  sk 26 — zip '37888' = store 8's s_zip (q24's s_zip=ca_zip)
+    #  sks 27..29 — 'Rush County' (q10a's county literal list)
+    for i in range(12, 23):
+        zips[i] = "37126"
+    counties[24], states[24] = "Williamson County", "TN"
+    zips[25] = "37888"
+    for i in range(26, 29):
+        counties[i] = "Rush County"
     by_state = {}
     for i, st in enumerate(states):
         by_state.setdefault(st, []).append(i + 1)
@@ -469,9 +485,9 @@ def gen_addresses():
         "ca_suite_number": [f"Suite {int(x)}" if x % 3 else f"Suite {chr(65 + int(x) % 26)}"
                             for x in rng.integers(0, 500, N_ADDR)],
         "ca_city": cities,
-        "ca_county": [COUNTIES[i] for i in rng.integers(0, len(COUNTIES), N_ADDR)],
+        "ca_county": counties,
         "ca_state": states,
-        "ca_zip": [f"{int(x):05d}" for x in rng.integers(10000, 99999, N_ADDR)],
+        "ca_zip": zips,
         "ca_country": ["United States"] * N_ADDR,
         "ca_gmt_offset": _dec(gmt, 5, 2),
         "ca_location_type": [["apartment", "condo", "single family"][i % 3]
@@ -496,6 +512,27 @@ def gen_customers(days, n_cd):
         cdemo[i] = cd_sk_for("M" if i % 4 < 2 else "F", m, e)
         hdemo[i] = hd_sk_for(5 + i % 4, "Unknown", 2 + i % 3, 1)
         addr[i] = 1 + i % 12
+    # round-5 anchors (sks > 60, distinct from the q91/q84 block):
+    #  q8  — 11 preferred customers (sk%3==0 keeps the flag 'Y') at
+    #        the zip-37126 addresses, clearing the >10-per-zip gate
+    #  q54 — sk 95 lives at (Williamson County, TN) = every store's
+    #  q24 — sks 96/97 at the store-8-zip address
+    #  q10a— sks 98..100 in Rush County, demographics non-null
+    #  q64 — sk 101: current demographics pinned so the line-level
+    #        cdemo (marital 'M') differs from the current one ('S')
+    for k, sk in enumerate(range(63, 94, 3)):
+        addr[sk - 1] = 13 + k
+    addr[94] = 25
+    for sk in (96, 97):
+        addr[sk - 1] = 26
+        cdemo[sk - 1] = cd_sk_for("MF"[sk % 2], "M", "College")
+    for k, sk in enumerate((98, 99, 100)):
+        addr[sk - 1] = 27 + k
+        cdemo[sk - 1] = cd_sk_for("MF"[k % 2], MARITAL[k], EDUCATION[k])
+        hdemo[sk - 1] = hd_sk_for(1 + k, "1001-5000", k, 1)
+    cdemo[100] = cd_sk_for("M", "S", "College")
+    hdemo[100] = hd_sk_for(3, "1001-5000", 1, 1)
+    addr[100] = 30
     write("customer", {
         "c_customer_sk": sks,
         "c_customer_id": _id16("", N_CUST),
@@ -557,6 +594,24 @@ def gen_items():
             price_c[sk - 1] = 99 + (k * 3) % 51          # 0.99 .. 1.49
         elif k % 3 == 0:
             price_c[sk - 1] = 6300 + (k * 37) % 2900     # 63 .. 92
+    colors = [COLORS[i] for i in rng.integers(0, len(COLORS), N_ITEM)]
+    sizes = [SIZES[i % 7] for i in sks]
+    units = [UNITS[i % len(UNITS)] for i in sks]
+    # round-5 anchor items: q24_1 ('peach'), q24_2 ('saddle'),
+    # q64 ('purple' at a current price inside its 65..74 band),
+    # q54 (a Women/maternity item), q41 (two items sharing manufact
+    # 750 inside its 738..778 band, one matching a literal
+    # category/color/units/size arm)
+    colors[900], colors[901] = "peach", "saddle"
+    colors[902], price_c[902] = "purple", 7000
+    cat_idx[904], cats[904] = 9, "Women"
+    cls_idx[904] = CLASSES["Women"].index("maternity")
+    classes[904] = "maternity"
+    manufact_id[906] = manufact_id[907] = 750
+    cat_idx[907], cats[907] = 9, "Women"
+    cls_idx[907] = 0
+    classes[907] = CLASSES["Women"][0]
+    colors[907], units[907], sizes[907] = "powder", "Ounce", "medium"
     wholesale_c = (price_c * rng.integers(40, 90, N_ITEM)) // 100
     write("item", {
         "i_item_sk": sks.astype("int64"),
@@ -577,10 +632,10 @@ def gen_items():
         "i_manufact_id": manufact_id,
         "i_manufact": [f"{BRAND_SYL[int(m) % 10]}{BRAND_SYL[(int(m) // 10) % 10]}"
                        for m in manufact_id],
-        "i_size": [SIZES[i % 7] for i in sks],
+        "i_size": sizes,
         "i_formulation": [f"{int(x):010d}" for x in rng.integers(0, 10**10, N_ITEM)],
-        "i_color": [COLORS[i] for i in rng.integers(0, len(COLORS), N_ITEM)],
-        "i_units": [UNITS[i % len(UNITS)] for i in sks],
+        "i_color": colors,
+        "i_units": units,
         "i_container": ["Unknown"] * N_ITEM,
         "i_manager_id": manager_id,
         "i_product_name": [f"{SYLLABLES[i % 10]}{SYLLABLES[(i // 10) % 10]}"
@@ -808,6 +863,17 @@ def money(qty, list_c, sales_c, wholesale_c, tax_pct, coupon_frac):
             net_paid, net_paid_inc_tax, net_profit)
 
 
+# item sks reserved for round-5 anchor chains: random fact lines are
+# remapped off them so anchored aggregates (q23's frequent-count,
+# q58's equal-revenue triple, q24/q54/q64 colors) stay exact
+RESERVED_ITEMS = np.array([777, 901, 902, 903, 904, 905, 906])
+
+
+def remap_reserved(item: np.ndarray) -> np.ndarray:
+    return np.where(np.isin(item, RESERVED_ITEMS),
+                    ((item + 997) % N_ITEM) + 1, item)
+
+
 def sold_date_pool(days):
     """Date sks for fact sales, uniform over 1998-2002 (the years the
     benchmark queries filter on)."""
@@ -857,7 +923,7 @@ def gen_store_sales(days, n_cd, item_price_c, addr_by_state):
     idx = np.repeat(np.arange(N_TICKETS), lines)
     n = len(idx)
 
-    item = rng.integers(1, N_ITEM + 1, n)
+    item = remap_reserved(rng.integers(1, N_ITEM + 1, n))
     qty = rng.integers(1, 101, n)
     wholesale_c = ((item_price_c[item - 1]
                     * rng.integers(40, 90, n)) // 100).astype("int64")
@@ -871,6 +937,8 @@ def gen_store_sales(days, n_cd, item_price_c, addr_by_state):
     cdemo_l = t_cdemo[idx].copy()
     hdemo_l = t_hdemo[idx].copy()
     addr_l = t_addr[idx].copy()
+    cust_l = t_cust[idx].copy()
+    store_l = t_store[idx].copy()
     sks_2001 = sks_in(days, 2001, range(1, 13))
     sks_1998 = sks_in(days, 1998, range(1, 13))
     for i in range(N_SS_ANCHOR):
@@ -884,21 +952,120 @@ def gen_store_sales(days, n_cd, item_price_c, addr_by_state):
         hdemo_l[i] = hd_sk_for(3 + i % 10, "1001-5000", dep, 2)
         addr_l[i] = rng.choice(addr_by_state[states[i % len(states)]])
 
+    # ---- round-5 anchors (lines A0..A0+56) — each block constructs
+    # the minimal cross-fact chain a previously-empty query needs
+    A0 = N_SS_ANCHOR
+    force_ret: list[int] = []
+    # q17: 2001Q1 store sales, returned (force_ret), re-purchased by
+    # the same (customer, item) through the catalog in 2001Q1-Q3
+    for j in range(24):
+        i = A0 + j
+        date_l[i] = rng.choice(sks_in(days, 2001, (1, 2, 3)))
+        cust_l[i] = 201 + j % 8
+        item[i] = 301 + j % 8
+        force_ret.append(i)
+    # q23: customer 102 is the clear top lifetime spender (10 lines of
+    # 100 x $299), and item 777 sells 6x on one 2000 date so it clears
+    # the count>4 frequent-item gate
+    d_freq = jdn(date(2000, 2, 7))
+    for j in range(24, 34):
+        i = A0 + j
+        cust_l[i] = 102
+        qty[i], sales_c[i] = 100, 29900
+        list_c[i] = max(list_c[i], 29900)
+        if j < 30:
+            date_l[i], item[i] = d_freq, 777
+        else:
+            date_l[i] = rng.choice(sks_in(days, 2001 + j % 2, (5,)))
+    # q24: returned lines at store 8 (s_market_id 8, s_zip 37888) by
+    # customers 96/97 who live at that zip, peach/saddle items
+    for j in range(34, 42):
+        i = A0 + j
+        store_l[i] = 8
+        cust_l[i] = 96 + j % 2
+        item[i] = 901 + j % 2
+        force_ret.append(i)
+    # q54: customer 95's store revenue in the three months after the
+    # 1998-12 catalog purchase window
+    for j, m in ((42, 1), (43, 2), (44, 3)):
+        i = A0 + j
+        cust_l[i] = 95
+        date_l[i] = rng.choice(sks_in(days, 1999, (m,)))
+    # q10a: the Rush-County customers buy in-store in 2002-01..04
+    for j in range(45, 51):
+        i = A0 + j
+        cust_l[i] = 98 + j % 3
+        date_l[i] = rng.choice(sks_in(days, 2002, (1, 2, 3, 4)))
+    # q64: customer 101 buys item 903 at store 3 in 1999 (cnt1=3) and
+    # 2000 (cnt2=2 <= cnt1), all returned; line-level demographics
+    # ('M') differ from the customer's current ones ('S')
+    for j in range(51, 56):
+        i = A0 + j
+        cust_l[i] = 101
+        store_l[i] = 3
+        item[i] = 903
+        date_l[i] = rng.choice(
+            sks_in(days, 1999 if j < 54 else 2000, range(1, 13)))
+        cdemo_l[i] = cd_sk_for("F", "M", "College")
+        force_ret.append(i)
+    # q58: one third of the equal-revenue cross-channel triple for
+    # item 904 in the week of 1998-02-19
+    i58 = A0 + 56
+    date_l[i58] = jdn(date(1998, 2, 19))
+    item[i58] = 904
+    qty[i58], sales_c[i58] = 100, 10000
+    list_c[i58] = max(list_c[i58], 10000)
+    # q83: item 906 sold in 1998-08 and returned (return date pinned
+    # into the week of 1998-10-15 by gen_store_returns)
+    q83_rows = []
+    for j in (57, 58):
+        i = A0 + j
+        item[i] = 906
+        date_l[i] = rng.choice(sks_in(days, 1998, (8,)))
+        force_ret.append(i)
+        q83_rows.append(i)
+    # q4: customer 103 buys big in all channels 2001 and 2002; the
+    # catalog growth ratio (set in gen_catalog/gen_web_sales) is the
+    # largest, store and web the comparison losers
+    for j, yr in ((59, 2001), (60, 2001), (61, 2002)):
+        i = A0 + j
+        cust_l[i] = 103
+        qty[i], sales_c[i] = 100, 29900
+        list_c[i] = max(list_c[i], 29900)
+        date_l[i] = rng.choice(sks_in(days, yr, range(1, 12)))
+    n_anchor = A0 + 62
+
     (ext_discount, ext_sales, ext_wholesale, ext_list, tax, coupon,
      net_paid, net_paid_inc_tax, net_profit) = money(
         qty, list_c, sales_c, wholesale_c,
         rng.integers(0, 10, n), coupon_frac)
 
+    # null-harden every anchor line: the chains above die if the 1-3%
+    # null masks strike a join key
+    date_n = with_nulls(date_l, 0.01)
+    cust_n = with_nulls(cust_l, 0.02)
+    cdemo_n = with_nulls(cdemo_l, 0.02)
+    hdemo_n = with_nulls(hdemo_l, 0.02)
+    addr_n = with_nulls(addr_l, 0.02)
+    store_n = with_nulls(store_l, 0.02)
+    promo_l = rng.integers(1, N_PROMO + 1, n)
+    promo_n = with_nulls(promo_l, 0.03)
+    for i in range(n_anchor):
+        date_n[i], cust_n[i] = int(date_l[i]), int(cust_l[i])
+        cdemo_n[i], hdemo_n[i] = int(cdemo_l[i]), int(hdemo_l[i])
+        addr_n[i], store_n[i] = int(addr_l[i]), int(store_l[i])
+        promo_n[i] = int(promo_l[i])
+
     write("store_sales", {
-        "ss_sold_date_sk": with_nulls(date_l, 0.01),
+        "ss_sold_date_sk": date_n,
         "ss_sold_time_sk": with_nulls(t_time[idx], 0.01),
         "ss_item_sk": item.astype("int64"),
-        "ss_customer_sk": with_nulls(t_cust[idx], 0.02),
-        "ss_cdemo_sk": with_nulls(cdemo_l, 0.02),
-        "ss_hdemo_sk": with_nulls(hdemo_l, 0.02),
-        "ss_addr_sk": with_nulls(addr_l, 0.02),
-        "ss_store_sk": with_nulls(t_store[idx], 0.02),
-        "ss_promo_sk": with_nulls(rng.integers(1, N_PROMO + 1, n), 0.03),
+        "ss_customer_sk": cust_n,
+        "ss_cdemo_sk": cdemo_n,
+        "ss_hdemo_sk": hdemo_n,
+        "ss_addr_sk": addr_n,
+        "ss_store_sk": store_n,
+        "ss_promo_sk": promo_n,
         "ss_ticket_number": (idx + 1).astype("int64"),
         "ss_quantity": qty,
         "ss_wholesale_cost": _dec(wholesale_c),
@@ -915,12 +1082,15 @@ def gen_store_sales(days, n_cd, item_price_c, addr_by_state):
         "ss_net_profit": _dec(net_profit),
     })
     return {"date": date_l, "item": item, "ticket": idx + 1,
-            "cust": t_cust[idx], "qty": qty, "sales_c": sales_c,
-            "store": t_store[idx], "n": n}
+            "cust": cust_l, "qty": qty, "sales_c": sales_c,
+            "store": store_l, "n": n, "force_ret": force_ret,
+            "q83": q83_rows}
 
 
 def gen_store_returns(ss, n_cd):
-    pick = np.sort(rng.choice(ss["n"], ss["n"] // 10, replace=False))
+    pick = np.sort(np.unique(np.concatenate([
+        rng.choice(ss["n"], ss["n"] // 10, replace=False),
+        np.asarray(ss["force_ret"], dtype="int64")])))
     n = len(pick)
     ret_qty = np.minimum(1 + rng.integers(0, 100, n) % ss["qty"][pick],
                          ss["qty"][pick])
@@ -930,16 +1100,28 @@ def gen_store_returns(ss, n_cd):
     ship = (ret_amt * rng.integers(0, 30, n)) // 100
     refunded = (ret_amt * rng.integers(0, 101, n)) // 100
     reversed_c = ret_amt - refunded
+    ret_date = ss["date"][pick] + rng.integers(1, 91, n)
+    ret_date_n = with_nulls(ret_date, 0.02)
+    ret_cust_n = with_nulls(ss["cust"][pick], 0.03)
+    ret_store_n = with_nulls(ss["store"][pick], 0.02)
+    forced = np.isin(pick, np.asarray(ss["force_ret"], dtype="int64"))
+    for i in np.flatnonzero(forced):
+        ret_date_n[i] = int(ret_date[i])
+        ret_cust_n[i] = int(ss["cust"][pick][i])
+        ret_store_n[i] = int(ss["store"][pick][i])
+    wk83 = jdn(date(1998, 10, 15))
+    for k, i in enumerate(np.flatnonzero(
+            np.isin(pick, np.asarray(ss["q83"], dtype="int64")))):
+        ret_date_n[i] = wk83 + k % 3
     write("store_returns", {
-        "sr_returned_date_sk": with_nulls(ss["date"][pick]
-                                          + rng.integers(1, 91, n), 0.02),
+        "sr_returned_date_sk": ret_date_n,
         "sr_return_time_sk": rng.integers(8 * 3600, 22 * 3600, n),
         "sr_item_sk": ss["item"][pick].astype("int64"),
-        "sr_customer_sk": with_nulls(ss["cust"][pick], 0.03),
+        "sr_customer_sk": ret_cust_n,
         "sr_cdemo_sk": with_nulls(rng.integers(1, n_cd + 1, n), 0.03),
         "sr_hdemo_sk": with_nulls(rng.integers(1, 7201, n), 0.03),
         "sr_addr_sk": with_nulls(rng.integers(1, N_ADDR + 1, n), 0.03),
-        "sr_store_sk": with_nulls(ss["store"][pick], 0.02),
+        "sr_store_sk": ret_store_n,
         "sr_reason_sk": rng.integers(1, 36, n),
         "sr_ticket_number": ss["ticket"][pick].astype("int64"),
         "sr_return_quantity": ret_qty,
@@ -968,10 +1150,11 @@ def gen_catalog(days, n_cd, item_price_c, ss, sr_pick):
     idx = np.repeat(np.arange(N_CS_ORDERS), lines)
     n = len(idx)
 
-    item = rng.integers(1, N_ITEM + 1, n)
+    item = remap_reserved(rng.integers(1, N_ITEM + 1, n))
     qty = rng.integers(1, 101, n)
     date_l = o_date[idx].copy()
     bill_l = o_bill[idx].copy()
+    ship_l = o_ship[idx].copy()
 
     # cross-channel anchors: q25 (ss sold 2001-04, sr returned 4..10,
     # cs purchase by the same (customer, item) in months 4..10) and q29
@@ -992,9 +1175,63 @@ def gen_catalog(days, n_cd, item_price_c, ss, sr_pick):
             item[pos] = ss["item"][j]
             date_l[pos] = rng.choice(ds)
             pos += 1
+    # ---- round-5 anchors, continuing at the next free line ----------
+    # q17: catalog re-purchase by each returned 2001Q1 (customer, item)
+    for j in range(24):
+        bill_l[pos] = 201 + j % 8
+        item[pos] = 301 + j % 8
+        date_l[pos] = rng.choice(sks_in(days, 2001, range(1, 10)))
+        pos += 1
+    # q23: the whale buys the frequent item by catalog in 2000-02
+    for _ in range(2):
+        bill_l[pos], item[pos] = 102, 777
+        date_l[pos] = rng.choice(sks_in(days, 2000, (2,)))
+        pos += 1
+    # q54: customer 95 buys the Women/maternity item in 1998-12
+    for _ in range(2):
+        bill_l[pos], item[pos] = 95, 905
+        date_l[pos] = rng.choice(sks_in(days, 1998, (12,)))
+        pos += 1
+    # q10a: catalog orders shipped to the Rush-County customers
+    for k in range(3):
+        ship_l[pos] = 98 + k
+        date_l[pos] = rng.choice(sks_in(days, 2002, (1, 2, 3, 4)))
+        pos += 1
+    # q58: the catalog third of the equal-revenue triple
+    i58c = pos
+    date_l[pos], item[pos], qty[pos] = jdn(date(1998, 2, 19)), 904, 100
+    pos += 1
+    # q4: catalog year totals for customer 103 — 1 line in 2001,
+    # 3 in 2002 -> growth ~3x, the largest of the three channels
+    # (sales price pinned after sales_c exists, below)
+    q4_cs = []
+    for yr, k in ((2001, 1), (2002, 3)):
+        for _ in range(k):
+            bill_l[pos] = 103
+            qty[pos] = 100
+            date_l[pos] = rng.choice(sks_in(days, yr, range(1, 12)))
+            q4_cs.append(pos)
+            pos += 1
+    # q64: a big catalog sale of item 903 whose (forced) return
+    # refunds far less than half the list price -> clears cs_ui
+    i64 = pos
+    item[pos], qty[pos] = 903, 100
+    pos += 1
+    # q83: catalog sales of item 906, returned in the 1998-10-15 week
+    q83_cs = []
+    for _ in range(2):
+        item[pos] = 906
+        date_l[pos] = rng.choice(sks_in(days, 1998, (8,)))
+        q83_cs.append(pos)
+        pos += 1
+    n_anchor_cs = pos
     list_c = item_price_c[item - 1].astype("int64")
     wholesale_c = (list_c * rng.integers(40, 90, n)) // 100
     sales_c = (list_c * rng.integers(20, 101, n)) // 100
+    sales_c[i58c] = 10000  # 100 x $100.00 = the $10,000 channel third
+    for _i4 in q4_cs:
+        sales_c[_i4] = 10000
+        list_c[_i4] = max(list_c[_i4], 10000)
     (ext_discount, ext_sales, ext_wholesale, ext_list, tax, coupon,
      net_paid, net_paid_inc_tax, net_profit) = money(
         qty, list_c, sales_c, wholesale_c,
@@ -1003,15 +1240,22 @@ def gen_catalog(days, n_cd, item_price_c, ss, sr_pick):
     ship_cost = (ext_sales * rng.integers(0, 50, n)) // 100
     ship_date = date_l + rng.integers(1, 141, n)
 
+    date_n = with_nulls(date_l, 0.01)
+    bill_n = with_nulls(bill_l, 0.02)
+    ship_n = with_nulls(ship_l, 0.02)
+    for i in range(n_anchor_cs):
+        date_n[i], bill_n[i] = int(date_l[i]), int(bill_l[i])
+        ship_n[i] = int(ship_l[i])
+
     write("catalog_sales", {
-        "cs_sold_date_sk": with_nulls(date_l, 0.01),
+        "cs_sold_date_sk": date_n,
         "cs_sold_time_sk": rng.integers(0, 86400, n),
         "cs_ship_date_sk": with_nulls(ship_date, 0.01),
-        "cs_bill_customer_sk": with_nulls(bill_l, 0.02),
+        "cs_bill_customer_sk": bill_n,
         "cs_bill_cdemo_sk": with_nulls(rng.integers(1, n_cd + 1, n), 0.02),
         "cs_bill_hdemo_sk": with_nulls(rng.integers(1, 7201, n), 0.02),
         "cs_bill_addr_sk": with_nulls(rng.integers(1, N_ADDR + 1, n), 0.02),
-        "cs_ship_customer_sk": with_nulls(o_ship[idx], 0.02),
+        "cs_ship_customer_sk": ship_n,
         "cs_ship_cdemo_sk": with_nulls(rng.integers(1, n_cd + 1, n), 0.02),
         "cs_ship_hdemo_sk": with_nulls(rng.integers(1, 7201, n), 0.02),
         "cs_ship_addr_sk": with_nulls(rng.integers(1, N_ADDR + 1, n), 0.02),
@@ -1041,15 +1285,22 @@ def gen_catalog(days, n_cd, item_price_c, ss, sr_pick):
         "cs_net_profit": _dec(net_profit),
     })
     return {"date": date_l, "item": item, "order": idx + 1,
-            "bill": bill_l, "ship": o_ship[idx], "cc": o_cc[idx],
-            "qty": qty, "sales_c": sales_c, "n": n}
+            "bill": bill_l, "ship": ship_l, "cc": o_cc[idx],
+            "qty": qty, "sales_c": sales_c, "n": n,
+            "force_ret": [i64], "q83": q83_cs}
 
 
 def gen_catalog_returns(cs, n_cd, days):
-    pick = np.sort(rng.choice(cs["n"], cs["n"] // 10, replace=False))
+    pick = np.sort(np.unique(np.concatenate([
+        rng.choice(cs["n"], cs["n"] // 10, replace=False),
+        np.asarray(cs["force_ret"], dtype="int64"),
+        np.asarray(cs["q83"], dtype="int64")])))
     n = len(pick)
     ret_qty = np.minimum(1 + rng.integers(0, 100, n) % cs["qty"][pick],
                          cs["qty"][pick])
+    # the forced q64 return refunds a single unit, keeping the refund
+    # far under half the order's ext_list_price (the cs_ui gate)
+    ret_qty[np.isin(pick, np.asarray(cs["force_ret"], dtype="int64"))] = 1
     ret_amt = ret_qty * cs["sales_c"][pick]
     tax = (ret_amt * rng.integers(0, 10, n)) // 100
     fee = rng.integers(50, 10001, n)
@@ -1066,6 +1317,11 @@ def gen_catalog_returns(cs, n_cd, days):
         ret_date[i] = rng.choice(nov98)
         returning[i] = 1 + i % 60
         cc[i] = 1 + i % N_CC
+    # q83 pin AFTER the q91 block (forced rows can land in its range)
+    wk83 = jdn(date(1998, 10, 15))
+    for k, i in enumerate(np.flatnonzero(
+            np.isin(pick, np.asarray(cs["q83"], dtype="int64")))):
+        ret_date[i] = wk83 + k % 3
     write("catalog_returns", {
         "cr_returned_date_sk": ret_date,
         "cr_returned_time_sk": rng.integers(0, 86400, n),
@@ -1109,7 +1365,7 @@ def gen_web_sales(days_, n_cd, item_price_c):
     idx = np.repeat(np.arange(N_WS_ORDERS), lines)
     n = len(idx)
 
-    item = rng.integers(1, N_ITEM + 1, n)
+    item = remap_reserved(rng.integers(1, N_ITEM + 1, n))
     qty = rng.integers(1, 101, n)
     list_c = item_price_c[item - 1].astype("int64")
     wholesale_c = (list_c * rng.integers(40, 90, n)) // 100
@@ -1129,6 +1385,34 @@ def gen_web_sales(days_, n_cd, item_price_c):
         list_c[i] = max(list_c[i], price)
         coupon_frac[i] = 0
         date_l[i] = rng.choice(sks_98)
+    # ---- round-5 anchors (lines B0..B0+5) ---------------------------
+    bill_l = o_bill[idx].copy()
+    B0 = N_WS_ANCHOR
+    for k in range(2):          # q23: whale buys the frequent item
+        bill_l[B0 + k], item[B0 + k] = 102, 777
+        date_l[B0 + k] = rng.choice(sks_in(days_, 2000, (2,)))
+    for k in range(3):          # q10a: web orders billed to 98..100
+        i = B0 + 2 + k
+        bill_l[i] = 98 + k
+        date_l[i] = rng.choice(sks_in(days_, 2002, (1, 2, 3, 4)))
+    i58w = B0 + 5               # q58: the web third of the triple
+    date_l[i58w], item[i58w], qty[i58w] = jdn(date(1998, 2, 19)), 904, 100
+    sales_c[i58w] = 10000
+    list_c[i58w] = max(list_c[i58w], 10000)
+    q83_ws = []                 # q83: web sales of item 906, returned
+    for k in range(2):
+        i = B0 + 6 + k
+        item[i] = 906
+        date_l[i] = rng.choice(sks_in(days_, 1998, (8,)))
+        q83_ws.append(i)
+    # q4: web year totals for customer 103 — 2 lines 2001, 1 in 2002
+    for k, yr in ((8, 2001), (9, 2001), (10, 2002)):
+        i = B0 + k
+        bill_l[i] = 103
+        qty[i], sales_c[i] = 100, 29900
+        list_c[i] = max(list_c[i], 29900)
+        date_l[i] = rng.choice(sks_in(days_, yr, range(1, 12)))
+    n_anchor_ws = B0 + 11
     (ext_discount, ext_sales, ext_wholesale, ext_list, tax, coupon,
      net_paid, net_paid_inc_tax, net_profit) = money(
         qty, list_c, sales_c, wholesale_c,
@@ -1139,12 +1423,16 @@ def gen_web_sales(days_, n_cd, item_price_c):
     for i in range(N_WS_ANCHOR):
         page_nulls[i] = int(page_l[i])
 
+    date_n = with_nulls(date_l, 0.01)
+    bill_n = with_nulls(bill_l, 0.02)
+    for i in range(n_anchor_ws):
+        date_n[i], bill_n[i] = int(date_l[i]), int(bill_l[i])
     write("web_sales", {
-        "ws_sold_date_sk": with_nulls(date_l, 0.01),
+        "ws_sold_date_sk": date_n,
         "ws_sold_time_sk": rng.integers(0, 86400, n),
         "ws_ship_date_sk": with_nulls(ship_date, 0.01),
         "ws_item_sk": item.astype("int64"),
-        "ws_bill_customer_sk": with_nulls(o_bill[idx], 0.02),
+        "ws_bill_customer_sk": bill_n,
         "ws_bill_cdemo_sk": with_nulls(rng.integers(1, n_cd + 1, n), 0.02),
         "ws_bill_hdemo_sk": with_nulls(rng.integers(1, 7201, n), 0.02),
         "ws_bill_addr_sk": with_nulls(rng.integers(1, N_ADDR + 1, n), 0.02),
@@ -1176,8 +1464,8 @@ def gen_web_sales(days_, n_cd, item_price_c):
         "ws_net_profit": _dec(net_profit),
     })
     return {"date": date_l, "item": item, "order": idx + 1,
-            "bill": o_bill[idx], "ship": o_ship[idx],
-            "qty": qty, "sales_c": sales_c, "n": n}
+            "bill": bill_l, "ship": o_ship[idx],
+            "qty": qty, "sales_c": sales_c, "n": n, "q83": q83_ws}
 
 
 def gen_web_returns(ws, n_cd, addr_by_state):
@@ -1187,7 +1475,9 @@ def gen_web_returns(ws, n_cd, addr_by_state):
         rng.choice(np.arange(N_WS_ANCHOR, ws["n"]), ws["n"] // 10,
                    replace=False),
         np.arange(N_WS_ANCHOR))
-    pick = np.sort(np.concatenate([np.arange(N_WS_ANCHOR), rest]))
+    pick = np.sort(np.unique(np.concatenate(
+        [np.arange(N_WS_ANCHOR), rest,
+         np.asarray(ws["q83"], dtype="int64")])))
     n = len(pick)
     ret_qty = np.minimum(1 + rng.integers(0, 100, n) % ws["qty"][pick],
                          ws["qty"][pick])
@@ -1209,9 +1499,13 @@ def gen_web_returns(ws, n_cd, addr_by_state):
             ref_cdemo[i] = ret_cdemo[i] = cd_sk_for("MF"[i % 2], m, e)
             ref_addr[i] = rng.choice(
                 addr_by_state[states[i % len(states)]])
+    wr_date_n = with_nulls(ws["date"][pick] + rng.integers(1, 91, n), 0.02)
+    wk83 = jdn(date(1998, 10, 15))
+    for k, i in enumerate(np.flatnonzero(
+            np.isin(pick, np.asarray(ws["q83"], dtype="int64")))):
+        wr_date_n[i] = wk83 + k % 3
     write("web_returns", {
-        "wr_returned_date_sk": with_nulls(ws["date"][pick]
-                                          + rng.integers(1, 91, n), 0.02),
+        "wr_returned_date_sk": wr_date_n,
         "wr_returned_time_sk": rng.integers(0, 86400, n),
         "wr_item_sk": ws["item"][pick].astype("int64"),
         "wr_refunded_customer_sk": with_nulls(ws["bill"][pick], 0.03),
@@ -1251,11 +1545,24 @@ def gen_inventory(days):
     wh_col = np.tile(wh, len(snaps) * len(items))
     n = len(date_col)
     qty = rng.integers(0, 1001, n)
+    qty_n = with_nulls(qty, 0.02)
+    # round-5 q39 anchors: three (item, warehouse) pairs get one spike
+    # and zeros across both 2001-01 and 2001-02 snapshots -> monthly
+    # cov = stddev_samp/mean = 2.0..2.24, clearing q39-2's cov>1.5 gate
+    il, wl = list(items), list(wh)
+    span = len(il) * len(wl)
+    for it, w in ((8, 1), (8, 2), (12, 1)):
+        for m in (1, 2):
+            sel = [k for k, d in enumerate(snap_days)
+                   if d.year == 2001 and d.month == m]
+            for rank, k in enumerate(sel):
+                row = k * span + il.index(it) * len(wl) + wl.index(w)
+                qty_n[row] = 2000 if rank == 0 else 0
     write("inventory", {
         "inv_date_sk": date_col,
         "inv_item_sk": item_col.astype("int64"),
         "inv_warehouse_sk": wh_col,
-        "inv_quantity_on_hand": with_nulls(qty, 0.02),
+        "inv_quantity_on_hand": qty_n,
     })
 
 

@@ -31,9 +31,22 @@ def con():
     return duckdb.connect()
 
 
-def test_registry_has_at_least_30_real_queries():
-    assert len(QUERIES) >= 30
+def test_registry_covers_all_99_query_numbers():
+    assert len(QUERIES) >= 100  # 99 numbers + dual variants
     assert set(ORACLE_SQL) == set(QUERIES)
+    import re
+
+    nums = {int(re.search(r"q(\d+)", n).group(1)) for n in QUERIES}
+    assert nums == set(range(1, 100))
+
+
+def test_every_oracle_returns_rows(con):
+    """The fixture is anchored so no benchmark query is a weak 0-row
+    pass — every oracle must produce at least one row (DuckDB-only,
+    the Spark-vs-oracle value check runs in the sweep)."""
+    empty = [n for n, sql in ORACLE_SQL.items()
+             if len(con.execute(sql).df()) == 0]
+    assert not empty, f"zero-row oracles: {empty}"
 
 
 def _sweep_compare():
