@@ -29,9 +29,15 @@ def main() -> int:
     spark = SparkSession.builder.master("local[32]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    sf_dir = "/root/testdata/sf0.01"
+
+    from incubator_impala_spark.sources.tables import TABLES
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, osql = mod.queries(), mod.oracle_sql()
-    sf_dir = "/root/testdata/sf0.01"
     n_pass = n_fail = 0
     failures = {}
     for name in names:
