@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "tpcds_real_q98",        # reference TPC-DS text: windowed class share (r5)
     "tpcds_real_q16",        # reference TPC-DS text: EXISTS/NOT EXISTS chain (r5)
     "nested_tpch_q9_profit_by_nation_year",  # nested supplier walk (r5)
+    "tpcds_real_q64",        # reference TPC-DS text: widest snowflake chain (r5)
+    "nested_tpch_q21_multi_supplier_late",  # row-local exists/not-exists (r5)
 ]
 
 
