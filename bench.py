@@ -87,12 +87,15 @@ def main() -> None:
     per_query: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for name in names:
-        # clear accumulated .persist() state from earlier queries:
-        # each entry re-persists its own intermediates, and leftover
-        # copies cause eviction churn that swings timings 2-3x
-        spark.catalog.clearCache()
         runs = []
         for _ in range(3):
+            # clear accumulated .persist() state before EVERY run, not
+            # just per query: each invocation re-persists its own
+            # intermediates (a fresh shingle index, fresh CC edges), so
+            # without this the 2nd/3rd runs of persist-heavy entries
+            # hold 2-3 dead copies and eviction churn inflates the
+            # median 1.5-3x (observed on minhash/clusters)
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()
             runs.append(round(time.perf_counter() - t0, 4))
