@@ -27,12 +27,13 @@ from incubator_impala_spark.queries import (
     tpcds_round3,
     tpcds_round4,
     tpch,
+    tpch_real,
 )
 
 _MODULES = [
     tpch, relational, pipeline, streaming_batch, functions_sweep, nested,
     nested_tpch, sql_surface, tpcds_adapted, tpcds_round3, tpcds_round4,
-    tpcds_real,
+    tpcds_real, tpch_real,
 ]
 
 QUERIES = {}
