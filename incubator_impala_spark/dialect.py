@@ -470,11 +470,337 @@ def translate_statement(sql: str) -> str | None:
     return None
 
 
+_PLAN_HINT = re.compile(
+    r"\[\s*(shuffle|broadcast|noshuffle|clustered|noclustered|sortby"
+    r"\s*\([^)]*\))\s*\]", re.IGNORECASE)
+_STRAIGHT_JOIN = re.compile(r"\bstraight_join\b", re.IGNORECASE)
+
+
+def strip_plan_hints(sql: str) -> str:
+    """Impala's bracketed plan hints (`join [shuffle] t`,
+    `insert ... [noclustered]`) and STRAIGHT_JOIN are advisory
+    distribution/ordering hints to its cost-based planner
+    (reference: fe/.../PlanHint.java). Spark's equivalent decisions
+    belong to Catalyst+AQE (broadcast thresholds, AQE join re-plan),
+    so the hints are removed rather than force-mapped — the engine
+    conf already pins the costing policy (session.py)."""
+    return _STRAIGHT_JOIN.sub("", _PLAN_HINT.sub("", sql))
+
+
+_VALUES = re.compile(r"\bvalues\s*\(", re.IGNORECASE)
+_ALIAS_TAIL = re.compile(
+    r"^(.*?)\s+(?:as\s+)?(`[^`]+`|[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE | re.DOTALL)
+# words that end an expression but are never a trailing alias
+_NOT_ALIAS = frozenset(
+    "null true false end day days month months year years hour hours "
+    "minute minutes second seconds week weeks millisecond milliseconds "
+    "microsecond microseconds unknown".split())
+
+
+def _tuple_items_aliases(argstr: str) -> tuple[list[str], list[str | None]]:
+    exprs, aliases = [], []
+    for item in _split_args(argstr):
+        m = _ALIAS_TAIL.match(item)
+        if m and m.group(2).lower() not in _NOT_ALIAS and m.group(1).strip():
+            expr, alias = m.group(1).strip(), m.group(2)
+            # an alias never follows an operator/open-paren tail
+            if expr[-1] not in "+-*/%(,<>=|&^!":
+                exprs.append(expr)
+                aliases.append(alias)
+                continue
+        exprs.append(item)
+        aliases.append(None)
+    return exprs, aliases
+
+
+def _fully_parenthesized(item: str) -> bool:
+    item = item.strip()
+    if not item.startswith("("):
+        return False
+    depth = 0
+    for i, c in enumerate(item):
+        if c == "'":
+            continue  # depth scan only; quotes handled by _split_args
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(item) - 1
+    return False
+
+
+def rewrite_values_aliases(sql: str) -> str:
+    """Impala VALUES differences (reference: fe/.../ValuesStmt.java):
+
+    * per-item aliases in the first row name the derived columns —
+      ``(values(1 a, 2 b), (3, 4)) x``; Spark names them col1..colN.
+    * a single parenthesized group may hold the whole row list —
+      ``values((1, 'a'), (2, 'b'))`` is two rows; Spark would read one
+      struct column.
+
+    Both normalize to ``select col1 as a, ... from (values (..), (..))``
+    (the select wrapper only when aliases are present)."""
+    out, pos = [], 0
+    while True:
+        m = _VALUES.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        # collect the tuple list: (..) [, (..)]*
+        tuples, i = [], m.end() - 1
+        while True:
+            depth, j = 0, i
+            while j < len(sql):
+                c = sql[j]
+                if c == "'":
+                    j += 1
+                    while j < len(sql) and sql[j] != "'":
+                        j += 1
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            tuples.append(sql[i + 1:j])
+            k = j + 1
+            while k < len(sql) and sql[k].isspace():
+                k += 1
+            if k < len(sql) and sql[k] == ",":
+                k += 1
+                while k < len(sql) and sql[k].isspace():
+                    k += 1
+                if k < len(sql) and sql[k] == "(":
+                    i = k
+                    continue
+            break
+        end = j + 1
+        if len(tuples) == 1:
+            # values((1, 'a'), (2, 'b')) — rows nested in one group
+            items = _split_args(tuples[0])
+            if len(items) > 1 and all(_fully_parenthesized(x)
+                                      for x in items):
+                tuples = [x.strip()[1:-1] for x in items]
+        first_exprs, aliases = _tuple_items_aliases(tuples[0])
+        rows = [", ".join(first_exprs)]
+        for t in tuples[1:]:
+            exprs, _ = _tuple_items_aliases(t)
+            rows.append(", ".join(exprs))
+        body = ", ".join(f"({r})" for r in rows)
+        out.append(sql[pos:m.start()])
+        if any(aliases):
+            select_list = ", ".join(
+                f"col{n + 1} AS {a}" if a else f"col{n + 1}"
+                for n, a in enumerate(aliases))
+            out.append(f"select {select_list} from (values {body})")
+        else:
+            out.append(f"values {body}")
+        pos = end
+
+
+_INTERVAL_UNITS = ("year", "month", "week", "day", "hour", "minute",
+                   "second", "millisecond", "microsecond", "nanosecond")
+_INTERVAL_EXPR = re.compile(
+    r"\binterval\s+(.+?)\s+(%s)s?\b" % "|".join(_INTERVAL_UNITS),
+    re.IGNORECASE | re.DOTALL)
+_NUMERIC_LIT = re.compile(r"^-?\s*\d+(\.\d+)?$")
+# make_interval(years, months, weeks, days, hours, mins, secs)
+_MAKE_INTERVAL_SLOT = {"year": 0, "month": 1, "week": 2, "day": 3,
+                       "hour": 4, "minute": 5, "second": 6}
+
+
+def rewrite_interval_expr(sql: str) -> str:
+    """Impala allows arbitrary expressions in interval arithmetic —
+    ``ts + interval smallint_col days`` (reference:
+    fe/.../TimestampArithmeticExpr.java). Spark's INTERVAL literal only
+    takes constants, so non-literal counts become make_interval(...)
+    with the expression in the matching slot (sub-second units scale
+    into the seconds slot; nanoseconds truncate to the µs the engine
+    carries — same documented gap as the nanoseconds_add macro)."""
+    def repl(m: re.Match) -> str:
+        expr, unit = m.group(1).strip(), m.group(2).lower()
+        if _NUMERIC_LIT.match(expr) and unit != "nanosecond":
+            # Spark's INTERVAL literal handles constant counts natively
+            # for every unit except nanoseconds
+            return m.group(0)
+        if unit in _MAKE_INTERVAL_SLOT:
+            args = ["0"] * 7
+            args[_MAKE_INTERVAL_SLOT[unit]] = f"({expr})"
+        else:
+            scale = {"millisecond": "1e3", "microsecond": "1e6",
+                     "nanosecond": "1e9"}[unit]
+            args = ["0"] * 6 + [f"(({expr}) / {scale})"]
+        return f"make_interval({', '.join(args)})"
+
+    return _INTERVAL_EXPR.sub(repl, sql)
+
+
+_CHAR_CAST_TAIL = re.compile(
+    r"\s+as\s+(char|varchar)\s*\(\s*(\d+)\s*\)\s*$", re.IGNORECASE)
+
+
+def rewrite_char_casts(sql: str) -> str:
+    """Impala CHAR(n)/VARCHAR(n) casts apply length semantics in
+    expression context — CHAR pads with spaces to n, VARCHAR truncates
+    to n (reference: be/src/runtime/char-value.h, expr-test
+    CastCharExprs). Spark applies char/varchar length only at table
+    boundaries, so the cast is spelled as the equivalent string op:
+    rpad(cast(x as string), n) / substr(cast(x as string), 1, n).
+    Matching Impala, CHAR also truncates when the value is longer."""
+    out, pos = [], 0
+    while True:
+        m = _CAST_OPEN.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        depth, j = 0, m.end() - 1
+        while j < len(sql):
+            c = sql[j]
+            if c == "'":
+                j += 1
+                while j < len(sql) and sql[j] != "'":
+                    j += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        inner = sql[m.end():j]
+        tail = _CHAR_CAST_TAIL.search(inner)
+        if tail is None:
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        expr = rewrite_char_casts(inner[:tail.start()])
+        n = int(tail.group(2))
+        out.append(sql[pos:m.start()])
+        if tail.group(1).lower() == "char":
+            out.append(
+                f"rpad(cast({expr} as string), {n}, ' ')")
+        else:
+            out.append(f"substr(cast({expr} as string), 1, {n})")
+        pos = j + 1
+
+
+_HUGE_OFFSET = re.compile(r"(\b(?:offset|limit)\s+)(\d{10,})\b",
+                          re.IGNORECASE)
+
+
+def clamp_offset(sql: str) -> str:
+    """Impala accepts BIGINT LIMIT/OFFSET (the reference's tests use
+    9223372036854775807 as 'skip everything'); Spark requires an INT
+    literal. Clamping to INT_MAX is value-preserving for any result
+    under 2^31 rows."""
+    def repl(m: re.Match) -> str:
+        # half of INT_MAX each, so Spark's LIMIT+OFFSET <= INT_MAX
+        # check also holds when both are clamped
+        return m.group(1) + str(min(int(m.group(2)), 1073741823))
+
+    return _HUGE_OFFSET.sub(repl, sql)
+
+
+_RIGHT_SEMI = re.compile(r"\bright\s+(semi|anti)\s+join\b", re.IGNORECASE)
+_FROM_KW = re.compile(r"\bfrom\b", re.IGNORECASE)
+_COND_END = re.compile(
+    r"\b(where|group|order|limit|having|union|intersect|except|join|"
+    r"inner|left|right|full|cross)\b", re.IGNORECASE)
+
+
+def _scan_cond_end(sql: str, start: int) -> int:
+    depth, i = 0, start
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < len(sql) and sql[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return i
+        elif depth == 0:
+            m = _COND_END.match(sql, i)
+            if m and (i == 0 or not (sql[i - 1].isalnum()
+                                     or sql[i - 1] == "_")):
+                return i
+        i += 1
+    return len(sql)
+
+
+def _strip_parens(text: str) -> str:
+    """Text with every parenthesized span removed (for top-level
+    comma/keyword checks)."""
+    out, depth = [], 0
+    for c in text:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            out.append(c)
+    return "".join(out)
+
+
+def rewrite_right_semi(sql: str) -> str:
+    """Impala's RIGHT SEMI/ANTI JOIN keeps the RIGHT side's rows
+    (reference: fe/.../JoinOperator.java); Spark only has the LEFT
+    forms. When the left operand is a single relation (table or
+    parenthesized subquery, optionally aliased) the join commutes
+    textually: ``A right semi join B on c`` -> ``B left semi join A
+    on c``. Larger join trees on the left are left untouched (the
+    caller sees the parse error and the divergence is documented)."""
+    m = _RIGHT_SEMI.search(sql)
+    if not m:
+        return sql
+    # left operand: span from the nearest preceding FROM at the same
+    # paren depth, valid only if it contains no other join/comma
+    left_start, left = None, ""
+    for fm in reversed(list(_FROM_KW.finditer(sql, 0, m.start()))):
+        span = sql[fm.end():m.start()].strip()
+        if span.count("(") == span.count(")"):
+            left_start, left = fm.end(), span
+            break
+    if left_start is None:
+        return sql
+    top = _strip_parens(left)
+    if (not left or re.search(r"\bjoin\b", top, re.IGNORECASE)
+            or "," in top):
+        return sql
+    on_m = re.compile(r"\bon\b", re.IGNORECASE).search(sql, m.end())
+    if not on_m:
+        return sql
+    right = sql[m.end():on_m.start()].strip()
+    if right.count("(") != right.count(")"):
+        return sql
+    cond_end = _scan_cond_end(sql, on_m.end())
+    cond = sql[on_m.end():cond_end]
+    rebuilt = (sql[:left_start] + f" {right} left {m.group(1)} join "
+               + left + " on" + cond + sql[cond_end:])
+    return rewrite_right_semi(rebuilt)
+
+
 def translate(sql: str, macros: dict | None = None) -> str:
     """Full Impala→Spark translation pipeline."""
     stmt = translate_statement(sql)
     if stmt is not None:
         return stmt
+    sql = strip_plan_hints(sql)
+    sql = rewrite_right_semi(sql)
+    sql = rewrite_values_aliases(sql)
+    sql = rewrite_interval_expr(sql)
+    sql = rewrite_char_casts(sql)
+    sql = clamp_offset(sql)
+    # Impala aliases: REAL is DOUBLE (Spark's REAL is FLOAT); `&&` is
+    # logical AND (`||` is NOT mapped — it is concat in Spark texts)
+    sql = re.sub(r"(?i)\bas\s+real\b", "as double", sql)
+    sql = sql.replace("&&", " and ")
     sql = rewrite_cast_format(sql)
     if macros:
         for name, template in macros.items():

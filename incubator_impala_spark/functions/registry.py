@@ -16,6 +16,8 @@ Coverage strategy (SURVEY.md §2.11):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import SparkSession
 
 # ---------------------------------------------------------------------------
@@ -23,6 +25,15 @@ from pyspark.sql import SparkSession
 # stays in codegen). Each value maps arg-string list -> SQL text.
 # Cites: BuiltinsDb.java / impala_functions.py registrations.
 # ---------------------------------------------------------------------------
+
+
+def _raise_keep_native():
+    """Raising from a macro template makes rewrite_macro_calls keep the
+    original call text — used when an arg shape should fall through to
+    Spark's native function."""
+    raise ValueError("keep native spelling")
+
+
 MACROS = {
     # conditional family (be/src/exprs/conditional-functions*.cc)
     "zeroifnull": lambda a: f"coalesce({a[0]}, 0)",
@@ -42,7 +53,13 @@ MACROS = {
     # Impala's forms are STRING->STRING; Spark's base64/unbase64 work
     # on BINARY, so cast both directions.
     "base64encode": lambda a: f"base64(cast({a[0]} as binary))",
-    "base64decode": lambda a: f"cast(unbase64({a[0]}) as string)",
+    # invalid input returns NULL (string-functions-ir.cc Base64Decode
+    # checks length%4 and the alphabet), where Spark's unbase64
+    # best-effort-decodes garbage
+    "base64decode": lambda a: (
+        f"if(length({a[0]}) % 4 = 0 and "
+        f"{a[0]} rlike '^[A-Za-z0-9+/]*={{0,2}}$', "
+        f"cast(unbase64({a[0]}) as string), null)"),
     # math (be/src/exprs/math-functions-ir.cc)
     "dround": lambda a: f"round({', '.join(a)})",
     "dceil": lambda a: f"ceil({a[0]})",
@@ -65,6 +82,65 @@ MACROS = {
     # preserves the input type — DATE stays DATE, TIMESTAMP stays
     # TIMESTAMP — matching the reference's TIMESTAMP→TIMESTAMP
     # signatures (impala_functions.py days_add et al.)
+    # TIMESTAMP -> TIMESTAMP, like months_add (Spark's native
+    # add_months returns DATE and drops the time-of-day)
+    "add_months": lambda a: f"({a[0]} + make_interval(0,{a[1]},0,0,0,0,0))",
+    # to_date returns STRING in the reference (impala_functions.py)
+    "to_date": lambda a: f"cast(to_date({a[0]}) as string)",
+    # 1-arg round returns BIGINT (math-functions. Round); 2-arg stays
+    # native (Spark round is HALF_UP like the reference)
+    "round": lambda a: (f"cast(round({a[0]}) as bigint)" if len(a) == 1
+                        else f"round({a[0]}, {a[1]})"),
+    # Oracle-style decode with NULL-safe matching (conditional-
+    # functions.cc DecodeExpr); Spark's native decode stringifies the
+    # result values, losing the branch type
+    # expr + k (search, result) pairs + optional default: the default
+    # is present exactly when the arg count is even
+    "decode": lambda a: (
+        "(case "
+        + " ".join(f"when ({a[0]}) <=> ({a[i]}) then ({a[i + 1]})"
+                   for i in range(1, 1 + 2 * ((len(a) - 1) // 2), 2))
+        + (f" else ({a[-1]})" if len(a) % 2 == 0 else "")
+        + " end)") if len(a) >= 3 else _raise_keep_native(),
+    # Impala's 2-arg EXTRACT(ts, unit) allows a non-constant unit;
+    # the 1-arg `extract(unit FROM ts)` ANSI form passes through
+    "extract": lambda a: (
+        f"extract({a[0]})" if len(a) == 1 else
+        f"(case lower({a[1]}) "
+        f"when 'year' then cast(year({a[0]}) as bigint) "
+        f"when 'quarter' then cast(quarter({a[0]}) as bigint) "
+        f"when 'month' then cast(month({a[0]}) as bigint) "
+        f"when 'day' then cast(day({a[0]}) as bigint) "
+        f"when 'hour' then cast(hour({a[0]}) as bigint) "
+        f"when 'minute' then cast(minute({a[0]}) as bigint) "
+        f"when 'second' then cast(floor(second({a[0]})) as bigint) "
+        f"when 'millisecond' then cast(floor(second({a[0]})) as bigint)"
+        f" * 1000 + cast(date_format({a[0]}, 'SSS') as bigint) "
+        f"when 'epoch' then unix_timestamp({a[0]}) "
+        f"end)"),
+    # 3-arg regexp_like carries Impala match-parameter flags
+    # (string-functions-ir.cc RegexpLike): i=case-insensitive,
+    # c=sensitive (default), m=multi-line, n=dot-matches-newline
+    "regexp_like": lambda a: (
+        f"regexp_like({a[0]}, {a[1]})" if len(a) == 2 else
+        f"regexp_like({a[0]}, concat("
+        f"if(contains({a[2]}, 'i'), '(?i)', ''), "
+        f"if(contains({a[2]}, 'm'), '(?m)', ''), "
+        f"if(contains({a[2]}, 'n'), '(?s)', ''), {a[1]}))"),
+    # date_add/date_sub follow the same rule (reference signatures are
+    # TIMESTAMP,BIGINT->TIMESTAMP and DATE,INT->DATE): the second arg
+    # is either a day count or an INTERVAL expression (already lowered
+    # to make_interval by rewrite_interval_expr when non-literal)
+    "date_add": lambda a: (
+        f"({a[0]} + {a[1]})"
+        if re.match(r"(?i)\s*(interval\b|make_interval\s*\()", a[1])
+        else f"({a[0]} + make_interval(0,0,0,{a[1]},0,0,0))"),
+    "date_sub": lambda a: (
+        f"({a[0]} - {a[1]})"
+        if re.match(r"(?i)\s*(interval\b|make_interval\s*\()", a[1])
+        else f"({a[0]} - make_interval(0,0,0,{a[1]},0,0,0))"),
+    "adddate": lambda a: f"({a[0]} + make_interval(0,0,0,{a[1]},0,0,0))",
+    "subdate": lambda a: f"({a[0]} - make_interval(0,0,0,{a[1]},0,0,0))",
     "weeks_add": lambda a: f"({a[0]} + make_interval(0,0,{a[1]},0,0,0,0))",
     "weeks_sub": lambda a: f"({a[0]} - make_interval(0,0,{a[1]},0,0,0,0))",
     "days_add": lambda a: f"({a[0]} + make_interval(0,0,0,{a[1]},0,0,0))",
@@ -177,9 +253,17 @@ MACROS = {
         f"regexp_replace({a[0]}, "
         "'([.\\\\\\\\+*?\\\\[^\\\\]$(){}=!<>|:-])', '\\\\\\\\$1')"
     ),
+    # 4-arg form adds start_pos (1-based) and Impala match-parameter
+    # flags (string-functions-ir.cc RegexpMatchCount4Args); flags map
+    # to inline regex modifiers like regexp_like above
     "regexp_match_count": lambda a: (
-        f"size(regexp_extract_all({a[0]}, {a[1]}, 0))"
-    ),
+        f"size(regexp_extract_all({a[0]}, {a[1]}, 0))" if len(a) == 2
+        else f"size(regexp_extract_all(substr({a[0]}, {a[2]}), concat("
+             f"if(contains({a[3]}, 'i'), '(?i)', ''), "
+             f"if(contains({a[3]}, 'm'), '(?m)', ''), "
+             f"if(contains({a[3]}, 'n'), '(?s)', ''), {a[1]}), 0))"
+        if len(a) == 4 else
+        f"size(regexp_extract_all(substr({a[0]}, {a[2]}), {a[1]}, 0))"),
     # the one being shifted must be BIGINT: shiftleft on an INT masks the
     # count to 5 bits, so setbit(BIGINT, 40) would set bit 8. The reference
     # supports positions up to 63 (impala_functions.py:800). Result widens
@@ -198,7 +282,16 @@ MACROS = {
     "bitor": lambda a: f"(({a[0]}) | ({a[1]}))",
     "bitxor": lambda a: f"(({a[0]}) ^ ({a[1]}))",
     "bitnot": lambda a: f"(~({a[0]}))",
-    "countset": lambda a: f"bit_count({a[0]})",
+    # countset(x[, v]): set (v=1, default) or clear (v=0) bits within
+    # the input type's width (bit-byte-functions.cc CountSet); the
+    # clear-bit count needs the width, recovered from typeof() (a
+    # constant-folded literal per column)
+    "countset": lambda a: (
+        f"bit_count({a[0]})" if len(a) == 1 else
+        f"(case when ({a[1]}) = 1 then bit_count({a[0]}) else "
+        f"(case typeof({a[0]}) when 'tinyint' then 8 "
+        f"when 'smallint' then 16 when 'int' then 32 else 64 end) "
+        f"- bit_count({a[0]}) end)"),
     # 64-bit rotate; the wrap-around term must be a LOGICAL shift
     # (shiftrightunsigned) — `>>` sign-extends and corrupts negative
     # inputs. Scope: BIGINT width only (the reference rotates within

@@ -1,0 +1,137 @@
+"""`functional` schema fixture access: Spark temp-view registration and
+DuckDB oracle-SQL prefixing.
+
+The fixture (fixtures/functional/*.parquet, committed — see
+scripts/gen_functional_fixture.py) regenerates the reference's primary
+test dataset (testdata/datasets/functional/functional_schema_template.sql)
+so the reference's functional-query QueryTest texts run here verbatim.
+
+Registration mirrors sources/tpcds.py: plain temp views over parquet so
+every query stays a declarative scan (pushdown/pruning visible to
+Catalyst). The schema template's SQL views (alltypes_view, complex_view,
+...) are registered as Spark temp views with the same definitions —
+Catalyst inlines them, so view queries cost nothing extra.
+
+Timestamps are stored NTZ in the parquet (they are wall-clock values by
+construction) and cast to TIMESTAMP at registration; the session
+timezone is pinned UTC so the cast is exact (same normalization as the
+sf-table loader, sources/tables.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import duckdb
+from pyspark.sql import SparkSession
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FUNCTIONAL_TABLES = [
+    "alltypes", "alltypessmall", "alltypestiny", "alltypesagg",
+    "alltypesaggnonulls", "alltypesnopart", "dimtbl", "testtbl",
+    "jointbl", "tinytable", "tinyinttable", "nulltable", "nullrows",
+    "liketbl", "emptytable", "decimal_tbl", "decimal_tiny", "date_tbl",
+    "chars_tiny", "zipcode_incomes", "greptiny",
+]
+
+# The schema template's views (functional_schema_template.sql, CREATE
+# sections), verbatim modulo the {db_name} qualifier.
+FUNCTIONAL_VIEWS = {
+    "alltypes_view": "SELECT * FROM alltypes",
+    "alltypes_hive_view": "SELECT * FROM alltypes",
+    "alltypes_view_sub":
+        "SELECT int_col AS x, string_col AS y, timestamp_col AS z "
+        "FROM alltypes",
+    "alltypes_parens":
+        "SELECT * FROM alltypes "
+        "WHERE year = 2009 and (int_col < 100 OR bool_col = false) "
+        "and month = 1",
+    "complex_view":
+        "SELECT COUNT(a.bigint_col) AS abc, b.string_col AS xyz FROM "
+        "alltypesagg a INNER JOIN alltypestiny b "
+        "ON a.id = b.id WHERE a.bigint_col < 50 "
+        "GROUP BY b.string_col HAVING COUNT(a.bigint_col) > 1 "
+        "ORDER BY b.string_col LIMIT 100",
+    "view_view": "SELECT * FROM alltypes_view",
+    "subquery_view":
+        "SELECT COUNT(*) FROM alltypes "
+        "WHERE id IN (SELECT id FROM alltypessmall where int_col < 5)",
+}
+
+
+def fixture_dir() -> str:
+    return os.path.join(_REPO_ROOT, "fixtures", "functional")
+
+
+def table_path(name: str) -> str:
+    return os.path.join(fixture_dir(), f"{name}.parquet")
+
+
+_REGISTERED_KEY = "spark.incubator_impala.functionalRegistered"
+
+
+def register_functional(spark: SparkSession) -> None:
+    """Idempotent temp-view registration; none of the table names
+    collides with the TPC-H/TPC-DS fixtures, so the conf flag plus a
+    single existence probe is a safe fast path."""
+    if spark.conf.get(_REGISTERED_KEY, None) == "1":
+        try:
+            if "timestamp_col" in spark.table("alltypes").columns:
+                return
+        except Exception:
+            pass
+    for t in FUNCTIONAL_TABLES:
+        df = spark.read.parquet(table_path(t))
+        if "timestamp_col" in df.columns:
+            df = df.withColumn(
+                "timestamp_col", df["timestamp_col"].cast("timestamp"))
+        df.createOrReplaceTempView(t)
+    for name, sql in FUNCTIONAL_VIEWS.items():
+        spark.sql(sql).createOrReplaceTempView(name)
+    spark.conf.set(_REGISTERED_KEY, "1")
+
+
+def referenced_tables(sql: str) -> list[str]:
+    found = [t for t in FUNCTIONAL_TABLES
+             if re.search(rf"\b{t}\b", sql, re.IGNORECASE)]
+    for view, view_sql in FUNCTIONAL_VIEWS.items():
+        if re.search(rf"\b{view}\b", sql, re.IGNORECASE):
+            for t in referenced_tables(view_sql):
+                if t not in found:
+                    found.append(t)
+    return found
+
+
+def duckdb_oracle_sql(sql: str) -> str:
+    """Self-contained DuckDB statement over the same parquet: inject
+    every referenced table as a read_parquet CTE (and referenced
+    template views as their definitions), merged with the query's own
+    WITH clause."""
+    ctes = [
+        f"{t} AS (SELECT * FROM read_parquet('{table_path(t)}'))"
+        for t in referenced_tables(sql)]
+    for view, view_sql in FUNCTIONAL_VIEWS.items():
+        if re.search(rf"\b{view}\b", sql, re.IGNORECASE):
+            ctes.append(f"{view} AS ({view_sql})")
+    joined = ",\n".join(ctes)
+    body = sql.strip()
+    m = re.match(r"^with\b", body, re.IGNORECASE)
+    if m:
+        return f"WITH {joined},\n{body[m.end():].lstrip()}"
+    return f"WITH {joined}\n{body}"
+
+
+def duckdb_connection() -> "duckdb.DuckDBPyConnection":
+    """Connection with every functional table registered as a view
+    (for ad-hoc oracle checks in tests)."""
+    con = duckdb.connect()
+    for t in FUNCTIONAL_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{table_path(t)}')")
+    for name, sql in FUNCTIONAL_VIEWS.items():
+        con.execute(f"CREATE VIEW {name} AS {sql}")
+    return con

@@ -1,0 +1,393 @@
+"""Run the reference's QueryTest `.test` files against this engine.
+
+The reference drives its primary correctness corpus
+(testdata/workloads/functional-query/queries/QueryTest/*.test, 331
+files) through a section-format test harness
+(tests/util/test_file_parser.py + tests/common/test_result_verifier.py).
+This module re-expresses that harness for Spark so the SAME test texts
+— queries AND inline expected results — verify this engine directly
+against the reference's recorded outputs, with no oracle in between.
+
+Format honored (the subset the query corpus uses):
+
+* ``====``-delimited blocks, ``----``-prefixed sections: QUERY,
+  RESULTS (with optional ``: VERIFY_*`` tag), TYPES, LABELS, CATCH.
+* ``#`` and ``--`` full-line comments inside sections.
+* Result-row grammar: comma-separated; strings single-quoted with
+  ``''`` escaping; ``NULL``; ``row_regex:`` whole-row patterns and
+  ``regex:`` per-column patterns.
+* Verification: unordered (sort both sides) unless the query has a
+  top-level ORDER BY or the tag says VERIFY_IS_EQUAL; float columns
+  compare with |x-y| <= 1e-4, doubles 1e-9, NULLs strictly, NaN==NaN
+  — the reference verifier's exact rules.
+
+Deliberate divergences (documented, visible in every report):
+
+* TYPES sections are checked under a widening equivalence: Spark types
+  integer literals as INT/BIGINT where Impala infers the narrowest
+  fit, so an actual integer type at least as wide as expected (and
+  DECIMAL with different (p,s), CHAR/VARCHAR as STRING) counts as
+  matching. Value comparison still uses the EXPECTED type's epsilon
+  rules, so this loosens nothing about the data check.
+* CATCH blocks (expected-error text) are skipped: Spark error strings
+  legitimately differ from impalad's.
+* Blocks that are DDL/DML or reference test-runner variables
+  ($DATABASE, $NAMENODE, ...) are skipped with a counted reason.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+
+__all__ = ["parse_test_file", "run_blocks", "Block", "BlockResult"]
+
+
+# --------------------------------------------------------------------------
+# parsing
+
+@dataclass
+class Block:
+    """One ``====`` section of a .test file."""
+    index: int          # 0-based position among QUERY blocks in the file
+    query: str
+    results: list | None
+    types: list | None
+    labels: list | None
+    verifier: str | None
+    has_catch: bool
+    sections: dict
+
+
+def _strip_comments(text: str) -> str:
+    lines = [ln for ln in text.split("\n")
+             if not ln.lstrip().startswith(("#", "--"))]
+    return "\n".join(lines)
+
+
+def parse_test_file(path: str) -> list[Block]:
+    with open(path, encoding="utf-8") as f:
+        content = f.read()
+    blocks: list[Block] = []
+    for section in re.split(r"(?m)^====", content):
+        if not section.strip() or "---- QUERY" not in section:
+            continue
+        subs: dict[str, tuple[str | None, str]] = {}
+        for sub in re.split(r"(?m)^----", section)[1:]:
+            header, _, body = sub.partition("\n")
+            name, _, tag = header.strip().partition(":")
+            subs[name.strip()] = (tag.strip() or None, body)
+        if "QUERY" not in subs:
+            continue
+        results = None
+        verifier = None
+        if "RESULTS" in subs:
+            verifier, body = subs["RESULTS"]
+            results = [ln for ln in body.split("\n")
+                       if ln != "" and not ln.startswith("#")]
+        types = None
+        if "TYPES" in subs:
+            types = [t.strip().upper()
+                     for t in subs["TYPES"][1].strip().split(",")]
+        labels = None
+        if "LABELS" in subs:
+            labels = [x.strip() for x in subs["LABELS"][1].strip().split(",")]
+        blocks.append(Block(
+            index=len(blocks),
+            query=_strip_comments(subs["QUERY"][1]).strip().rstrip(";"),
+            results=results, types=types, labels=labels,
+            verifier=verifier, has_catch="CATCH" in subs,
+            sections=subs))
+    return blocks
+
+
+# --------------------------------------------------------------------------
+# actual-result stringification (the server-output + quoting convention)
+
+def _fmt_timestamp(v) -> str:
+    base = v.strftime("%Y-%m-%d %H:%M:%S")
+    if v.microsecond:
+        base += f".{v.microsecond * 1000:09d}"
+    return base
+
+
+def _fmt_value(v, dtype: str) -> str:
+    # NULL prints bare for non-string columns; for string-family
+    # columns the server prints NULL and the harness quotes every
+    # string value, so it appears as 'NULL' (the reference's
+    # parse_result_rows convention, mirrored by its expected files)
+    if v is None:
+        return "'NULL'" if dtype in ("string", "char", "varchar",
+                                     "binary") else "NULL"
+    if dtype == "boolean":
+        s = "true" if v else "false"
+    elif dtype in ("float", "double"):
+        if math.isnan(v):
+            s = "NaN"
+        elif math.isinf(v):
+            s = "Infinity" if v > 0 else "-Infinity"
+        else:
+            s = repr(float(v))
+    elif dtype == "timestamp":
+        s = _fmt_timestamp(v)
+    elif dtype == "date":
+        s = v.isoformat()
+    elif dtype == "binary":
+        s = v.decode("latin-1")
+    else:
+        s = str(v)
+    if dtype in ("string", "char", "varchar", "binary"):
+        s = s.encode("unicode_escape").decode("ascii").replace("'", "''")
+        return f"'{s}'"
+    return s
+
+
+_SPARK_TO_IMPALA = {
+    "tinyint": "tinyint", "smallint": "smallint", "int": "int",
+    "bigint": "bigint", "float": "float", "double": "double",
+    "string": "string", "boolean": "boolean", "date": "date",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "binary": "binary", "void": "null",
+}
+
+
+def _col_kind(spark_type: str) -> str:
+    t = spark_type.lower()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith("char"):
+        return "char"
+    if t.startswith("varchar"):
+        return "varchar"
+    return _SPARK_TO_IMPALA.get(t, t)
+
+
+def dataframe_rows(df) -> tuple[list[str], list[str]]:
+    """Collect a DataFrame into .test row strings; returns (rows,
+    column kinds)."""
+    kinds = [_col_kind(f.dataType.simpleString()) for f in df.schema.fields]
+    rows = []
+    for row in df.collect():
+        rows.append(",".join(
+            _fmt_value(v, k) for v, k in zip(row, kinds)))
+    return rows, kinds
+
+
+# --------------------------------------------------------------------------
+# comparison (the reference verifier's rules)
+
+def _tokenize_row(row: str) -> list[str]:
+    vals, cur, in_q, i = [], [], False, 0
+    while i < len(row):
+        c = row[i]
+        if not in_q and c == ",":
+            vals.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+            if c == "'":
+                if in_q and i + 1 < len(row) and row[i + 1] == "'":
+                    i += 1      # escaped quote: keep one, stay quoted
+                else:
+                    in_q = not in_q
+        i += 1
+    vals.append("".join(cur))
+    return vals
+
+
+def _compare_float(x: float, y: float, eps: float) -> bool:
+    if math.isnan(x) and math.isnan(y):
+        return True
+    if math.isinf(x) or math.isinf(y):
+        return x == y
+    return abs(x - y) <= eps
+
+
+def _values_equal(exp: str, act: str, col_type: str) -> bool:
+    if exp.startswith("regex:"):
+        return re.match(exp[len("regex:"):].strip(), act) is not None
+    if exp == "NULL" or act == "NULL":
+        return exp == act
+    t = col_type.lower()
+    if t == "float":
+        return _compare_float(float(exp), float(act), 10e-5)
+    if t == "double":
+        return _compare_float(float(exp), float(act), 10e-10)
+    if t == "boolean":
+        return exp.lower() == act.lower()
+    return exp == act
+
+
+def _rows_equal(exp: str, act: str, col_types: list[str]) -> bool:
+    if exp.startswith("row_regex:"):
+        return re.match(exp[len("row_regex:"):].strip(), act) is not None
+    et, at = _tokenize_row(exp), _tokenize_row(act)
+    if len(et) != len(at) or len(et) != len(col_types):
+        return exp == act
+    return all(_values_equal(e, a, t) for e, a, t in zip(et, at, col_types))
+
+
+def compare_results(expected: list[str], actual: list[str],
+                    col_types: list[str] | None,
+                    order_matters: bool) -> list[str]:
+    """Returns a list of human-readable diffs; empty means equal."""
+    exp, act = list(expected), list(actual)
+    if not order_matters:
+        exp.sort()
+        act.sort()
+    diffs = []
+    if len(exp) != len(act):
+        diffs.append(f"row count: expected {len(exp)}, actual {len(act)}")
+    types = col_types or []
+    for i, (e, a) in enumerate(zip(exp, act)):
+        ct = types if types else ["string"] * len(_tokenize_row(e))
+        if not _rows_equal(e, a, ct):
+            diffs.append(f"row {i}: expected {e!r}, actual {a!r}")
+            if len(diffs) >= 5:
+                diffs.append("...")
+                break
+    return diffs
+
+
+_INT_WIDTH = {"TINYINT": 1, "SMALLINT": 2, "INT": 3, "BIGINT": 4}
+
+
+def types_compatible(expected: list[str], actual: list[str]) -> bool:
+    if len(expected) != len(actual):
+        return False
+    for e, a in zip(expected, actual):
+        e, a = e.upper(), a.upper()
+        if e == a:
+            continue
+        if e in _INT_WIDTH and a in _INT_WIDTH and _INT_WIDTH[a] >= _INT_WIDTH[e]:
+            continue
+        if e.startswith("DECIMAL") and a.startswith("DECIMAL"):
+            continue
+        if e in ("CHAR", "VARCHAR", "STRING") and a in ("CHAR", "VARCHAR",
+                                                        "STRING"):
+            continue
+        return False
+    return True
+
+
+# --------------------------------------------------------------------------
+# execution
+
+_RUNNABLE = re.compile(r"^\s*(select|with|values)\b", re.IGNORECASE)
+_VAR = re.compile(r"\$[A-Z][A-Z0-9_]*")
+
+
+def _split_statements(text: str) -> list[str]:
+    stmts, cur, in_q = [], [], None
+    for c in text:
+        if in_q:
+            cur.append(c)
+            if c == in_q:
+                in_q = None
+        elif c in ("'", '"'):
+            in_q = c
+            cur.append(c)
+        elif c == ";":
+            stmts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    stmts.append("".join(cur))
+    return [s.strip() for s in stmts if s.strip()]
+
+
+_ORDER_BY = re.compile(r"\border\s+by\b", re.IGNORECASE)
+
+
+@dataclass
+class BlockResult:
+    index: int
+    status: str              # pass | fail | skip | error | xfail | xpass
+    reason: str = ""
+    diffs: list = field(default_factory=list)
+    type_ok: bool = True
+
+
+def run_blocks(engine, blocks: list[Block], *,
+               rewrite=None, xfail: dict | None = None,
+               table_rewrites: dict | None = None) -> list[BlockResult]:
+    """Execute each runnable block and verify against its RESULTS.
+
+    `rewrite`: optional fn(sql) -> sql applied before the dialect shim
+    (used for per-file spelling fixes, applied identically everywhere).
+    `xfail`: {block_index: reason} — known, documented divergences; a
+    passing xfail block reports `xpass` so stale entries surface.
+    """
+    xfail = xfail or {}
+    out: list[BlockResult] = []
+    for b in blocks:
+        r = _run_one(engine, b, rewrite, table_rewrites or {})
+        if b.index in xfail:
+            if r.status == "fail" or r.status == "error":
+                r = BlockResult(b.index, "xfail", xfail[b.index])
+            elif r.status == "pass":
+                r = BlockResult(b.index, "xpass",
+                                f"stale xfail: {xfail[b.index]}")
+        out.append(r)
+    return out
+
+
+def _run_one(engine, b: Block, rewrite, table_rewrites) -> BlockResult:
+    if b.has_catch:
+        return BlockResult(b.index, "skip", "catch-block")
+    if b.results is None:
+        return BlockResult(b.index, "skip", "no-results-section")
+    if _VAR.search(b.query):
+        return BlockResult(b.index, "skip", "runner-variable")
+    for row in b.results:
+        if not row.startswith("row_regex:") and _VAR.search(row):
+            return BlockResult(b.index, "skip", "runner-variable")
+        if row.startswith("aggregation("):
+            return BlockResult(b.index, "skip", "profile-aggregation")
+    stmts = _split_statements(b.query)
+    if not all(_RUNNABLE.match(s) or s.lower().startswith("set ")
+               for s in stmts):
+        return BlockResult(b.index, "skip", "non-query-statement")
+    if re.search(r"\b(pid|coordinator|current_session|sleep)\s*\(",
+                 b.query, re.IGNORECASE):
+        # daemon/session introspection with no analogue in a library
+        # engine (DIALECT.md out-of-scope list)
+        return BlockResult(b.index, "skip", "oos-daemon-introspection")
+    if re.search(r"\b(tpch|tpcds)\w*\.", b.query, re.IGNORECASE):
+        # other-workload dbs at the reference's load scale; their
+        # expected rows assume SF1 data this fixture doesn't carry
+        return BlockResult(b.index, "skip", "other-workload-db")
+
+    sql_stmts = []
+    for s in stmts:
+        # functional_parquet/_avro/... are file-format variants of the
+        # same dataset; every variant resolves to the fixture views
+        s = re.sub(r"\bfunctional(_\w+)?\.", "", s)
+        for old, new in table_rewrites.items():
+            s = re.sub(rf"\b{old}\b", new, s)
+        if rewrite is not None:
+            s = rewrite(s)
+        sql_stmts.append(s)
+    try:
+        df = None
+        for s in sql_stmts:
+            if s.lower().startswith("set "):
+                engine.sql(s)
+            else:
+                df = engine.sql(s)
+        actual, kinds = dataframe_rows(df)
+    except Exception as exc:  # noqa: BLE001 - report, don't crash the file
+        first = next((ln for ln in str(exc).split("\n") if ln.strip()), "")
+        msg = f"{type(exc).__name__}: {first}"[:300]
+        return BlockResult(b.index, "error", msg)
+
+    order_matters = (b.verifier == "VERIFY_IS_EQUAL"
+                     or (_ORDER_BY.search(sql_stmts[-1]) is not None
+                         and b.verifier != "VERIFY_IS_EQUAL_SORTED"))
+    diffs = compare_results(b.results, actual, b.types, order_matters)
+    type_ok = (b.types is None
+               or types_compatible(b.types, [k.upper() for k in kinds]))
+    if diffs:
+        return BlockResult(b.index, "fail", "value-mismatch", diffs, type_ok)
+    return BlockResult(b.index, "pass", "", [], type_ok)

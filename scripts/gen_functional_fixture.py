@@ -311,6 +311,13 @@ def main() -> None:
         ("cs", pa.string()), ("cl", pa.string()), ("vc", pa.string())]),
         [(_char(a, 5), _char(b, 140), c) for a, b, c in chars])
 
+    # greptiny: single string column, default (\x01) delimiters — each
+    # line is the whole field
+    with open(f"{REF_DATA}/hive_benchmark/grepTiny/part-00000",
+              newline="") as f:
+        grep_rows = [(ln,) for ln in f.read().split("\n") if ln != ""]
+    _write("greptiny", pa.schema([("field", pa.string())]), grep_rows)
+
     zips = _parse_text(
         f"{REF_DATA}/ImpalaDemoDataset/DEC_00_SF3_P077_with_ann_noheader.csv",
         [str, str, str, str, int], lenient=True)

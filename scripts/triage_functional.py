@@ -1,0 +1,72 @@
+"""Triage the reference functional-query corpus: run every block of
+the named .test files through the QueryTest harness and report per-file
+status counts plus the first few failures/errors — the worklist driver
+for closing dialect gaps.
+
+    python3 scripts/triage_functional.py exprs aggregation ...
+    python3 scripts/triage_functional.py exprs --show-fails 10
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QT_DIR = ("/root/reference/testdata/workloads/functional-query/queries/"
+          "QueryTest")
+
+
+def main() -> None:
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    show = 6
+    if "--show-fails" in sys.argv:
+        show = int(sys.argv[sys.argv.index("--show-fails") + 1])
+
+    import json
+    out_json = None
+    if "--json" in sys.argv:
+        out_json = sys.argv[sys.argv.index("--json") + 1]
+        names = [n for n in names if n != out_json]
+
+    from incubator_impala_spark.engine import Engine
+    from incubator_impala_spark.session import get_spark
+    from incubator_impala_spark.sources.functional import register_functional
+    from incubator_impala_spark.testing import querytest as qt
+
+    spark = get_spark("functional-triage", cpus=8)
+    spark.sparkContext.setLogLevel("FATAL")
+    engine = Engine(spark)
+    register_functional(spark)
+
+    report: dict = {}
+    for name in names:
+        path = os.path.join(QT_DIR, f"{name}.test")
+        blocks = qt.parse_test_file(path)
+        results = qt.run_blocks(engine, blocks)
+        report[name] = {
+            r.index: {"status": r.status, "reason": r.reason,
+                      "q": " ".join(blocks[r.index].query.split())[:120],
+                      "diffs": r.diffs[:2]}
+            for r in results}
+        counts = Counter(r.status for r in results)
+        badtypes = sum(1 for r in results if not r.type_ok)
+        print(f"\n### {name}: {dict(counts)}  type-mismatch={badtypes}")
+        shown = 0
+        for r in results:
+            if r.status in ("fail", "error") and shown < show:
+                shown += 1
+                q = " ".join(blocks[r.index].query.split())[:160]
+                print(f"  [{r.index}] {r.status}: {r.reason}")
+                print(f"      Q: {q}")
+                for d in r.diffs[:3]:
+                    print(f"      {d}")
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
