@@ -294,7 +294,14 @@ _CAST_OPEN = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
 # anchored at the end so it only fires on the top-level clause.
 _CAST_FORMAT_TAIL = re.compile(
     r"\s+AS\s+(?:STRING|VARCHAR(?:\s*\(\s*\d+\s*\))?|CHAR(?:\s*\(\s*\d+\s*\))?)"
-    r"\s+FORMAT\s+'(?P<fmt>[^']*)'\s*$",
+    r"\s+FORMAT\s+(?:'(?P<fmt>[^']*)'|\"(?P<fmt2>[^\"]*)\")\s*$",
+    re.IGNORECASE,
+)
+# CAST(str AS DATE/TIMESTAMP FORMAT '...') goes the other direction:
+# parse, not print (reference: CastFormatExpr with ISO-SQL tokens)
+_CAST_PARSE_TAIL = re.compile(
+    r"\s+AS\s+(?P<ty>DATE|TIMESTAMP)"
+    r"\s+FORMAT\s+(?:'(?P<fmt>[^']*)'|\"(?P<fmt2>[^\"]*)\")\s*$",
     re.IGNORECASE,
 )
 
@@ -328,16 +335,32 @@ def rewrite_cast_format(sql: str) -> str:
             out.append(sql[pos:])
             break
         inner = rewrite_cast_format(sql[start : i - 1])  # nested casts first
-        tm = _CAST_FORMAT_TAIL.search(_neutralize(inner))
+        shadow_inner = _neutralize(inner)
+        tm = _CAST_FORMAT_TAIL.search(shadow_inner)
         repl = None
         if tm:
             # spans align 1:1 between shadow and real text — slice the
             # real fmt out of the original inner
-            fmt = inner[tm.start("fmt") : tm.end("fmt")]
+            g = "fmt" if tm.start("fmt") != -1 else "fmt2"
+            fmt = inner[tm.start(g) : tm.end(g)]
             try:
                 repl = f"date_format({inner[: tm.start()]}, '{translate_iso_format(fmt)}')"
             except ValueError:
                 repl = None
+        else:
+            pm = _CAST_PARSE_TAIL.search(shadow_inner)
+            if pm:
+                g = "fmt" if pm.start("fmt") != -1 else "fmt2"
+                fmt = inner[pm.start(g) : pm.end(g)]
+                fn = ("to_date" if pm.group("ty").upper() == "DATE"
+                      else "to_timestamp")
+                try:
+                    # non-ANSI sessions return NULL on parse failure,
+                    # matching the reference's invalid-input behavior
+                    repl = (f"{fn}({inner[: pm.start()]}, "
+                            f"'{translate_iso_format(fmt)}')")
+                except ValueError:
+                    repl = None
         out.append(sql[pos : m.start()])
         if repl is not None:
             out.append(repl)
@@ -591,13 +614,20 @@ def rewrite_values_aliases(sql: str) -> str:
             rows.append(", ".join(exprs))
         body = ", ".join(f"({r})" for r in rows)
         out.append(sql[pos:m.start()])
-        if any(aliases):
-            select_list = ", ".join(
-                f"col{n + 1} AS {a}" if a else f"col{n + 1}"
-                for n, a in enumerate(aliases))
-            out.append(f"select {select_list} from (values {body})")
-        else:
-            out.append(f"values {body}")
+        # column labels: the explicit alias, else (as the reference
+        # labels unaliased VALUES columns) the first-row expression
+        # text itself — `select min(`0`) from (values (0), (1))` works
+        labels = []
+        for n, (a, ex) in enumerate(zip(aliases, first_exprs)):
+            if a:
+                labels.append(a if a.startswith("`") else f"`{a}`")
+            elif "`" not in ex and "\n" not in ex:
+                labels.append(f"`{ex}`")
+            else:
+                labels.append(f"col{n + 1}")
+        select_list = ", ".join(
+            f"col{n + 1} AS {lab}" for n, lab in enumerate(labels))
+        out.append(f"select {select_list} from (values {body})")
         pos = end
 
 

@@ -27,6 +27,20 @@ from pyspark.sql import SparkSession
 # ---------------------------------------------------------------------------
 
 
+def _ignore_nulls_fn(name):
+    """Impala spells IGNORE NULLS inside the call parens —
+    ``last_value(x ignore nulls)`` (fe/.../FunctionCallExpr.java);
+    Spark takes it between the call and OVER. Rewrites only when the
+    suffix is present; otherwise the native call stands."""
+    def tpl(a):
+        if a and re.search(r"(?i)\signore\s+nulls\s*$", a[-1]):
+            args = a[:-1] + [re.sub(r"(?i)\signore\s+nulls\s*$", "",
+                                    a[-1]).strip()]
+            return f"{name}({', '.join(args)}) ignore nulls"
+        raise ValueError("keep native spelling")
+    return tpl
+
+
 def _raise_keep_native():
     """Raising from a macro template makes rewrite_macro_calls keep the
     original call text — used when an arg shape should fall through to
@@ -85,8 +99,10 @@ MACROS = {
     # TIMESTAMP -> TIMESTAMP, like months_add (Spark's native
     # add_months returns DATE and drops the time-of-day)
     "add_months": lambda a: f"({a[0]} + make_interval(0,{a[1]},0,0,0,0,0))",
-    # to_date returns STRING in the reference (impala_functions.py)
-    "to_date": lambda a: f"cast(to_date({a[0]}) as string)",
+    # to_date returns STRING in the reference (impala_functions.py);
+    # the 2-arg form only exists as our CAST..FORMAT lowering — leave it
+    "to_date": lambda a: (f"cast(to_date({a[0]}) as string)"
+                          if len(a) == 1 else _raise_keep_native()),
     # 1-arg round returns BIGINT (math-functions. Round); 2-arg stays
     # native (Spark round is HALF_UP like the reference)
     "round": lambda a: (f"cast(round({a[0]}) as bigint)" if len(a) == 1
@@ -305,10 +321,25 @@ MACROS = {
     ),
     "getbit": lambda a: f"((({a[0]}) >> ({a[1]})) & 1)",
     # misc
+    # empty input (or all-NULL separator arg) follows the reference:
+    # no rows -> NULL result, NULL separator -> the default ', '
+    # (aggregate-functions-ir.cc StringConcat)
     "group_concat": lambda a: (
-        f"concat_ws({a[1] if len(a) > 1 else chr(39) + ', ' + chr(39)},"
-        f" collect_list({a[0]}))"
+        f"if(count({a[0]}) = 0, null, concat_ws("
+        + (f"coalesce({a[1]}, ', ')" if len(a) > 1 else "', '")
+        + f", collect_list({a[0]})))"
     ),
+    "first_value": _ignore_nulls_fn("first_value"),
+    "last_value": _ignore_nulls_fn("last_value"),
+    "lead": _ignore_nulls_fn("lead"),
+    "lag": _ignore_nulls_fn("lag"),
+    "nth_value": _ignore_nulls_fn("nth_value"),
+    # alias spellings of the variance family (BuiltinsDb.java)
+    "variance_samp": lambda a: f"var_samp({a[0]})",
+    "variance_pop": lambda a: f"var_pop({a[0]})",
+    "distinctpcsa": lambda a: f"approx_count_distinct({a[0]}, 0.02)",
+    # zero-arg count() is count(*) in the reference's parser
+    "count": lambda a: "count(*)" if not a else _raise_keep_native(),
     # rsd 0.02 ≈ the reference NDV's documented ~1.9% typical error
     # (HLL, aggregate-functions-ir.cc)
     "ndv": lambda a: f"approx_count_distinct({a[0]}, 0.02)",
@@ -320,7 +351,15 @@ MACROS = {
     # DIALECT.md as the no-extrapolation form.
     "sampled_ndv": lambda a: f"approx_count_distinct({a[0]}, 0.02)",
     "distinctpc": lambda a: f"approx_count_distinct({a[0]}, 0.02)",
-    "appx_median": lambda a: f"percentile_approx({a[0]}, 0.5)",
+    # appx_median is the reference's reservoir median: sorted-sample
+    # element at n/2 (0-based) — the UPPER median, reproduced exactly
+    # (AppxMedianFinalize / ReservoirSampleState::GetMedian). The
+    # reference itself materializes a <=20k sample; this form sorts the
+    # full group (see SCALE.md note) — percentile_approx remains the
+    # sketch path for unbounded groups.
+    "appx_median": lambda a: (
+        f"element_at(array_sort(collect_list({a[0]})), "
+        f"cast(count({a[0]}) div 2 + 1 as int))"),
     # DataSketches HLL family (BuiltinsDb.java:1056-1082; scalar
     # estimators be/src/exprs/datasketches-functions-ir.cc) — Spark
     # 3.5+/4.x ships the same Apache DataSketches HLL under native
@@ -360,16 +399,26 @@ MACROS = {
         + ", ".join(f"cast({x} as string)" for x in a[1:]) + "))"
     ),
     # histogram (BuiltinsDb.java:1001; HistogramFinalize,
-    # aggregate-functions-ir.cc:1413): equi-height bucket boundaries as
-    # a comma-separated STRING. The reference samples 20k rows into a
-    # reservoir and emits every (n/100)-th sorted sample; we get the
-    # same output shape from percentile_approx's 100 equi-height
-    # quantiles — sketch-based instead of sample-based, same contract.
+    # aggregate-functions-ir.cc:1413-1435): min(n,100) values from the
+    # sorted sample at indices (i+1)*max(n/100,1)-1 — reproduced
+    # exactly, so small inputs print every value, as the reference's
+    # expected files record. The reference bounds memory with a 20k
+    # reservoir; this form sorts the full group (SCALE.md note).
+    # value printing mirrors the C++ ostream forms the expected files
+    # record: booleans as 0/1, floats without a trailing ".0"
     "histogram": lambda a: (
-        "array_join(transform(percentile_approx(" + a[0] + ", array("
-        + ", ".join(f"{(i + 1) / 100.0}" for i in range(100))
-        + "), 10000), v -> cast(v as string)), ', ')"
-    ),
+        f"if(count({a[0]}) = 0, null, "
+        f"array_join(transform("
+        f"sequence(1, cast(least(count({a[0]}), 100) as int)), "
+        f"i -> (case when typeof(element_at(array_sort("
+        f"collect_list({a[0]})), 1)) = 'boolean' "
+        f"then cast(cast(element_at(array_sort(collect_list({a[0]})), "
+        f"cast(i * greatest(count({a[0]}) div 100, 1) as int)) as int) "
+        f"as string) "
+        f"else regexp_replace(cast(element_at(array_sort("
+        f"collect_list({a[0]})), "
+        f"cast(i * greatest(count({a[0]}) div 100, 1) as int)) "
+        f"as string), '^(-?[0-9]+)\\\\.0$', '$1') end)), ', '))"),
     # masking family beyond Spark's mask() (mask-functions-ir.cc, 735
     # LoC: mask_first_n/last_n/show_first_n/show_last_n/mask_hash).
     # Impala default n=4; mask_hash is sha256 hex for strings.

@@ -28,9 +28,11 @@ def _fnv1_64(data: bytes) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
-def _murmur2_64a(data: bytes, seed: int = 0xC70F6907) -> int:
+def _murmur2_64a(data: bytes, seed: int = 0) -> int:
     """MurmurHash2 64A (public algorithm; reference
-    HashUtil::MurmurHash2_64, be/src/util/hash-util.h)."""
+    HashUtil::MurmurHash2_64, be/src/util/hash-util.h, called with
+    MURMUR_DEFAULT_SEED=0 by the murmur_hash builtin) — verified
+    byte-exact against the reference's date.test expected hashes."""
     m = 0xC6A4A7935BD1E995
     r = 47
     h = (seed ^ ((len(data) * m) & _MASK64)) & _MASK64
@@ -132,15 +134,33 @@ def register(spark: SparkSession) -> None:
 
     @pandas_udf(LongType())
     def fnv_hash(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda v: _fnv1_64(str(v).encode("utf-8")) if v is not None else None
-        )
+        # dtype must stay a (nullable) int64: a None in the batch would
+        # otherwise coerce the result to float64 and round the low ~11
+        # bits of every hash (caught by date.test murmur expectations)
+        return pd.Series(
+            [_fnv1_64(str(v).encode("utf-8")) if v is not None else None
+             for v in s], dtype="Int64")
 
     @pandas_udf(LongType())
     def murmur_hash(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda v: _murmur2_64a(str(v).encode("utf-8")) if v is not None else None
-        )
+        # DATE hashes its 4-byte days-since-epoch representation, as
+        # the reference hashes the raw slot bytes (hash-util.h
+        # MurmurHash2_64 over the column's byte width); other types
+        # hash their utf-8 text form (value-stable for STRING, the
+        # dominant use)
+        import datetime
+        import struct
+
+        def _bytes(v):
+            if isinstance(v, datetime.date) and not isinstance(
+                    v, datetime.datetime):
+                days = (v - datetime.date(1970, 1, 1)).days
+                return struct.pack("<i", days)
+            return str(v).encode("utf-8")
+
+        return pd.Series(
+            [_murmur2_64a(_bytes(v)) if v is not None else None
+             for v in s], dtype="Int64")
 
     @pandas_udf(IntegerType())
     def damerau_levenshtein(a: pd.Series, b: pd.Series) -> pd.Series:

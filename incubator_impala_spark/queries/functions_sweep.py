@@ -625,29 +625,29 @@ def fn_sampled_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # histogram (BuiltinsDb.java:1001; HistogramFinalize,
-# aggregate-functions-ir.cc:1413): equi-height bucket boundaries as a
-# comma-separated STRING. Boundary values are sketch-estimated
-# (percentile_approx), so the oracle pins the output *contract*: 100
-# boundaries, sorted ascending, topped by the exact column max.
-# Boundary accuracy vs exact percentiles is pinned separately in
-# tests/test_approx_aggs.py.
+# aggregate-functions-ir.cc:1413-1435): min(n,100) sorted-sample values
+# at indices (i+1)*max(n/100,1)-1, comma-joined. The DuckDB oracle
+# reproduces the exact index formula over list_sort(list(..)), so the
+# whole output string is compared bit-for-bit.
 # ---------------------------------------------------------------------------
 @_register(
     "fn_histogram",
     """
-    SELECT CAST(100 AS INT) AS n_bounds, CAST(1 AS INT) AS sorted_ok,
-           CAST(max(l_quantity) AS DOUBLE) AS top_bound
-    FROM lineitem
+    WITH s AS (SELECT list_sort(list(l_quantity)) AS v,
+                      count(l_quantity) AS n
+               FROM lineitem)
+    SELECT array_to_string(
+             list_transform(range(1, CAST(least(n, 100) AS BIGINT) + 1),
+                            i -> regexp_replace(
+                                   CAST(v[CAST(i * greatest(n // 100, 1)
+                                               AS BIGINT)] AS VARCHAR),
+                                   '^(-?\\d+)\\.0$', '\\1')),
+             ', ') AS h
+    FROM s
     """,
 )
 def fn_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hist = _engine_sql(
+    return _engine_sql(
         spark, sf_dir, ["lineitem"],
         "SELECT histogram(l_quantity) AS h FROM lineitem",
-    )
-    b = F.split("h", ", ").cast("array<double>")
-    return hist.select(
-        F.size(b).cast("int").alias("n_bounds"),
-        (b == F.array_sort(b)).cast("int").alias("sorted_ok"),
-        F.element_at(b, -1).cast("double").alias("top_bound"),
     )

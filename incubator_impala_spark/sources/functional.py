@@ -34,7 +34,9 @@ FUNCTIONAL_TABLES = [
     "alltypesaggnonulls", "alltypesnopart", "dimtbl", "testtbl",
     "jointbl", "tinytable", "tinyinttable", "nulltable", "nullrows",
     "liketbl", "emptytable", "decimal_tbl", "decimal_tiny", "date_tbl",
-    "chars_tiny", "zipcode_incomes", "greptiny",
+    "chars_tiny", "zipcode_incomes", "greptiny", "chars_formats",
+    "semijointbla", "semijointblb", "nullescapedtable",
+    "tblwithraggedcolumns", "unsupported_types",
 ]
 
 # The schema template's views (functional_schema_template.sql, CREATE

@@ -349,6 +349,11 @@ def _run_one(engine, b: Block, rewrite, table_rewrites) -> BlockResult:
     if not all(_RUNNABLE.match(s) or s.lower().startswith("set ")
                for s in stmts):
         return BlockResult(b.index, "skip", "non-query-statement")
+    if any(re.match(r"(?i)set\s+decimal_v2\s*=\s*(false|0)", s)
+           for s in stmts):
+        # DECIMAL V1 is the reference's deprecated legacy mode; this
+        # engine implements V2 semantics only (DIALECT.md)
+        return BlockResult(b.index, "skip", "decimal-v1-legacy")
     if re.search(r"\b(pid|coordinator|current_session|sleep)\s*\(",
                  b.query, re.IGNORECASE):
         # daemon/session introspection with no analogue in a library
@@ -364,6 +369,7 @@ def _run_one(engine, b: Block, rewrite, table_rewrites) -> BlockResult:
         # functional_parquet/_avro/... are file-format variants of the
         # same dataset; every variant resolves to the fixture views
         s = re.sub(r"\bfunctional(_\w+)?\.", "", s)
+        s = re.sub(r"`functional(_\w+)?`\.", "", s)
         for old, new in table_rewrites.items():
             s = re.sub(rf"\b{old}\b", new, s)
         if rewrite is not None:

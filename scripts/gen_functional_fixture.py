@@ -180,43 +180,97 @@ def _write(name: str, schema: pa.Schema, rows: list) -> None:
 
 # --- static CSV-backed tables --------------------------------------------
 
-def _parse_text(path: str, types: list, delim: str = ",",
-                lenient: bool = False) -> list:
-    """Impala text-table row parse: \\N is NULL for every type; the
-    empty field is NULL for non-strings and '' for strings. There is
-    NO quote handling — quotes are data. In lenient mode (matching the
+def _records(content: str, escaped: bool) -> list[list[tuple[str, str]]]:
+    """Impala delimited-text record scan: '\\n', '\\r' and '\\r\\n'
+    all terminate a record (delimited-text-parser.cc); when escaping
+    is on, a backslash makes the next byte literal (so delimiters and
+    terminators inside fields survive). Returns per-record lists of
+    (unescaped value, raw bytes) — the raw form is what the \\N null
+    check matches against."""
+    recs: list = []
+    rec: list = []
+    val: list = []
+    raw: list = []
+    i, n = 0, len(content)
+
+    def end_field() -> None:
+        rec.append(("".join(val), "".join(raw)))
+        val.clear()
+        raw.clear()
+
+    while i < n:
+        c = content[i]
+        if escaped and c == "\\" and i + 1 < n:
+            raw.append(c)
+            raw.append(content[i + 1])
+            val.append(content[i + 1])
+            i += 2
+            continue
+        if c == ",":
+            end_field()
+        elif c in ("\n", "\r"):
+            if c == "\r" and i + 1 < n and content[i + 1] == "\n":
+                i += 1
+            end_field()
+            recs.append(list(rec))
+            rec.clear()
+        else:
+            val.append(c)
+            raw.append(c)
+        i += 1
+    if val or rec:  # final record without a trailing terminator
+        end_field()
+        recs.append(list(rec))
+    return recs
+
+
+def _parse_text(path: str, types: list, lenient: bool = False,
+                escaped: bool = False, keep_empty_rows: bool = False) -> list:
+    """Impala text-table row parse: \\N (raw) is NULL for every type;
+    the empty field is NULL for non-strings and '' for strings. There
+    is NO quote handling — quotes are data. In lenient mode (the
     scanner's error recovery): missing trailing fields are NULL, extra
     fields are dropped, and an unparseable numeric field is NULL."""
-    rows = []
     with open(path, newline="") as f:
-        for line in f.read().split("\n"):
-            if line in ("", "\r"):
-                continue
-            fields = line.split(delim)
-            if lenient:
-                fields = (fields + [""] * len(types))[:len(types)]
+        content = f.read()
+    rows = []
+    for rec in _records(content, escaped):
+        if rec == [("", "")] and not keep_empty_rows:
+            continue
+        fields = list(rec)
+        if lenient:
+            fields = (fields + [("", "")] * len(types))[:len(types)]
+        else:
+            assert len(fields) == len(types), (path, rec)
+        row = []
+        for (v, rawv), typ in zip(fields, types):
+            if rawv == "\\N" or (v == "" and typ is not str):
+                row.append(None)
+            elif typ is date:
+                y, m, d = v.split("-")
+                row.append(date(int(y), int(m), int(d)))
             else:
-                assert len(fields) == len(types), (path, line)
-            row = []
-            for val, typ in zip(fields, types):
-                if val == "\\N" or (val == "" and typ is not str):
+                try:
+                    row.append(typ(v))
+                except (ValueError, ArithmeticError):
+                    if not lenient:
+                        raise
                     row.append(None)
-                elif typ is date:
-                    y, m, d = val.split("-")
-                    row.append(date(int(y), int(m), int(d)))
-                else:
-                    try:
-                        row.append(typ(val))
-                    except (ValueError, ArithmeticError):
-                        if not lenient:
-                            raise
-                        row.append(None)
-            rows.append(tuple(row))
+        rows.append(tuple(row))
     return rows
 
 
 def _char(val: str | None, n: int) -> str | None:
     return None if val is None else val.ljust(n)
+
+
+def _dec9(v: str) -> Decimal:
+    """DECIMAL(9,0) text parse: round to scale 0, NULL on overflow
+    (the scanner's error recovery, exercised via lenient mode)."""
+    d = Decimal(v).quantize(Decimal(1), ROUND_HALF_UP)
+    if abs(d) >= 10 ** 9:
+        raise ValueError(v)
+    return d
 
 
 def main() -> None:
@@ -310,6 +364,47 @@ def main() -> None:
     _write("chars_tiny", pa.schema([
         ("cs", pa.string()), ("cl", pa.string()), ("vc", pa.string())]),
         [(_char(a, 5), _char(b, 140), c) for a, b, c in chars])
+
+    # chars_formats: same (cs CHAR(5), cl CHAR(140), vc VARCHAR(32))
+    # shape (load-dependent-tables.sql), loaded from chars-formats.txt
+    cf = _parse_text(f"{REF_DATA}/data/chars-formats.txt", [str, str, str])
+    _write("chars_formats", pa.schema([
+        ("cs", pa.string()), ("cl", pa.string()), ("vc", pa.string())]),
+        [(_char(a, 5), _char(b, 140), c) for a, b, c in cf])
+
+    # Semi/anti-join fixtures created inline by the reference's
+    # test_join_queries.py::__load_semi_join_tables
+    ab = pa.schema([("a", pa.int32()), ("b", pa.int32()),
+                    ("c", pa.int32())])
+    _write("semijointbla", ab, [
+        (1, 1, 1), (1, 1, 10), (1, 2, 10), (1, 3, 10),
+        (None, None, 30), (2, 4, 30), (2, None, 20)])
+    _write("semijointblb", ab, [
+        (1, 1, 1), (1, 1, 10), (1, 2, 5), (1, None, 10),
+        (2, 10, None), (3, None, None), (3, None, 50)])
+
+    _write("nullescapedtable", pa.schema([
+        ("a", pa.string()), ("b", pa.string()), ("c", pa.string()),
+        ("d", pa.int32()), ("e", pa.float64()), ("f", pa.string()),
+        ("g", pa.string())]),
+        _parse_text(f"{REF_DATA}/NullTable/data.csv",
+                    [str, str, str, int, float, str, str], escaped=True))
+
+    _write("tblwithraggedcolumns", pa.schema([
+        ("str_col", pa.string()), ("int_col", pa.int32())]),
+        _parse_text(f"{REF_DATA}/TblWithRaggedColumns/data.csv",
+                    [str, int], lenient=True, escaped=True,
+                    keep_empty_rows=True))
+
+    _write("unsupported_types", pa.schema([
+        ("int_col", pa.int32()), ("dec_col", pa.decimal128(9, 0)),
+        ("date_col", pa.date32()), ("str_col", pa.string()),
+        ("bin_col", pa.binary()), ("bigint_col", pa.int64())]),
+        [(r[0], r[1], r[2], r[3],
+          r[4].encode() if r[4] is not None else None, r[5])
+         for r in _parse_text(f"{REF_DATA}/UnsupportedTypes/data.csv",
+                              [int, _dec9, date, str, str, int],
+                              lenient=True)])
 
     # greptiny: single string column, default (\x01) delimiters — each
     # line is the whole field
