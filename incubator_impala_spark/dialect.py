@@ -816,12 +816,111 @@ def rewrite_right_semi(sql: str) -> str:
     return rewrite_right_semi(rebuilt)
 
 
+_SETOP = re.compile(
+    r"\b(union|intersect|except|minus)(\s+(?:all|distinct))?\b",
+    re.IGNORECASE)
+
+
+def rewrite_setop_precedence(sql: str) -> str:
+    """Impala evaluates UNION/INTERSECT/EXCEPT strictly left-to-right
+    (sql-parser.cup gives them one precedence level); the SQL standard
+    (and Spark) binds INTERSECT tighter. Whenever an INTERSECT follows
+    a lower-precedence operator at top level, group the left side
+    explicitly: ``A union B intersect C`` -> ``(A union B) intersect
+    C``. Trailing ORDER BY/LIMIT stay outside the grouping. Applied
+    recursively inside parenthesized subterms."""
+    # recurse into parenthesized spans first
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n and sql[j] != "'":
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth, j = 0, i
+            while j < n:
+                if sql[j] == "'":
+                    j += 1
+                    while j < n and sql[j] != "'":
+                        j += 1
+                elif sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            out.append("(" + rewrite_setop_precedence(sql[i + 1:j]) + ")")
+            i = j + 1
+            continue
+        out.append(c)
+        i += 1
+    sql = "".join(out)
+
+    shadow = _strip_parens_preserving(sql)
+    ops = [(m.start(), m.end(), m.group(1).lower(), m.group(0))
+           for m in _SETOP.finditer(shadow)]
+    if len(ops) < 2:
+        return sql
+    needs = any(op == "intersect" and any(p[2] != "intersect"
+                                          for p in ops[:k])
+                for k, (_, _, op, _) in enumerate(ops))
+    if not needs:
+        return sql
+    # strip a trailing ORDER BY/LIMIT/OFFSET clause (whole-statement)
+    tail_m = re.search(r"\b(order\s+by|limit|offset)\b", shadow[ops[-1][1]:],
+                       re.IGNORECASE)
+    tail_at = ops[-1][1] + tail_m.start() if tail_m else len(sql)
+    tail = sql[tail_at:]
+    body = sql[:tail_at]
+    segs, kws, prev = [], [], 0
+    for s, e, _, kw in ops:
+        segs.append(body[prev:s])
+        kws.append(body[s:e])
+        prev = e
+    segs.append(body[prev:])
+    expr = segs[0].strip()
+    for kw, seg in zip(kws, segs[1:]):
+        expr = f"({expr}) {kw.strip()} {seg.strip()}"
+    return expr + (" " + tail if tail else "")
+
+
+def _strip_parens_preserving(text: str) -> str:
+    """Like _strip_parens but keeps string length (parenthesized spans
+    and string literals become spaces) so regex offsets stay valid."""
+    out, depth, i, n = [], 0, 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < n and text[j] != "'":
+                j += 1
+            out.append(" " * (j + 1 - i))
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+            out.append(" ")
+        elif c == ")":
+            depth -= 1
+            out.append(" ")
+        else:
+            out.append(c if depth == 0 else " ")
+        i += 1
+    return "".join(out)
+
+
 def translate(sql: str, macros: dict | None = None) -> str:
     """Full Impala→Spark translation pipeline."""
     stmt = translate_statement(sql)
     if stmt is not None:
         return stmt
     sql = strip_plan_hints(sql)
+    sql = rewrite_setop_precedence(sql)
     sql = rewrite_right_semi(sql)
     sql = rewrite_values_aliases(sql)
     sql = rewrite_interval_expr(sql)

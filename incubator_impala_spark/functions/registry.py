@@ -243,15 +243,18 @@ MACROS = {
     # derived from typeof() text — works on any expression, stays in
     # codegen after constant folding
     "precision": lambda a: (
-        f"(CASE WHEN typeof({a[0]}) LIKE 'decimal%' THEN "
-        f"cast(regexp_extract(typeof({a[0]}), 'decimal\\\\((\\\\d+)', 1) "
-        f"as int) END)"
+        f"(CASE WHEN lower(typeof({a[0]})) LIKE 'decimal%' THEN "
+        f"cast(regexp_extract(lower(typeof({a[0]})), "
+        f"'decimal\\\\((\\\\d+)', 1) as int) END)"
     ),
     "scale": lambda a: (
-        f"(CASE WHEN typeof({a[0]}) LIKE 'decimal%' THEN "
-        f"cast(regexp_extract(typeof({a[0]}), ',(\\\\d+)\\\\)', 1) "
-        f"as int) END)"
+        f"(CASE WHEN lower(typeof({a[0]})) LIKE 'decimal%' THEN "
+        f"cast(regexp_extract(lower(typeof({a[0]})), "
+        f"',(\\\\d+)\\\\)', 1) as int) END)"
     ),
+    # the reference's typeof prints type names in caps — DECIMAL(2,1),
+    # TINYINT (expr-test.cc TypeOf expectations)
+    "typeof": lambda a: f"upper(typeof({a[0]}))",
     # integer type bounds (math-functions-ir.cc MaxInt/MinInt family)
     "max_tinyint": lambda a: "cast(127 as tinyint)",
     "min_tinyint": lambda a: "cast(-128 as tinyint)",
@@ -334,6 +337,11 @@ MACROS = {
     "lead": _ignore_nulls_fn("lead"),
     "lag": _ignore_nulls_fn("lag"),
     "nth_value": _ignore_nulls_fn("nth_value"),
+    # byte-exact reference hashes: route through the typed UDFs with
+    # the column's type name so each value hashes its raw slot bytes
+    # (utility-functions-ir.cc; see functions/udfs.py _typed_bytes)
+    "murmur_hash": lambda a: f"murmur_hash_typed({a[0]}, typeof({a[0]}))",
+    "fnv_hash": lambda a: f"fnv_hash_typed({a[0]}, typeof({a[0]}))",
     # alias spellings of the variance family (BuiltinsDb.java)
     "variance_samp": lambda a: f"var_samp({a[0]})",
     "variance_pop": lambda a: f"var_pop({a[0]})",

@@ -28,6 +28,55 @@ def _fnv1_64(data: bytes) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def _typed_bytes(v, spark_type: str) -> bytes:
+    """The reference hashes each value's raw slot bytes
+    (utility-functions-ir.cc MurmurHash/FnvHash over sizeof(val)):
+    little-endian fixed-width numerics, 4-byte day count for DATE,
+    boost ptime layout (int64 nanos-of-day + uint32 Julian Day Number)
+    for TIMESTAMP, the unscaled 4/8/16-byte int for DECIMAL, utf-8
+    bytes for strings. Verified against the reference's own expected
+    hashes for every alltypes column type (exprs.test) and date_tbl."""
+    import datetime
+    import struct
+    from decimal import Decimal
+
+    t = spark_type.lower()
+    epoch = datetime.date(1970, 1, 1)
+    if t == "boolean":
+        return struct.pack("<b", 1 if v else 0)
+    if t == "tinyint":
+        return struct.pack("<b", int(v))
+    if t == "smallint":
+        return struct.pack("<h", int(v))
+    if t in ("int", "integer"):
+        return struct.pack("<i", int(v))
+    if t == "bigint":
+        return struct.pack("<q", int(v))
+    if t == "float":
+        return struct.pack("<f", float(v))
+    if t == "double":
+        return struct.pack("<d", float(v))
+    if t == "date":
+        d = v.date() if isinstance(v, datetime.datetime) else v
+        return struct.pack("<i", (d - epoch).days)
+    if t.startswith("timestamp"):
+        nanos = ((v.hour * 3600 + v.minute * 60 + v.second) * 10 ** 9
+                 + v.microsecond * 1000)
+        jdn = (v.date() - epoch).days + 2440588
+        return struct.pack("<q", nanos) + struct.pack("<I", jdn)
+    if t.startswith("decimal"):
+        import re as _re
+
+        m = _re.match(r"decimal\((\d+),\s*(-?\d+)\)", t)
+        p, sc = (int(m.group(1)), int(m.group(2))) if m else (38, 0)
+        size = 4 if p <= 9 else 8 if p <= 18 else 16
+        unscaled = int(Decimal(str(v)).scaleb(sc))
+        return unscaled.to_bytes(size, "little", signed=True)
+    if t == "binary":
+        return bytes(v)
+    return str(v).encode("utf-8")
+
+
 def _murmur2_64a(data: bytes, seed: int = 0) -> int:
     """MurmurHash2 64A (public algorithm; reference
     HashUtil::MurmurHash2_64, be/src/util/hash-util.h, called with
@@ -143,24 +192,21 @@ def register(spark: SparkSession) -> None:
 
     @pandas_udf(LongType())
     def murmur_hash(s: pd.Series) -> pd.Series:
-        # DATE hashes its 4-byte days-since-epoch representation, as
-        # the reference hashes the raw slot bytes (hash-util.h
-        # MurmurHash2_64 over the column's byte width); other types
-        # hash their utf-8 text form (value-stable for STRING, the
-        # dominant use)
-        import datetime
-        import struct
-
-        def _bytes(v):
-            if isinstance(v, datetime.date) and not isinstance(
-                    v, datetime.datetime):
-                days = (v - datetime.date(1970, 1, 1)).days
-                return struct.pack("<i", days)
-            return str(v).encode("utf-8")
-
         return pd.Series(
-            [_murmur2_64a(_bytes(v)) if v is not None else None
-             for v in s], dtype="Int64")
+            [_murmur2_64a(str(v).encode("utf-8")) if v is not None
+             else None for v in s], dtype="Int64")
+
+    @pandas_udf(LongType())
+    def murmur_hash_typed(s: pd.Series, t: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if pd.isna(v) else _murmur2_64a(_typed_bytes(v, ty))
+             for v, ty in zip(s, t)], dtype="Int64")
+
+    @pandas_udf(LongType())
+    def fnv_hash_typed(s: pd.Series, t: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if pd.isna(v) else _fnv1_64(_typed_bytes(v, ty))
+             for v, ty in zip(s, t)], dtype="Int64")
 
     @pandas_udf(IntegerType())
     def damerau_levenshtein(a: pd.Series, b: pd.Series) -> pd.Series:
