@@ -239,6 +239,8 @@ def register(spark: SparkSession) -> None:
 
     spark.udf.register("fnv_hash", fnv_hash)
     spark.udf.register("murmur_hash", murmur_hash)
+    spark.udf.register("fnv_hash_typed", fnv_hash_typed)
+    spark.udf.register("murmur_hash_typed", murmur_hash_typed)
     spark.udf.register("damerau_levenshtein", damerau_levenshtein)
     spark.udf.register("jaro_distance", jaro_distance)
     spark.udf.register("jaro_similarity", jaro_similarity)

@@ -15,6 +15,7 @@ by name).
 from __future__ import annotations
 
 from incubator_impala_spark.queries import (
+    functional_query,
     functions_sweep,
     nested,
     nested_tpch,
@@ -33,7 +34,7 @@ from incubator_impala_spark.queries import (
 _MODULES = [
     tpch, relational, pipeline, streaming_batch, functions_sweep, nested,
     nested_tpch, sql_surface, tpcds_adapted, tpcds_round3, tpcds_round4,
-    tpcds_real, tpch_real,
+    tpcds_real, tpch_real, functional_query,
 ]
 
 QUERIES = {}

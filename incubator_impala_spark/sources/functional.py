@@ -118,8 +118,10 @@ def duckdb_oracle_sql(sql: str) -> str:
     for view, view_sql in FUNCTIONAL_VIEWS.items():
         if re.search(rf"\b{view}\b", sql, re.IGNORECASE):
             ctes.append(f"{view} AS ({view_sql})")
-    joined = ",\n".join(ctes)
     body = sql.strip()
+    if not ctes:
+        return body
+    joined = ",\n".join(ctes)
     m = re.match(r"^with\b", body, re.IGNORECASE)
     if m:
         return f"WITH {joined},\n{body[m.end():].lstrip()}"

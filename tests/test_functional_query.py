@@ -1,0 +1,170 @@
+"""Run the reference's own functional-query QueryTest files — queries
+AND inline expected results — against this engine.
+
+This is direct reference parity with no oracle in between: the .test
+files under the reference's
+testdata/workloads/functional-query/queries/QueryTest/ carry the
+recorded outputs of the reference engine over the `functional` dataset,
+which fixtures/functional/ regenerates exactly
+(scripts/gen_functional_fixture.py). The harness
+(incubator_impala_spark/testing/querytest.py) re-expresses the
+reference's section format and result-verifier rules.
+
+Per file: every runnable block must pass unless listed in XFAIL with a
+reason code; a listed block that passes fails the test (stale entry),
+and the per-file pass floor catches silent regressions where blocks
+start skipping. Reason codes (details in DIALECT.md "Functional-query
+divergences"):
+
+  ieee-div-zero     float/0 is ±inf/NaN in the reference, NULL here
+  nan-semantics     Spark: NaN=NaN in joins/group/CASE; min/max skip NaN
+  float-promotion   INT+FLOAT -> FLOAT here, DOUBLE there (and
+                    DECIMAL+FLOAT -> DOUBLE here, FLOAT there)
+  float-round-type  round(FLOAT,n)/float literal typing differences
+  ts-range          reference clamps timestamps to 1400..9999 -> NULL
+  ns-precision      engine carries µs; expected values need ns
+  estimator         ndv/distinctpc/appx_count_distinct sketch-specific
+                    expected numbers
+  parser-ext        operand-level ORDER BY/LIMIT without parens,
+                    postfix `!` factorial
+  analyzer          Spark analyzer restrictions (mixed-type IN list,
+                    window fn in ORDER BY, per-row group_concat
+                    separator, grouping_id outside rollup,
+                    avg(TIMESTAMP), correlated agg-subquery shapes,
+                    partial CTE column alias lists)
+  type-coercion     DATE/STRING and FLOAT/DECIMAL comparison coercion
+                    picks a different common type
+  lax-date-format   reference accepts mismatched separators / infers
+                    century for YY/YYY/RRRR date FORMAT tokens
+  decimal-scale     avg/windowed-sum result scale rule (+4 vs +6) and
+                    0E-n vs fixed-point zero printing
+  posix-regex       [[:alpha:]]-style POSIX classes (Java regex lacks)
+  pipe-or           `||` as logical OR (kept as concat — see DIALECT)
+  void-setop        INTERSECT over a NULL-literal (void) column
+  nan-agg           min/max NaN propagation
+  not-in-null       NULL-lhs NOT IN (subquery) tri-state differences
+  needs-ddl         block depends on tables created by earlier DDL
+                    blocks the harness does not execute
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+
+import pytest
+
+QT_DIR = ("/root/reference/testdata/workloads/functional-query/queries/"
+          "QueryTest")
+
+# file -> (min_pass floor, {block index: reason})
+FILES: dict[str, tuple[int, dict[int, str]]] = {
+    "exprs": (248, {
+        52: "float-promotion", 53: "float-promotion", 54: "float-promotion",
+        88: "analyzer", 89: "analyzer",
+        167: "ns-precision", 168: "ns-precision", 170: "ns-precision",
+        172: "ts-range",
+        176: "float-round-type", 177: "float-round-type",
+        186: "float-promotion", 189: "float-promotion",
+        191: "ieee-div-zero", 201: "parser-ext",
+        230: "posix-regex", 231: "posix-regex",
+        240: "ts-range", 241: "ts-range", 251: "analyzer",
+        255: "ts-range", 256: "ts-range", 257: "ts-range", 258: "ts-range",
+        259: "ts-range", 260: "ts-range", 261: "ts-range", 262: "ts-range",
+        263: "ts-range", 264: "ts-range", 265: "ts-range", 266: "ts-range",
+        278: "nan-semantics", 282: "ts-range", 293: "nan-semantics",
+        297: "pipe-or",
+    }),
+    "aggregation": (105, {66: "analyzer", 74: "analyzer",
+                          104: "nan-agg", 109: "nan-semantics"}),
+    "analytic-fns": (82, {43: "ieee-div-zero", 59: "analyzer",
+                          77: "needs-ddl"}),
+    "joins": (51, {49: "nan-semantics", 52: "nan-semantics",
+                   53: "nan-semantics"}),
+    "outer-joins": (33, {}),
+    "outer-to-inner-joins": (17, {18: "needs-ddl", 19: "needs-ddl",
+                                  20: "needs-ddl"}),
+    "semi-joins": (22, {}),
+    "inline-view": (33, {}),
+    "inline-view-limit": (7, {}),
+    "subquery": (92, {51: "not-in-null"}),
+    "subquery-in-constant-lhs": (32, {8: "not-in-null", 32: "not-in-null"}),
+    "limit": (19, {}),
+    "top-n": (54, {29: "ieee-div-zero", 30: "ieee-div-zero"}),
+    "sort": (8, {}),
+    "union": (48, {2: "parser-ext", 3: "parser-ext", 49: "parser-ext",
+                   60: "parser-ext"}),
+    "intersect": (33, {11: "parser-ext", 12: "type-coercion",
+                       35: "void-setop"}),
+    "except": (42, {2: "parser-ext", 3: "parser-ext", 42: "parser-ext"}),
+    "distinct": (31, {29: "estimator"}),
+    "distinct-estimate": (2, {0: "estimator", 1: "estimator",
+                              2: "estimator", 3: "estimator",
+                              4: "estimator", 5: "estimator"}),
+    "values": (4, {7: "needs-ddl", 8: "needs-ddl"}),
+    "empty": (12, {4: "analyzer"}),
+    "with-clause": (10, {3: "analyzer", 7: "parser-ext"}),
+    "grouping-sets": (6, {5: "analyzer", 6: "analyzer", 7: "analyzer",
+                          9: "analyzer", 10: "analyzer"}),
+    "multiple-distinct-aggs": (29, {27: "needs-ddl"}),
+    "null_data": (5, {}),
+    "misc": (11, {}),
+    "string-literals": (6, {}),
+    "special-strings": (2, {}),
+    "decimal": (28, {10: "estimator", 11: "estimator"}),
+    "decimal-exprs": (7, {18: "decimal-scale", 24: "decimal-scale",
+                          31: "decimal-scale", 34: "decimal-scale",
+                          39: "ns-precision"}),
+    "date": (43, {
+        35: "estimator", 36: "estimator", 37: "estimator",
+        49: "type-coercion", 51: "type-coercion", 52: "ts-range",
+        59: "lax-date-format", 60: "lax-date-format",
+        62: "lax-date-format", 64: "lax-date-format",
+        66: "lax-date-format", 67: "lax-date-format",
+        68: "lax-date-format", 69: "lax-date-format",
+        70: "lax-date-format", 71: "lax-date-format",
+        73: "lax-date-format", 74: "lax-date-format",
+        75: "lax-date-format", 76: "lax-date-format",
+        77: "lax-date-format", 78: "lax-date-format",
+        79: "lax-date-format", 80: "lax-date-format",
+        81: "lax-date-format", 82: "lax-date-format",
+        83: "lax-date-format", 84: "lax-date-format",
+        85: "lax-date-format",
+    }),
+}
+
+
+@pytest.fixture(scope="module")
+def functional_engine(engine):
+    from incubator_impala_spark.sources.functional import register_functional
+
+    register_functional(engine.spark)
+    return engine
+
+
+@pytest.mark.skipif(not os.path.isdir(QT_DIR),
+                    reason="reference workload texts not present")
+@pytest.mark.parametrize("name", sorted(FILES), ids=str)
+def test_functional_query_file(functional_engine, name):
+    from incubator_impala_spark.testing import querytest as qt
+
+    min_pass, xfail = FILES[name]
+    blocks = qt.parse_test_file(os.path.join(QT_DIR, f"{name}.test"))
+    results = qt.run_blocks(functional_engine, blocks, xfail=xfail)
+    counts = collections.Counter(r.status for r in results)
+
+    problems = []
+    for r in results:
+        if r.status in ("fail", "error"):
+            q = " ".join(blocks[r.index].query.split())[:140]
+            problems.append(
+                f"[{r.index}] {r.status}: {r.reason}\n    Q: {q}\n    "
+                + "\n    ".join(str(d) for d in r.diffs[:3]))
+        elif r.status == "xpass":
+            problems.append(f"[{r.index}] xpass — remove stale xfail "
+                            f"({r.reason})")
+    assert not problems, (
+        f"{name}.test: {dict(counts)}\n" + "\n".join(problems))
+    assert counts.get("pass", 0) >= min_pass, (
+        f"{name}.test pass floor regressed: "
+        f"{counts.get('pass', 0)} < {min_pass} ({dict(counts)})")
