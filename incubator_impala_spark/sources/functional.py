@@ -36,7 +36,8 @@ FUNCTIONAL_TABLES = [
     "liketbl", "emptytable", "decimal_tbl", "decimal_tiny", "date_tbl",
     "chars_tiny", "zipcode_incomes", "greptiny", "chars_formats",
     "semijointbla", "semijointblb", "nullescapedtable",
-    "tblwithraggedcolumns", "unsupported_types",
+    "tblwithraggedcolumns", "unsupported_types", "manynulls",
+    "chars_medium",
 ]
 
 # The schema template's views (functional_schema_template.sql, CREATE

@@ -261,7 +261,13 @@ def _parse_text(path: str, types: list, lenient: bool = False,
 
 
 def _char(val: str | None, n: int) -> str | None:
-    return None if val is None else val.ljust(n)
+    """CHAR(n) storage: pad with spaces AND truncate to n (the
+    reference's char-value semantics)."""
+    return None if val is None else val.ljust(n)[:n]
+
+
+def _varchar(val: str | None, n: int) -> str | None:
+    return None if val is None else val[:n]
 
 
 def _dec9(v: str) -> Decimal:
@@ -363,14 +369,15 @@ def main() -> None:
     chars = _parse_text(f"{REF_DATA}/data/chars-tiny.txt", [str, str, str])
     _write("chars_tiny", pa.schema([
         ("cs", pa.string()), ("cl", pa.string()), ("vc", pa.string())]),
-        [(_char(a, 5), _char(b, 140), c) for a, b, c in chars])
+        [(_char(a, 5), _char(b, 140), _varchar(c, 32))
+         for a, b, c in chars])
 
     # chars_formats: same (cs CHAR(5), cl CHAR(140), vc VARCHAR(32))
     # shape (load-dependent-tables.sql), loaded from chars-formats.txt
     cf = _parse_text(f"{REF_DATA}/data/chars-formats.txt", [str, str, str])
     _write("chars_formats", pa.schema([
         ("cs", pa.string()), ("cl", pa.string()), ("vc", pa.string())]),
-        [(_char(a, 5), _char(b, 140), c) for a, b, c in cf])
+        [(_char(a, 5), _char(b, 140), _varchar(c, 32)) for a, b, c in cf])
 
     # Semi/anti-join fixtures created inline by the reference's
     # test_join_queries.py::__load_semi_join_tables
@@ -405,6 +412,26 @@ def main() -> None:
          for r in _parse_text(f"{REF_DATA}/UnsupportedTypes/data.csv",
                               [int, _dec9, date, str, str, int],
                               lenient=True)])
+
+    # manynulls: derived from alltypesagg by the schema template's LOAD
+    # insert — nullcol = NULL when (id div 500) is even
+    agg = gen_alltypesagg(True)
+    _write("manynulls", pa.schema([("id", pa.int32()),
+                                   ("nullcol", pa.int32())]),
+           [(r[0], None if (r[0] // 500) % 2 == 0 else r[0])
+            for r in agg])
+
+    # chars_medium: derived from alltypesagg (schema template LOAD
+    # insert): CHAR(8)/CHAR(3) pad-truncate, VARCHAR(3) truncate
+    _write("chars_medium", pa.schema([
+        ("id", pa.int32()), ("date_char_col", pa.string()),
+        ("char_col", pa.string()), ("date_varchar_col", pa.string()),
+        ("varchar_col", pa.string())]),
+        [(r[0], _char(r[8], 8),
+          _char(r[9], 3) if r[0] % 3 in (0, 1) else None,
+          _varchar(r[8], 8),
+          _varchar(r[9], 3) if r[0] % 3 == 0 else None)
+         for r in agg])
 
     # greptiny: single string column, default (\x01) delimiters — each
     # line is the whole field

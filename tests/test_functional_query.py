@@ -33,7 +33,8 @@ divergences"):
                     avg(TIMESTAMP), correlated agg-subquery shapes,
                     partial CTE column alias lists)
   type-coercion     DATE/STRING and FLOAT/DECIMAL comparison coercion
-                    picks a different common type
+                    picks a different common type; CHAR(m)-vs-CHAR(n)
+                    comparison is pad-insensitive in the reference
   lax-date-format   reference accepts mismatched separators / infers
                     century for YY/YYY/RRRR date FORMAT tokens
   decimal-scale     avg/windowed-sum result scale rule (+4 vs +6) and
@@ -115,6 +116,15 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "decimal-exprs": (7, {18: "decimal-scale", 24: "decimal-scale",
                           31: "decimal-scale", 34: "decimal-scale",
                           39: "ns-precision"}),
+    "alias": (7, {}),
+    "chars": (14, {2: "type-coercion", 4: "type-coercion",
+                   6: "type-coercion"}),
+    "chars-formats": (4, {}),
+    "scanners-many-nulls": (2, {}),
+    "single-node-nlj": (15, {}),
+    "semi-joins-exhaustive": (1, {}),
+    "subquery-single-node": (2, {}),
+    "select-lazy-timestamp": (0, {0: "needs-ddl"}),
     "date": (43, {
         35: "estimator", 36: "estimator", 37: "estimator",
         49: "type-coercion", 51: "type-coercion", 52: "ts-range",
