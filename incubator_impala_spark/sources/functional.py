@@ -37,7 +37,7 @@ FUNCTIONAL_TABLES = [
     "chars_tiny", "zipcode_incomes", "greptiny", "chars_formats",
     "semijointbla", "semijointblb", "nullescapedtable",
     "tblwithraggedcolumns", "unsupported_types", "manynulls",
-    "chars_medium",
+    "chars_medium", "overflow", "alltypes_date_partition",
 ]
 
 # The schema template's views (functional_schema_template.sql, CREATE

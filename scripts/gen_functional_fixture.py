@@ -270,6 +270,20 @@ def _varchar(val: str | None, n: int) -> str | None:
     return None if val is None else val[:n]
 
 
+def _dec(p: int, sc: int):
+    """DECIMAL(p,s) text parse: round to scale, NULL on overflow
+    (decimal parse errors in the reference rather than saturating)."""
+    q = Decimal(1).scaleb(-sc)
+
+    def conv(v: str) -> Decimal:
+        d = Decimal(v).quantize(q, ROUND_HALF_UP)
+        if abs(d) >= Decimal(1).scaleb(p - sc):
+            raise ValueError(v)
+        return d
+
+    return conv
+
+
 def _dec9(v: str) -> Decimal:
     """DECIMAL(9,0) text parse: round to scale 0, NULL on overflow
     (the scanner's error recovery, exercised via lenient mode)."""
@@ -420,6 +434,48 @@ def main() -> None:
                                    ("nullcol", pa.int32())]),
            [(r[0], None if (r[0] // 500) % 2 == 0 else r[0])
             for r in agg])
+
+    # overflow: boundary-value literals (testdata/data/overflow.txt).
+    # The text scanner SATURATES integer overflow (strtol clamps to the
+    # type bounds) and reads float overflow as ±inf — the expected rows
+    # in overflow.test record exactly that. Decimal overflow errors in
+    # the reference; those columns load as NULL and no test selects
+    # them.
+    def _sat(bits):
+        lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+        return lambda v: min(max(int(v), lo), hi)
+
+    _write("overflow", pa.schema([
+        ("tinyint_col", pa.int8()), ("smallint_col", pa.int16()),
+        ("int_col", pa.int32()), ("bigint_col", pa.int64()),
+        ("float_col", pa.float32()), ("double_col", pa.float64()),
+        ("decimal0_col", pa.decimal128(13, 4)),
+        ("decimal1_col", pa.decimal128(38, 0)),
+        ("decimal2_col", pa.decimal128(38, 38))]),
+        _parse_text(f"{REF_DATA}/data/overflow.txt",
+                    [_sat(8), _sat(16), _sat(32), _sat(64),
+                     lambda v: np.float32(float(v)), float,
+                     _dec(13, 4), _dec(38, 0), _dec(38, 38)], escaped=True,
+                    lenient=True))
+
+    # alltypes_date_partition: derived from alltypes (template LOAD):
+    # ids < 500, date_col = ts date (+5 days for odd ids)
+    at = gen_alltypes(24, 310)
+    adp_rows = []
+    for r in at:
+        if r[0] >= 500:
+            continue
+        base = r[10].date()
+        dcol = base if r[0] % 2 == 0 else base + timedelta(days=5)
+        adp_rows.append((r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7],
+                         r[9], r[10], dcol))
+    _write("alltypes_date_partition", pa.schema([
+        ("id", pa.int32()), ("bool_col", pa.bool_()),
+        ("tinyint_col", pa.int8()), ("smallint_col", pa.int16()),
+        ("int_col", pa.int32()), ("bigint_col", pa.int64()),
+        ("float_col", pa.float32()), ("double_col", pa.float64()),
+        ("string_col", pa.string()), ("timestamp_col", pa.timestamp("us")),
+        ("date_col", pa.date32())]), adp_rows)
 
     # chars_medium: derived from alltypesagg (schema template LOAD
     # insert): CHAR(8)/CHAR(3) pad-truncate, VARCHAR(3) truncate

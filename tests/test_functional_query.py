@@ -125,6 +125,11 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "semi-joins-exhaustive": (1, {}),
     "subquery-single-node": (2, {}),
     "select-lazy-timestamp": (0, {0: "needs-ddl"}),
+    "views": (6, {1: "parser-ext"}),
+    "overflow": (1, {}),
+    "random": (0, {0: "analyzer", 1: "analyzer", 2: "analyzer"}),
+    "range-constant-propagation": (3, {}),
+    "partition-key-scans": (8, {}),
     "date": (43, {
         35: "estimator", 36: "estimator", 37: "estimator",
         49: "type-coercion", 51: "type-coercion", 52: "ts-range",
