@@ -914,12 +914,98 @@ def _strip_parens_preserving(text: str) -> str:
     return "".join(out)
 
 
+_OBLIMIT = re.compile(r"\b(order\s+by|limit|offset)\b", re.IGNORECASE)
+
+
+def rewrite_setop_operand_limits(sql: str) -> str:
+    """Impala lets a set-operation operand carry ORDER BY/LIMIT without
+    parentheses — ``select ... limit 10 union all select ...`` binds
+    the limit to the left operand (sql-parser.cup union_operand);
+    Spark requires the parens, so wrap any non-final operand that
+    contains a top-level ORDER BY/LIMIT/OFFSET. A trailing clause
+    after the last operand stays statement-level (both engines)."""
+    # recurse into parenthesized spans (reuses the precedence walker's
+    # shape via _strip_parens_preserving offsets)
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n and sql[j] != "'":
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth, j = 0, i
+            while j < n:
+                if sql[j] == "'":
+                    j += 1
+                    while j < n and sql[j] != "'":
+                        j += 1
+                elif sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            out.append("(" + rewrite_setop_operand_limits(sql[i + 1:j])
+                       + ")")
+            i = j + 1
+            continue
+        out.append(c)
+        i += 1
+    sql = "".join(out)
+
+    shadow = _strip_parens_preserving(sql)
+    ops = list(_SETOP.finditer(shadow))
+    if not ops:
+        return sql
+    # leading WITH clause stays outside any operand parens
+    lead = 0
+    if re.match(r"\s*with\b", shadow, re.IGNORECASE):
+        m = re.search(r"\bselect\b|\bvalues\b", shadow, re.IGNORECASE)
+        if m and m.start() < ops[0].start():
+            lead = m.start()
+    segs, prev = [], lead
+    for m in ops:
+        segs.append((prev, m.start()))
+        prev = m.end()
+    segs.append((prev, len(sql)))
+    def _wrap_final(seg: str) -> bool:
+        # IMPALA-4741 (sql-parser.cup comment): a trailing ORDER BY /
+        # LIMIT binds to the final operand, NOT the set op, unless that
+        # operand is parenthesized. Mirror that by wrapping a bare
+        # final operand together with its trailing clause.
+        return (_OBLIMIT.search(_strip_parens_preserving(seg)) is not None
+                and not seg.strip().startswith("("))
+
+    if (not any(_OBLIMIT.search(shadow[s:e]) for s, e in segs[:-1])
+            and not _wrap_final(sql[segs[-1][0]:segs[-1][1]])):
+        return sql
+    # rebuild with the operator keywords between segments
+    rebuilt = [sql[:lead]]
+    for k, (s, e) in enumerate(segs):
+        seg = sql[s:e]
+        is_final = k == len(segs) - 1
+        if _OBLIMIT.search(shadow[s:e]) and (not is_final
+                                             or _wrap_final(seg)):
+            rebuilt.append(f" ({seg.strip()}) ")
+        else:
+            rebuilt.append(seg)
+        if not is_final:
+            rebuilt.append(ops[k].group(0))
+    return "".join(rebuilt)
+
+
 def translate(sql: str, macros: dict | None = None) -> str:
     """Full Impala→Spark translation pipeline."""
     stmt = translate_statement(sql)
     if stmt is not None:
         return stmt
     sql = strip_plan_hints(sql)
+    sql = rewrite_setop_operand_limits(sql)
     sql = rewrite_setop_precedence(sql)
     sql = rewrite_right_semi(sql)
     sql = rewrite_values_aliases(sql)

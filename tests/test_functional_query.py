@@ -93,18 +93,16 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "limit": (19, {}),
     "top-n": (54, {29: "ieee-div-zero", 30: "ieee-div-zero"}),
     "sort": (8, {}),
-    "union": (48, {2: "parser-ext", 3: "parser-ext", 49: "parser-ext",
-                   60: "parser-ext"}),
-    "intersect": (33, {11: "parser-ext", 12: "type-coercion",
-                       35: "void-setop"}),
-    "except": (42, {2: "parser-ext", 3: "parser-ext", 42: "parser-ext"}),
+    "union": (52, {}),
+    "intersect": (34, {12: "type-coercion", 35: "void-setop"}),
+    "except": (45, {}),
     "distinct": (31, {29: "estimator"}),
     "distinct-estimate": (2, {0: "estimator", 1: "estimator",
                               2: "estimator", 3: "estimator",
                               4: "estimator", 5: "estimator"}),
     "values": (4, {7: "needs-ddl", 8: "needs-ddl"}),
     "empty": (12, {4: "analyzer"}),
-    "with-clause": (10, {3: "analyzer", 7: "parser-ext"}),
+    "with-clause": (11, {3: "analyzer"}),
     "grouping-sets": (6, {5: "analyzer", 6: "analyzer", 7: "analyzer",
                           9: "analyzer", 10: "analyzer"}),
     "multiple-distinct-aggs": (29, {27: "needs-ddl"}),
@@ -125,7 +123,7 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "semi-joins-exhaustive": (1, {}),
     "subquery-single-node": (2, {}),
     "select-lazy-timestamp": (0, {0: "needs-ddl"}),
-    "views": (6, {1: "parser-ext"}),
+    "views": (7, {}),
     "overflow": (1, {}),
     "random": (0, {0: "analyzer", 1: "analyzer", 2: "analyzer"}),
     "range-constant-propagation": (3, {}),
