@@ -499,15 +499,21 @@ _PLAN_HINT = re.compile(
 _STRAIGHT_JOIN = re.compile(r"\bstraight_join\b", re.IGNORECASE)
 
 
+_COMMENT_HINT = re.compile(
+    r"/\*\s*\+[^*]*\*/|--\s*\+[^\n]*", re.IGNORECASE)
+
+
 def strip_plan_hints(sql: str) -> str:
-    """Impala's bracketed plan hints (`join [shuffle] t`,
-    `insert ... [noclustered]`) and STRAIGHT_JOIN are advisory
+    """Impala's plan hints — bracketed (`join [shuffle] t`,
+    `insert ... [noclustered]`), comment-style (`/*+broadcast*/`,
+    `-- +shuffle`) and STRAIGHT_JOIN — are advisory
     distribution/ordering hints to its cost-based planner
     (reference: fe/.../PlanHint.java). Spark's equivalent decisions
     belong to Catalyst+AQE (broadcast thresholds, AQE join re-plan),
     so the hints are removed rather than force-mapped — the engine
     conf already pins the costing policy (session.py)."""
-    return _STRAIGHT_JOIN.sub("", _PLAN_HINT.sub("", sql))
+    return _STRAIGHT_JOIN.sub(
+        "", _COMMENT_HINT.sub("", _PLAN_HINT.sub("", sql)))
 
 
 _VALUES = re.compile(r"\bvalues\s*\(", re.IGNORECASE)

@@ -128,6 +128,9 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "random": (0, {0: "analyzer", 1: "analyzer", 2: "analyzer"}),
     "range-constant-propagation": (3, {}),
     "partition-key-scans": (8, {}),
+    "mt-dop": (2, {}),
+    "joins_mt_dop": (2, {}),
+    "parquet-stats-agg": (8, {}),
     "date": (43, {
         35: "estimator", 36: "estimator", 37: "estimator",
         49: "type-coercion", 51: "type-coercion", 52: "ts-range",
