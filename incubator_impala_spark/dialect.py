@@ -1022,6 +1022,13 @@ def translate(sql: str, macros: dict | None = None) -> str:
     # logical AND (`||` is NOT mapped — it is concat in Spark texts)
     sql = re.sub(r"(?i)\bas\s+real\b", "as double", sql)
     sql = sql.replace("&&", " and ")
+    # a bare NULL predicate is legal in the reference (empty result);
+    # Spark rejects a VOID filter
+    sql = re.sub(
+        r"(?i)\b(where|having)\s+null\s*"
+        r"(?=$|\)|;|\bgroup\b|\border\b|\blimit\b|\bunion\b|"
+        r"\bintersect\b|\bexcept\b|\bhaving\b)",
+        r"\1 cast(null as boolean) ", sql)
     sql = rewrite_cast_format(sql)
     if macros:
         for name, template in macros.items():

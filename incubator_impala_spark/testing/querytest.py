@@ -135,6 +135,8 @@ def _fmt_value(v, dtype: str) -> str:
         s = v.isoformat()
     elif dtype == "binary":
         s = v.decode("latin-1")
+    elif dtype == "decimal":
+        s = format(v, "f")   # never scientific (0E-8 -> 0.00000000)
     else:
         s = str(v)
     if dtype in ("string", "char", "varchar", "binary"):
@@ -274,7 +276,7 @@ def types_compatible(expected: list[str], actual: list[str]) -> bool:
 # --------------------------------------------------------------------------
 # execution
 
-_RUNNABLE = re.compile(r"^\s*(select|with|values)\b", re.IGNORECASE)
+_RUNNABLE = re.compile(r"^[\s(]*(select|with|values)\b", re.IGNORECASE)
 _VAR = re.compile(r"\$[A-Z][A-Z0-9_]*")
 
 

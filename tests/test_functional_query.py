@@ -93,15 +93,15 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "limit": (19, {}),
     "top-n": (54, {29: "ieee-div-zero", 30: "ieee-div-zero"}),
     "sort": (8, {}),
-    "union": (52, {}),
-    "intersect": (34, {12: "type-coercion", 35: "void-setop"}),
-    "except": (45, {}),
+    "union": (61, {}),
+    "intersect": (39, {12: "type-coercion", 35: "void-setop"}),
+    "except": (55, {}),
     "distinct": (31, {29: "estimator"}),
     "distinct-estimate": (2, {0: "estimator", 1: "estimator",
                               2: "estimator", 3: "estimator",
                               4: "estimator", 5: "estimator"}),
     "values": (4, {7: "needs-ddl", 8: "needs-ddl"}),
-    "empty": (12, {4: "analyzer"}),
+    "empty": (13, {}),
     "with-clause": (11, {3: "analyzer"}),
     "grouping-sets": (6, {5: "analyzer", 6: "analyzer", 7: "analyzer",
                           9: "analyzer", 10: "analyzer"}),
