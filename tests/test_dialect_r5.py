@@ -1,0 +1,122 @@
+"""Unit tests for the round-5 dialect rewrites (string-level, no
+Spark session) — the parser extensions discovered by running the
+reference's functional-query texts. Each rewrite's semantics cite:
+fe/src/main/cup/sql-parser.cup (set ops, VALUES, hints) and the
+functional-query corpus behaviors they reproduce."""
+
+from __future__ import annotations
+
+from incubator_impala_spark.dialect import (
+    clamp_offset,
+    rewrite_char_casts,
+    rewrite_interval_expr,
+    rewrite_right_semi,
+    rewrite_setop_operand_limits,
+    rewrite_setop_precedence,
+    rewrite_values_aliases,
+    strip_plan_hints,
+)
+from incubator_impala_spark.functions.registry import MACROS
+
+
+def test_values_first_row_aliases():
+    out = rewrite_values_aliases("(values(1 a, 2 b), (3, 4)) x")
+    assert "col1 AS `a`" in out and "col2 AS `b`" in out
+    assert "(values (1, 2), (3, 4))" in out
+
+
+def test_values_rows_in_one_group():
+    out = rewrite_values_aliases("values((1, 'a'), (2, 'b'))")
+    assert "values (1, 'a'), (2, 'b')" in out
+
+
+def test_values_implicit_expression_labels():
+    out = rewrite_values_aliases("values (0), (cast('inf' as double))")
+    assert "col1 AS `0`" in out
+
+
+def test_values_not_confused_by_map_values():
+    sql = "SELECT map_values(map('a', 1)) AS v"
+    assert rewrite_values_aliases(sql) == sql
+
+
+def test_right_semi_commutes_single_relation():
+    out = rewrite_right_semi(
+        "select * from a t1 right semi join b t2 on t1.x = t2.x where t2.y")
+    assert "b t2 left semi join a t1 on t1.x = t2.x" in out
+    assert out.rstrip().endswith("where t2.y")
+
+
+def test_right_semi_left_join_tree_untouched():
+    sql = "select * from a join c on a.i=c.i right semi join b on a.x = b.x"
+    assert rewrite_right_semi(sql) == sql
+
+
+def test_setop_precedence_left_assoc():
+    out = rewrite_setop_precedence(
+        "select 100 union select 101 intersect select 101")
+    assert out.startswith("((select 100) union select 101) intersect")
+
+
+def test_setop_homogeneous_chain_untouched():
+    sql = "select a from t intersect select b from u intersect select c from v"
+    assert rewrite_setop_precedence(sql) == sql
+
+
+def test_setop_operand_limit_wraps_mid_chain():
+    out = rewrite_setop_operand_limits(
+        "select a from t order by a limit 10 union all select b from u")
+    assert "(select a from t order by a limit 10)" in out
+
+
+def test_setop_trailing_clause_binds_to_bare_final_operand():
+    # IMPALA-4741: order by/limit bind to the select_stmt, not the set op
+    out = rewrite_setop_operand_limits(
+        "select a from t union all select b from u order by 1 limit 5")
+    assert out.rstrip().endswith("(select b from u order by 1 limit 5)")
+
+
+def test_setop_trailing_clause_stays_global_after_parens():
+    sql = "(select a from t) union all (select b from u) order by 1 limit 5"
+    assert rewrite_setop_operand_limits(sql) == sql
+
+
+def test_char_cast_pads_and_varchar_truncates():
+    out = rewrite_char_casts("select cast(x as char(5)), cast(y as varchar(3))")
+    assert "rpad(cast(x as string), 5, ' ')" in out
+    assert "substr(cast(y as string), 1, 3)" in out
+
+
+def test_interval_expression_becomes_make_interval():
+    out = rewrite_interval_expr("select ts + interval n days from t")
+    assert "make_interval(0, 0, 0, (n), 0, 0, 0)" in out
+
+
+def test_interval_literal_untouched():
+    sql = "select ts + interval 3 days from t"
+    assert rewrite_interval_expr(sql) == sql
+
+
+def test_limit_offset_clamped_to_int():
+    out = clamp_offset("select 1 limit 9223372036854775807 offset 9223372036854775807")
+    assert "9223372036854775807" not in out
+
+
+def test_plan_hints_stripped_all_styles():
+    out = strip_plan_hints(
+        "select straight_join * from a join [shuffle] b /*+broadcast*/ "
+        "join -- +clustered\n c")
+    for frag in ("straight_join", "[shuffle]", "/*+", "-- +"):
+        assert frag not in out
+
+
+def test_decode_macro_default_parity():
+    # default present iff arg count is even (3 args: one pair, no default)
+    three = MACROS["decode"](["x", "1", "'one'"])
+    assert "else" not in three
+    four = MACROS["decode"](["x", "1", "'one'", "'other'"])
+    assert "else ('other')" in four
+
+
+def test_count_zero_args_macro():
+    assert MACROS["count"]([]) == "count(*)"
