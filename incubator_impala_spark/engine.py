@@ -102,7 +102,14 @@ class Engine:
                 overwrite=bool(m.group("over")),
                 partition=m.group("part"),
             )
-        return self.spark.sql(self.translate(sql_text))
+        from incubator_impala_spark import nested_paths
+
+        # dialect first (plan hints stripped, macros expanded), then
+        # collection-path resolution on the cleaned text
+        translated = self.translate(sql_text)
+        translated = nested_paths.rewrite_collection_refs(
+            self.spark, translated)
+        return self.spark.sql(translated)
 
     def _load_data(self, path: str, table: str, overwrite: bool,
                    partition: str | None) -> DataFrame:

@@ -92,6 +92,19 @@ def register_functional(spark: SparkSession) -> None:
             df = df.withColumn(
                 "timestamp_col", df["timestamp_col"].cast("timestamp"))
         df.createOrReplaceTempView(t)
+    # complextypestbl: the reference's OWN nested parquet data files
+    # (testdata/ComplexTypesTbl/{nullable,nonnullable}.parq — one table
+    # of 8 rows); drives the nested-types corpus and path-syntax tests
+    ct = spark.read.parquet(
+        table_path("complextypestbl_nullable"),
+        table_path("complextypestbl_nonnullable"))
+    ct = ct.toDF(*[c.lower() for c in ct.columns])
+    ct.createOrReplaceTempView("complextypestbl")
+    # complextypestbl_medium: the template's Hive load is an 7300-way
+    # row duplication (complextypestbl JOIN alltypes); a lazy view of
+    # the same cross join keeps the fixture file-free
+    spark.range(7300).toDF("_dup").crossJoin(ct) \
+        .drop("_dup").createOrReplaceTempView("complextypestbl_medium")
     for name, sql in FUNCTIONAL_VIEWS.items():
         spark.sql(sql).createOrReplaceTempView(name)
     spark.conf.set(_REGISTERED_KEY, "1")

@@ -128,6 +128,12 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "random": (0, {0: "analyzer", 1: "analyzer", 2: "analyzer"}),
     "range-constant-propagation": (3, {}),
     "partition-key-scans": (8, {}),
+    "nested-types-scanner-basic": (23, {}),
+    "nested-types-scanner-maps": (10, {}),
+    "nested-types-scanner-position": (33, {}),
+    "nested-types-scanner-array-materialization": (66, {}),
+    "nested-types-scanner-multiple-materialization": (3, {}),
+    "nested-types-runtime": (26, {}),
     "mt-dop": (2, {}),
     "joins_mt_dop": (2, {}),
     "parquet-stats-agg": (8, {}),
