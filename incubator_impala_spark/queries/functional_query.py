@@ -38,8 +38,12 @@ def _register(name: str, impala_sql: str, oracle: str | None = None):
     read_parquet CTEs injected for every referenced fixture table."""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from incubator_impala_spark import nested_paths
+
         register_functional(spark)
-        return spark.sql(dialect.translate(impala_sql, MACROS))
+        text = dialect.translate(impala_sql, MACROS)
+        text = nested_paths.rewrite_collection_refs(spark, text)
+        return spark.sql(text)
 
     fn.__name__ = name
     fn.__doc__ = (
@@ -337,4 +341,63 @@ _register(
     """
     SELECT x AS x, y AS y FROM alltypes_view_sub
     WHERE x < 3 ORDER BY x, y LIMIT 20
+    """)
+
+# --- nested collection paths (SubplanNode syntax; nested_paths.py) ----------
+# Spark side runs the reference's path spellings over its OWN nested
+# parquet (ComplexTypesTbl); DuckDB restates with list lambdas/unnest.
+
+_register(
+    "functional_nested_unnest",
+    """
+    SELECT id AS id, pos AS pos, item AS item
+    FROM complextypestbl t, t.int_array
+    ORDER BY id, pos
+    """,
+    """
+    SELECT id AS id, x.pos AS pos, x.item AS item
+    FROM (SELECT id, unnest(list_transform(int_array,
+               (v, i) -> {'pos': i - 1, 'item': v})) AS x
+          FROM complextypestbl)
+    ORDER BY id, pos
+    """)
+
+_register(
+    "functional_nested_map_explode",
+    """
+    SELECT id AS id, key AS k, value AS v
+    FROM complextypestbl t, t.int_map m
+    ORDER BY id, k NULLS LAST, v NULLS LAST
+    """,
+    """
+    SELECT id AS id, e.key AS k, e.value AS v
+    FROM (SELECT id, unnest(map_entries(int_map)) AS e
+          FROM complextypestbl)
+    ORDER BY id, k NULLS LAST, v NULLS LAST
+    """)
+
+_register(
+    "functional_nested_subplan_count",
+    """
+    SELECT t.id AS id, v.cnt AS cnt
+    FROM complextypestbl t, (SELECT count(item) cnt FROM t.int_array) v
+    ORDER BY id
+    """,
+    """
+    SELECT id AS id,
+           CAST(coalesce(len(list_filter(int_array, x -> x IS NOT NULL)),
+                         0) AS BIGINT) AS cnt
+    FROM complextypestbl ORDER BY id
+    """)
+
+_register(
+    "functional_nested_flatten_chain",
+    """
+    SELECT count(item) AS n FROM complextypestbl.int_array_array.item
+    """,
+    """
+    SELECT CAST(sum(coalesce(len(list_filter(
+             flatten(coalesce(int_array_array, [])),
+             v -> v IS NOT NULL)), 0)) AS BIGINT) AS n
+    FROM complextypestbl
     """)

@@ -129,6 +129,11 @@ def duckdb_oracle_sql(sql: str) -> str:
     ctes = [
         f"{t} AS (SELECT * FROM read_parquet('{table_path(t)}'))"
         for t in referenced_tables(sql)]
+    if re.search(r"\bcomplextypestbl\b", sql, re.IGNORECASE):
+        ctes.append(
+            "complextypestbl AS (SELECT * FROM read_parquet(["
+            f"'{table_path('complextypestbl_nullable')}', "
+            f"'{table_path('complextypestbl_nonnullable')}']))")
     for view, view_sql in FUNCTIONAL_VIEWS.items():
         if re.search(rf"\b{view}\b", sql, re.IGNORECASE):
             ctes.append(f"{view} AS ({view_sql})")
