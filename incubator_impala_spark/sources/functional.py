@@ -105,6 +105,13 @@ def register_functional(spark: SparkSession) -> None:
     # the same cross join keeps the fixture file-free
     spark.range(7300).toDF("_dup").crossJoin(ct) \
         .drop("_dup").createOrReplaceTempView("complextypestbl_medium")
+    # complextypes_partitioned: the test harness's two-partition copy
+    # (test_nested_types.py setup: same rows under part=1 and part=2)
+    from pyspark.sql import functions as _F
+
+    part1 = ct.select(_F.lit(1).alias("part"), "*")
+    part1.unionByName(ct.select(_F.lit(2).alias("part"), "*")) \
+        .createOrReplaceTempView("complextypes_partitioned")
     for name, sql in FUNCTIONAL_VIEWS.items():
         spark.sql(sql).createOrReplaceTempView(name)
     spark.conf.set(_REGISTERED_KEY, "1")

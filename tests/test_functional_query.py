@@ -134,6 +134,7 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "nested-types-scanner-array-materialization": (66, {}),
     "nested-types-scanner-multiple-materialization": (3, {}),
     "nested-types-runtime": (26, {}),
+    "nested-types-basic-partitioned": (24, {}),
     "mt-dop": (2, {}),
     "joins_mt_dop": (2, {}),
     "parquet-stats-agg": (8, {}),
