@@ -83,8 +83,7 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "joins": (51, {49: "nan-semantics", 52: "nan-semantics",
                    53: "nan-semantics"}),
     "outer-joins": (33, {}),
-    "outer-to-inner-joins": (17, {18: "needs-ddl", 19: "needs-ddl",
-                                  20: "needs-ddl"}),
+    "outer-to-inner-joins": (18, {19: "needs-ddl"}),
     "semi-joins": (22, {}),
     "inline-view": (33, {}),
     "inline-view-limit": (7, {}),
@@ -105,7 +104,7 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "with-clause": (11, {3: "analyzer"}),
     "grouping-sets": (6, {5: "analyzer", 6: "analyzer", 7: "analyzer",
                           9: "analyzer", 10: "analyzer"}),
-    "multiple-distinct-aggs": (29, {27: "needs-ddl"}),
+    "multiple-distinct-aggs": (30, {}),
     "null_data": (5, {}),
     "misc": (11, {}),
     "string-literals": (6, {}),
