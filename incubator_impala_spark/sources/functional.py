@@ -38,6 +38,7 @@ FUNCTIONAL_TABLES = [
     "semijointbla", "semijointblb", "nullescapedtable",
     "tblwithraggedcolumns", "unsupported_types", "manynulls",
     "chars_medium", "overflow", "alltypes_date_partition",
+    "strings_with_quotes", "part_strings_with_quotes",
 ]
 
 # The schema template's views (functional_schema_template.sql, CREATE
@@ -112,6 +113,27 @@ def register_functional(spark: SparkSession) -> None:
     part1 = ct.select(_F.lit(1).alias("part"), "*")
     part1.unionByName(ct.select(_F.lit(2).alias("part"), "*")) \
         .createOrReplaceTempView("complextypes_partitioned")
+    # allcomplextypes: the template declares the schema with NO load —
+    # an empty table exercising every collection nesting combination
+    _ACT_SCHEMA = (
+        "id int, int_array_col array<int>, "
+        "array_array_col array<array<int>>, "
+        "map_array_col array<map<string,int>>, "
+        "struct_array_col array<struct<f1: bigint, f2: string>>, "
+        "int_map_col map<string, int>, "
+        "array_map_col map<string, array<int>>, "
+        "map_map_col map<string, map<string, int>>, "
+        "struct_map_col map<string, struct<f1: bigint, f2: string>>, "
+        "int_struct_col struct<f1: int, f2: int>, "
+        "complex_struct_col struct<f1: int, f2: array<int>, "
+        "f3: map<string, int>>, "
+        "nested_struct_col struct<f1: int, f2: struct<f11: bigint, "
+        "f12: struct<f21: bigint>>>, "
+        "complex_nested_struct_col struct<f1: int, f2: "
+        "array<struct<f11: bigint, f12: map<string, "
+        "struct<f21: bigint>>>>>, year int, month int")
+    spark.createDataFrame([], _ACT_SCHEMA) \
+        .createOrReplaceTempView("allcomplextypes")
     for name, sql in FUNCTIONAL_VIEWS.items():
         spark.sql(sql).createOrReplaceTempView(name)
     spark.conf.set(_REGISTERED_KEY, "1")

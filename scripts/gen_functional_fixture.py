@@ -489,6 +489,17 @@ def main() -> None:
           _varchar(r[9], 3) if r[0] % 3 == 0 else None)
          for r in agg])
 
+    _write("strings_with_quotes", pa.schema([
+        ("s", pa.string()), ("i", pa.int32())]),
+        _parse_text(f"{REF_DATA}/data/strings_with_quotes.csv",
+                    [str, int], escaped=True))
+
+    # part_strings_with_quotes: 4 single-row partition inserts
+    # (template LOAD section); partition values unescape to " ' \" \'
+    _write("part_strings_with_quotes", pa.schema([
+        ("i", pa.int32()), ("p", pa.string())]),
+        [(1, '"'), (2, "'"), (3, '\\"'), (4, "\\'")])
+
     # greptiny: single string column, default (\x01) delimiters — each
     # line is the whole field
     with open(f"{REF_DATA}/hive_benchmark/grepTiny/part-00000",

@@ -134,6 +134,8 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "nested-types-scanner-multiple-materialization": (3, {}),
     "nested-types-runtime": (26, {}),
     "nested-types-basic-partitioned": (24, {}),
+    "nested-types-with-clause": (1, {3: "analyzer"}),
+    "string-escaping": (5, {}),
     "mt-dop": (2, {}),
     "joins_mt_dop": (2, {}),
     "parquet-stats-agg": (8, {}),
