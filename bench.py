@@ -103,15 +103,34 @@ def main() -> None:
         per_query[name] = sorted(runs)[1]
 
     total = round(sum(per_query.values()), 4)
+
+    # The per-run samples go to a FILE, not stdout: the driver captures
+    # only a bounded tail of stdout, and the 3-sample dict for 30+
+    # queries overflows it, truncating the JSON line mid-object (round-5
+    # regression: BENCH_r05 recorded "parsed": null). The compact
+    # medians line stays well under 2 KB and MUST be the final stdout
+    # line.
+    rnd = 1 + max(
+        [
+            int(m.group(1))
+            for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ],
+        default=0,
+    )
+    samples_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_SAMPLES_r{rnd}.json"
+    )
+    with open(samples_path, "w") as fh:
+        json.dump({"samples": samples, "iters": 3, "sf": sf}, fh, indent=1)
+
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": per_query,
-                "samples": samples,
-                "iters": 3,
+                "queries": {k: round(v, 3) for k, v in per_query.items()},
                 "sf": sf,
             }
         )

@@ -10,12 +10,21 @@ Usage:
 
 With name prefixes, only entries whose name starts with one of them run.
 Exit code 0 iff every entry passes.
+
+When run over the FULL registry (no prefixes), the per-entry results and
+summary are also written to ``CORRECTNESS_SELF_r<N>.json`` at the repo
+root (N = 1 + the highest round with a driver ``CORRECTNESS_r*.json``),
+so the repo carries a fresh committed correctness record even while the
+driver's own file is frozen. Override the path with
+``$SWEEP_OUT`` (set to ``skip`` to suppress the file).
 """
 
 from __future__ import annotations
 
 import json
 import math
+import os
+import re
 import sys
 import time
 from decimal import Decimal
@@ -115,6 +124,7 @@ def main() -> int:
     names = [n for n in qs if not prefixes or n.startswith(prefixes)]
     n_pass = n_fail = n_noracle = 0
     failures: dict[str, list[str]] = {}
+    entries: dict[str, dict] = {}
     t0 = time.time()
     for name in names:
         try:
@@ -122,11 +132,13 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             n_fail += 1
             failures[name] = [f"SPARK ERR: {type(e).__name__}: {e}"[:400]]
+            entries[name] = {"status": "fail", "err": failures[name][0]}
             print(f"ERR  {name}: {failures[name][0][:160]}", flush=True)
             continue
         sql = osql.get(name)
         if sql is None:
             n_noracle += 1
+            entries[name] = {"status": "no_oracle", "spark_rows": len(spark_pdf)}
             print(f"noor {name}: rows={len(spark_pdf)}", flush=True)
             continue
         try:
@@ -134,30 +146,61 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             n_fail += 1
             failures[name] = [f"ORACLE ERR: {type(e).__name__}: {e}"[:400]]
+            entries[name] = {"status": "fail", "err": failures[name][0]}
             print(f"ERR  {name}: {failures[name][0][:160]}", flush=True)
             continue
         problems = compare(spark_pdf, oracle_pdf)
         if problems:
             n_fail += 1
             failures[name] = problems
+            entries[name] = {
+                "status": "fail",
+                "spark_rows": len(spark_pdf),
+                "oracle_rows": len(oracle_pdf),
+                "problems": problems,
+            }
             print(f"FAIL {name}: {problems[0][:200]}", flush=True)
         else:
             n_pass += 1
+            entries[name] = {
+                "status": "pass",
+                "spark_rows": len(spark_pdf),
+                "oracle_rows": len(oracle_pdf),
+            }
             print(f"ok   {name}", flush=True)
     dt = time.time() - t0
-    print(
-        json.dumps(
-            {
-                "sf_dir": sf_dir,
-                "pass": n_pass,
-                "fail": n_fail,
-                "no_oracle": n_noracle,
-                "total": len(names),
-                "sec": round(dt, 1),
-                "failures": failures,
-            }
-        )
-    )
+    summary = {
+        "sf_dir": sf_dir,
+        "pass": n_pass,
+        "fail": n_fail,
+        "no_oracle": n_noracle,
+        "total": len(names),
+        "sec": round(dt, 1),
+        "failures": failures,
+    }
+    print(json.dumps(summary))
+
+    out = os.environ.get("SWEEP_OUT")
+    if out != "skip" and not prefixes:
+        if not out:
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            rnd = 1 + max(
+                [
+                    int(m.group(1))
+                    for f in os.listdir(repo)
+                    if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
+                ],
+                default=0,
+            )
+            out = os.path.join(repo, f"CORRECTNESS_SELF_r{rnd}.json")
+        with open(out, "w") as fh:
+            json.dump(
+                {"summary": {k: v for k, v in summary.items() if k != "failures"},
+                 "entries": entries},
+                fh,
+                indent=1,
+            )
+        print(f"wrote {out}", flush=True)
     return 1 if n_fail else 0
 
 
