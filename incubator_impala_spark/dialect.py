@@ -86,6 +86,90 @@ def _neutralize(sql: str) -> str:
     return "".join(out)
 
 
+def _neutralize_literals(sql: str) -> str:
+    """Like _neutralize but keeps comments intact — for passes that must
+    still see comment text (e.g. `/*+broadcast*/` plan hints are real
+    comments to strip, but the same text inside a string literal is
+    data)."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"', "`"):
+            q = c
+            i += 1
+            while i < n:
+                if sql[i] == "\\" and q != "`":
+                    out[i] = " "
+                    if i + 1 < n:
+                        out[i + 1] = " "
+                    i += 2
+                    continue
+                if sql[i] == q:
+                    if i + 1 < n and sql[i + 1] == q:
+                        out[i] = " "
+                        out[i + 1] = " "
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                out[i] = " "
+                i += 1
+        else:
+            i += 1
+    return "".join(out)
+
+
+class _ShadowMatch:
+    """Match adapter: spans come from a match on the _neutralize()d
+    shadow, group TEXT is sliced from the original SQL (shadow and
+    original are the same length, so spans align 1:1). Lets repl
+    callbacks see real literal contents inside capture groups while the
+    pattern itself can never fire inside a literal."""
+
+    def __init__(self, m: re.Match, orig: str):
+        self._m, self._orig = m, orig
+
+    def group(self, i=0):
+        s, e = self._m.span(i)
+        return None if s == -1 else self._orig[s:e]
+
+    def start(self, i=0):
+        return self._m.start(i)
+
+    def end(self, i=0):
+        return self._m.end(i)
+
+    def span(self, i=0):
+        return self._m.span(i)
+
+
+def _shadow_sub(pattern: re.Pattern, repl, sql: str,
+                shadow: str | None = None) -> str:
+    """re.sub over the literal/comment-blind shadow, splicing untouched
+    spans from the original text. `repl` is a string template (group
+    refs expand from the ORIGINAL text) or a callable receiving a
+    _ShadowMatch."""
+    if shadow is None:
+        shadow = _neutralize(sql)
+    out, pos = [], 0
+    for m in pattern.finditer(shadow):
+        out.append(sql[pos:m.start()])
+        sm = _ShadowMatch(m, sql)
+        if callable(repl):
+            out.append(repl(sm))
+        else:
+            # expand \1 / \g<name> refs against original-text groups
+            out.append(re.sub(
+                r"\\(\d+)|\\g<(\w+)>",
+                lambda g: sm.group(int(g.group(1)) if g.group(1)
+                                   else g.group(2)) or "",
+                repl))
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _split_args(argstr: str) -> list[str]:
     """Split a function-call argument string on top-level commas."""
     args, depth, cur, in_str = [], 0, [], None
@@ -263,8 +347,11 @@ def apply_impala_null_ordering(sql: str) -> str:
 # documented core; unknown tokens pass through unchanged (they are
 # almost always literal separators).
 # ---------------------------------------------------------------------------
+_LAST3 = object()  # YYY prints the LAST 3 digits (Java 'yyy' is min-3)
+_LAST1 = object()  # Y prints the last digit
 _ISO_FMT_TOKENS = [  # longest-first
-    ("YYYY", "yyyy"), ("RRRR", "yyyy"), ("YYY", "yyy"), ("YY", "yy"),
+    ("YYYY", "yyyy"), ("RRRR", "yyyy"), ("YYY", _LAST3), ("YY", "yy"),
+    ("RR", "yy"), ("Y", _LAST1),
     ("DDD", "DDD"), ("DD", "dd"), ("HH24", "HH"), ("HH12", "hh"),
     ("HH", "hh"), ("MI", "mm"), ("SSSSS", None), ("SS", "ss"),
     ("FF9", None), ("FF", "SSS"), ("TZH", "xx"), ("MONTH", "MMMM"),
@@ -278,7 +365,7 @@ def translate_iso_format(fmt: str) -> str:
     while i < len(fmt):
         for tok, repl in _ISO_FMT_TOKENS:
             if fmt[i : i + len(tok)].upper() == tok:
-                if repl is None:
+                if repl is None or repl in (_LAST3, _LAST1):
                     raise ValueError(f"unsupported FORMAT token {tok}")
                 out.append(repl)
                 i += len(tok)
@@ -287,6 +374,158 @@ def translate_iso_format(fmt: str) -> str:
             out.append(fmt[i])
             i += 1
     return "".join(out)
+
+
+def iso_print_expr(expr: str, fmt: str) -> str | None:
+    """Spark expression printing `expr` with Impala's ISO-SQL format
+    `fmt` (CAST(x AS STRING FORMAT ...)). Tokens with a direct Java
+    pattern fold into one date_format(); YYY and Y (last-3/last-1
+    digits of the year — Java 'yyy' means MIN 3 digits, a different
+    thing) become substr() pieces in a concat(). None = untranslatable
+    token, caller leaves the cast for Spark to reject loudly."""
+    parts: list[tuple[str, str]] = []  # ("java"|"sql", text)
+    i = 0
+    while i < len(fmt):
+        for tok, repl in _ISO_FMT_TOKENS:
+            if fmt[i : i + len(tok)].upper() == tok:
+                if repl is None:
+                    return None
+                if repl is _LAST3:
+                    parts.append(
+                        ("sql", f"substr(date_format({expr}, 'yyyy'), 2, 3)"))
+                elif repl is _LAST1:
+                    parts.append(
+                        ("sql", f"substr(date_format({expr}, 'yyyy'), 4, 1)"))
+                else:
+                    parts.append(("java", repl))
+                i += len(tok)
+                break
+        else:
+            parts.append(("java", fmt[i]))
+            i += 1
+    pieces, buf = [], []
+    for kind, p in parts:
+        if kind == "java":
+            buf.append(p)
+        else:
+            if buf:
+                pieces.append(f"date_format({expr}, '{''.join(buf)}')")
+                buf = []
+            pieces.append(p)
+    if buf:
+        pieces.append(f"date_format({expr}, '{''.join(buf)}')")
+    if len(pieces) == 1:
+        return pieces[0]
+    return "concat(" + ", ".join(pieces) + ")"
+
+
+# --- lax ISO-SQL parse (CAST(str AS DATE FORMAT ...)) ----------------
+# The reference's parser (be/src/runtime/datetime-iso-sql-format-
+# parser.cc) is deliberately lax without the FX modifier:
+#   * a separator token matches ANY non-empty run of separator chars
+#     (- : space . / , ' ;) in the input, and consecutive separators in
+#     the format collapse (ProcessSeparatorSequence);
+#   * a numeric field may be SHORTER than its token (FindEndOfToken
+#     stops at the first separator or token-length chars);
+#   * a year with fewer than 4 input digits gets its missing most-
+#     significant digits from the current date
+#     (PrefixYearFromCurrentYear), and a 2-digit RR/RRRR year rounds to
+#     the nearest century (RoundYearFromCurrentYear: <50 with current
+#     postfix >49 -> next century, >49 with postfix <50 -> previous).
+# This builder reproduces those rules as one Spark expression over
+# split(input, '[seps]+'), for formats that strictly alternate
+# field/separator and carry year + (month+day | day-of-year). Anything
+# else returns None and takes the strict to_date() path.
+_ISO_PARSE_FIELDS = {  # token -> (kind, max input digits)
+    "YYYY": ("year", 4), "YYY": ("year", 3), "YY": ("year", 2),
+    "Y": ("year", 1),
+    "RRRR": ("ryear", 4), "RR": ("ryear", 2),
+    "MM": ("month", 2), "DD": ("day", 2), "DDD": ("doy", 3),
+}
+_ISO_SEP_CHARS = "-:/,.;' "
+
+
+def _iso_tokenize_parse(fmt: str):
+    names = sorted(_ISO_PARSE_FIELDS, key=len, reverse=True)
+    toks, i = [], 0
+    while i < len(fmt):
+        if fmt[i] in _ISO_SEP_CHARS:
+            if not toks or toks[-1][0] != "sep":
+                toks.append(("sep", fmt[i]))
+            i += 1
+            continue
+        for name in names:
+            if fmt[i : i + len(name)].upper() == name:
+                toks.append(("field", name))
+                i += len(name)
+                break
+        else:
+            return None
+    return toks
+
+
+def iso_lax_date_parse(expr: str, fmt: str, now_year: int) -> str | None:
+    toks = _iso_tokenize_parse(fmt)
+    if not toks:
+        return None
+    if toks[0][0] != "field" or toks[-1][0] != "field":
+        return None
+    if any(a[0] == b[0] for a, b in zip(toks, toks[1:])):
+        return None  # adjacent fields without a separator — strict path
+    fields = [name for kind, name in toks if kind == "field"]
+    kinds = [_ISO_PARSE_FIELDS[name][0] for name in fields]
+    import collections as _c
+
+    cnt = _c.Counter(kinds)
+    ykinds = [k for k in ("year", "ryear") if cnt[k]]
+    if len(ykinds) != 1 or cnt[ykinds[0]] != 1:
+        return None
+    if not ((cnt["month"] == 1 and cnt["day"] == 1 and not cnt["doy"])
+            or (cnt["doy"] == 1 and not cnt["month"] and not cnt["day"])):
+        return None
+
+    n = len(fields)
+    # regex char class of the reference's separator set; ' doubled for
+    # the SQL literal
+    arr = f"split(cast({expr} as string), '[-:/,.;'' ]+')"
+
+    def f(i: int) -> str:
+        return f"element_at({arr}, {i + 1})"
+
+    checks = [f"size({arr}) = {n}"]
+    for i, name in enumerate(fields):
+        maxlen = _ISO_PARSE_FIELDS[name][1]
+        checks.append(f"{f(i)} rlike '^[0-9]{{1,{maxlen}}}$'")
+
+    adj = {d: now_year // 10 ** d * 10 ** d for d in (1, 2, 3)}
+    yi = kinds.index(ykinds[0])
+    yf, v = f(yi), f"cast({f(yi)} as int)"
+    if ykinds[0] == "year":
+        year = (f"(case length({yf}) when 4 then {v}"
+                f" when 3 then {v} + {adj[3]}"
+                f" when 2 then {v} + {adj[2]}"
+                f" else {v} + {adj[1]} end)")
+    else:
+        postfix, cent = now_year % 100, now_year // 100 * 100
+        rr2 = (f"{v} + (case when {v} < 50 and {postfix} > 49 then 100"
+               f" when {v} > 49 and {postfix} < 50 then -100"
+               f" else 0 end) + {cent}")
+        year = (f"(case length({yf}) when 4 then {v}"
+                f" when 2 then {rr2}"
+                f" when 3 then {v} + {adj[3]}"
+                f" else {v} + {adj[1]} end)")
+
+    if cnt["doy"]:
+        dv = f"cast({f(kinds.index('doy'))} as int)"
+        checks.append(
+            f"{dv} between 1 and "
+            f"datediff(make_date({year} + 1, 1, 1), make_date({year}, 1, 1))")
+        construct = f"date_add(make_date({year}, 1, 1), {dv} - 1)"
+    else:
+        construct = (f"make_date({year}, "
+                     f"cast({f(kinds.index('month'))} as int), "
+                     f"cast({f(kinds.index('day'))} as int))")
+    return f"(case when {' and '.join(checks)} then {construct} end)"
 
 
 _CAST_OPEN = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
@@ -306,7 +545,7 @@ _CAST_PARSE_TAIL = re.compile(
 )
 
 
-def rewrite_cast_format(sql: str) -> str:
+def rewrite_cast_format(sql: str, now=None) -> str:
     """Rewrite CAST(expr AS STRING FORMAT '<iso>') → date_format(expr, ...).
 
     Uses the same balanced-paren scan as the macro expander, so the
@@ -314,7 +553,15 @@ def rewrite_cast_format(sql: str) -> str:
     'YYYY-MM-DD') translates (fixed per VERDICT r2 "What's wrong" #3).
     Untranslatable FORMAT tokens leave the cast untouched (fails
     loudly in Spark's parser rather than silently mis-formatting).
+
+    `now`: datetime supplying the current year for the reference's
+    century-inference rules on short years (the test harness's
+    NOW_STRING query option); defaults to the wall clock.
     """
+    if now is None:
+        import datetime as _dt
+
+        now = _dt.datetime.now()
     shadow = _neutralize(sql)
     out, pos = [], 0
     while True:
@@ -334,7 +581,7 @@ def rewrite_cast_format(sql: str) -> str:
         if depth:  # unbalanced — bail out, leave untouched
             out.append(sql[pos:])
             break
-        inner = rewrite_cast_format(sql[start : i - 1])  # nested casts first
+        inner = rewrite_cast_format(sql[start : i - 1], now)  # nested first
         shadow_inner = _neutralize(inner)
         tm = _CAST_FORMAT_TAIL.search(shadow_inner)
         repl = None
@@ -343,24 +590,27 @@ def rewrite_cast_format(sql: str) -> str:
             # real fmt out of the original inner
             g = "fmt" if tm.start("fmt") != -1 else "fmt2"
             fmt = inner[tm.start(g) : tm.end(g)]
-            try:
-                repl = f"date_format({inner[: tm.start()]}, '{translate_iso_format(fmt)}')"
-            except ValueError:
-                repl = None
+            repl = iso_print_expr(inner[: tm.start()], fmt)
         else:
             pm = _CAST_PARSE_TAIL.search(shadow_inner)
             if pm:
                 g = "fmt" if pm.start("fmt") != -1 else "fmt2"
                 fmt = inner[pm.start(g) : pm.end(g)]
-                fn = ("to_date" if pm.group("ty").upper() == "DATE"
-                      else "to_timestamp")
-                try:
-                    # non-ANSI sessions return NULL on parse failure,
-                    # matching the reference's invalid-input behavior
-                    repl = (f"{fn}({inner[: pm.start()]}, "
-                            f"'{translate_iso_format(fmt)}')")
-                except ValueError:
-                    repl = None
+                if pm.group("ty").upper() == "DATE":
+                    # lax reference semantics when the shape allows
+                    repl = iso_lax_date_parse(
+                        inner[: pm.start()], fmt, now.year)
+                if repl is None:
+                    fn = ("to_date" if pm.group("ty").upper() == "DATE"
+                          else "to_timestamp")
+                    try:
+                        # non-ANSI sessions return NULL on parse
+                        # failure, matching the reference's
+                        # invalid-input behavior
+                        repl = (f"{fn}({inner[: pm.start()]}, "
+                                f"'{translate_iso_format(fmt)}')")
+                    except ValueError:
+                        repl = None
         out.append(sql[pos : m.start()])
         if repl is not None:
             out.append(repl)
@@ -511,9 +761,16 @@ def strip_plan_hints(sql: str) -> str:
     (reference: fe/.../PlanHint.java). Spark's equivalent decisions
     belong to Catalyst+AQE (broadcast thresholds, AQE join re-plan),
     so the hints are removed rather than force-mapped — the engine
-    conf already pins the costing policy (session.py)."""
-    return _STRAIGHT_JOIN.sub(
-        "", _COMMENT_HINT.sub("", _PLAN_HINT.sub("", sql)))
+    conf already pins the costing policy (session.py).
+
+    Matching runs on literal-blind shadows so a hint-shaped substring
+    inside a string literal (``'[shuffle]'``, ``'/*+x*/'``) survives
+    (ADVICE r5). Comment-style hints match on a literals-only shadow —
+    the full shadow blanks comment interiors, which would hide them."""
+    sql = _shadow_sub(_PLAN_HINT, "", sql)
+    sql = _shadow_sub(_COMMENT_HINT, "", sql,
+                      shadow=_neutralize_literals(sql))
+    return _shadow_sub(_STRAIGHT_JOIN, "", sql)
 
 
 _VALUES = re.compile(r"\bvalues\s*\(", re.IGNORECASE)
@@ -544,13 +801,13 @@ def _tuple_items_aliases(argstr: str) -> tuple[list[str], list[str | None]]:
 
 
 def _fully_parenthesized(item: str) -> bool:
-    item = item.strip()
+    # depth-scan a literal-blind copy so parens inside '...' or "..."
+    # (either quote kind) never skew the count
+    item = _neutralize_literals(item).strip()
     if not item.startswith("("):
         return False
     depth = 0
     for i, c in enumerate(item):
-        if c == "'":
-            continue  # depth scan only; quotes handled by _split_args
         if c == "(":
             depth += 1
         elif c == ")":
@@ -570,24 +827,28 @@ def rewrite_values_aliases(sql: str) -> str:
       struct column.
 
     Both normalize to ``select col1 as a, ... from (values (..), (..))``
-    (the select wrapper only when aliases are present)."""
+    (the select wrapper only when aliases are present).
+
+    The VALUES keyword is located on the literal-blind shadow (a string
+    literal containing "values (" is data — ADVICE r5), and the paren
+    scan runs on the shadow too, so quotes of either kind inside rows
+    (including double-quoted strings with commas/parens) can't
+    desynchronize it; row text is sliced from the original."""
+    shadow = _neutralize(sql)
     out, pos = [], 0
     while True:
-        m = _VALUES.search(sql, pos)
+        m = _VALUES.search(shadow, pos)
         if not m:
             out.append(sql[pos:])
             return "".join(out)
-        # collect the tuple list: (..) [, (..)]*
+        # collect the tuple list: (..) [, (..)]* — structure read off
+        # the shadow (literal interiors are spaces there)
         tuples, i = [], m.end() - 1
         while True:
             depth, j = 0, i
-            while j < len(sql):
-                c = sql[j]
-                if c == "'":
-                    j += 1
-                    while j < len(sql) and sql[j] != "'":
-                        j += 1
-                elif c == "(":
+            while j < len(shadow):
+                c = shadow[j]
+                if c == "(":
                     depth += 1
                 elif c == ")":
                     depth -= 1
@@ -596,13 +857,13 @@ def rewrite_values_aliases(sql: str) -> str:
                 j += 1
             tuples.append(sql[i + 1:j])
             k = j + 1
-            while k < len(sql) and sql[k].isspace():
+            while k < len(shadow) and shadow[k].isspace():
                 k += 1
-            if k < len(sql) and sql[k] == ",":
+            if k < len(shadow) and shadow[k] == ",":
                 k += 1
-                while k < len(sql) and sql[k].isspace():
+                while k < len(shadow) and shadow[k].isspace():
                     k += 1
-                if k < len(sql) and sql[k] == "(":
+                if k < len(shadow) and shadow[k] == "(":
                     i = k
                     continue
             break
@@ -671,7 +932,7 @@ def rewrite_interval_expr(sql: str) -> str:
             args = ["0"] * 6 + [f"(({expr}) / {scale})"]
         return f"make_interval({', '.join(args)})"
 
-    return _INTERVAL_EXPR.sub(repl, sql)
+    return _shadow_sub(_INTERVAL_EXPR, repl, sql)
 
 
 _CHAR_CAST_TAIL = re.compile(
@@ -737,7 +998,7 @@ def clamp_offset(sql: str) -> str:
         # check also holds when both are clamped
         return m.group(1) + str(min(int(m.group(2)), 1073741823))
 
-    return _HUGE_OFFSET.sub(repl, sql)
+    return _shadow_sub(_HUGE_OFFSET, repl, sql)
 
 
 _RIGHT_SEMI = re.compile(r"\bright\s+(semi|anti)\s+join\b", re.IGNORECASE)
@@ -751,9 +1012,10 @@ def _scan_cond_end(sql: str, start: int) -> int:
     depth, i = 0, start
     while i < len(sql):
         c = sql[i]
-        if c == "'":
+        if c in ("'", '"'):
+            q = c
             i += 1
-            while i < len(sql) and sql[i] != "'":
+            while i < len(sql) and sql[i] != q:
                 i += 1
         elif c == "(":
             depth += 1
@@ -791,35 +1053,38 @@ def rewrite_right_semi(sql: str) -> str:
     parenthesized subquery, optionally aliased) the join commutes
     textually: ``A right semi join B on c`` -> ``B left semi join A
     on c``. Larger join trees on the left are left untouched (the
-    caller sees the parse error and the divergence is documented)."""
-    m = _RIGHT_SEMI.search(sql)
-    if not m:
-        return sql
-    # left operand: span from the nearest preceding FROM at the same
-    # paren depth, valid only if it contains no other join/comma
-    left_start, left = None, ""
-    for fm in reversed(list(_FROM_KW.finditer(sql, 0, m.start()))):
-        span = sql[fm.end():m.start()].strip()
-        if span.count("(") == span.count(")"):
-            left_start, left = fm.end(), span
-            break
-    if left_start is None:
-        return sql
-    top = _strip_parens(left)
-    if (not left or re.search(r"\bjoin\b", top, re.IGNORECASE)
-            or "," in top):
-        return sql
-    on_m = re.compile(r"\bon\b", re.IGNORECASE).search(sql, m.end())
-    if not on_m:
-        return sql
-    right = sql[m.end():on_m.start()].strip()
-    if right.count("(") != right.count(")"):
-        return sql
-    cond_end = _scan_cond_end(sql, on_m.end())
-    cond = sql[on_m.end():cond_end]
-    rebuilt = (sql[:left_start] + f" {right} left {m.group(1)} join "
-               + left + " on" + cond + sql[cond_end:])
-    return rewrite_right_semi(rebuilt)
+    caller sees the parse error and the divergence is documented).
+
+    An ineligible match doesn't end the pass: scanning continues past
+    it, so a later rewritable RIGHT SEMI/ANTI in the same statement
+    (another set-op branch, a subquery) still commutes (ADVICE r5)."""
+    for m in _RIGHT_SEMI.finditer(sql):
+        # left operand: span from the nearest preceding FROM at the
+        # same paren depth, valid only if it has no other join/comma
+        left_start, left = None, ""
+        for fm in reversed(list(_FROM_KW.finditer(sql, 0, m.start()))):
+            span = sql[fm.end():m.start()].strip()
+            if span.count("(") == span.count(")"):
+                left_start, left = fm.end(), span
+                break
+        if left_start is None:
+            continue
+        top = _strip_parens(left)
+        if (not left or re.search(r"\bjoin\b", top, re.IGNORECASE)
+                or "," in top):
+            continue
+        on_m = re.compile(r"\bon\b", re.IGNORECASE).search(sql, m.end())
+        if not on_m:
+            continue
+        right = sql[m.end():on_m.start()].strip()
+        if right.count("(") != right.count(")"):
+            continue
+        cond_end = _scan_cond_end(sql, on_m.end())
+        cond = sql[on_m.end():cond_end]
+        rebuilt = (sql[:left_start] + f" {right} left {m.group(1)} join "
+                   + left + " on" + cond + sql[cond_end:])
+        return rewrite_right_semi(rebuilt)
+    return sql
 
 
 _SETOP = re.compile(
@@ -835,13 +1100,14 @@ def rewrite_setop_precedence(sql: str) -> str:
     explicitly: ``A union B intersect C`` -> ``(A union B) intersect
     C``. Trailing ORDER BY/LIMIT stay outside the grouping. Applied
     recursively inside parenthesized subterms."""
-    # recurse into parenthesized spans first
+    # recurse into parenthesized spans first (quote scan covers both
+    # quote kinds — Impala double-quoted strings are literals too)
     out, i, n = [], 0, len(sql)
     while i < n:
         c = sql[i]
-        if c == "'":
+        if c in ("'", '"'):
             j = i + 1
-            while j < n and sql[j] != "'":
+            while j < n and sql[j] != c:
                 j += 1
             out.append(sql[i:j + 1])
             i = j + 1
@@ -849,9 +1115,10 @@ def rewrite_setop_precedence(sql: str) -> str:
         if c == "(":
             depth, j = 0, i
             while j < n:
-                if sql[j] == "'":
+                if sql[j] in ("'", '"'):
+                    q = sql[j]
                     j += 1
-                    while j < n and sql[j] != "'":
+                    while j < n and sql[j] != q:
                         j += 1
                 elif sql[j] == "(":
                     depth += 1
@@ -860,6 +1127,10 @@ def rewrite_setop_precedence(sql: str) -> str:
                     if depth == 0:
                         break
                 j += 1
+            if j >= n:  # unbalanced — leave untouched
+                out.append(sql[i:])
+                i = n
+                continue
             out.append("(" + rewrite_setop_precedence(sql[i + 1:j]) + ")")
             i = j + 1
             continue
@@ -901,11 +1172,11 @@ def _strip_parens_preserving(text: str) -> str:
     out, depth, i, n = [], 0, 0, len(text)
     while i < n:
         c = text[i]
-        if c == "'":
+        if c in ("'", '"'):
             j = i + 1
-            while j < n and text[j] != "'":
+            while j < n and text[j] != c:
                 j += 1
-            out.append(" " * (j + 1 - i))
+            out.append(" " * (min(j + 1, n) - i))
             i = j + 1
             continue
         if c == "(":
@@ -931,13 +1202,13 @@ def rewrite_setop_operand_limits(sql: str) -> str:
     contains a top-level ORDER BY/LIMIT/OFFSET. A trailing clause
     after the last operand stays statement-level (both engines)."""
     # recurse into parenthesized spans (reuses the precedence walker's
-    # shape via _strip_parens_preserving offsets)
+    # shape via _strip_parens_preserving offsets); both quote kinds
     out, i, n = [], 0, len(sql)
     while i < n:
         c = sql[i]
-        if c == "'":
+        if c in ("'", '"'):
             j = i + 1
-            while j < n and sql[j] != "'":
+            while j < n and sql[j] != c:
                 j += 1
             out.append(sql[i:j + 1])
             i = j + 1
@@ -945,9 +1216,10 @@ def rewrite_setop_operand_limits(sql: str) -> str:
         if c == "(":
             depth, j = 0, i
             while j < n:
-                if sql[j] == "'":
+                if sql[j] in ("'", '"'):
+                    q = sql[j]
                     j += 1
-                    while j < n and sql[j] != "'":
+                    while j < n and sql[j] != q:
                         j += 1
                 elif sql[j] == "(":
                     depth += 1
@@ -956,6 +1228,10 @@ def rewrite_setop_operand_limits(sql: str) -> str:
                     if depth == 0:
                         break
                 j += 1
+            if j >= n:  # unbalanced — leave untouched
+                out.append(sql[i:])
+                i = n
+                continue
             out.append("(" + rewrite_setop_operand_limits(sql[i + 1:j])
                        + ")")
             i = j + 1
@@ -1005,8 +1281,9 @@ def rewrite_setop_operand_limits(sql: str) -> str:
     return "".join(rebuilt)
 
 
-def translate(sql: str, macros: dict | None = None) -> str:
-    """Full Impala→Spark translation pipeline."""
+def translate(sql: str, macros: dict | None = None, now=None) -> str:
+    """Full Impala→Spark translation pipeline. `now` feeds the FORMAT
+    clause's century-inference rules (NOW_STRING query option)."""
     stmt = translate_statement(sql)
     if stmt is not None:
         return stmt
@@ -1019,17 +1296,20 @@ def translate(sql: str, macros: dict | None = None) -> str:
     sql = rewrite_char_casts(sql)
     sql = clamp_offset(sql)
     # Impala aliases: REAL is DOUBLE (Spark's REAL is FLOAT); `&&` is
-    # logical AND (`||` is NOT mapped — it is concat in Spark texts)
-    sql = re.sub(r"(?i)\bas\s+real\b", "as double", sql)
-    sql = sql.replace("&&", " and ")
+    # logical AND (`||` is NOT mapped — it is concat in Spark texts).
+    # All three run on the literal-blind shadow: 'a&&b' is data.
+    sql = _shadow_sub(re.compile(r"\bas\s+real\b", re.IGNORECASE),
+                      "as double", sql)
+    sql = _shadow_sub(re.compile(r"&&"), " and ", sql)
     # a bare NULL predicate is legal in the reference (empty result);
     # Spark rejects a VOID filter
-    sql = re.sub(
-        r"(?i)\b(where|having)\s+null\s*"
-        r"(?=$|\)|;|\bgroup\b|\border\b|\blimit\b|\bunion\b|"
-        r"\bintersect\b|\bexcept\b|\bhaving\b)",
-        r"\1 cast(null as boolean) ", sql)
-    sql = rewrite_cast_format(sql)
+    sql = _shadow_sub(
+        re.compile(
+            r"\b(where|having)\s+null\s*"
+            r"(?=$|\)|;|\bgroup\b|\border\b|\blimit\b|\bunion\b|"
+            r"\bintersect\b|\bexcept\b|\bhaving\b)", re.IGNORECASE),
+        lambda m: f"{m.group(1)} cast(null as boolean) ", sql)
+    sql = rewrite_cast_format(sql, now)
     if macros:
         for name, template in macros.items():
             sql = rewrite_macro_calls(sql, name, template)

@@ -59,6 +59,10 @@ class Engine:
         # GRANT/REVOKE/role veneer (no auth service in env; see
         # grants.py — accept-and-record, SHOW answers from the record)
         self.grants = GrantRegistry()
+        # NOW_STRING query option (the reference test harness's fake
+        # clock — used by FORMAT-cast century inference); None = wall
+        # clock
+        self.now = None
         if sf_dir:
             register_tables(self.spark, sf_dir)
 
@@ -67,7 +71,7 @@ class Engine:
 
     def translate(self, sql_text: str) -> str:
         """Impala SQL → Spark SQL (dialect shim only, no execution)."""
-        return dialect.translate(sql_text, MACROS)
+        return dialect.translate(sql_text, MACROS, now=self.now)
 
     def set_option(self, name: str, value: str) -> bool:
         """Impala SET <option>=<value> (118 options,
@@ -75,6 +79,12 @@ class Engine:
         confs; Spark conf names pass through; everything else is
         accepted and ignored (returns False)."""
         key = name.lower()
+        if key == "now_string":
+            import datetime as _dt
+
+            self.now = (_dt.datetime.fromisoformat(value.strip())
+                        if value.strip() else None)
+            return True
         if key in QUERY_OPTION_MAP:
             mapped = QUERY_OPTION_MAP[key](str(value))
             if mapped is None:  # option value means "auto"/inapplicable

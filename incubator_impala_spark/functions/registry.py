@@ -103,10 +103,12 @@ MACROS = {
     # the 2-arg form only exists as our CAST..FORMAT lowering — leave it
     "to_date": lambda a: (f"cast(to_date({a[0]}) as string)"
                           if len(a) == 1 else _raise_keep_native()),
-    # 1-arg round returns BIGINT (math-functions. Round); 2-arg stays
-    # native (Spark round is HALF_UP like the reference)
-    "round": lambda a: (f"cast(round({a[0]}) as bigint)" if len(a) == 1
-                        else f"round({a[0]}, {a[1]})"),
+    # round stays native both arities: the reference returns DOUBLE for
+    # round(DOUBLE) (impala_functions.py:351, math-functions-ir.cc:119)
+    # and DECIMAL(p-s+1,0) for round(DECIMAL) — exactly Spark's native
+    # typing; a bigint cast would silently NULL values beyond int64
+    # (ADVICE r5). Spark round is HALF_UP like the reference.
+    "round": lambda a: f"round({', '.join(a)})",
     # Oracle-style decode with NULL-safe matching (conditional-
     # functions.cc DecodeExpr); Spark's native decode stringifies the
     # result values, losing the branch type

@@ -163,8 +163,23 @@ def duckdb_oracle_sql(sql: str) -> str:
             "complextypestbl AS (SELECT * FROM read_parquet(["
             f"'{table_path('complextypestbl_nullable')}', "
             f"'{table_path('complextypestbl_nonnullable')}']))")
+    # view closure: a view's definition may reference other views
+    # (view_view -> alltypes_view), so include transitively to a
+    # fixpoint (ADVICE r5); FUNCTIONAL_VIEWS dict order puts
+    # dependencies before dependents, which DuckDB CTE scoping needs
+    needed = {v for v in FUNCTIONAL_VIEWS
+              if re.search(rf"\b{v}\b", sql, re.IGNORECASE)}
+    while True:
+        more = {v for v in FUNCTIONAL_VIEWS
+                for inc in needed
+                if v not in needed
+                and re.search(rf"\b{v}\b", FUNCTIONAL_VIEWS[inc],
+                              re.IGNORECASE)}
+        if not more:
+            break
+        needed |= more
     for view, view_sql in FUNCTIONAL_VIEWS.items():
-        if re.search(rf"\b{view}\b", sql, re.IGNORECASE):
+        if view in needed:
             ctes.append(f"{view} AS ({view_sql})")
     body = sql.strip()
     if not ctes:

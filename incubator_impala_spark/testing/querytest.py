@@ -366,6 +366,11 @@ def _run_one(engine, b: Block, rewrite, table_rewrites) -> BlockResult:
         # expected rows assume SF1 data this fixture doesn't carry
         return BlockResult(b.index, "skip", "other-workload-db")
 
+    # a block's SET NOW_STRING must not leak into later blocks (the
+    # reference harness re-sets it per block; expected values of other
+    # blocks assume the real clock is irrelevant)
+    if hasattr(engine, "now"):
+        engine.now = None
     sql_stmts = []
     for s in stmts:
         # functional_parquet/_avro/... are file-format variants of the

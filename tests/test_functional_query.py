@@ -35,11 +35,14 @@ divergences"):
   type-coercion     DATE/STRING and FLOAT/DECIMAL comparison coercion
                     picks a different common type; CHAR(m)-vs-CHAR(n)
                     comparison is pad-insensitive in the reference
-  lax-date-format   reference accepts mismatched separators / infers
-                    century for YY/YYY/RRRR date FORMAT tokens
   decimal-scale     avg/windowed-sum result scale rule (+4 vs +6) and
                     0E-n vs fixed-point zero printing
   posix-regex       [[:alpha:]]-style POSIX classes (Java regex lacks)
+  double-str-cast   cast(DOUBLE as STRING) mid-query: reference prints
+                    integral doubles without ".0" (1 vs Spark's 1.0);
+                    surfaced when round() regained its native DOUBLE
+                    return type (ADVICE r5 — the prior bigint cast
+                    masked it and silently nulled >int64 values)
   pipe-or           `||` as logical OR (kept as concat — see DIALECT)
   void-setop        INTERSECT over a NULL-literal (void) column
   nan-agg           min/max NaN propagation
@@ -73,6 +76,8 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
         255: "ts-range", 256: "ts-range", 257: "ts-range", 258: "ts-range",
         259: "ts-range", 260: "ts-range", 261: "ts-range", 262: "ts-range",
         263: "ts-range", 264: "ts-range", 265: "ts-range", 266: "ts-range",
+        198: "double-str-cast", 199: "double-str-cast",
+        200: "double-str-cast",
         278: "nan-semantics", 282: "ts-range", 293: "nan-semantics",
         297: "pipe-or",
     }),
@@ -139,21 +144,9 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "mt-dop": (2, {}),
     "joins_mt_dop": (2, {}),
     "parquet-stats-agg": (8, {}),
-    "date": (43, {
+    "date": (66, {
         35: "estimator", 36: "estimator", 37: "estimator",
         49: "type-coercion", 51: "type-coercion", 52: "ts-range",
-        59: "lax-date-format", 60: "lax-date-format",
-        62: "lax-date-format", 64: "lax-date-format",
-        66: "lax-date-format", 67: "lax-date-format",
-        68: "lax-date-format", 69: "lax-date-format",
-        70: "lax-date-format", 71: "lax-date-format",
-        73: "lax-date-format", 74: "lax-date-format",
-        75: "lax-date-format", 76: "lax-date-format",
-        77: "lax-date-format", 78: "lax-date-format",
-        79: "lax-date-format", 80: "lax-date-format",
-        81: "lax-date-format", 82: "lax-date-format",
-        83: "lax-date-format", 84: "lax-date-format",
-        85: "lax-date-format",
     }),
 }
 
