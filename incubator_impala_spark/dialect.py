@@ -349,13 +349,16 @@ def apply_impala_null_ordering(sql: str) -> str:
 # ---------------------------------------------------------------------------
 _LAST3 = object()  # YYY prints the LAST 3 digits (Java 'yyy' is min-3)
 _LAST1 = object()  # Y prints the last digit
+_SECS_OF_DAY = object()  # SSSSS: zero-padded seconds since midnight
+_MERIDIEM_DOTS = object()  # A.M./P.M. prints the dotted indicator
 _ISO_FMT_TOKENS = [  # longest-first
     ("YYYY", "yyyy"), ("RRRR", "yyyy"), ("YYY", _LAST3), ("YY", "yy"),
     ("RR", "yy"), ("Y", _LAST1),
     ("DDD", "DDD"), ("DD", "dd"), ("HH24", "HH"), ("HH12", "hh"),
-    ("HH", "hh"), ("MI", "mm"), ("SSSSS", None), ("SS", "ss"),
+    ("HH", "hh"), ("MI", "mm"), ("SSSSS", _SECS_OF_DAY), ("SS", "ss"),
     ("FF9", None), ("FF", "SSS"), ("TZH", "xx"), ("MONTH", "MMMM"),
     ("MON", "MMM"), ("MM", "MM"), ("DAY", "EEEE"), ("DY", "EEE"),
+    ("A.M.", _MERIDIEM_DOTS), ("P.M.", _MERIDIEM_DOTS),
     ("AM", "a"), ("PM", "a"), ("T", "'T'"), ("Z", "'Z'"),
 ]
 
@@ -365,7 +368,7 @@ def translate_iso_format(fmt: str) -> str:
     while i < len(fmt):
         for tok, repl in _ISO_FMT_TOKENS:
             if fmt[i : i + len(tok)].upper() == tok:
-                if repl is None or repl in (_LAST3, _LAST1):
+                if not isinstance(repl, str):
                     raise ValueError(f"unsupported FORMAT token {tok}")
                 out.append(repl)
                 i += len(tok)
@@ -396,6 +399,18 @@ def iso_print_expr(expr: str, fmt: str) -> str | None:
                 elif repl is _LAST1:
                     parts.append(
                         ("sql", f"substr(date_format({expr}, 'yyyy'), 4, 1)"))
+                elif repl is _SECS_OF_DAY:
+                    # SSSSS: 5-digit zero-padded seconds since midnight
+                    parts.append(
+                        ("sql",
+                         f"lpad(cast(hour({expr}) * 3600 + "
+                         f"minute({expr}) * 60 + "
+                         f"cast(second({expr}) as int) as string), 5, '0')"))
+                elif repl is _MERIDIEM_DOTS:
+                    parts.append(
+                        ("sql",
+                         f"if(date_format({expr}, 'a') = 'AM', "
+                         f"'A.M.', 'P.M.')"))
                 else:
                     parts.append(("java", repl))
                 i += len(tok)
@@ -464,7 +479,8 @@ def _iso_tokenize_parse(fmt: str):
     return toks
 
 
-def iso_lax_date_parse(expr: str, fmt: str, now_year: int) -> str | None:
+def iso_lax_date_parse(expr: str, fmt: str, now_year: int,
+                       as_timestamp: bool = False) -> str | None:
     toks = _iso_tokenize_parse(fmt)
     if not toks:
         return None
@@ -525,6 +541,12 @@ def iso_lax_date_parse(expr: str, fmt: str, now_year: int) -> str | None:
         construct = (f"make_date({year}, "
                      f"cast({f(kinds.index('month'))} as int), "
                      f"cast({f(kinds.index('day'))} as int))")
+    if as_timestamp:
+        # the reference clamps TIMESTAMP to [1400-01-01, 9999-12-31]
+        # (TimestampValue range) and yields NULL outside; DATE carries
+        # the full 0001..9999 range
+        checks.append(f"{year} between 1400 and 9999")
+        construct = f"cast({construct} as timestamp)"
     return f"(case when {' and '.join(checks)} then {construct} end)"
 
 
@@ -596,10 +618,12 @@ def rewrite_cast_format(sql: str, now=None) -> str:
             if pm:
                 g = "fmt" if pm.start("fmt") != -1 else "fmt2"
                 fmt = inner[pm.start(g) : pm.end(g)]
-                if pm.group("ty").upper() == "DATE":
-                    # lax reference semantics when the shape allows
-                    repl = iso_lax_date_parse(
-                        inner[: pm.start()], fmt, now.year)
+                # lax reference semantics when the shape allows (date-
+                # only formats; time-carrying formats keep the strict
+                # path below)
+                repl = iso_lax_date_parse(
+                    inner[: pm.start()], fmt, now.year,
+                    as_timestamp=pm.group("ty").upper() == "TIMESTAMP")
                 if repl is None:
                     fn = ("to_date" if pm.group("ty").upper() == "DATE"
                           else "to_timestamp")
@@ -1281,6 +1305,254 @@ def rewrite_setop_operand_limits(sql: str) -> str:
     return "".join(rebuilt)
 
 
+# --- postfix `!` factorial (reference grammar sql-parser.cup:
+# factorial_expr; be/src/exprs/math-functions ::Factorial). Spark has
+# factorial() but no postfix operator. ---------------------------------
+
+
+def rewrite_postfix_factorial(sql: str) -> str:
+    while True:
+        shadow = _neutralize(sql)
+        hit = None
+        for mm in re.finditer(r"!", shadow):
+            i = mm.start()
+            if i + 1 < len(shadow) and shadow[i + 1] in "=~":
+                continue  # != / !~ operators
+            if i == 0:
+                continue
+            prev = shadow[i - 1]
+            if prev != ")" and not (prev.isalnum() or prev in "_`."):
+                continue  # prefix NOT / stray bang
+            hit = i
+            break
+        if hit is None:
+            return sql
+        i = hit
+        if shadow[i - 1] == ")":
+            depth, j = 0, i - 1
+            while j >= 0:
+                if shadow[j] == ")":
+                    depth += 1
+                elif shadow[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if depth != 0:
+                return sql
+            k = j - 1  # include a function name directly before '('
+            while k >= 0 and (shadow[k].isalnum() or shadow[k] in "_."):
+                k -= 1
+            j = k + 1
+        else:
+            j = i - 1
+            while j >= 0 and (shadow[j].isalnum() or shadow[j] in "_.`"):
+                j -= 1
+            j += 1
+        sql = sql[:j] + f"factorial({sql[j:i]})" + sql[i + 1:]
+
+
+# --- POSIX bracket classes in regex literals. The reference's RE2
+# accepts [[:alpha:]]; Java regex spells it \p{Alpha} (both US-ASCII).
+# Rewritten inside string literals only when the statement mentions a
+# regexp function/operator — the pattern may reach the function through
+# a column (VALUES/derived table), so arg-local rewriting is not
+# enough. ---------------------------------------------------------------
+_POSIX_NAME = {
+    "alpha": "Alpha", "digit": "Digit", "alnum": "Alnum",
+    "upper": "Upper", "lower": "Lower", "space": "Space",
+    "punct": "Punct", "xdigit": "XDigit", "cntrl": "Cntrl",
+    "graph": "Graph", "print": "Print", "blank": "Blank",
+}
+_POSIX_CLASS = re.compile(
+    r"\[:(%s):\]" % "|".join(_POSIX_NAME), re.IGNORECASE)
+_REGEXP_HINT = re.compile(r"regexp|\brlike\b|\birlike\b", re.IGNORECASE)
+
+
+def rewrite_posix_classes(sql: str) -> str:
+    if not _REGEXP_HINT.search(_neutralize(sql)):
+        return sql
+
+    def repl(m: re.Match) -> str:
+        # \\p so the engine's escape-processing literal parser emits \p
+        return r"\\p{%s}" % _POSIX_NAME[m.group(1).lower()]
+
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"'):
+            q, j = c, i + 1
+            while j < n:
+                if sql[j] == "\\":
+                    j += 2
+                    continue
+                if sql[j] == q:
+                    if j + 1 < n and sql[j + 1] == q:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(q + _POSIX_CLASS.sub(repl, sql[i + 1:j]))
+            if j < n:
+                out.append(q)
+            i = j + 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+# --- Impala DECIMAL_V2 avg() result type ------------------------------
+# Reference: FunctionCallExpr.resolveDecimalReturnType (fe/.../analysis/
+# FunctionCallExpr.java:442-456) + ScalarType.createAdjustedDecimalType
+# (fe/.../catalog/ScalarType.java:155-168): avg(decimal(p,s)) returns
+# scale max(MIN_ADJUSTED_SCALE=6, s), precision (p-s)+scale, and when
+# precision overflows 38 the scale gives back the delta but keeps at
+# least min(scale, 6). Spark's avg gives decimal(p+4, s+4) — a
+# different scale whenever s != 2.
+
+
+def _impala_avg_type(p: int, s: int) -> tuple[int, int]:
+    rs = max(6, s)
+    rp = (p - s) + rs
+    if rp > 38:
+        min_s = min(rs, 6)
+        rs = max(rs - (rp - 38), min_s)
+        rp = 38
+    return rp, rs
+
+
+_AVG_ITEM = re.compile(r"^\s*avg\s*\(", re.IGNORECASE)
+
+
+def _parse_avg_item(item: str):
+    """If `item` is exactly `avg(ARG) [over (WIN)] [[as] alias]`,
+    return (arg, over_clause_or_None, alias_or_None); else None."""
+    shadow = _neutralize(item)
+    m = _AVG_ITEM.match(shadow)
+    if not m:
+        return None
+    depth, i = 1, m.end()
+    while i < len(shadow) and depth:
+        if shadow[i] == "(":
+            depth += 1
+        elif shadow[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return None
+    arg = item[m.end():i - 1]
+    rest = item[i:]
+    rshadow = shadow[i:]
+    over = None
+    om = re.match(r"\s*over\s*\(", rshadow, re.IGNORECASE)
+    if om:
+        d, j = 1, om.end()
+        while j < len(rshadow) and d:
+            if rshadow[j] == "(":
+                d += 1
+            elif rshadow[j] == ")":
+                d -= 1
+            j += 1
+        if d:
+            return None
+        over = rest[om.end():j - 1]
+        rest, rshadow = rest[j:], rshadow[j:]
+    am = re.match(r"\s*(?:as\s+)?(`[^`]+`|[A-Za-z_]\w*)\s*$", rshadow,
+                  re.IGNORECASE)
+    alias = None
+    if am:
+        alias = rest[am.start(1):am.end(1)]
+    elif rshadow.strip():
+        return None
+    return arg, over, alias
+
+
+def rewrite_decimal_avg(sql: str, schema_of) -> str:
+    """Give top-level `avg(decimal)` select items the reference's
+    DECIMAL_V2 result type (see _impala_avg_type).
+
+    `schema_of(probe_sql)` returns the analyzed output fields
+    [(name, (p, s) | None), ...] without executing — the engine passes
+    a Spark-analysis lambda. The probe replaces each avg item with
+    first(ARG) (same window if any), whose type IS the argument type.
+
+    Value strategy: for s >= 2, cast(avg(X) as decimal(P,S)) — Spark's
+    internal scale s+4 >= S so the final HALF_UP cast only drops
+    digits the reference never computed. For s < 2 the target scale 6
+    exceeds Spark's s+4, so the item becomes
+    cast(sum(X)/count(X) as decimal(P,S)) — Spark's division rule
+    lands on scale >= 6, again a superset of the reference's digits.
+    Fail-open: any probe/analysis surprise returns sql unchanged."""
+    shadow = _neutralize(sql)
+    if not re.search(r"\bavg\s*\(", shadow, re.IGNORECASE):
+        return sql
+    # outermost SELECT at paren depth 0 (set ops at top level: bail)
+    depth, sel_start = 0, None
+    for m in re.finditer(r"[()]|\bselect\b", shadow, re.IGNORECASE):
+        if m.group(0) == "(":
+            depth += 1
+        elif m.group(0) == ")":
+            depth -= 1
+        elif depth == 0:
+            sel_start = m.end()
+            break
+    if sel_start is None:
+        return sql
+    if _SETOP.search(_strip_parens_preserving(shadow)):
+        return sql
+    depth, list_end = 0, len(sql)
+    for m in re.finditer(r"[()]|\bfrom\b", shadow[sel_start:], re.IGNORECASE):
+        if m.group(0) == "(":
+            depth += 1
+        elif m.group(0) == ")":
+            depth -= 1
+        elif depth == 0:
+            list_end = sel_start + m.start()
+            break
+    list_text = sql[sel_start:list_end]
+    if "*" in _strip_parens(_neutralize(list_text)):
+        return sql
+    items = _split_args(list_text)
+    parsed = [(k, _parse_avg_item(it)) for k, it in enumerate(items)]
+    sites = [(k, p) for k, p in parsed if p is not None]
+    if not sites:
+        return sql
+    probe_items = list(items)
+    for k, (arg, over, _alias) in sites:
+        probe_items[k] = (f"first({arg})"
+                          + (f" over ({over})" if over else ""))
+    probe = sql[:sel_start] + " " + ", ".join(probe_items) + sql[list_end:]
+    try:
+        fields = schema_of(probe)
+    except Exception:  # noqa: BLE001 — fail-open, keep Spark typing
+        return sql
+    if len(fields) != len(items):
+        return sql
+    new_items = list(items)
+    changed = False
+    for k, (arg, over, alias) in sites:
+        dec = fields[k][1]
+        if dec is None:
+            continue
+        p, s = dec
+        rp, rs = _impala_avg_type(p, s)
+        ov = f" over ({over})" if over else ""
+        if s >= 2:
+            call = f"avg({arg}){ov}"
+        else:
+            call = (f"(sum({arg}){ov}) / (count({arg}){ov})")
+        label = alias
+        if label is None:
+            text = re.sub(r"\s+", " ", f"avg({arg.strip()})")
+            label = f"`{text}`" if "`" not in text else f"__avg_{k}"
+        new_items[k] = f"CAST({call} AS DECIMAL({rp},{rs})) AS {label}"
+        changed = True
+    if not changed:
+        return sql
+    return sql[:sel_start] + " " + ", ".join(new_items) + sql[list_end:]
+
+
 def translate(sql: str, macros: dict | None = None, now=None) -> str:
     """Full Impala→Spark translation pipeline. `now` feeds the FORMAT
     clause's century-inference rules (NOW_STRING query option)."""
@@ -1295,6 +1567,18 @@ def translate(sql: str, macros: dict | None = None, now=None) -> str:
     sql = rewrite_interval_expr(sql)
     sql = rewrite_char_casts(sql)
     sql = clamp_offset(sql)
+    sql = rewrite_postfix_factorial(sql)
+    sql = rewrite_posix_classes(sql)
+    # Hive-style STORED AS on CREATE TABLE → Spark USING (no Hive
+    # catalog in a plain session); textfile maps to the csv source,
+    # whose \x01 defaults the formats module applies elsewhere
+    sql = _shadow_sub(
+        re.compile(r"\bstored\s+as\s+(parquet|orc|avro|textfile|"
+                   r"rcfile|sequencefile)\b", re.IGNORECASE),
+        lambda m: "using " + {"textfile": "csv", "rcfile": "csv",
+                              "sequencefile": "csv"}.get(
+                                  m.group(1).lower(), m.group(1).lower()),
+        sql)
     # Impala aliases: REAL is DOUBLE (Spark's REAL is FLOAT); `&&` is
     # logical AND (`||` is NOT mapped — it is concat in Spark texts).
     # All three run on the literal-blind shadow: 'a&&b' is data.

@@ -44,6 +44,23 @@ _LOAD_DATA = re.compile(
 )
 
 
+# plain DESCRIBE <path> — Impala's three-column column listing incl.
+# paths into complex types (describe.py). FORMATTED/EXTENDED keep the
+# Spark extended-describe mapping in dialect._SIMPLE_STMTS.
+_DESCRIBE_PATH = re.compile(
+    r"^\s*DESCRIBE\s+(?!FORMATTED\b|EXTENDED\b|TABLE\b)"
+    r"((?:`[^`]+`|[A-Za-z_]\w*)(?:\.(?:`[^`]+`|[A-Za-z_]\w*))*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+# non-CTAS CREATE TABLE returns the reference's DDL summary row
+# (impala-shell surface: 'Table has been created.')
+_CREATE_TABLE_PLAIN = re.compile(
+    r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\b(?![\s\S]*\bAS\s+SELECT\b)"
+    r"[\s\S]*$",
+    re.IGNORECASE,
+)
+
+
 class Engine:
     """A SQL engine with the reference's dialect & function surface.
 
@@ -102,6 +119,19 @@ class Engine:
         if m:
             self.set_option(m.group(1), m.group(2).strip("'\""))
             return self.spark.sql("SELECT 1 AS status")
+        m = _DESCRIBE_PATH.match(sql_text)
+        if m:
+            from incubator_impala_spark.describe import describe_df
+
+            # db-qualifier conventions match the query path: functional
+            # variants resolve to the flat fixture views
+            path = re.sub(r"^functional(_\w+)?\.", "", m.group(1))
+            return describe_df(self.spark, path)
+        m = _CREATE_TABLE_PLAIN.match(sql_text)
+        if m:
+            self.spark.sql(self.translate(sql_text))
+            return self.spark.createDataFrame(
+                [("Table has been created.",)], "summary string")
         granted = self.grants.handle(self.spark, sql_text)
         if granted is not None:
             return granted
@@ -119,7 +149,25 @@ class Engine:
         translated = self.translate(sql_text)
         translated = nested_paths.rewrite_collection_refs(
             self.spark, translated)
+        # Impala DECIMAL_V2 avg() result typing (scale max(6,s)) —
+        # type-aware, so it runs on the final Spark text with an
+        # analysis-only schema probe (no execution)
+        translated = dialect.rewrite_decimal_avg(
+            translated, self._schema_of)
         return self.spark.sql(translated)
+
+    def _schema_of(self, probe_sql: str):
+        """Analyzed output fields of `probe_sql` as
+        [(name, (precision, scale) | None), ...] — lazy, no job runs."""
+        from pyspark.sql.types import DecimalType
+
+        out = []
+        for f in self.spark.sql(probe_sql).schema.fields:
+            dt = f.dataType
+            out.append((f.name,
+                        (dt.precision, dt.scale)
+                        if isinstance(dt, DecimalType) else None))
+        return out
 
     def _load_data(self, path: str, table: str, overwrite: bool,
                    partition: str | None) -> DataFrame:

@@ -374,29 +374,71 @@ MACROS = {
     # estimators be/src/exprs/datasketches-functions-ir.cc) — Spark
     # 3.5+/4.x ships the same Apache DataSketches HLL under native
     # names, so sketches stay JVM-side and mergeable.
-    "ds_hll_sketch": lambda a: f"hll_sketch_agg({a[0]})",
-    "ds_hll_union": lambda a: f"hll_union_agg({a[0]})",
-    "ds_hll_estimate": lambda a: f"hll_sketch_estimate({a[0]})",
-    "ds_hll_union_f": lambda a: f"hll_union({a[0]}, {a[1]})",
-    # HLL debug printers (impala_functions.py:936-942). Spark's sketch
-    # binary is a DataSketches HLL but exposes only the estimate, so
-    # the summary/bounds are computed from it: RSE for the default
-    # lgConfigK=12 HLL is ~1.04/sqrt(2^12) = 0.01625; bounds are
-    # estimate/(1+kappa*rse) .. estimate*(1+kappa*rse) (kappa defaults
-    # to 2 like the reference).
+    # Input widening: the reference accepts tinyint/float/double too
+    # (Spark's agg takes int/bigint/string/binary), so items feed in
+    # under an injective string encoding; estimates are item-set
+    # cardinalities either way. nullif('') reproduces IMPALA-9942:
+    # empty strings are not distinct items. Sketches round-trip
+    # through STRING table columns (the reference stores them that way
+    # pending its binary support), so the scalar side casts back to
+    # binary, with NULL/too-short guards mapping to NULL like the
+    # reference's null/empty handling.
+    # The aggregates return NULL over empty/all-NULL input (the
+    # reference UDA's finalize: no update -> NULL); the scalar
+    # union_f() instead substitutes a serialized EMPTY sketch for
+    # NULL/'' inputs, so estimate(union_f(null, null)) is 0 while
+    # estimate(null) stays NULL — exactly the test-pinned contract.
+    "ds_hll_sketch": lambda a: (
+        (lambda x: (
+            f"if(count(nullif(cast({x} as string), '')) = 0, null, "
+            f"hll_sketch_agg(nullif(cast({x} as string), '')))"
+        ))(a[0])
+    ),
+    "ds_hll_union": lambda a: (
+        (lambda x: (
+            f"if(count(nullif(cast({x} as binary), cast('' as binary)))"
+            f" = 0, null, hll_union_agg(cast({x} as binary)))"
+        ))(a[0])
+    ),
+    "ds_hll_estimate": lambda a: (
+        f"if(length(cast({a[0]} as binary)) < 8, null, "
+        f"hll_sketch_estimate(cast({a[0]} as binary)))"),
+    "ds_hll_union_f": lambda a: (
+        (lambda x, y: (
+            f"hll_union("
+            f"if({x} is null or length(cast({x} as binary)) < 8, "
+            f"unhex('0201070C03040008'), cast({x} as binary)), "
+            f"if({y} is null or length(cast({y} as binary)) < 8, "
+            f"unhex('0201070C03040008'), cast({y} as binary)))"
+        ))(a[0], a[1])
+    ),
+    "ds_hll_sketch_and_estimate": lambda a: (
+        (lambda x: (
+            f"if(count(nullif(cast({x} as string), '')) = 0, null, "
+            f"hll_sketch_estimate("
+            f"hll_sketch_agg(nullif(cast({x} as string), ''))))"
+        ))(a[0])
+    ),
+    # HLL debug printers (impala_functions.py:936-942): the sketch
+    # preamble + the reference's own CouponList/HllArray bound
+    # formulas, reproduced over Spark's DataSketches binary in
+    # sketches.py (ds_hll_*_impl pandas UDFs).
     "ds_hll_stringify": lambda a: (
-        f"concat('### HLL sketch summary: estimate: ', "
-        f"cast(hll_sketch_estimate({a[0]}) as string))"
+        f"ds_hll_stringify_impl(cast({a[0]} as binary), "
+        f"if(length(cast({a[0]} as binary)) < 8, null, "
+        f"hll_sketch_estimate(cast({a[0]} as binary))))"
     ),
     "ds_hll_estimate_bounds_as_string": lambda a: (
         (lambda s, kappa: (
-            f"concat_ws(',', "
-            f"cast(hll_sketch_estimate({s}) as string), "
-            f"cast(cast(hll_sketch_estimate({s}) / "
-            f"(1 + ({kappa}) * 0.01625) as bigint) as string), "
-            f"cast(cast(hll_sketch_estimate({s}) * "
-            f"(1 + ({kappa}) * 0.01625) + 1 as bigint) as string))"
+            f"ds_hll_bounds_impl(cast({s} as binary), "
+            f"if(length(cast({s} as binary)) < 8, null, "
+            f"hll_sketch_estimate(cast({s} as binary))), {kappa})"
         ))(a[0], a[1] if len(a) > 1 else "2")
+    ),
+    # variadic quantile fractions -> one comma-joined string arg
+    "ds_kll_quantiles_as_string": lambda a: (
+        f"ds_kll_quantiles_impl({a[0]}, concat_ws(',', "
+        + ", ".join(f"cast({x} as string)" for x in a[1:]) + "))"
     ),
     # variadic split points -> the comma-joined convention the kll
     # string functions use (impala_functions.py:952-954)

@@ -92,6 +92,11 @@ def register_functional(spark: SparkSession) -> None:
         if "timestamp_col" in df.columns:
             df = df.withColumn(
                 "timestamp_col", df["timestamp_col"].cast("timestamp"))
+        if "id" in df.columns and t.startswith("alltypes"):
+            # the reference's schema template puts COMMENT 'Add a
+            # comment' on alltypes*.id (functional_schema_template.sql:
+            # 10) — carried so DESCRIBE parity holds
+            df = df.withMetadata("id", {"comment": "Add a comment"})
         df.createOrReplaceTempView(t)
     # complextypestbl: the reference's OWN nested parquet data files
     # (testdata/ComplexTypesTbl/{nullable,nonnullable}.parq — one table

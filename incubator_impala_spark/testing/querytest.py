@@ -38,7 +38,9 @@ Deliberate divergences (documented, visible in every report):
 from __future__ import annotations
 
 import math
+import os
 import re
+import shutil
 from dataclasses import dataclass, field
 
 __all__ = ["parse_test_file", "run_blocks", "Block", "BlockResult"]
@@ -276,7 +278,10 @@ def types_compatible(expected: list[str], actual: list[str]) -> bool:
 # --------------------------------------------------------------------------
 # execution
 
-_RUNNABLE = re.compile(r"^[\s(]*(select|with|values)\b", re.IGNORECASE)
+_RUNNABLE = re.compile(
+    r"^[\s(]*(select|with|values|describe(?!\s+formatted\b)|"
+    r"create\s+table|insert\s+(?:into|overwrite)|drop\s+table)\b",
+    re.IGNORECASE)
 _VAR = re.compile(r"\$[A-Z][A-Z0-9_]*")
 
 
@@ -385,6 +390,21 @@ def _run_one(engine, b: Block, rewrite, table_rewrites) -> BlockResult:
     try:
         df = None
         for s in sql_stmts:
+            cm = re.match(
+                r"(?is)\s*create\s+table\s+(?:if\s+not\s+exists\s+)?"
+                r"([A-Za-z_][\w.]*)", s)
+            if cm:
+                # the session catalog is in-memory but the warehouse
+                # dir persists across pytest runs: drop any same-name
+                # leftover (catalog entry AND orphan directory) so the
+                # reference's fresh-database assumption holds
+                name = cm.group(1)
+                engine.spark.sql(f"DROP TABLE IF EXISTS {name}")
+                wh = engine.spark.conf.get(
+                    "spark.sql.warehouse.dir", "spark-warehouse")
+                d = os.path.join(
+                    re.sub(r"^file:", "", wh), name.split(".")[-1])
+                shutil.rmtree(d, ignore_errors=True)
             if s.lower().startswith("set "):
                 engine.sql(s)
             else:

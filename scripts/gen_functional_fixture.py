@@ -418,7 +418,7 @@ def main() -> None:
                     keep_empty_rows=True))
 
     _write("unsupported_types", pa.schema([
-        ("int_col", pa.int32()), ("dec_col", pa.decimal128(9, 0)),
+        ("int_col", pa.int32()), ("dec_col", pa.decimal128(10, 0)),
         ("date_col", pa.date32()), ("str_col", pa.string()),
         ("bin_col", pa.binary()), ("bigint_col", pa.int64())]),
         [(r[0], r[1], r[2], r[3],

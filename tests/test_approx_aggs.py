@@ -211,10 +211,11 @@ def test_kll_quantiles_as_string_and_stringify(engine, li_view):
         FROM (SELECT ds_kll_sketch(l_quantity) AS sk FROM {li_view})
         """
     ).collect()[0]
-    vals = [float(x) for x in row.qs.split(", ")]
+    vals = [float(x) for x in row.qs.split(",")]
     assert len(vals) == 3 and vals == sorted(vals)
     assert 1.0 <= vals[0] <= 20.0 and 35.0 <= vals[2] <= 50.0
-    assert "K=200" in row.info and "N=" in row.info and "Levels=" in row.info
+    assert "### KLL sketch summary" in row.info
+    assert "K : 200" in row.info and "Levels :" in row.info
 
 
 def test_kll_cdf_pmf_as_string(engine, li_view):
@@ -229,13 +230,15 @@ def test_kll_cdf_pmf_as_string(engine, li_view):
         FROM (SELECT ds_kll_sketch(l_quantity) AS sk FROM {li_view})
         """
     ).collect()[0]
-    cdf = [float(x) for x in row.cdf.split(", ")]
-    pmf = [float(x) for x in row.pmf.split(", ")]
+    cdf = [float(x) for x in row.cdf.split(",")]
+    pmf = [float(x) for x in row.pmf.split(",")]
     assert len(cdf) == 4 and len(pmf) == 4
     assert cdf == sorted(cdf) and cdf[-1] == 1.0
-    assert abs(sum(pmf) - 1.0) < 1e-9
+    # printed values round to 6 significant digits (the reference's
+    # C++ default ostream formatting), so compare at that tolerance
+    assert abs(sum(pmf) - 1.0) < 1e-5
     for i in range(1, 4):
-        assert abs(pmf[i] - (cdf[i] - cdf[i - 1])) < 1e-9
+        assert abs(pmf[i] - (cdf[i] - cdf[i - 1])) < 1e-5
     # l_quantity is ~uniform on 1..50: the split at 25 sits near 0.5
     assert 0.3 <= cdf[1] <= 0.7
 
@@ -253,7 +256,8 @@ def test_hll_stringify_and_bounds(engine, li_view):
         FROM (SELECT ds_hll_sketch(l_orderkey) AS h FROM {li_view})
         """
     ).collect()[0]
-    assert row.hs.startswith("### HLL sketch summary: estimate: ")
+    assert row.hs.startswith("### HLL sketch summary: ")
+    assert "Current Mode" in row.hs and "### End HLL sketch summary" in row.hs
     est, lo, hi = (float(x) for x in row.hb.split(","))
     est3, lo3, hi3 = (float(x) for x in row.hb3.split(","))
     assert lo <= est <= hi and lo3 <= est3 <= hi3

@@ -234,8 +234,10 @@ def test_cast_format_nested_inside_plain_cast():
 
 
 def test_cast_format_untranslatable_token_left_alone():
-    sql = "SELECT CAST(x AS STRING FORMAT 'SSSSS') FROM t"
-    assert "FORMAT 'SSSSS'" in tr(sql)
+    # FF9 (nanosecond fraction) stays untranslatable — the engine
+    # carries microseconds (SSSSS gained a real translation in r6)
+    sql = "SELECT CAST(x AS STRING FORMAT 'FF9') FROM t"
+    assert "FORMAT 'FF9'" in tr(sql)
 
 
 def test_cast_format_varchar_with_length():

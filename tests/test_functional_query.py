@@ -25,8 +25,6 @@ divergences"):
   ns-precision      engine carries µs; expected values need ns
   estimator         ndv/distinctpc/appx_count_distinct sketch-specific
                     expected numbers
-  parser-ext        operand-level ORDER BY/LIMIT without parens,
-                    postfix `!` factorial
   analyzer          Spark analyzer restrictions (mixed-type IN list,
                     window fn in ORDER BY, per-row group_concat
                     separator, grouping_id outside rollup,
@@ -35,9 +33,6 @@ divergences"):
   type-coercion     DATE/STRING and FLOAT/DECIMAL comparison coercion
                     picks a different common type; CHAR(m)-vs-CHAR(n)
                     comparison is pad-insensitive in the reference
-  decimal-scale     avg/windowed-sum result scale rule (+4 vs +6) and
-                    0E-n vs fixed-point zero printing
-  posix-regex       [[:alpha:]]-style POSIX classes (Java regex lacks)
   double-str-cast   cast(DOUBLE as STRING) mid-query: reference prints
                     integral doubles without ".0" (1 vs Spark's 1.0);
                     surfaced when round() regained its native DOUBLE
@@ -49,6 +44,15 @@ divergences"):
   not-in-null       NULL-lhs NOT IN (subquery) tri-state differences
   needs-ddl         block depends on tables created by earlier DDL
                     blocks the harness does not execute
+  needs-hive-data   block reads sketch tables serialized by a live
+                    Hive (testdata/bin load scripts); the bytes are
+                    not shipped in the reference repo
+  pandas-udaf-empty Spark's AggregateInPandasExec emits no row for a
+                    global aggregate over an empty relation (JVM
+                    aggregates return the 1-row default); hits the
+                    ds_kll_* pandas UDAFs on `emptytable`
+  acid-synthetic    Hive-ACID synthetic column (row__id) — no ACID
+                    storage layer in this engine
 """
 
 from __future__ import annotations
@@ -63,15 +67,14 @@ QT_DIR = ("/root/reference/testdata/workloads/functional-query/queries/"
 
 # file -> (min_pass floor, {block index: reason})
 FILES: dict[str, tuple[int, dict[int, str]]] = {
-    "exprs": (248, {
+    "exprs": (251, {
         52: "float-promotion", 53: "float-promotion", 54: "float-promotion",
         88: "analyzer", 89: "analyzer",
         167: "ns-precision", 168: "ns-precision", 170: "ns-precision",
         172: "ts-range",
         176: "float-round-type", 177: "float-round-type",
         186: "float-promotion", 189: "float-promotion",
-        191: "ieee-div-zero", 201: "parser-ext",
-        230: "posix-regex", 231: "posix-regex",
+        191: "ieee-div-zero",
         240: "ts-range", 241: "ts-range", 251: "analyzer",
         255: "ts-range", 256: "ts-range", 257: "ts-range", 258: "ts-range",
         259: "ts-range", 260: "ts-range", 261: "ts-range", 262: "ts-range",
@@ -115,9 +118,7 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "string-literals": (6, {}),
     "special-strings": (2, {}),
     "decimal": (28, {10: "estimator", 11: "estimator"}),
-    "decimal-exprs": (7, {18: "decimal-scale", 24: "decimal-scale",
-                          31: "decimal-scale", 34: "decimal-scale",
-                          39: "ns-precision"}),
+    "decimal-exprs": (11, {39: "ns-precision"}),
     "alias": (7, {}),
     "chars": (14, {2: "type-coercion", 4: "type-coercion",
                    6: "type-coercion"}),
@@ -144,6 +145,38 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "mt-dop": (2, {}),
     "joins_mt_dop": (2, {}),
     "parquet-stats-agg": (8, {}),
+    # Deliberately not wired (r6 triage):
+    #   analytic-fns-tpcds.test — expected values recorded against the
+    #     reference's dsdgen-loaded TPC-DS data, which the repo does
+    #     not ship (testdata/datasets/tpcds/preload is empty); our
+    #     synthetic TPC-DS fixture cannot reproduce recorded rows.
+    #     The window shapes it covers run in analytic-fns.test and the
+    #     tpcds_real_* oracle entries instead.
+    #   explain-level0..3.test — asserts Impala's EXPLAIN text format
+    #     (PLAN-ROOT SINK/EXCHANGE lines, per-host resource header);
+    #     this engine's EXPLAIN is Catalyst's. Faking the text would
+    #     test a string template, not a planner.
+    #   dateless_timestamp_{text,parquet}.test — every block uses the
+    #     $DATABASE runner variable + per-run HDFS file loads; nothing
+    #     runnable remains after the runner-variable skip.
+    "describe-path": (13, {14: "acid-synthetic"}),
+    "empty-build-joins": (14, {}),
+    "cast_format_from_table": (11, {}),
+    "datasketches-hll": (17, {
+        15: "needs-hive-data", 20: "needs-hive-data",
+        25: "needs-hive-data", 30: "needs-hive-data",
+        31: "needs-hive-data", 32: "needs-hive-data",
+        40: "needs-hive-data", 22: "pandas-udaf-empty",
+    }),
+    "datasketches-kll": (24, {
+        12: "pandas-udaf-empty", 15: "pandas-udaf-empty",
+        21: "pandas-udaf-empty", 26: "pandas-udaf-empty",
+        30: "pandas-udaf-empty", 45: "pandas-udaf-empty",
+        55: "pandas-udaf-empty", 66: "pandas-udaf-empty",
+        14: "needs-hive-data", 19: "needs-hive-data",
+        24: "needs-hive-data", 29: "needs-hive-data",
+        69: "needs-hive-data",
+    }),
     "date": (66, {
         35: "estimator", 36: "estimator", 37: "estimator",
         49: "type-coercion", 51: "type-coercion", 52: "ts-range",
