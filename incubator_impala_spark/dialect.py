@@ -1553,6 +1553,58 @@ def rewrite_decimal_avg(sql: str, schema_of) -> str:
     return sql[:sel_start] + " " + ", ".join(new_items) + sql[list_end:]
 
 
+_CREATE_TABLE_HEAD = re.compile(
+    r"^\s*create\s+(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?"
+    r"[A-Za-z_][\w.]*\s*\(", re.IGNORECASE)
+_PARTITIONED_BY = re.compile(r"\s*partitioned\s+by\s*\(", re.IGNORECASE)
+
+
+def rewrite_create_partitioned(sql: str) -> str:
+    """Hive/Impala CREATE TABLE declares partition columns with types
+    OUTSIDE the column list (`(a int) partitioned by (p int)`); Spark's
+    USING-table form wants them inside with a name-only PARTITIONED BY
+    (`(a int, p int) ... partitioned by (p)`). Rewrites when the
+    partition items carry types; leaves name-only lists alone."""
+    m = _CREATE_TABLE_HEAD.match(_neutralize(sql))
+    if not m:
+        return sql
+    shadow = _neutralize(sql)
+    depth, i = 1, m.end()
+    while i < len(shadow) and depth:
+        if shadow[i] == "(":
+            depth += 1
+        elif shadow[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return sql
+    cols_end = i - 1  # index of the column list's ')'
+    pm = _PARTITIONED_BY.match(shadow, i)
+    if not pm:
+        return sql
+    depth, j = 1, pm.end()
+    while j < len(shadow) and depth:
+        if shadow[j] == "(":
+            depth += 1
+        elif shadow[j] == ")":
+            depth -= 1
+        j += 1
+    if depth:
+        return sql
+    items = _split_args(sql[pm.end():j - 1])
+    typed = [it for it in items if len(it.split()) >= 2]
+    if len(typed) != len(items):
+        return sql  # already name-only
+    names = ", ".join(it.split()[0] for it in items)
+    # the name-only clause goes to the END of the statement: Spark's
+    # grammar puts the USING provider (what STORED AS becomes)
+    # directly after the column list, and the remaining createTable
+    # clauses are order-free
+    tail = sql[j:].rstrip().rstrip(";")
+    return (sql[:cols_end] + ", " + ", ".join(items) + ")"
+            + tail + " partitioned by (" + names + ")")
+
+
 def translate(sql: str, macros: dict | None = None, now=None) -> str:
     """Full Impala→Spark translation pipeline. `now` feeds the FORMAT
     clause's century-inference rules (NOW_STRING query option)."""
@@ -1569,6 +1621,7 @@ def translate(sql: str, macros: dict | None = None, now=None) -> str:
     sql = clamp_offset(sql)
     sql = rewrite_postfix_factorial(sql)
     sql = rewrite_posix_classes(sql)
+    sql = rewrite_create_partitioned(sql)
     # Hive-style STORED AS on CREATE TABLE → Spark USING (no Hive
     # catalog in a plain session); textfile maps to the csv source,
     # whose \x01 defaults the formats module applies elsewhere

@@ -59,6 +59,37 @@ _CREATE_TABLE_PLAIN = re.compile(
     r"[\s\S]*$",
     re.IGNORECASE,
 )
+# CTAS returns 'Inserted N row(s)' (ComputeStatsStmt-adjacent DDL
+# summaries; impala-shell surface). N comes from Spark's own
+# DataWritingCommand metric — no extra job.
+_CTAS_STMT = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<tbl>[A-Za-z_][\w.]*)[\s\S]*?\bAS\s*\(?\s*(?:SELECT|WITH)\b"
+    r"[\s\S]*$",
+    re.IGNORECASE,
+)
+# INSERT INTO/OVERWRITE with optional column permutation and PARTITION
+# clause (reference InsertStmt.java). Routed through a DataFrame write
+# so the reference's per-partition row-count summary (`year=2009/
+# month=4/: 25` rows, `: N` unpartitioned) can be returned.
+_INSERT_STMT = re.compile(
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+    r"(?P<tbl>[A-Za-z_][\w.]*)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?"
+    # static partition values may be expressions with nested calls —
+    # two paren levels covers cast('x' as char(5))
+    r"(?:PARTITION\s*\((?P<part>(?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)"
+    r"\s*)?"
+    r"(?P<body>(?:SELECT|WITH|VALUES)\b[\s\S]*)?$",
+    re.IGNORECASE,
+)
+_USE_STMT = re.compile(
+    r"^\s*USE\s+([A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
+_TRUNCATE_STMT = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?:IF\s+EXISTS\s+)?"
+    r"([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 class Engine:
@@ -119,6 +150,16 @@ class Engine:
         if m:
             self.set_option(m.group(1), m.group(2).strip("'\""))
             return self.spark.sql("SELECT 1 AS status")
+        m = _USE_STMT.match(sql_text)
+        if m:
+            # the engine's catalog is flat (fixture views in the
+            # default namespace); USE of an unknown db is a no-op so
+            # the reference's db-scoped scripts run unchanged
+            try:
+                self.spark.sql(f"USE {m.group(1)}")
+            except Exception:  # noqa: BLE001
+                pass
+            return self.spark.sql("SELECT 1 AS status").limit(0)
         m = _DESCRIBE_PATH.match(sql_text)
         if m:
             from incubator_impala_spark.describe import describe_df
@@ -127,11 +168,44 @@ class Engine:
             # variants resolve to the flat fixture views
             path = re.sub(r"^functional(_\w+)?\.", "", m.group(1))
             return describe_df(self.spark, path)
+        m = _CTAS_STMT.match(sql_text)
+        if m:
+            if m.group("ine") and self.spark.catalog.tableExists(
+                    m.group("tbl")):
+                n = 0  # IF NOT EXISTS on an existing table: no insert
+            else:
+                self.spark.sql(self.translate(sql_text))
+                # CTAS runs as ExecutedCommandExec (no write metrics),
+                # so the summary count comes from the fresh table —
+                # parquet count(*) folds to footer row counts
+                n = self.spark.table(m.group("tbl")).count()
+            return self.spark.createDataFrame(
+                [(f"Inserted {n} row(s)",)], "summary string")
         m = _CREATE_TABLE_PLAIN.match(sql_text)
         if m:
             self.spark.sql(self.translate(sql_text))
             return self.spark.createDataFrame(
                 [("Table has been created.",)], "summary string")
+        m = _TRUNCATE_STMT.match(sql_text)
+        if m:
+            return self.spark.sql(f"TRUNCATE TABLE {m.group(1)}")
+        # INSERT detection runs on hint-stripped text (the reference
+        # allows /*+ clustered,shuffle */ between the target and the
+        # select) and handles the WITH-prefix form by folding the
+        # leading CTEs into the body
+        ins_text = dialect.strip_plan_hints(sql_text)
+        cte_prefix = ""
+        if re.match(r"^\s*with\b", ins_text, re.IGNORECASE):
+            # INSERT at paren depth 0 after the CTE list
+            depth0 = dialect._strip_parens_preserving(
+                dialect._neutralize(ins_text))
+            im = re.search(r"\binsert\b", depth0, re.IGNORECASE)
+            if im:
+                cte_prefix = ins_text[:im.start()].rstrip()
+                ins_text = ins_text[im.start():]
+        m = _INSERT_STMT.match(ins_text)
+        if m:
+            return self._insert(m, cte_prefix)
         granted = self.grants.handle(self.spark, sql_text)
         if granted is not None:
             return granted
@@ -168,6 +242,125 @@ class Engine:
                         (dt.precision, dt.scale)
                         if isinstance(dt, DecimalType) else None))
         return out
+
+    def _insert(self, m: re.Match, cte_prefix: str = "") -> DataFrame:
+        """INSERT INTO/OVERWRITE via a DataFrame write, returning the
+        reference's summary rows: per modified partition
+        `k1=v1/k2=v2/: N` (InsertStmt summary as impala-shell prints
+        it), or `: N` for an unpartitioned table. Handles the column-
+        permutation form (listed columns map by position, unlisted
+        data columns fill with NULL — InsertStmt.java column
+        permutations) and static/dynamic PARTITION specs (a static
+        spec becomes a literal column, so OVERWRITE under Spark's
+        dynamic partition-overwrite replaces exactly that partition,
+        matching the reference's static-partition overwrite)."""
+        from pyspark.sql import functions as F
+
+        tbl = m.group("tbl")
+        overwrite = m.group("mode").upper() == "OVERWRITE"
+        # `insert into t()` with no source: one all-default row
+        # (InsertStmt with an empty permutation and no query)
+        body = m.group("body") or "select 1 as __dummy__"
+        if re.match(r"^\s*values\b", body, re.IGNORECASE):
+            body = "select * from (" + body + ") __v"
+        if cte_prefix:
+            # `with t1 as (..) insert .. [with t2 as (..)] select` —
+            # fold the prefix CTEs into the body's WITH list
+            bm = re.match(r"^\s*with\b", body, re.IGNORECASE)
+            if bm:
+                body = cte_prefix + ", " + body[bm.end():]
+            else:
+                body = cte_prefix + " " + body
+        df = self.spark.sql(self.translate(body))
+
+        target = self.spark.table(tbl)
+        tcols = target.columns
+        ttypes = dict(zip(tcols, [f.dataType.simpleString()
+                                  for f in target.schema.fields]))
+        pcols = [c.name for c in self.spark.catalog.listColumns(tbl)
+                 if c.isPartition]
+        static: dict[str, str] = {}
+        dyn: list[str] = []
+        for item in dialect._split_args(m.group("part") or ""):
+            if "=" in item:
+                k, v = item.split("=", 1)
+                # the value may be an Impala expression (char casts…)
+                static[k.strip().strip("`").lower()] = (
+                    dialect.rewrite_char_casts(v.strip()))
+            elif item.strip():
+                dyn.append(item.strip().strip("`").lower())
+        # columns the SELECT supplies, in order; with a column
+        # permutation the dynamic partition keys append after the
+        # listed columns (InsertStmt.java permutation rules)
+        cols_g = m.group("cols")
+        if cols_g is not None:  # () is a valid EMPTY permutation
+            listed = [c for c in
+                      (x.strip().strip("`").lower()
+                       for x in cols_g.split(","))
+                      if c] + dyn
+        else:
+            listed = [c for c in tcols if c.lower() not in static]
+        if listed:
+            df = df.toDF(*listed)
+        out = []
+        for c in tcols:
+            if c.lower() in static:
+                out.append(F.expr(static[c.lower()])
+                           .cast(ttypes[c]).alias(c))
+            elif c.lower() in listed:
+                out.append(F.col(c.lower()).cast(ttypes[c]).alias(c))
+            else:
+                out.append(F.lit(None).cast(ttypes[c]).alias(c))
+        final = df.select(out)
+
+        # persist so the summary count and the write share one scan of
+        # the source (also isolates self-inserts from the new data)
+        final = final.persist()
+        if pcols:
+            counts = (final.groupBy(*pcols).count()
+                      .orderBy(*pcols).collect())
+
+            def fmt(v):
+                # NULL and '' partition keys land in Hive's default
+                # partition; string values print URL-escaped exactly
+                # as they name partition directories (Hive
+                # FileUtils.escapePathName, mirrored by the
+                # reference's summary)
+                if v is None or v == "":
+                    return "__HIVE_DEFAULT_PARTITION__"
+                if isinstance(v, str):
+                    # Hive FileUtils.escapePathName's exact char set
+                    # (space, +, etc. stay literal)
+                    return "".join(
+                        f"%{ord(ch):02X}"
+                        if ch in '"#%\'*/:=?\\{[]^' or ord(ch) < 0x20
+                        else ch
+                        for ch in v)
+                if isinstance(v, float):
+                    # partition dirs print floats shortest-form
+                    # (float_col=0, not 0.0)
+                    return f"{v:g}"
+                return str(v)
+
+            # an insert that modified no partition prints nothing
+            # (the reference's summary is the per-partition map)
+            rows = [("/".join(f"{c}={fmt(r[c])}" for c in pcols)
+                     + f"/: {r['count']}",)
+                    for r in counts]
+        else:
+            rows = [(f": {final.count()}",)]
+        prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            final.write.insertInto(tbl, overwrite=overwrite)
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev)
+            final.unpersist()
+        return self.spark.createDataFrame(
+            rows, "__insert_summary__ string")
 
     def _load_data(self, path: str, table: str, overwrite: bool,
                    partition: str | None) -> DataFrame:

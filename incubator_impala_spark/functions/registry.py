@@ -516,9 +516,11 @@ QUERY_OPTION_MAP: dict = {
     "broadcast_bytes_limit": lambda v: (
         "spark.sql.autoBroadcastJoinThreshold", v
     ),
-    # parquet dictionary/stats pruning toggles map onto filter pushdown
+    # parquet dictionary/stats pruning toggles map onto filter
+    # pushdown; Impala spells booleans 0/1, Spark wants true/false
     "parquet_read_statistics": lambda v: (
-        "spark.sql.parquet.filterPushdown", v
+        "spark.sql.parquet.filterPushdown",
+        "true" if v.lower() in ("1", "true") else "false",
     ),
     # num_scanner_threads / mt_dop ≈ local parallelism → shuffle
     # partitions. Impala's MT_DOP=0 means "auto" (query-options.h) —

@@ -76,6 +76,34 @@ def table_path(name: str) -> str:
 
 _REGISTERED_KEY = "spark.incubator_impala.functionalRegistered"
 
+# Empty INSERT-target tables from the reference's schema template
+# (functional_schema_template.sql: alltypesinsert LIKE alltypes etc.).
+# Created as REAL managed tables at registration — the workloads'
+# own `create table X like $ORIGINAL_DB.X` blocks can't run without
+# the test runner's variables. The QueryTest harness treats these as
+# protected (its per-file cleanup must not drop them).
+_ALLTYPES_COLS = (
+    "id int, bool_col boolean, tinyint_col tinyint, "
+    "smallint_col smallint, int_col int, bigint_col bigint, "
+    "float_col float, double_col double, date_string_col string, "
+    "string_col string, timestamp_col timestamp")
+INSERT_TARGETS = {
+    "alltypesinsert": (f"({_ALLTYPES_COLS}, year int, month int) "
+                       "USING parquet PARTITIONED BY (year, month)"),
+    "alltypesnopart_insert": f"({_ALLTYPES_COLS}) USING parquet",
+    # LIKE alltypes with SORT BY ZORDER — the zorder clause is a
+    # within-file layout hint (IMPALA-10233), no logical difference
+    "partitioned_zorder_tbl": (f"({_ALLTYPES_COLS}, year int, month int) "
+                               "USING parquet "
+                               "PARTITIONED BY (year, month)"),
+    "insert_string_partitioned": ("(s1 string, s2 string) USING parquet "
+                                  "PARTITIONED BY (s2)"),
+    "table_with_header_insert": "(i1 int) USING parquet",
+    "insert_overwrite_nopart": "(col1 int) USING parquet",
+    "insert_overwrite_partitioned": ("(col1 int, col2 int) USING parquet "
+                                     "PARTITIONED BY (col2)"),
+}
+
 
 def register_functional(spark: SparkSession) -> None:
     """Idempotent temp-view registration; none of the table names
@@ -139,6 +167,27 @@ def register_functional(spark: SparkSession) -> None:
         "struct<f21: bigint>>>>>, year int, month int")
     spark.createDataFrame([], _ACT_SCHEMA) \
         .createOrReplaceTempView("allcomplextypes")
+    # multi-file layout variants carry the SAME rows as their base
+    # table (the reference splits each partition into several files to
+    # exercise scan-range assignment — a physical property with no
+    # query-visible difference on this engine)
+    spark.table("alltypesagg").createOrReplaceTempView(
+        "alltypesaggmultifiles")
+    # empty INSERT-target tables from the schema template
+    # (functional_schema_template.sql: alltypesinsert LIKE alltypes,
+    # alltypesnopart_insert, insert_string_partitioned,
+    # table_with_header_insert) — real managed tables, recreated empty
+    # at registration so insert workloads start hermetic
+    import re as _re
+    import shutil as _shutil
+
+    wh = _re.sub(r"^file:", "",
+                 spark.conf.get("spark.sql.warehouse.dir",
+                                "spark-warehouse"))
+    for name, ddl in INSERT_TARGETS.items():
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+        spark.sql(f"CREATE TABLE {name} {ddl}")
     for name, sql in FUNCTIONAL_VIEWS.items():
         spark.sql(sql).createOrReplaceTempView(name)
     spark.conf.set(_REGISTERED_KEY, "1")

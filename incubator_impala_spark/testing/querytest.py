@@ -170,6 +170,11 @@ def _col_kind(spark_type: str) -> str:
 def dataframe_rows(df) -> tuple[list[str], list[str]]:
     """Collect a DataFrame into .test row strings; returns (rows,
     column kinds)."""
+    if df.columns == ["__insert_summary__"]:
+        # the engine's INSERT summary (`: N` / `year=.../: N` rows)
+        # prints raw — the reference harness carries it as the insert
+        # RPC's partition map, not as a quoted result set
+        return [r[0] for r in df.collect()], ["string"]
     kinds = [_col_kind(f.dataType.simpleString()) for f in df.schema.fields]
     rows = []
     for row in df.collect():
@@ -220,7 +225,18 @@ def _values_equal(exp: str, act: str, col_type: str) -> bool:
         return _compare_float(float(exp), float(act), 10e-10)
     if t == "boolean":
         return exp.lower() == act.lower()
-    return exp == act
+    if exp == act:
+        return True
+    if t == "string" and not exp.startswith("'") and not act.startswith("'"):
+        # blocks without a TYPES section fall back to text compare;
+        # unquoted numeric tokens still match numerically so the
+        # engines' integral-double printing difference (42 vs 42.0)
+        # doesn't read as a value difference
+        try:
+            return _compare_float(float(exp), float(act), 10e-10)
+        except ValueError:
+            return False
+    return False
 
 
 def _rows_equal(exp: str, act: str, col_types: list[str]) -> bool:
@@ -280,7 +296,8 @@ def types_compatible(expected: list[str], actual: list[str]) -> bool:
 
 _RUNNABLE = re.compile(
     r"^[\s(]*(select|with|values|describe(?!\s+formatted\b)|"
-    r"create\s+table|insert\s+(?:into|overwrite)|drop\s+table)\b",
+    r"create\s+table|insert\s+(?:into|overwrite)|drop\s+table|"
+    r"truncate|alter\s+table)\b",
     re.IGNORECASE)
 _VAR = re.compile(r"\$[A-Z][A-Z0-9_]*")
 
@@ -327,6 +344,41 @@ def run_blocks(engine, blocks: list[Block], *,
     passing xfail block reports `xpass` so stale entries surface.
     """
     xfail = xfail or {}
+    # hermetic re-runs: the session catalog is in-memory but the
+    # warehouse directory persists across pytest runs, so every table
+    # a file creates is dropped (catalog entry AND orphan dir) ONCE
+    # before the file runs — not per block, which would break
+    # IF NOT EXISTS semantics that later blocks assert on.
+    created = set()
+    for b in blocks:
+        for cm in re.finditer(
+                r"(?is)\bcreate\s+(?:external\s+)?table\s+"
+                r"(?:if\s+not\s+exists\s+)?"
+                r"([A-Za-z_][\w.]*)", b.query):
+            created.add(cm.group(1))
+    try:
+        from incubator_impala_spark.sources.functional import (
+            INSERT_TARGETS,
+        )
+
+        # template-owned insert targets are (re)created empty by
+        # register_functional; their in-file `create ... like
+        # $ORIGINAL_DB.x` blocks skip, so dropping them here would
+        # orphan every insert that follows
+        created -= set(INSERT_TARGETS)
+    except Exception:  # noqa: BLE001
+        pass
+    for name in created:
+        try:
+            engine.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            wh = engine.spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse")
+            shutil.rmtree(
+                os.path.join(re.sub(r"^file:", "", wh),
+                             name.split(".")[-1]),
+                ignore_errors=True)
+        except Exception:  # noqa: BLE001
+            pass
     out: list[BlockResult] = []
     for b in blocks:
         r = _run_one(engine, b, rewrite, table_rewrites or {})
@@ -340,19 +392,84 @@ def run_blocks(engine, blocks: list[Block], *,
     return out
 
 
+_SIDE_EFFECT = re.compile(
+    r"(?im)^[\s(]*(create\s+(?:external\s+)?table|alter\s+table|insert\s+(?:into|overwrite)|"
+    r"drop\s+table|truncate)\b")
+
+
+_LOCATION_CLAUSE = re.compile(
+    r"\s+LOCATION\s+'[^']*'", re.IGNORECASE)
+
+
+def _strip_location(stmt: str) -> str:
+    """CREATE TABLE LOCATION clauses point into the reference's
+    HDFS test-warehouse (usually through $DATABASE/$FILESYSTEM
+    variables); this engine's equivalent is a managed table, so the
+    clause is dropped (with EXTERNAL, which Spark ties to LOCATION).
+    Harness-level adaptation only — the engine keeps LOCATION."""
+    if not re.match(r"\s*create\s+(external\s+)?table\b", stmt,
+                    re.IGNORECASE):
+        return stmt
+    out = _LOCATION_CLAUSE.sub("", stmt)
+    return re.sub(r"(?i)\bcreate\s+external\s+table\b", "create table",
+                  out)
+
+
+def _strip_location_all(text: str) -> str:
+    return ";".join(_strip_location(x) for x in _split_statements(text))
+
+
+def _query_vars(text: str) -> bool:
+    """Runner variables in the executable text — `#` comment lines
+    don't count (e.g. the reference's `# ... insert$TABLE ...` headers
+    are commentary, not substitution points)."""
+    stripped = "\n".join(ln for ln in text.split("\n")
+                         if not ln.lstrip().startswith("#"))
+    return _VAR.search(stripped) is not None
+
+
 def _run_one(engine, b: Block, rewrite, table_rewrites) -> BlockResult:
     if b.has_catch:
         return BlockResult(b.index, "skip", "catch-block")
     if b.results is None:
+        # DDL/DML blocks without a RESULTS section still EXECUTE (the
+        # reference harness runs every block; later blocks read the
+        # tables these populate) — verification is skipped, errors are
+        # surfaced so a broken setup fails loudly at the source block
+        if (_SIDE_EFFECT.search(b.query)
+                and not _query_vars(_strip_location_all(b.query))
+                and not re.search(r"\b(tpch|tpcds)\w*\.", b.query,
+                                  re.IGNORECASE)):
+            stmts = [_strip_location(x)
+                     for x in _split_statements(b.query)]
+            if all(_RUNNABLE.match(s) or s.lower().startswith("set ")
+                   for s in stmts):
+                try:
+                    for s in stmts:
+                        s = re.sub(r"\bfunctional(_\w+)?\.", "", s)
+                        s = re.sub(r"`functional(_\w+)?`\.", "", s)
+                        for old, new in table_rewrites.items():
+                            s = re.sub(rf"\b{old}\b", new, s)
+                        if rewrite is not None:
+                            s = rewrite(s)
+                        engine.sql(s)
+                except Exception as exc:  # noqa: BLE001
+                    first = next(
+                        (ln for ln in str(exc).split("\n")
+                         if ln.strip()), "")
+                    return BlockResult(
+                        b.index, "error",
+                        f"{type(exc).__name__}: {first}"[:300])
+                return BlockResult(b.index, "skip", "executed-no-verify")
         return BlockResult(b.index, "skip", "no-results-section")
-    if _VAR.search(b.query):
+    if _query_vars(_strip_location_all(b.query)):
         return BlockResult(b.index, "skip", "runner-variable")
     for row in b.results:
         if not row.startswith("row_regex:") and _VAR.search(row):
             return BlockResult(b.index, "skip", "runner-variable")
         if row.startswith("aggregation("):
             return BlockResult(b.index, "skip", "profile-aggregation")
-    stmts = _split_statements(b.query)
+    stmts = [_strip_location(x) for x in _split_statements(b.query)]
     if not all(_RUNNABLE.match(s) or s.lower().startswith("set ")
                for s in stmts):
         return BlockResult(b.index, "skip", "non-query-statement")
@@ -391,20 +508,20 @@ def _run_one(engine, b: Block, rewrite, table_rewrites) -> BlockResult:
         df = None
         for s in sql_stmts:
             cm = re.match(
-                r"(?is)\s*create\s+table\s+(?:if\s+not\s+exists\s+)?"
-                r"([A-Za-z_][\w.]*)", s)
+                r"(?is)\s*create\s+table\s+([A-Za-z_][\w.]*)", s)
             if cm:
-                # the session catalog is in-memory but the warehouse
-                # dir persists across pytest runs: drop any same-name
-                # leftover (catalog entry AND orphan directory) so the
-                # reference's fresh-database assumption holds
+                # a PLAIN create (no IF NOT EXISTS) asserts the table
+                # is fresh: clear a leftover from an earlier failed
+                # run (run_blocks pre-clears per file; this guards
+                # repeated plain creates within one file)
                 name = cm.group(1)
                 engine.spark.sql(f"DROP TABLE IF EXISTS {name}")
                 wh = engine.spark.conf.get(
                     "spark.sql.warehouse.dir", "spark-warehouse")
-                d = os.path.join(
-                    re.sub(r"^file:", "", wh), name.split(".")[-1])
-                shutil.rmtree(d, ignore_errors=True)
+                shutil.rmtree(
+                    os.path.join(re.sub(r"^file:", "", wh),
+                                 name.split(".")[-1]),
+                    ignore_errors=True)
             if s.lower().startswith("set "):
                 engine.sql(s)
             else:
