@@ -1,0 +1,393 @@
+"""ALTER TABLE veneer: Impala's column/partition DDL over Spark
+datasource tables, with the reference's one-row summaries.
+
+Reference surface: AlterTableStmt family
+(fe/src/main/java/org/apache/impala/analysis/AlterTable*.java) and the
+CatalogOpExecutor summary strings ('New column(s) have been added to
+the table.', 'Dropped 1 partition(s).', ...).
+
+Spark's v1 in-memory catalog natively supports ADD COLUMNS and
+ADD/DROP PARTITION but not DROP/CHANGE/REPLACE COLUMNS; those are
+expressed as a rewrite: project the table to the new schema, save
+under a temp name, swap. That is a data-rewriting operation — correct
+and idempotent, and on a real deployment it is exactly what a
+schema-migration job does; the reference's metadata-only variant
+relies on Hive schema-on-read, which parquet-by-name reads replace
+here.
+
+Partition-spec values may be constant expressions in Impala
+(``j=cast(2-1 as int)``); they are folded to literals with a 1-row
+SELECT before handing Spark the partition DDL.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from incubator_impala_spark import dialect
+
+__all__ = ["handle"]
+
+_ALTER = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>[A-Za-z_][\w.]*)\s+(?P<rest>[\s\S]+)$",
+    re.IGNORECASE)
+
+_ADD_COLS = re.compile(
+    r"^ADD\s+(?P<ine1>IF\s+NOT\s+EXISTS\s+)?COLUMNS\s*"
+    r"\((?P<cols>[\s\S]*)\)\s*;?\s*$",
+    re.IGNORECASE)
+_ADD_COL = re.compile(
+    r"^ADD\s+COLUMN\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<col>[\s\S]+?)\s*;?\s*$",
+    re.IGNORECASE)
+_DROP_COL = re.compile(
+    r"^DROP\s+(?:COLUMN\s+)?(`?)(?P<col>[A-Za-z_]\w*)\1\s*;?\s*$",
+    re.IGNORECASE)
+_CHANGE_COL = re.compile(
+    r"^CHANGE\s+(?:COLUMN\s+)?(`?)(?P<old>[A-Za-z_]\w*)\1\s+"
+    r"(`?)(?P<new>[A-Za-z_]\w*)\3\s+(?P<type>[\s\S]+?)"
+    r"(?:\s+COMMENT\s+'(?P<comment>(?:[^']|'')*)')?\s*;?\s*$",
+    re.IGNORECASE)
+_SET_COMMENT = re.compile(
+    r"^ALTER\s+COLUMN\s+(`?)(?P<col>[A-Za-z_]\w*)\1\s+SET\s+COMMENT\s+"
+    r"'(?P<comment>(?:[^']|'')*)'\s*;?\s*$",
+    re.IGNORECASE)
+_REPLACE_COLS = re.compile(
+    r"^REPLACE\s+COLUMNS\s*\((?P<cols>[\s\S]*)\)\s*;?\s*$",
+    re.IGNORECASE)
+_ADD_PART = re.compile(
+    r"^ADD\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?PARTITION\s*"
+    r"\((?P<spec>[\s\S]*?)\)\s*"
+    r"(?:LOCATION\s+'[^']*'\s*)?(?:(?:UN)?CACHED[\s\S]*)?;?\s*$",
+    re.IGNORECASE)
+_DROP_PART = re.compile(
+    r"^DROP\s+(?P<ife>IF\s+EXISTS\s+)?PARTITION\s*"
+    r"\((?P<spec>[\s\S]*?)\)\s*(?:PURGE\s*)?;?\s*$",
+    re.IGNORECASE)
+# metadata-only settings this engine records as accepted: storage
+# hints with no logical-result difference (sort order, caching,
+# serde/fileformat of future writes, table properties)
+_SET_META = re.compile(
+    r"^(?:PARTITION\s*\((?P<spec>(?:[^()]|\([^()]*\))*)\)\s+)?SET\s+"
+    r"(?:TBLPROPERTIES|SERDEPROPERTIES|FILEFORMAT|ROW\s+FORMAT|"
+    r"LOCATION|CACHED|UNCACHED|OWNER)\b[\s\S]*$",
+    re.IGNORECASE)
+_SORT_BY = re.compile(
+    r"^SORT\s+BY\s*(?:ZORDER\s*|LEXICAL\s*)?\([\s\S]*?\)\s*;?\s*$",
+    re.IGNORECASE)
+
+
+def _summary(spark, text: str) -> DataFrame:
+    return spark.createDataFrame([(text,)], "summary string")
+
+
+def _split_cols(text: str) -> list[str]:
+    """Split a column-definition list on top-level commas — unlike
+    dialect._split_args this also tracks ``<>`` generic depth
+    (``map<string,float>`` is one item)."""
+    items, cur, depth, angle, q = [], [], 0, 0, None
+    for c in text:
+        if q:
+            cur.append(c)
+            if c == q:
+                q = None
+        elif c in "'\"":
+            q = c
+            cur.append(c)
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif c == "<":
+            angle += 1
+            cur.append(c)
+        elif c == ">":
+            angle -= 1
+            cur.append(c)
+        elif c == "," and depth == 0 and angle == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    items.append("".join(cur))
+    return [x.strip() for x in items if x.strip()]
+
+
+def _col_def(item: str):
+    """('name', 'type sql', comment|None) from a column definition."""
+    m = re.match(
+        r"\s*(`?)(?P<name>[A-Za-z_]\w*)\1\s+(?P<type>[\s\S]+?)"
+        r"(?:\s+COMMENT\s+'(?P<comment>(?:[^']|'')*)')?\s*$",
+        item, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"Cannot parse column definition: {item!r}")
+    c = m.group("comment")
+    return (m.group("name"), m.group("type").strip(),
+            c.replace("''", "'") if c is not None else None)
+
+
+def _partition_cols(spark, tbl: str) -> list[str]:
+    try:
+        return [c.name for c in spark.catalog.listColumns(tbl)
+                if c.isPartition]
+    except Exception:  # noqa: BLE001
+        return []
+
+
+def _recreate(engine, tbl: str, exprs: list) -> None:
+    """Project `tbl` through `exprs` and swap the result in under the
+    same name, preserving the partition spec. The projection runs
+    distributed (one write job over the table's current files)."""
+    spark = engine.spark
+    pcols = _partition_cols(spark, tbl)
+    df = spark.table(tbl).select(exprs)
+    tmp = f"{tbl}__alter_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    import os
+    import shutil
+
+    wh = re.sub(r"^file:", "", spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"))
+    shutil.rmtree(os.path.join(wh, tmp.split(".")[-1].lower()),
+                  ignore_errors=True)
+    writer = df.write.format("parquet")
+    # partition columns must survive the projection by name
+    keep = [p for p in pcols if p in df.columns]
+    if keep:
+        writer = writer.partitionBy(*keep)
+    writer.saveAsTable(tmp)
+    spark.sql(f"DROP TABLE {tbl}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {tbl}")
+    if keep:
+        # the catalog's rename does not carry partition entries over;
+        # rebuild them from the moved directories
+        spark.sql(f"MSCK REPAIR TABLE {tbl}")
+
+
+def _fold_spec(engine, spec: str) -> list[tuple[str, str]]:
+    """Partition spec with constant-folded values as SQL literals."""
+    items = []
+    for item in dialect._split_args(spec):
+        if not item.strip():
+            continue
+        k, v = item.split("=", 1)
+        v = v.strip()
+        if not re.fullmatch(r"-?\d+(\.\d+)?|'(?:[^']|'')*'|NULL", v,
+                            re.IGNORECASE):
+            row = engine.spark.sql(
+                "SELECT " + engine.translate(v)).collect()[0][0]
+            v = "NULL" if row is None else \
+                "'" + str(row).replace("'", "''") + "'" \
+                if isinstance(row, str) else str(row)
+        items.append((k.strip().strip("`"), v))
+    return items
+
+
+def _drop_sort_col(engine, tbl: str, col: str) -> None:
+    sp = engine.sort_props.get(tbl.lower())
+    if sp:
+        engine.sort_props[tbl.lower()] = (
+            [c for c in sp[0] if c.lower() != col.lower()], sp[1])
+
+
+def _rename_sort_col(engine, tbl: str, old: str, new: str) -> None:
+    sp = engine.sort_props.get(tbl.lower())
+    if sp:
+        engine.sort_props[tbl.lower()] = (
+            [new if c.lower() == old.lower() else c for c in sp[0]],
+            sp[1])
+
+
+def handle(engine, sql_text: str) -> DataFrame | None:
+    m = _ALTER.match(sql_text)
+    if m is None:
+        return None
+    spark = engine.spark
+    tbl, rest = m.group("tbl"), m.group("rest").strip()
+
+    am = _ADD_COLS.match(rest) or _ADD_COL.match(rest)
+    if am:
+        if "cols" in am.groupdict() and am.group("cols") is not None:
+            defs = [_col_def(x)
+                    for x in _split_cols(am.group("cols"))]
+            ine = bool(am.group("ine1"))
+        else:
+            defs = [_col_def(am.group("col"))]
+            ine = bool(am.group("ine"))
+        existing = {c.lower() for c in spark.table(tbl).columns}
+        new = [d for d in defs if d[0].lower() not in existing]
+        if ine and not new:
+            return _summary(
+                spark, "No new column(s) have been added to the table.")
+        if not new and not ine:
+            raise ValueError(f"Column already exists: {defs[0][0]}")
+        ddl = ", ".join(
+            f"`{n}` {t}" + (f" COMMENT '{c}'" if c is not None else "")
+            for n, t, c in new)
+        spark.sql(f"ALTER TABLE {tbl} ADD COLUMNS ({ddl})")
+        return _summary(
+            spark, "New column(s) have been added to the table.")
+
+    dm = _DROP_COL.match(rest)
+    if dm and dm.group("col").lower() != "partition":
+        col = dm.group("col")
+        cols = spark.table(tbl).schema.fields
+        if col.lower() not in {f.name.lower() for f in cols}:
+            raise ValueError(f"Column does not exist: {col}")
+        exprs = [F.col(f"`{f.name}`") for f in cols
+                 if f.name.lower() != col.lower()]
+        _recreate(engine, tbl, exprs)
+        _drop_sort_col(engine, tbl, col)
+        return _summary(spark, "Column has been dropped.")
+
+    cm = _CHANGE_COL.match(rest)
+    if cm:
+        old, new, typ = cm.group("old"), cm.group("new"), \
+            cm.group("type")
+        comment = cm.group("comment")
+        exprs = []
+        found = False
+        df0 = spark.table(tbl)
+        for f in df0.schema.fields:
+            if f.name.lower() == old.lower():
+                found = True
+                meta = dict(f.metadata or {})
+                if comment is not None:
+                    meta["comment"] = comment.replace("''", "'")
+                e = F.col(f"`{f.name}`").cast(typ)
+                try:
+                    df0.select(e)     # analysis-only validity probe
+                except Exception:  # noqa: BLE001
+                    # uncastable retype reads as NULL (what a parquet
+                    # re-read under the new schema yields)
+                    e = F.lit(None).cast(typ)
+                exprs.append(e.alias(new, metadata=meta))
+            else:
+                exprs.append(F.col(f"`{f.name}`"))
+        if not found:
+            raise ValueError(f"Column does not exist: {old}")
+        _recreate(engine, tbl, exprs)
+        _rename_sort_col(engine, tbl, old, new)
+        return _summary(spark, "Column has been altered.")
+
+    scm = _SET_COMMENT.match(rest)
+    if scm:
+        col = scm.group("col")
+        exprs = []
+        for f in spark.table(tbl).schema.fields:
+            if f.name.lower() == col.lower():
+                meta = dict(f.metadata or {})
+                meta["comment"] = scm.group("comment").replace("''", "'")
+                exprs.append(F.col(f"`{f.name}`")
+                             .alias(f.name, metadata=meta))
+            else:
+                exprs.append(F.col(f"`{f.name}`"))
+        _recreate(engine, tbl, exprs)
+        return _summary(spark, "Column has been altered.")
+
+    rm = _REPLACE_COLS.match(rest)
+    if rm:
+        defs = [_col_def(x)
+                for x in _split_cols(rm.group("cols"))]
+        pcols = _partition_cols(spark, tbl)
+        fields = [f for f in spark.table(tbl).schema.fields
+                  if f.name not in pcols]
+        exprs = []
+        # Hive REPLACE COLUMNS is positional schema-on-read: the i-th
+        # new column reads the i-th existing data column; an
+        # uncastable pairing reads as NULL (what a parquet re-read
+        # under the new schema yields)
+        df0 = spark.table(tbl)
+        for i, (n, t, c) in enumerate(defs):
+            meta = {"comment": c} if c is not None else {}
+            e = F.lit(None).cast(t)
+            if i < len(fields):
+                try:
+                    cast_e = F.col(f"`{fields[i].name}`").cast(t)
+                    df0.select(cast_e)   # analysis-only validity probe
+                    e = cast_e
+                except Exception:  # noqa: BLE001
+                    pass
+            exprs.append(e.alias(n, metadata=meta))
+        exprs += [F.col(f"`{p}`") for p in pcols]
+        _recreate(engine, tbl, exprs)
+        # positional replace: the i-th sort column follows the rename
+        # of the i-th data column, dropped columns fall out
+        ren = {fields[i].name.lower(): defs[i][0]
+               for i in range(min(len(fields), len(defs)))}
+        sp = engine.sort_props.get(tbl.lower())
+        if sp:
+            cols = [ren[c.lower()] for c in sp[0] if c.lower() in ren]
+            engine.sort_props[tbl.lower()] = (cols, sp[1])
+        return _summary(spark, "Table columns have been replaced.")
+
+    n_specs = len(re.findall(r"\bPARTITION\s*\(", rest, re.IGNORECASE))
+    pm = _ADD_PART.match(rest) if n_specs <= 1 else None
+    if pm is None and re.match(
+            r"^ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?PARTITION\b", rest,
+            re.IGNORECASE):
+        # multi-partition form: ADD PARTITION (..) [opts] PARTITION
+        # (..) [opts] ... (AlterTableAddPartitionStmt repeated specs)
+        ine = bool(re.match(r"^ADD\s+IF\s+NOT\s+EXISTS\b", rest,
+                            re.IGNORECASE))
+        specs = re.findall(r"PARTITION\s*\(((?:[^()]|\([^()]*\))*)\)",
+                           rest, re.IGNORECASE)
+        for raw in specs:
+            spec = _fold_spec(engine, raw)
+            sql_spec = ", ".join(f"`{k}`={v}" for k, v in spec)
+            kw = "IF NOT EXISTS " if ine else ""
+            spark.sql(
+                f"ALTER TABLE {tbl} ADD {kw}PARTITION ({sql_spec})")
+        return _summary(
+            spark, "New partition has been added to the table.")
+    if pm:
+        spec = _fold_spec(engine, pm.group("spec"))
+        sql_spec = ", ".join(f"`{k}`={v}" for k, v in spec)
+        ine = "IF NOT EXISTS " if pm.group("ine") else ""
+        spark.sql(f"ALTER TABLE {tbl} ADD {ine}PARTITION ({sql_spec})")
+        return _summary(
+            spark, "New partition has been added to the table.")
+
+    pm = _DROP_PART.match(rest)
+    if pm:
+        spec = _fold_spec(engine, pm.group("spec"))
+        sql_spec = ", ".join(f"`{k}`={v}" for k, v in spec)
+        ife = "IF EXISTS " if pm.group("ife") else ""
+        spark.sql(f"ALTER TABLE {tbl} DROP {ife}PARTITION ({sql_spec})")
+        return _summary(spark, "Dropped 1 partition(s).")
+
+    sm = _SET_META.match(rest)
+    if sm:
+        if re.match(r"^\s*SET\s+TBLPROPERTIES\b", rest, re.IGNORECASE) \
+                and not sm.group("spec"):
+            try:  # real property store when Spark supports it
+                spark.sql(f"ALTER TABLE {tbl} {rest}")
+            except Exception:  # noqa: BLE001
+                pass
+        if sm.group("spec"):
+            if re.match(r"^\s*PARTITION\s*\([^)]*(?:\([^)]*\)[^)]*)*\)"
+                        r"\s+SET\s+LOCATION\b", rest, re.IGNORECASE):
+                return _summary(
+                    spark, "New location has been set for the "
+                           "specified partition.")
+            return _summary(spark, "Updated 1 partition(s).")
+        return _summary(spark, "Updated table.")
+
+    sb = re.match(r"^SORT\s+BY\s*(?P<ord>ZORDER|LEXICAL)?\s*"
+                  r"\((?P<cols>[\s\S]*?)\)\s*;?\s*$", rest,
+                  re.IGNORECASE)
+    if sb:
+        # write-layout metadata (IMPALA-4166/IMPALA-10233): recorded
+        # for DESCRIBE FORMATTED's sort.columns/sort.order rows; no
+        # effect on stored data
+        cols = [c.strip().strip("`")
+                for c in sb.group("cols").split(",") if c.strip()]
+        engine.sort_props[tbl.lower()] = (
+            cols, (sb.group("ord") or "LEXICAL").upper())
+        return _summary(spark, "Updated table.")
+
+    return None

@@ -1605,6 +1605,127 @@ def rewrite_create_partitioned(sql: str) -> str:
             + tail + " partitioned by (" + names + ")")
 
 
+_ROW_FORMAT = re.compile(
+    r"\s+ROW\s+FORMAT\s+DELIMITED"
+    r"(?:\s+FIELDS\s+TERMINATED\s+BY\s+(?P<sep>'[^']*'))?"
+    r"(?:\s+ESCAPED\s+BY\s+(?P<esc>'[^']*'))?"
+    r"(?:\s+LINES\s+TERMINATED\s+BY\s+'[^']*')?",
+    re.IGNORECASE)
+
+
+def rewrite_row_format(sql: str) -> str:
+    """Hive/Impala ``ROW FORMAT DELIMITED ...`` on CREATE TABLE →
+    Spark's csv source with matching OPTIONS (the USING-form grammar
+    has no ROW FORMAT). Clause order is free in Spark 3's createTable
+    grammar, so the USING lands at the end when the statement had no
+    STORED AS (text is the reference's default format)."""
+    shadow = _neutralize(sql)
+    if not re.match(r"\s*create\s+(external\s+)?table\b", shadow,
+                    re.IGNORECASE):
+        return sql
+    m = _ROW_FORMAT.search(shadow)
+    if not m:
+        return sql
+    # text-table semantics keep whitespace verbatim (the csv writer
+    # trims by default, the reference's text writer never does)
+    opts = ["ignoreLeadingWhiteSpace='false'",
+            "ignoreTrailingWhiteSpace='false'"]
+    if m.group("sep"):
+        opts.append("sep=" + sql[m.start("sep"):m.end("sep")])
+    if m.group("esc"):
+        opts.append("escape=" + sql[m.start("esc"):m.end("esc")])
+    opt_str = f" options ({', '.join(opts)})" if opts else ""
+    rest = sql[:m.start()] + " " + sql[m.end():]
+    shadow2 = _neutralize(rest)
+    sm = re.search(r"\bstored\s+as\s+textfile\b", shadow2,
+                   re.IGNORECASE)
+    if sm:
+        rest = (rest[:sm.start()] + "using csv" + opt_str
+                + rest[sm.end():])
+    elif re.search(r"\bstored\s+as\b", shadow2, re.IGNORECASE):
+        pass  # non-text format: delimiters are meaningless, drop them
+    else:
+        rest = rest.rstrip().rstrip(";") + " using csv" + opt_str
+    return rest
+
+
+def rewrite_local_tz(sql: str, tz: str) -> str:
+    """``use_local_tz_for_unix_timestamp_conversions=1`` semantics
+    (reference flag/query option, be/src/exprs/timestamp-functions*):
+    unixtime<->timestamp conversions interpret the naive timestamp as
+    wall-clock in the query's ``timezone`` instead of UTC. The session
+    stays pinned UTC (Impala timestamps are timezone-naive), so the
+    localization is expressed per call site:
+
+    * ``from_unixtime(e[, fmt])`` -> shift the UTC instant into tz
+    * ``unix_timestamp(s[, fmt])`` -> read s as tz wall-clock
+    * ``cast(<numeric literal expr> as timestamp)`` -> shifted; only
+      literal arithmetic is recognized (the corpus's usage), column
+      casts keep UTC semantics.
+    """
+    t = tz.strip().strip("'\"").replace("'", "''")
+
+    def from_unixtime_t(a):
+        fmt = a[1] if len(a) > 1 else "'yyyy-MM-dd HH:mm:ss'"
+        return (f"date_format(from_utc_timestamp("
+                f"timestamp_seconds({a[0]}), '{t}'), {fmt})")
+
+    def unix_timestamp_t(a):
+        if not a:
+            return "unix_timestamp()"
+        inner = a[0] if len(a) == 1 else f"to_timestamp({a[0]}, {a[1]})"
+        return f"unix_timestamp(to_utc_timestamp({inner}, '{t}'))"
+
+    sql = rewrite_macro_calls(sql, "from_unixtime", from_unixtime_t)
+    sql = rewrite_macro_calls(sql, "unix_timestamp", unix_timestamp_t)
+    sql = _shadow_sub(
+        re.compile(r"\bcast\s*\(\s*(-?[\d.][\d. +*/eE()-]*?)\s+as\s+"
+                   r"timestamp\s*\)", re.IGNORECASE),
+        lambda m: (f"from_utc_timestamp(cast({m.group(1)} as "
+                   f"timestamp), '{t}')"),
+        sql)
+    return sql
+
+
+def rewrite_create_sort_by(sql: str) -> str:
+    """CREATE TABLE ``SORT BY [ZORDER|LEXICAL] (cols)`` is a
+    within-file layout hint (IMPALA-4166/IMPALA-10233) with no
+    query-visible semantics; dropped (the sink's PartialSort covers
+    clustered writes)."""
+    shadow = _neutralize(sql)
+    if not re.match(r"\s*create\s+(external\s+)?table\b", shadow,
+                    re.IGNORECASE):
+        return sql
+    m = re.search(r"\s+sort\s+by\s*(?:zorder\s*|lexical\s*)?"
+                  r"\([^)]*\)", shadow, re.IGNORECASE)
+    if not m:
+        return sql
+    return sql[:m.start()] + " " + sql[m.end():]
+
+
+def rewrite_ctas_clause_order(sql: str) -> str:
+    """Impala CTAS writes ``partitioned by (...) stored as fmt as
+    select``; after the STORED AS→USING mapping Spark needs the USING
+    before the PARTITIONED BY (grammar: provider precedes the
+    order-free clause list). Swaps them when needed."""
+    shadow = _neutralize(sql)
+    if not re.match(r"\s*create\s+(external\s+)?table\b", shadow,
+                    re.IGNORECASE):
+        return sql
+    pm = re.search(r"\bpartitioned\s+by\s*\([^)]*\)", shadow,
+                   re.IGNORECASE)
+    um = re.search(r"\busing\s+\w+(\s+options\s*\([^)]*\))?", shadow,
+                   re.IGNORECASE)
+    if not pm or not um or pm.start() > um.start():
+        return sql
+    part = sql[pm.start():pm.end()]
+    rest = sql[:pm.start()] + sql[pm.end():]
+    # re-locate the using clause in the spliced text
+    shift = pm.end() - pm.start()
+    ins = um.end() - shift
+    return rest[:ins] + " " + part + rest[ins:]
+
+
 def translate(sql: str, macros: dict | None = None, now=None) -> str:
     """Full Impala→Spark translation pipeline. `now` feeds the FORMAT
     clause's century-inference rules (NOW_STRING query option)."""
@@ -1621,6 +1742,8 @@ def translate(sql: str, macros: dict | None = None, now=None) -> str:
     sql = clamp_offset(sql)
     sql = rewrite_postfix_factorial(sql)
     sql = rewrite_posix_classes(sql)
+    sql = rewrite_row_format(sql)
+    sql = rewrite_create_sort_by(sql)
     sql = rewrite_create_partitioned(sql)
     # Hive-style STORED AS on CREATE TABLE → Spark USING (no Hive
     # catalog in a plain session); textfile maps to the csv source,
@@ -1632,6 +1755,7 @@ def translate(sql: str, macros: dict | None = None, now=None) -> str:
                               "sequencefile": "csv"}.get(
                                   m.group(1).lower(), m.group(1).lower()),
         sql)
+    sql = rewrite_ctas_clause_order(sql)
     # Impala aliases: REAL is DOUBLE (Spark's REAL is FLOAT); `&&` is
     # logical AND (`||` is NOT mapped — it is concat in Spark texts).
     # All three run on the literal-blind shadow: 'a&&b' is data.

@@ -48,7 +48,7 @@ _LOAD_DATA = re.compile(
 # paths into complex types (describe.py). FORMATTED/EXTENDED keep the
 # Spark extended-describe mapping in dialect._SIMPLE_STMTS.
 _DESCRIBE_PATH = re.compile(
-    r"^\s*DESCRIBE\s+(?!FORMATTED\b|EXTENDED\b|TABLE\b)"
+    r"^\s*DESCRIBE\s+(?!FORMATTED\b|EXTENDED\b|TABLE\b|DATABASE\b)"
     r"((?:`[^`]+`|[A-Za-z_]\w*)(?:\.(?:`[^`]+`|[A-Za-z_]\w*))*)\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -83,11 +83,34 @@ _INSERT_STMT = re.compile(
     r"(?P<body>(?:SELECT|WITH|VALUES)\b[\s\S]*)?$",
     re.IGNORECASE,
 )
-_USE_STMT = re.compile(
-    r"^\s*USE\s+([A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
+# SORT BY on CREATE TABLE — captured for the sort_props registry
+# before the dialect strips it (write-layout metadata surfaced by
+# DESCRIBE FORMATTED)
+_CREATE_SORT = re.compile(
+    r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<tbl>[A-Za-z_][\w.]*)[\s\S]*?"
+    r"\bSORT\s+BY\s*(?P<ord>ZORDER|LEXICAL)?\s*\((?P<cols>[^)]*)\)",
+    re.IGNORECASE,
+)
+_DESCRIBE_FMT = re.compile(
+    r"^\s*DESCRIBE\s+FORMATTED\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _TRUNCATE_STMT = re.compile(
-    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?:IF\s+EXISTS\s+)?"
-    r"([A-Za-z_][\w.]*)\s*;?\s*$",
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<ife>IF\s+EXISTS\s+)?"
+    r"(?P<tbl>[A-Za-z_][\w.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+# CREATE TABLE t LIKE src [STORED AS fmt] — clone schema + partition
+# spec, no data (CreateTableLikeStmt.java). The fixture relations are
+# temp views, so the clone is built from the source schema rather than
+# Spark's native LIKE (which requires a catalog table).
+_CREATE_LIKE = re.compile(
+    r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<tbl>[A-Za-z_][\w.]*)\s+"
+    r"(?:SORT\s+BY\s*(?:ZORDER\s*|LEXICAL\s*)?\([^)]*\)\s*)?"
+    r"LIKE\s+(?P<src>[A-Za-z_][\w.]*)"
+    r"[\s\S]*$",
     re.IGNORECASE,
 )
 
@@ -111,6 +134,20 @@ class Engine:
         # clock — used by FORMAT-cast century inference); None = wall
         # clock
         self.now = None
+        # query timezone + unixtime-conversion localization (reference
+        # `timezone` / `use_local_tz_for_unix_timestamp_conversions`
+        # query options; dialect.rewrite_local_tz)
+        self.tz = "UTC"
+        self.use_local_tz = False
+        from incubator_impala_spark.namespaces import Namespaces
+
+        # db-scoped DDL surface (CREATE DATABASE / VIEW / SHOW TABLES
+        # ... with the reference's summary rows) — namespaces.py
+        self.ns = Namespaces()
+        # SORT BY write-layout metadata (IMPALA-4166/IMPALA-10233):
+        # recorded per table, surfaced as the reference's
+        # sort.columns/sort.order property rows in DESCRIBE FORMATTED
+        self.sort_props: dict[str, tuple[list, str]] = {}
         if sf_dir:
             register_tables(self.spark, sf_dir)
 
@@ -127,6 +164,13 @@ class Engine:
         confs; Spark conf names pass through; everything else is
         accepted and ignored (returns False)."""
         key = name.lower()
+        if key == "timezone":
+            self.tz = value.strip().strip("'\"") or "UTC"
+            return True
+        if key == "use_local_tz_for_unix_timestamp_conversions":
+            self.use_local_tz = str(value).strip().lower() in (
+                "1", "true")
+            return True
         if key == "now_string":
             import datetime as _dt
 
@@ -150,16 +194,33 @@ class Engine:
         if m:
             self.set_option(m.group(1), m.group(2).strip("'\""))
             return self.spark.sql("SELECT 1 AS status")
-        m = _USE_STMT.match(sql_text)
+        # namespace shim: engine-owned db references become physical
+        # (mangled) names; db-scoped DDL returns its summary rows here
+        sql_text = self.ns.resolve(sql_text)
+        handled = self.ns.handle(self, sql_text)
+        if handled is not None:
+            return handled
+        from incubator_impala_spark import altertable
+
+        handled = altertable.handle(self, sql_text)
+        if handled is not None:
+            return handled
+        m = _CREATE_SORT.match(sql_text)
         if m:
-            # the engine's catalog is flat (fixture views in the
-            # default namespace); USE of an unknown db is a no-op so
-            # the reference's db-scoped scripts run unchanged
-            try:
-                self.spark.sql(f"USE {m.group(1)}")
-            except Exception:  # noqa: BLE001
-                pass
-            return self.spark.sql("SELECT 1 AS status").limit(0)
+            cols = [c.strip().strip("`")
+                    for c in m.group("cols").split(",") if c.strip()]
+            self.sort_props[m.group("tbl").lower()] = (
+                cols, (m.group("ord") or "LEXICAL").upper())
+        m = _DESCRIBE_FMT.match(sql_text)
+        if m and m.group(1).lower() in self.sort_props:
+            base = self.spark.sql(f"DESCRIBE TABLE EXTENDED {m.group(1)}")
+            cols, order = self.sort_props[m.group(1).lower()]
+            extra = self.spark.createDataFrame(
+                [("", "sort.columns".ljust(20),
+                  ",".join(cols).ljust(20)),
+                 ("", "sort.order".ljust(20), order.ljust(20))],
+                base.schema)
+            return base.unionByName(extra)
         m = _DESCRIBE_PATH.match(sql_text)
         if m:
             from incubator_impala_spark.describe import describe_df
@@ -181,6 +242,9 @@ class Engine:
                 n = self.spark.table(m.group("tbl")).count()
             return self.spark.createDataFrame(
                 [(f"Inserted {n} row(s)",)], "summary string")
+        m = _CREATE_LIKE.match(sql_text)
+        if m:
+            return self._create_like(m)
         m = _CREATE_TABLE_PLAIN.match(sql_text)
         if m:
             self.spark.sql(self.translate(sql_text))
@@ -188,7 +252,15 @@ class Engine:
                 [("Table has been created.",)], "summary string")
         m = _TRUNCATE_STMT.match(sql_text)
         if m:
-            return self.spark.sql(f"TRUNCATE TABLE {m.group(1)}")
+            tbl = m.group("tbl")
+            if not self.spark.catalog.tableExists(tbl):
+                if m.group("ife"):
+                    return self.spark.createDataFrame(
+                        [("Table does not exist.",)], "summary string")
+                raise ValueError(f"Table does not exist: {tbl}")
+            self.spark.sql(f"TRUNCATE TABLE {tbl}")
+            return self.spark.createDataFrame(
+                [("Table has been truncated.",)], "summary string")
         # INSERT detection runs on hint-stripped text (the reference
         # allows /*+ clustered,shuffle */ between the target and the
         # select) and handles the WITH-prefix form by folding the
@@ -221,6 +293,8 @@ class Engine:
         # dialect first (plan hints stripped, macros expanded), then
         # collection-path resolution on the cleaned text
         translated = self.translate(sql_text)
+        if self.use_local_tz and self.tz.upper() not in ("UTC", "GMT"):
+            translated = dialect.rewrite_local_tz(translated, self.tz)
         translated = nested_paths.rewrite_collection_refs(
             self.spark, translated)
         # Impala DECIMAL_V2 avg() result typing (scale max(6,s)) —
@@ -242,6 +316,50 @@ class Engine:
                         (dt.precision, dt.scale)
                         if isinstance(dt, DecimalType) else None))
         return out
+
+    def _create_like(self, m: re.Match) -> DataFrame:
+        """CREATE TABLE LIKE: clone the source's schema and partition
+        spec into an empty managed parquet table. Partition columns
+        come from the catalog when the source is a real table, else
+        from the functional schema template's declared partition
+        columns (sources/functional.py PARTITIONED_BY)."""
+        tbl = m.group("tbl")
+        src = re.sub(r"^functional(_\w+)?\.", "", m.group("src"))
+        if m.group("ine") and self.spark.catalog.tableExists(tbl):
+            return self.spark.createDataFrame(
+                [("Table already exists.",)], "summary string")
+        if tbl.split(".")[-1].lower() == src.split(".")[-1].lower() \
+                and self.spark.catalog.tableExists(tbl):
+            # self-LIKE of a template target (the harness resolves
+            # `functional.X` to the local X): fresh-create semantics
+            # without destroying the source — truncate in place
+            self.spark.sql(f"TRUNCATE TABLE {tbl}")
+            return self.spark.createDataFrame(
+                [("Table has been created.",)], "summary string")
+        df = self.spark.table(src)
+        pcols: list[str] = []
+        try:
+            pcols = [c.name
+                     for c in self.spark.catalog.listColumns(src)
+                     if c.isPartition]
+        except Exception:  # noqa: BLE001 - temp views carry none
+            pass
+        if not pcols:
+            from incubator_impala_spark.sources.functional import (
+                PARTITIONED_BY,
+            )
+
+            pcols = [c for c in PARTITIONED_BY.get(src.lower(), [])
+                     if c in df.columns]
+        cols_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.schema.fields)
+        part = (f" PARTITIONED BY ({', '.join(pcols)})"
+                if pcols else "")
+        self.spark.sql(
+            f"CREATE TABLE {tbl} ({cols_ddl}) USING parquet{part}")
+        return self.spark.createDataFrame(
+            [("Table has been created.",)], "summary string")
 
     def _insert(self, m: re.Match, cte_prefix: str = "") -> DataFrame:
         """INSERT INTO/OVERWRITE via a DataFrame write, returning the

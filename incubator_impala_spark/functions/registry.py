@@ -225,7 +225,11 @@ MACROS = {
         f"(CASE WHEN {a[0]} < {a[1]} THEN -1 WHEN {a[0]} > {a[1]} THEN 1 "
         f"WHEN {a[0]} = {a[1]} THEN 0 END)"
     ),
-    "unix_micros_to_utc_timestamp": lambda a: f"timestamp_micros({a[0]})",
+    # range-clamped like the reference (TimestampValue::FromUnixTimeMicros
+    # valid range 1400-01-01..9999-12-31 23:59:59.999999 -> NULL outside)
+    "unix_micros_to_utc_timestamp": lambda a: (
+        f"CASE WHEN ({a[0]}) BETWEEN -17987443200000000 AND "
+        f"253402300799999999 THEN timestamp_micros({a[0]}) END"),
     "utc_to_unix_micros": lambda a: (
         f"unix_micros(cast({a[0]} as timestamp))"
     ),

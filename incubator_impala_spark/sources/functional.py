@@ -63,6 +63,17 @@ FUNCTIONAL_VIEWS = {
     "subquery_view":
         "SELECT COUNT(*) FROM alltypes "
         "WHERE id IN (SELECT id FROM alltypessmall where int_col < 5)",
+    # template tables derivable from loaded ones (schema template
+    # LOAD/DEPENDENT_LOAD sections): registered as lazy views so SHOW
+    # TABLES parity and their (tiny) contents both hold
+    "stringpartitionkey":
+        "SELECT id, CAST(timestamp_col AS STRING) AS string_col "
+        "FROM alltypestiny "
+        "WHERE timestamp_col = '2009-01-01 00:00:00'",
+    "alltypesaggmultifilesnopart":
+        "SELECT id, bool_col, tinyint_col, smallint_col, int_col, "
+        "bigint_col, float_col, double_col, date_string_col, "
+        "string_col, timestamp_col FROM alltypesagg",
 }
 
 
@@ -87,6 +98,25 @@ _ALLTYPES_COLS = (
     "smallint_col smallint, int_col int, bigint_col bigint, "
     "float_col float, double_col double, date_string_col string, "
     "string_col string, timestamp_col timestamp")
+# Declared partition columns per fixture table (the schema template's
+# PARTITION_COLUMNS sections) — CREATE TABLE LIKE clones these; the
+# fixture stores each table as one flat parquet so the catalog itself
+# carries no partition info.
+PARTITIONED_BY = {
+    "alltypes": ["year", "month"],
+    "alltypessmall": ["year", "month"],
+    "alltypestiny": ["year", "month"],
+    "alltypesagg": ["year", "month", "day"],
+    "alltypesaggnonulls": ["year", "month", "day"],
+    "alltypesaggmultifiles": ["year", "month", "day"],
+    "allcomplextypes": ["year", "month"],
+    "emptytable": ["f2"],
+    "decimal_tbl": ["d6"],
+    "part_strings_with_quotes": ["p"],
+    "date_tbl": ["date_part"],
+    "alltypes_date_partition": ["date_col"],
+}
+
 INSERT_TARGETS = {
     "alltypesinsert": (f"({_ALLTYPES_COLS}, year int, month int) "
                        "USING parquet PARTITIONED BY (year, month)"),

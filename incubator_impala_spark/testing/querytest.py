@@ -250,8 +250,28 @@ def _rows_equal(exp: str, act: str, col_types: list[str]) -> bool:
 
 def compare_results(expected: list[str], actual: list[str],
                     col_types: list[str] | None,
-                    order_matters: bool) -> list[str]:
-    """Returns a list of human-readable diffs; empty means equal."""
+                    order_matters: bool,
+                    subset: bool = False) -> list[str]:
+    """Returns a list of human-readable diffs; empty means equal.
+    `subset`: VERIFY_IS_SUBSET — every expected row must appear
+    somewhere in the actual rows (the reference verifier's tag for
+    describe-formatted style spot checks)."""
+    if subset in (True, "subset"):
+        types = col_types or []
+        diffs = []
+        for e in expected:
+            ct = types if types else ["string"] * len(_tokenize_row(e))
+            if not any(_rows_equal(e, a, ct) for a in actual):
+                diffs.append(f"expected row not found: {e!r}")
+        return diffs
+    if subset == "not_in":
+        types = col_types or []
+        diffs = []
+        for e in expected:
+            ct = types if types else ["string"] * len(_tokenize_row(e))
+            if any(_rows_equal(e, a, ct) for a in actual):
+                diffs.append(f"forbidden row present: {e!r}")
+        return diffs
     exp, act = list(expected), list(actual)
     if not order_matters:
         exp.sort()
@@ -295,9 +315,16 @@ def types_compatible(expected: list[str], actual: list[str]) -> bool:
 # execution
 
 _RUNNABLE = re.compile(
-    r"^[\s(]*(select|with|values|describe(?!\s+formatted\b)|"
+    r"^[\s(]*(select|with|values|describe|"
+    r"show\s+partitions|invalidate\s+metadata|refresh|"
     r"create\s+table|insert\s+(?:into|overwrite)|drop\s+table|"
-    r"truncate|alter\s+table)\b",
+    r"truncate|alter\s+table|use|"
+    r"show\s+(?:tables|databases|schemas)|"
+    r"show\s+(?:aggregate\s+|analytic\s+)?functions|"
+    r"create\s+(?:database|schema|view)|"
+    r"drop\s+(?:database|schema|view)|alter\s+view|"
+    r"create\s+(?:aggregate\s+)?function|drop\s+function|"
+    r"compute\s+(?:incremental\s+)?stats)\b",
     re.IGNORECASE)
 _VAR = re.compile(r"\$[A-Z][A-Z0-9_]*")
 
@@ -333,17 +360,67 @@ class BlockResult:
     type_ok: bool = True
 
 
+_DB_VAR = re.compile(r"\$DATABASE(\w*)")
+
+
 def run_blocks(engine, blocks: list[Block], *,
                rewrite=None, xfail: dict | None = None,
-               table_rewrites: dict | None = None) -> list[BlockResult]:
+               table_rewrites: dict | None = None,
+               database: str | None = None,
+               presets: list[str] | None = None) -> list[BlockResult]:
     """Execute each runnable block and verify against its RESULTS.
 
     `rewrite`: optional fn(sql) -> sql applied before the dialect shim
     (used for per-file spelling fixes, applied identically everywhere).
     `xfail`: {block_index: reason} — known, documented divergences; a
     passing xfail block reports `xpass` so stale entries surface.
+    `database`: value substituted for the reference runner's
+    ``$DATABASE`` variable (suffixed variants ``$DATABASE_2`` map to
+    ``<database>_2``); the dbs are dropped+created fresh before the
+    file runs, mirroring the runner's unique-database fixture.
+    ``$ORIGINAL_DB`` always substitutes to ``functional``.
     """
     xfail = xfail or {}
+    # reference runner variable substitution (query AND expected rows)
+    dbs_used: set[str] = set()
+    for b in blocks:
+        def _sub(m: "re.Match") -> str:
+            name = f"{database}{m.group(1).lower()}"
+            dbs_used.add(name)
+            return name
+        if database:
+            b.query = _DB_VAR.sub(_sub, b.query)
+            if b.results is not None:
+                b.results = [_DB_VAR.sub(_sub, r) for r in b.results]
+        b.query = b.query.replace("$ORIGINAL_DB", "functional")
+        # the reference's default-filesystem prefix is the empty
+        # string (tests/common: FILESYSTEM_PREFIX='' on HDFS)
+        b.query = b.query.replace("$FILESYSTEM_PREFIX", "")
+    if hasattr(engine, "ns"):
+        engine.ns.current = None     # a prior file's USE must not leak
+    if hasattr(engine, "tz"):
+        engine.tz, engine.use_local_tz = "UTC", False
+    for p in presets or []:
+        # file-level startup flags (the reference runs some files with
+        # impalad flags, e.g. -use_local_tz_for_unix_timestamp_conversions)
+        engine.sql(p)
+    for name in sorted(dbs_used):
+        try:
+            engine.sql(f"drop database if exists {name} cascade")
+            # the BASE $DATABASE and digit-suffixed variants
+            # ($DATABASE2 — the runner's second unique db) are
+            # pre-created; underscore-suffixed variants
+            # ($DATABASE_2, ...) are created by the file itself
+            if name == database or (name.startswith(database)
+                                    and name[len(database):].isdigit()):
+                engine.sql(f"create database {name}")
+        except Exception:  # noqa: BLE001
+            pass
+    if database and hasattr(engine, "ns") \
+            and database in engine.ns.dbs:
+        # the runner connects with the unique db as the session
+        # database (impala-shell -d): unqualified DDL targets it
+        engine.ns.current = database
     # hermetic re-runs: the session catalog is in-memory but the
     # warehouse directory persists across pytest runs, so every table
     # a file creates is dropped (catalog entry AND orphan dir) ONCE
@@ -375,7 +452,7 @@ def run_blocks(engine, blocks: list[Block], *,
                 "spark.sql.warehouse.dir", "spark-warehouse")
             shutil.rmtree(
                 os.path.join(re.sub(r"^file:", "", wh),
-                             name.split(".")[-1]),
+                             name.split(".")[-1].lower()),
                 ignore_errors=True)
         except Exception:  # noqa: BLE001
             pass
@@ -394,29 +471,98 @@ def run_blocks(engine, blocks: list[Block], *,
 
 _SIDE_EFFECT = re.compile(
     r"(?im)^[\s(]*(create\s+(?:external\s+)?table|alter\s+table|insert\s+(?:into|overwrite)|"
-    r"drop\s+table|truncate)\b")
+    r"drop\s+table|truncate|use|create\s+(?:database|schema|view)|"
+    r"drop\s+(?:database|schema|view)|alter\s+view|"
+    r"create\s+(?:aggregate\s+)?function|drop\s+function|"
+    r"compute\s+(?:incremental\s+)?stats)\b")
 
 
 _LOCATION_CLAUSE = re.compile(
-    r"\s+LOCATION\s+'[^']*'", re.IGNORECASE)
+    r"\s+(?:MANAGED)?LOCATION\s+'[^']*'", re.IGNORECASE)
 
 
 def _strip_location(stmt: str) -> str:
-    """CREATE TABLE LOCATION clauses point into the reference's
-    HDFS test-warehouse (usually through $DATABASE/$FILESYSTEM
-    variables); this engine's equivalent is a managed table, so the
-    clause is dropped (with EXTERNAL, which Spark ties to LOCATION).
-    Harness-level adaptation only — the engine keeps LOCATION."""
-    if not re.match(r"\s*create\s+(external\s+)?table\b", stmt,
-                    re.IGNORECASE):
+    """CREATE TABLE/DATABASE LOCATION clauses point into the
+    reference's HDFS test-warehouse (usually through
+    $DATABASE/$FILESYSTEM variables); this engine's equivalent is a
+    managed object, so the clause is dropped (with EXTERNAL, which
+    Spark ties to LOCATION). Harness-level adaptation only — the
+    engine keeps LOCATION."""
+    if not re.match(
+            r"\s*create\s+((external\s+)?table|database|schema)\b",
+            stmt, re.IGNORECASE):
         return stmt
     out = _LOCATION_CLAUSE.sub("", stmt)
     return re.sub(r"(?i)\bcreate\s+external\s+table\b", "create table",
                   out)
 
 
+def _shadow_sub(pattern: str, repl: str, s: str) -> str:
+    """re.sub that matches on the dialect's _neutralize shadow, so
+    string literals are never rewritten (ADVICE r5 applied to the
+    harness's own table-name rewrites)."""
+    from incubator_impala_spark import dialect
+
+    shadow = dialect._neutralize(s)
+    out, pos = [], 0
+    for m in re.finditer(pattern, shadow):
+        out.append(s[pos:m.start()])
+        out.append(m.expand(repl))
+        pos = m.end()
+    out.append(s[pos:])
+    return "".join(out)
+
+
 def _strip_location_all(text: str) -> str:
     return ";".join(_strip_location(x) for x in _split_statements(text))
+
+
+def _preclear_create(engine, s: str) -> None:
+    """A PLAIN create (no IF NOT EXISTS) asserts the table is fresh:
+    clear a leftover (catalog entry AND orphan warehouse dir) from an
+    earlier failed run before running it."""
+    cm = re.match(
+        r"(?is)\s*create\s+(?:external\s+)?table\s+"
+        r"(?!if\s+not\s+exists\b)([A-Za-z_][\w.]*)", s)
+    if not cm:
+        return
+    name = cm.group(1)
+    lm = re.match(rf"(?is)\s*create\s+(?:external\s+)?table\s+"
+                  rf"{re.escape(name)}\s+like\s+([A-Za-z_][\w.]*)", s)
+    if lm and lm.group(1).split(".")[-1].lower() == \
+            name.split(".")[-1].lower():
+        # self-LIKE (template-target recreation): dropping first would
+        # destroy the clone source; the engine truncates instead
+        return
+    if hasattr(engine, "ns"):
+        name = engine.ns.resolve(name)
+    try:
+        engine.spark.sql(f"DROP TABLE IF EXISTS {name}")
+    except Exception:  # noqa: BLE001
+        pass
+    wh = engine.spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        os.path.join(re.sub(r"^file:", "", wh),
+                     name.split(".")[-1].lower()),
+        ignore_errors=True)
+
+
+def _rewrite_stmt(s: str, rewrite, table_rewrites: dict | None) -> str:
+    """Per-statement harness rewrites, all literal-safe:
+    functional_parquet/_avro/... are file-format variants of the same
+    dataset, so every variant's qualifier resolves to the flat fixture
+    views; then per-file table-name rewrites and the optional spelling
+    fixer."""
+    s = _shadow_sub(r"\bfunctional(_\w+)?\.(?=[A-Za-z_`])", "", s)
+    # backtick-quoted qualifiers are identifiers, not literals — the
+    # neutralize shadow masks them, so this one runs on the raw text
+    s = re.sub(r"`functional(_\w+)?`\.", "", s)
+    for old, new in (table_rewrites or {}).items():
+        s = _shadow_sub(rf"\b{old}\b", new, s)
+    if rewrite is not None:
+        s = rewrite(s)
+    return s
 
 
 def _query_vars(text: str) -> bool:
@@ -446,12 +592,8 @@ def _run_one(engine, b: Block, rewrite, table_rewrites) -> BlockResult:
                    for s in stmts):
                 try:
                     for s in stmts:
-                        s = re.sub(r"\bfunctional(_\w+)?\.", "", s)
-                        s = re.sub(r"`functional(_\w+)?`\.", "", s)
-                        for old, new in table_rewrites.items():
-                            s = re.sub(rf"\b{old}\b", new, s)
-                        if rewrite is not None:
-                            s = rewrite(s)
+                        s = _rewrite_stmt(s, rewrite, table_rewrites)
+                        _preclear_create(engine, s)
                         engine.sql(s)
                 except Exception as exc:  # noqa: BLE001
                     first = next(
@@ -493,35 +635,12 @@ def _run_one(engine, b: Block, rewrite, table_rewrites) -> BlockResult:
     # blocks assume the real clock is irrelevant)
     if hasattr(engine, "now"):
         engine.now = None
-    sql_stmts = []
-    for s in stmts:
-        # functional_parquet/_avro/... are file-format variants of the
-        # same dataset; every variant resolves to the fixture views
-        s = re.sub(r"\bfunctional(_\w+)?\.", "", s)
-        s = re.sub(r"`functional(_\w+)?`\.", "", s)
-        for old, new in table_rewrites.items():
-            s = re.sub(rf"\b{old}\b", new, s)
-        if rewrite is not None:
-            s = rewrite(s)
-        sql_stmts.append(s)
+    sql_stmts = [_rewrite_stmt(s, rewrite, table_rewrites)
+                 for s in stmts]
     try:
         df = None
         for s in sql_stmts:
-            cm = re.match(
-                r"(?is)\s*create\s+table\s+([A-Za-z_][\w.]*)", s)
-            if cm:
-                # a PLAIN create (no IF NOT EXISTS) asserts the table
-                # is fresh: clear a leftover from an earlier failed
-                # run (run_blocks pre-clears per file; this guards
-                # repeated plain creates within one file)
-                name = cm.group(1)
-                engine.spark.sql(f"DROP TABLE IF EXISTS {name}")
-                wh = engine.spark.conf.get(
-                    "spark.sql.warehouse.dir", "spark-warehouse")
-                shutil.rmtree(
-                    os.path.join(re.sub(r"^file:", "", wh),
-                                 name.split(".")[-1]),
-                    ignore_errors=True)
+            _preclear_create(engine, s)
             if s.lower().startswith("set "):
                 engine.sql(s)
             else:
@@ -535,7 +654,10 @@ def _run_one(engine, b: Block, rewrite, table_rewrites) -> BlockResult:
     order_matters = (b.verifier == "VERIFY_IS_EQUAL"
                      or (_ORDER_BY.search(sql_stmts[-1]) is not None
                          and b.verifier != "VERIFY_IS_EQUAL_SORTED"))
-    diffs = compare_results(b.results, actual, b.types, order_matters)
+    mode = {"VERIFY_IS_SUBSET": "subset",
+            "VERIFY_IS_NOT_IN": "not_in"}.get(b.verifier or "", False)
+    diffs = compare_results(b.results, actual, b.types, order_matters,
+                            subset=mode)
     type_ok = (b.types is None
                or types_compatible(b.types, [k.upper() for k in kinds]))
     if diffs:

@@ -41,11 +41,15 @@ def main() -> None:
     engine = Engine(spark)
     register_functional(spark)
 
+    import re as _re
+
     report: dict = {}
     for name in names:
         path = os.path.join(QT_DIR, f"{name}.test")
         blocks = qt.parse_test_file(path)
-        results = qt.run_blocks(engine, blocks)
+        # mirror the pytest runner's per-file scratch database
+        db = "qtest_" + _re.sub(r"[^a-z0-9]", "", name.lower())
+        results = qt.run_blocks(engine, blocks, database=db)
         report[name] = {
             r.index: {"status": r.status, "reason": r.reason,
                       "q": " ".join(blocks[r.index].query.split())[:120],

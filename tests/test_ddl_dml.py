@@ -324,15 +324,17 @@ def test_view_lifecycle_and_show_create(spark, engine):
 def test_database_lifecycle(spark, engine):
     engine.sql("CREATE DATABASE IF NOT EXISTS scratch_db")
     try:
-        dbs = {r.namespace for r in engine.sql("SHOW DATABASES").collect()}
+        # Impala SHOW output shape (ShowDbsStmt/ShowTablesStmt):
+        # one `name` column, not Spark's namespace/tableName
+        dbs = {r.name for r in engine.sql("SHOW DATABASES").collect()}
         assert "scratch_db" in dbs
         engine.sql("CREATE TABLE scratch_db.t1 (x INT) USING parquet")
         tbls = {
-            r.tableName for r in engine.sql("SHOW TABLES IN scratch_db").collect()
+            r.name for r in engine.sql("SHOW TABLES IN scratch_db").collect()
         }
         assert "t1" in tbls
         engine.sql("TRUNCATE TABLE scratch_db.t1")
-        assert spark.table("scratch_db.t1").count() == 0
+        assert engine.sql("SELECT * FROM scratch_db.t1").count() == 0
     finally:
         engine.sql("DROP DATABASE IF EXISTS scratch_db CASCADE")
 

@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import collections
 import os
+import re
 
 import pytest
 
@@ -67,7 +68,7 @@ QT_DIR = ("/root/reference/testdata/workloads/functional-query/queries/"
 
 # file -> (min_pass floor, {block index: reason})
 FILES: dict[str, tuple[int, dict[int, str]]] = {
-    "exprs": (251, {
+    "exprs": (253, {
         52: "float-promotion", 53: "float-promotion", 54: "float-promotion",
         88: "analyzer", 89: "analyzer",
         167: "ns-precision", 168: "ns-precision", 170: "ns-precision",
@@ -78,7 +79,7 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
         240: "ts-range", 241: "ts-range", 251: "analyzer",
         255: "ts-range", 256: "ts-range", 257: "ts-range", 258: "ts-range",
         259: "ts-range", 260: "ts-range", 261: "ts-range", 262: "ts-range",
-        263: "ts-range", 264: "ts-range", 265: "ts-range", 266: "ts-range",
+        265: "ts-range", 266: "ts-range",
         198: "double-str-cast", 199: "double-str-cast",
         200: "double-str-cast",
         278: "nan-semantics", 282: "ts-range", 293: "nan-semantics",
@@ -86,8 +87,7 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     }),
     "aggregation": (105, {66: "analyzer", 74: "analyzer",
                           104: "nan-agg", 109: "nan-semantics"}),
-    "analytic-fns": (82, {43: "ieee-div-zero", 59: "analyzer",
-                          77: "needs-ddl"}),
+    "analytic-fns": (83, {43: "ieee-div-zero", 59: "analyzer"}),
     "joins": (51, {49: "nan-semantics", 52: "nan-semantics",
                    53: "nan-semantics"}),
     "outer-joins": (33, {}),
@@ -166,16 +166,14 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "scanners": (13, {}),
     "create-table-as-select": (14, {1: "type-coercion"}),
     "chars-tmp-tables": (27, {29: "type-coercion"}),
-    "parquet-stats": (74, {
+    "parquet-stats": (81, {
         65: "nan-semantics", 68: "nan-semantics", 70: "nan-semantics",
         71: "nan-semantics", 73: "nan-semantics", 74: "nan-semantics",
         76: "nan-semantics", 77: "nan-semantics", 78: "nan-semantics",
         79: "nan-semantics", 80: "nan-semantics", 81: "nan-semantics",
-        # REPLACE COLUMNS / ALTER COLUMN type-narrowing: Spark v1
-        # parquet tables don't support either DDL
-        28: "needs-ddl", 82: "needs-ddl", 83: "needs-ddl",
-        86: "needs-ddl", 87: "needs-ddl", 90: "needs-ddl",
-        91: "needs-ddl", 94: "needs-ddl",
+        # REPLACE COLUMNS type-narrowing on a table whose stats the
+        # block then inspects via the reference's parquet-v1 layout
+        28: "needs-ddl",
     }),
     "partition-col-types": (7, {}),
     "insert_overwrite": (16, {}),
@@ -200,6 +198,59 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
         35: "estimator", 36: "estimator", 37: "estimator",
         49: "type-coercion", 51: "type-coercion", 52: "ts-range",
     }),
+    # r6 ALTER TABLE veneer (altertable.py): 144/212 blocks pass; the
+    # xfails are environment/semantics families, not bugs:
+    #   runner-setup-table    part_data is created by the reference's
+    #                         PYTHON driver, not the .test file
+    #   varchar-erasure       DataFrame writes erase VARCHAR(n) to
+    #                         STRING, describe shows the base type
+    #   external-part-data    partitions LOCATION'd at reference
+    #                         warehouse files this env doesn't have
+    #   hive-default-partition NULL/'' partition keys map to
+    #                         __HIVE_DEFAULT_PARTITION__ semantics
+    #                         Spark's partition DDL can't spell
+    #   location-semantics    SET LOCATION redirects reads to other
+    #                         dirs (schema-on-location); managed
+    #                         tables keep reading their own data
+    #   partition-stats-layout SHOW PARTITIONS prints Impala's stats
+    #                         table (sizes, Total row)
+    #   schema-on-read-delim  changing the field delimiter re-reads
+    #                         EXISTING text files under the new
+    #                         delimiter (data reinterpretation)
+    "alter-table": (144, dict(
+        [(i, "runner-setup-table") for i in (11, 13)]
+        + [(i, "varchar-erasure") for i in (33, 34)]
+        + [(i, "external-part-data") for i in (38, 41, 49, 77, 80)]
+        + [(i, "hive-default-partition") for i in (69, 70, 73)]
+        + [(i, "location-semantics") for i in range(118, 130)]
+        + [(i, "partition-stats-layout") for i in (135, 137)]
+        + [(i, "schema-on-read-delim")
+           for i in (172, 173, 175, 176, 177)])),
+    # r6 timezone-conversion semantics (dialect.rewrite_local_tz)
+    "local-timestamp-functions": (
+        6, {}, None,
+        ["set use_local_tz_for_unix_timestamp_conversions=1"]),
+    "utc-timestamp-functions": (7, {}),
+    # r6 namespace-shim wave: db-scoped DDL (namespaces.py)
+    "views-ddl": (43, {}),
+    "create-database": (17, {}),
+    "use": (2, {}),
+    "show": (24, {
+        # full-inventory listings assume the reference's exact loaded
+        # table set (incl. error/unsupported variants this fixture
+        # deliberately lacks)
+        7: "catalog-inventory", 9: "catalog-inventory",
+    }),
+    "truncate-table": (4, {}),
+    "functions-ddl": (20, {
+        # VERIFY_IS_SUBSET probes into Impala's builtin signature
+        # inventory (this engine's builtins are Spark's; the
+        # _impala_builtins listing is deliberately empty)
+        30: "builtin-introspection", 32: "builtin-introspection",
+        34: "builtin-introspection",
+        # native .so UDFs are catalog-surface only here
+        37: "native-udf-exec", 42: "native-udf-exec",
+    }),
 }
 
 
@@ -220,11 +271,18 @@ def test_functional_query_file(functional_engine, name):
     entry = FILES[name]
     min_pass, xfail = entry[0], entry[1]
     # optional third element: per-file table-name rewrites (e.g. a
-    # scratch-db qualifier the runner would create -> our flat views)
+    # scratch-db qualifier the runner would create -> our flat views);
+    # optional fourth: preset SET statements (files the reference runs
+    # under non-default impalad flags)
     rewrites = entry[2] if len(entry) > 2 else None
+    presets = entry[3] if len(entry) > 3 else None
     blocks = qt.parse_test_file(os.path.join(QT_DIR, f"{name}.test"))
+    # per-file scratch database for the runner's $DATABASE variable
+    # (unique-database fixture in the reference's pytest driver)
+    db = "qtest_" + re.sub(r"[^a-z0-9]", "", name.lower())
     results = qt.run_blocks(functional_engine, blocks, xfail=xfail,
-                            table_rewrites=rewrites)
+                            table_rewrites=rewrites, database=db,
+                            presets=presets)
     counts = collections.Counter(r.status for r in results)
 
     problems = []
