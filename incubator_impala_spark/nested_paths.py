@@ -332,6 +332,12 @@ def _find_from_clauses(sql: str) -> list[tuple[int, int]]:
             i += 1
             while i < n and sql[i] != "'":
                 i += 1
+        elif c == "`":
+            # backtick-quoted identifiers may spell keywords
+            # (``m.`from``` in a select list is not the FROM clause)
+            i += 1
+            while i < n and sql[i] != "`":
+                i += 1
         elif c == "(":
             depth += 1
         elif c == ")":
@@ -347,6 +353,10 @@ def _find_from_clauses(sql: str) -> list[tuple[int, int]]:
                 if cj == "'":
                     j += 1
                     while j < n and sql[j] != "'":
+                        j += 1
+                elif cj == "`":
+                    j += 1
+                    while j < n and sql[j] != "`":
                         j += 1
                 elif cj == "(":
                     d2 += 1

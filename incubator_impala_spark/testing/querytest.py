@@ -433,6 +433,28 @@ def run_blocks(engine, blocks: list[Block], *,
                 r"(?:if\s+not\s+exists\s+)?"
                 r"([A-Za-z_][\w.]*)", b.query):
             created.add(cm.group(1))
+    # scratch tables that SHADOW fixture views (the reference file
+    # creates `alltypes` in its unique db, distinct from
+    # functional.alltypes): rename the scratch table throughout —
+    # `functional.X` references keep resolving to the fixture
+    # (_rewrite_stmt protects the qualified spelling before this
+    # rewrite applies)
+    table_rewrites = dict(table_rewrites or {})
+    try:
+        from incubator_impala_spark.sources.functional import (
+            FUNCTIONAL_TABLES,
+            FUNCTIONAL_VIEWS,
+        )
+
+        fixture_names = set(FUNCTIONAL_TABLES) | set(FUNCTIONAL_VIEWS)
+        for name in list(created):
+            if "." not in name and name.lower() in fixture_names:
+                table_rewrites.setdefault(
+                    name.lower(), f"qscratch_{name.lower()}")
+                created.discard(name)
+                created.add(f"qscratch_{name.lower()}")
+    except Exception:  # noqa: BLE001
+        pass
     try:
         from incubator_impala_spark.sources.functional import (
             INSERT_TARGETS,
@@ -554,12 +576,18 @@ def _rewrite_stmt(s: str, rewrite, table_rewrites: dict | None) -> str:
     dataset, so every variant's qualifier resolves to the flat fixture
     views; then per-file table-name rewrites and the optional spelling
     fixer."""
-    s = _shadow_sub(r"\bfunctional(_\w+)?\.(?=[A-Za-z_`])", "", s)
+    # qualified fixture references are PROTECTED with a marker while
+    # table rewrites run: a file-created scratch `alltypes` renames to
+    # qscratch_alltypes everywhere, but `functional.alltypes` must
+    # keep naming the fixture
+    s = _shadow_sub(r"\bfunctional(_\w+)?\.(?=[A-Za-z_`])",
+                    "__fxref__", s)
     # backtick-quoted qualifiers are identifiers, not literals — the
     # neutralize shadow masks them, so this one runs on the raw text
-    s = re.sub(r"`functional(_\w+)?`\.", "", s)
+    s = re.sub(r"`functional(_\w+)?`\.", "__fxref__", s)
     for old, new in (table_rewrites or {}).items():
         s = _shadow_sub(rf"\b{old}\b", new, s)
+    s = s.replace("__fxref__", "")
     if rewrite is not None:
         s = rewrite(s)
     return s
