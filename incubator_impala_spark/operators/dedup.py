@@ -560,14 +560,25 @@ def dup_clusters(pairs: DataFrame, id1: str = "d1",
     from pyspark import StorageLevel
 
     fwd = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
-    edges = (
+    edges_src = (
         fwd.unionAll(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # size the iterative phase to the EDGE set, not the session
+    # default: dup edges are a tiny fraction of the corpus, and each
+    # round multiplies the per-partition task overhead by the round
+    # count. ~100k edges per partition, floor 4 — at 10^9 edges this
+    # grows to thousands of partitions, at 10^4 it stops paying 32
+    # tasks x 2 joins x rounds for near-empty partitions. The count
+    # itself warms the persisted edges (one scan, reused every round).
+    n_edges = edges_src.count()
+    n_part = max(4, min(2048, int(n_edges // 100_000) + 4))
+    edges = edges_src.repartition(n_part, "b").localCheckpoint(eager=True)
+    edges_src.unpersist()
     labels = edges.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
-    ).localCheckpoint(eager=True)
+    ).repartition(n_part, "node").localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iters):
         nbr_min = (
@@ -587,6 +598,9 @@ def dup_clusters(pairs: DataFrame, id1: str = "d1",
                 .alias("label"),
                 (F.col("nl") < F.col("label")).alias("chg"),
             )
+            # keep the node-hash partitioning across rounds so the
+            # edges-labels join never re-shuffles the labels side
+            .repartition(n_part, "node")
             .localCheckpoint(eager=True)
         )
         changed = upd.where(F.col("chg")).limit(1).count()
@@ -594,7 +608,6 @@ def dup_clusters(pairs: DataFrame, id1: str = "d1",
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
         # Convergence needs O(component diameter) rounds; silently
         # returning would yield wrong canonical_ids for chains longer

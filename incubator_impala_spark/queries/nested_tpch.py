@@ -35,6 +35,43 @@ from pyspark.sql import functions as F
 
 from incubator_impala_spark.sources.tables import load_table
 
+# The nested dataset is a STORED table in the reference (tpch_nested_
+# parquet, written once at load time); building it per query would
+# charge every nested query two extra shuffles the reference never
+# pays. The derived table is therefore materialized to parquet on
+# first use (keyed by source dir + mtime so a regenerated fixture
+# invalidates) and scanned thereafter — the same lifecycle as the
+# reference's loaded table, and the 100 TB story: nested data is
+# written once by ETL, not rebuilt per query.
+_NESTED_CACHE_ROOT = "/tmp/spark_graft_nested"
+
+
+def _materialized(spark: SparkSession, sf_dir: str, tag: str,
+                  build) -> DataFrame:
+    import hashlib
+    import os
+
+    try:
+        src = os.path.join(sf_dir, "customer.parquet")
+        key = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}:{os.path.getmtime(src)}"
+            .encode()).hexdigest()[:12]
+    except OSError:
+        return build()
+    path = os.path.join(_NESTED_CACHE_ROOT, f"{tag}_{key}")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        try:
+            return spark.read.parquet(path)
+        except Exception:  # noqa: BLE001
+            pass
+    df = build()
+    try:
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    except Exception:  # noqa: BLE001
+        return df
+
 QUERIES: dict = {}
 ORACLE_SQL: dict = {}
 
@@ -58,7 +95,20 @@ def _nested_customers(
     tpch_nested dataset shape). ``wide`` adds the partkey/suppkey/
     shipdate/linestatus fields the q3/q4/q12/q14/q19/q21 shapes walk.
     Customers without orders get an empty array (LEFT join +
-    coalesce), matching the reference fixture."""
+    coalesce), matching the reference fixture. Materialized once per
+    (sf_dir, shape) — see _materialized."""
+    tag = ("customers_wide" if wide
+           else "customers_li" if with_lineitems else "customers")
+    return _materialized(
+        spark, sf_dir, tag,
+        lambda: _build_nested_customers(spark, sf_dir, with_lineitems,
+                                        wide))
+
+
+def _build_nested_customers(
+    spark: SparkSession, sf_dir: str, with_lineitems: bool = False,
+    wide: bool = False,
+) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     if with_lineitems or wide:
@@ -439,7 +489,14 @@ _PS_FLAT_CTE = f"""
 def _nested_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """supplier rows carrying an s_partsupps array<struct> — the
     tpch_nested supplier shape. One shuffle on suppkey to collect the
-    derived partsupp rows; sort_array makes the layout deterministic."""
+    derived partsupp rows; sort_array makes the layout deterministic.
+    Materialized once per sf_dir — see _materialized."""
+    return _materialized(spark, sf_dir, "suppliers",
+                         lambda: _build_nested_suppliers(spark, sf_dir))
+
+
+def _build_nested_suppliers(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     ps = (
         li.select("l_partkey", "l_suppkey").distinct()
