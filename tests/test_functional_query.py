@@ -258,6 +258,26 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "date-partitioning": (12, {}),
     "disable-codegen": (4, {}),
     "partition-key-scans-with-joins": (1, {}),
+    # r6 scanner wave 3: tables served from the reference's own binary
+    # parquet files (sources/functional._RAW_PARQUET), LIKE PARQUET,
+    # incremental-stats partition tracking
+    "parquet-decimal-formats": (7, {}),
+    "parquet-zero-rows": (4, {}),
+    "parquet-rle-encoded-bool": (2, {}),
+    "parquet-deprecated-stats": (18, {}),
+    "parquet-def-levels": (3, {}),
+    "parquet-type-widening": (1, {}),
+    "hive2-pre-gregorian-date": (2, {}),
+    "out-of-range-date": (1, {}),
+    "create-table-like-file": (21, {}),
+    "compute-stats-incremental": (12, {}),
+    "compute-stats-date": (2, {}),
+    "compute-stats-decimal": (2, {}),
+    # r6 wave 4: dateless (time-only) timestamps — INT96 Julian day 0
+    # and date-less text rows read as NULL (timestamp-value.h range);
+    # the abort_on_error=1 CATCH blocks are skipped by the harness
+    "dateless_timestamp_parquet": (1, {}),
+    "dateless_timestamp_text": (1, {}),
     # r6 timezone-conversion semantics (dialect.rewrite_local_tz)
     "local-timestamp-functions": (
         6, {}, None,
