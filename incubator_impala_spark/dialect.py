@@ -120,6 +120,54 @@ def _neutralize_literals(sql: str) -> str:
     return "".join(out)
 
 
+def _neutralize_keep_idents(sql: str) -> str:
+    """Like _neutralize but backtick-quoted identifiers stay visible:
+    for passes that match on identifier spellings (e.g. the namespace
+    shim resolving a db literally named `parquet`) while still never
+    firing inside string literals or comments."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"'):
+            q = c
+            i += 1
+            while i < n:
+                if sql[i] == "\\":
+                    out[i] = " "
+                    if i + 1 < n:
+                        out[i + 1] = " "
+                    i += 2
+                    continue
+                if sql[i] == q:
+                    if i + 1 < n and sql[i + 1] == q:
+                        out[i] = " "
+                        out[i + 1] = " "
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                out[i] = " "
+                i += 1
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                out[i] = " "
+                i += 1
+        elif c == "/" and i + 1 < n and sql[i + 1] == "*":
+            while i + 1 < n and not (sql[i] == "*"
+                                     and sql[i + 1] == "/"):
+                out[i] = " "
+                i += 1
+            if i < n:
+                out[i] = " "
+            if i + 1 < n:
+                out[i + 1] = " "
+            i += 2
+        else:
+            i += 1
+    return "".join(out)
+
+
 class _ShadowMatch:
     """Match adapter: spans come from a match on the _neutralize()d
     shadow, group TEXT is sliced from the original SQL (shadow and

@@ -126,6 +126,13 @@ _DROP_STATS_STMT = re.compile(
     r"\s*(?:PARTITION\s*\((?P<part>[^)]*)\)\s*)?;?\s*$",
     re.IGNORECASE,
 )
+# EXPLAIN <query> — rendered in the reference's plan-text format
+# (impala_explain.py; explain-level0/1.test pin the grammar)
+_EXPLAIN_STMT = re.compile(
+    r"^\s*EXPLAIN\s+(?P<body>(?:select|with|values|insert|create)"
+    r"\b[\s\S]*)$",
+    re.IGNORECASE,
+)
 _TRUNCATE_STMT = re.compile(
     r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<ife>IF\s+EXISTS\s+)?"
     r"(?P<tbl>[A-Za-z_][\w.]*)\s*;?\s*$",
@@ -181,6 +188,9 @@ class Engine:
         # partitions already covered by COMPUTE INCREMENTAL STATS, per
         # table — incremental runs count only partitions not yet seen
         self.stats_seen: dict[str, set] = {}
+        # EXPLAIN_LEVEL query option (0=minimal .. 3=verbose; the
+        # reference's default is STANDARD — TExplainLevel)
+        self.explain_level = 1
         if sf_dir:
             register_tables(self.spark, sf_dir)
 
@@ -210,6 +220,13 @@ class Engine:
             self.now = (_dt.datetime.fromisoformat(value.strip())
                         if value.strip() else None)
             return True
+        if key == "explain_level":
+            levels = {"minimal": 0, "standard": 1, "extended": 2,
+                      "verbose": 3}
+            v = str(value).strip().strip("'\"").lower()
+            self.explain_level = levels.get(
+                v, int(v) if v.lstrip("-").isdigit() else 1)
+            return True
         if key in QUERY_OPTION_MAP:
             mapped = QUERY_OPTION_MAP[key](str(value))
             if mapped is None:  # option value means "auto"/inapplicable
@@ -227,6 +244,17 @@ class Engine:
         if m:
             self.set_option(m.group(1), m.group(2).strip("'\""))
             return self.spark.sql("SELECT 1 AS status")
+        m = _EXPLAIN_STMT.match(sql_text)
+        if m:
+            # runs BEFORE namespace resolution: the renderer needs the
+            # query's original db-qualified spellings for node labels
+            # and the missing-stats header
+            from incubator_impala_spark import impala_explain
+
+            lines = impala_explain.render_explain(
+                self, m.group("body"), self.explain_level)
+            return self.spark.createDataFrame(
+                [(ln,) for ln in lines], "explain_string string")
         # namespace shim: engine-owned db references become physical
         # (mangled) names; db-scoped DDL returns its summary rows here
         sql_text = self.ns.resolve(sql_text)

@@ -1,0 +1,600 @@
+"""Impala-style EXPLAIN rendering over Spark physical plans.
+
+The reference renders its plan tree as indented text whose shape and
+node vocabulary are pinned by the explain-level tests
+(testdata/workloads/functional-query/queries/QueryTest/
+explain-level{0..3}.test; renderer: fe/src/main/java/org/apache/
+impala/planner/PlanNode.java getExplainString, TExplainLevel in
+common/thrift/Frontend.thrift).
+
+This module re-expresses that surface on Spark: the query is planned
+by Catalyst, the *initial* physical plan (post-EnsureRequirements so
+exchanges are present, pre-AQE so the layout is deterministic) is
+traversed over py4j, condensed to an Impala-shaped operator tree
+(scans / hash joins / nested-loop joins / aggregates / sorts /
+exchanges), numbered with the reference's id discipline (single-node
+plan nodes in bottom-up left-to-right order, then exchanges), and
+printed with the reference's prefix grammar:
+
+  PLAN-ROOT SINK          header, then '|' separators at level >= 1
+  NN:NODE [DETAIL]        headline at the current indent
+  |  detail               node detail (level >= 1); leaf details use
+     detail               a 3-space indent instead
+  |--NN:CHILD             build-side subtree, one indent level deeper
+
+Levels: 0 = headline lines only; 1 (default, the reference's
+STANDARD) adds per-node details, separators and the resource-estimate
+header. Levels 2/3 (EXTENDED/VERBOSE) add the reference's
+per-fragment memory ledger, which is tied to its 3-node minicluster
+cost model — out of scope here (documented in DIALECT.md).
+
+Scan nodes are labeled with the query's own db-qualified spellings:
+the analyzed logical plan's View leaves give the relation order, and
+that order is aligned with the FROM-clause spellings parsed from the
+original statement. Estimates are honest, not theater: cardinality
+comes from parquet footers of the scanned files when resolvable
+(else "unavailable"), row-size from fixed slot widths, and the
+header memory number is a hash-table + scan-buffer heuristic over
+those same numbers.
+
+Display conventions matched to the reference:
+* Catalyst-inferred join-key ``isnotnull`` conjuncts are not printed
+  (the reference does not infer them, so its scans show no
+  predicates for a bare equi-join).
+* Column qualifiers drop when the bare name is unambiguous across
+  the query's relations (Impala's unqualified slot labels).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+
+# -- Impala display vocabulary ------------------------------------------------
+
+_JOIN_NAMES = {
+    "Inner": "INNER JOIN",
+    "LeftOuter": "LEFT OUTER JOIN",
+    "RightOuter": "RIGHT OUTER JOIN",
+    "FullOuter": "FULL OUTER JOIN",
+    "LeftSemi": "LEFT SEMI JOIN",
+    "LeftAnti": "LEFT ANTI JOIN",
+    "Cross": "CROSS JOIN",
+}
+
+# fixed per-value slot widths (reference: slot byte sizes in
+# be/src/runtime/descriptors.h; strings use the 12-byte StringValue
+# handle — the data itself is variable)
+_TYPE_WIDTH = {
+    "boolean": 1, "tinyint": 1, "smallint": 2, "int": 4, "integer": 4,
+    "bigint": 8, "float": 4, "double": 8, "date": 4, "timestamp": 16,
+    "string": 12, "binary": 12,
+}
+
+
+def _width(dt_simple: str) -> int:
+    if dt_simple.startswith("decimal"):
+        return 16
+    return _TYPE_WIDTH.get(dt_simple, 16)
+
+
+@dataclass
+class _Node:
+    title: str                 # 'HASH JOIN [INNER JOIN, BROADCAST]' etc.
+    kind: str                  # scan | join | exchange | agg | sort | ...
+    details: list = field(default_factory=list)
+    children: list = field(default_factory=list)   # [probe, build...]
+    id: int = -1
+    # scan bookkeeping
+    table: str = ""            # display spelling (db-qualified)
+    alias: str = ""
+    columns: frozenset = frozenset()
+    files: list = field(default_factory=list)
+    n_cols: int = 0
+    row_size: int = 0
+    cardinality: int | None = None
+    keys: tuple | None = None  # (probe_keys, build_keys) for joins
+
+
+# -- py4j helpers -------------------------------------------------------------
+
+def _children(jplan):
+    seq = jplan.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _name(jplan) -> str:
+    return jplan.getClass().getSimpleName()
+
+
+def _expr_str(e) -> str:
+    s = e.sql() if hasattr(e, "sql") else e.toString()
+    return re.sub(r"#\d+L?", "", s).replace("`", "")
+
+
+def _attr_names(jexpr_seq) -> list[str]:
+    return [_expr_str(jexpr_seq.apply(i))
+            for i in range(jexpr_seq.size())]
+
+
+def _scan_files(jscan) -> list[str]:
+    try:
+        files = jscan.relation().location().inputFiles()
+        return [f.replace("file:", "") for f in files]
+    except Exception:  # noqa: BLE001
+        return []
+
+
+def _view_leaves(jlogical, out: list[str]) -> None:
+    """Names of View leaves in left-to-right order; descent stops at a
+    View (a view over another view contributes one leaf)."""
+    if _name(jlogical) == "View":
+        try:
+            out.append(jlogical.desc().identifier().table().lower())
+        except Exception:  # noqa: BLE001
+            out.append("")
+        return
+    for c in _children(jlogical):
+        _view_leaves(c, out)
+
+
+_FROM_RELATION = re.compile(
+    r"(?i)(?:\bfrom\b|\bjoin\b|,)\s+"
+    r"((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)"
+    r"(?:\s+(?:as\s+)?(?!on\b|where\b|group\b|order\b|limit\b|"
+    r"inner\b|left\b|right\b|full\b|cross\b|join\b|using\b|"
+    r"select\b)([A-Za-z_]\w*))?")
+
+
+class _Condenser:
+    """Spark physical plan -> Impala-shaped operator tree."""
+
+    def __init__(self, spark, sql_text: str, jlogical):
+        self.spark = spark
+        # FROM-clause spellings in order: (display, flat, alias)
+        self.relations = []
+        for m in _FROM_RELATION.finditer(sql_text):
+            disp = m.group(1).lower()
+            self.relations.append(
+                (disp, disp.split(".")[-1], (m.group(2) or "").lower()))
+        # analyzed-plan View leaves give the authoritative leaf order;
+        # align with the FROM spellings when the flat-name sequences
+        # agree (subqueries/CTEs can make them diverge — then scans
+        # fall back to bare leaf names)
+        leaves: list[str] = []
+        try:
+            _view_leaves(jlogical, leaves)
+        except Exception:  # noqa: BLE001
+            leaves = []
+        self.leaf_names = leaves
+        self.aligned = (len(leaves) == len(self.relations) and all(
+            ln == fl for ln, (_, fl, _a) in zip(leaves, self.relations)))
+        self.scan_idx = 0
+        # bare column name -> number of distinct relations carrying it
+        self.col_owners: dict[str, int] = {}
+        for flat in {fl for _, fl, _ in self.relations} or set(leaves):
+            try:
+                for c in spark.table(flat).columns:
+                    self.col_owners[c.lower()] = \
+                        self.col_owners.get(c.lower(), 0) + 1
+            except Exception:  # noqa: BLE001
+                pass
+
+    def strip_qual(self, expr: str) -> str:
+        """Drop `alias.` qualifiers from column refs whose bare name
+        is unambiguous across the query's relations (Impala's
+        unqualified slot labels)."""
+        def repl(m: re.Match) -> str:
+            bare = m.group(2)
+            if self.col_owners.get(bare.lower(), 0) == 1:
+                return bare
+            return m.group(0)
+
+        return re.sub(r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b", repl, expr)
+
+    def _next_scan_label(self, jscan) -> tuple[str, str, frozenset]:
+        i = self.scan_idx
+        self.scan_idx += 1
+        cols = frozenset(
+            jscan.output().apply(k).name().lower()
+            for k in range(jscan.output().size()))
+        if self.aligned and i < len(self.relations):
+            disp, _, alias = self.relations[i]
+            return disp, alias, cols
+        if i < len(self.leaf_names) and self.leaf_names[i]:
+            flat = self.leaf_names[i]
+            disp = next((d for d, f, _ in self.relations if f == flat),
+                        flat)
+            return disp, "", cols
+        return "", "", cols
+
+    def condense(self, jplan) -> _Node:
+        n = _name(jplan)
+        ch = _children(jplan)
+        if n in ("WholeStageCodegenExec", "InputAdapter",
+                 "ProjectExec", "ColumnarToRowExec", "SortExec",
+                 "CollectMetricsExec", "SubqueryBroadcastExec",
+                 "ReusedExchangeExec", "AdaptiveSparkPlanExec"):
+            # transparent wrappers (SortExec under an SMJ is part of
+            # the join implementation, not an Impala plan node)
+            return self.condense(ch[0]) if ch else _Node("", "other")
+        if n in ("FileSourceScanExec", "BatchScanExec",
+                 "LocalTableScanExec", "RowDataSourceScanExec",
+                 "InMemoryTableScanExec"):
+            disp, alias, cols = self._next_scan_label(jplan)
+            node = _Node(f"SCAN HDFS [{disp}]" if disp else "SCAN HDFS",
+                         "scan", table=disp, alias=alias, columns=cols,
+                         n_cols=len(cols))
+            node.files = _scan_files(jplan)
+            node.row_size = sum(
+                _width(jplan.output().apply(i).dataType().simpleString())
+                for i in range(jplan.output().size()))
+            return node
+        if n == "FilterExec":
+            child = self.condense(ch[0])
+            # Catalyst-inferred join-key null filters are not part of
+            # the reference's display (it does not infer them)
+            conjs = [c for c in _split_conjuncts(
+                         _expr_str(jplan.condition()))
+                     if "isnotnull" not in c.lower()
+                     and " is not null" not in c.lower()]
+            if not conjs:
+                return child
+            cond = self.strip_qual(" AND ".join(conjs))
+            if child.kind == "scan":
+                child.details.append(f"predicates: {cond}")
+                return child
+            sel = _Node("SELECT", "other",
+                        details=[f"predicates: {cond}"])
+            sel.children = [child]
+            return sel
+        if n in ("BroadcastHashJoinExec", "ShuffledHashJoinExec",
+                 "SortMergeJoinExec"):
+            jt = _JOIN_NAMES.get(jplan.joinType().toString(),
+                                 jplan.joinType().toString().upper())
+            dist = ("BROADCAST" if n == "BroadcastHashJoinExec"
+                    else "PARTITIONED")
+            lkeys = _attr_names(jplan.leftKeys())
+            rkeys = _attr_names(jplan.rightKeys())
+            left, right = self.condense(ch[0]), self.condense(ch[1])
+            build_left = hasattr(jplan, "buildSide") and \
+                "BuildLeft" in str(jplan.buildSide().toString())
+            if build_left:
+                # Impala always renders the build side as the indented
+                # (right) subtree
+                left, right = right, left
+                lkeys, rkeys = rkeys, lkeys
+            node = _Node(f"HASH JOIN [{jt}, {dist}]", "join")
+            node.details.append("hash predicates: " + ", ".join(
+                f"{self.strip_qual(a)} = {self.strip_qual(b)}"
+                for a, b in zip(lkeys, rkeys)))
+            node.children = [left, right]
+            node.keys = (lkeys, rkeys)
+            return node
+        if n in ("BroadcastNestedLoopJoinExec", "CartesianProductExec"):
+            jt = (_JOIN_NAMES.get(jplan.joinType().toString(),
+                                  "CROSS JOIN")
+                  if hasattr(jplan, "joinType") else "CROSS JOIN")
+            dist = ("BROADCAST" if n == "BroadcastNestedLoopJoinExec"
+                    else "PARTITIONED")
+            left, right = self.condense(ch[0]), self.condense(ch[1])
+            node = _Node(f"NESTED LOOP JOIN [{jt}, {dist}]", "join")
+            node.children = [left, right]
+            return node
+        if n == "BroadcastExchangeExec":
+            node = _Node("EXCHANGE [BROADCAST]", "exchange")
+            node.children = [self.condense(ch[0])]
+            return node
+        if n == "ShuffleExchangeExec":
+            part = jplan.outputPartitioning().toString()
+            km = re.findall(r"(\w+)#\d+", part)
+            spec = ("HASH(" + ",".join(
+                self.strip_qual(k) for k in km) + ")") if km \
+                else "RANDOM"
+            node = _Node(f"EXCHANGE [{spec}]", "exchange")
+            node.children = [self.condense(ch[0])]
+            return node
+        if n in ("HashAggregateExec", "ObjectHashAggregateExec",
+                 "SortAggregateExec"):
+            child = self.condense(ch[0])
+            if child.kind == "agg_partial" or (
+                    child.kind == "exchange" and child.children
+                    and child.children[0].kind == "agg_partial"):
+                # partial+final pair: the final gets FINALIZE; the
+                # partial stays as the streaming pre-aggregation
+                inner = child if child.kind == "agg_partial" \
+                    else child.children[0]
+                inner.title = "AGGREGATE [STREAMING]"
+                inner.kind = "agg"
+                node = _Node("AGGREGATE [FINALIZE]", "agg")
+                node.children = [child]
+                return node
+            node = _Node("AGGREGATE [FINALIZE]", "agg_partial")
+            node.children = [child]
+            return node
+        if n == "TakeOrderedAndProjectExec":
+            node = _Node("TOP-N", "sort")
+            node.children = [self.condense(ch[0])]
+            return node
+        if n in ("GlobalLimitExec", "LocalLimitExec",
+                 "CollectLimitExec"):
+            return self.condense(ch[0])
+        if n == "UnionExec":
+            node = _Node("UNION", "union")
+            node.children = [self.condense(c) for c in ch]
+            return node
+        if ch:
+            return self.condense(ch[0])
+        return _Node(n, "other")
+
+
+def _split_conjuncts(cond: str) -> list[str]:
+    """Top-level AND split (parenthesis-aware)."""
+    out, depth, cur = [], 0, []
+    i = 0
+    while i < len(cond):
+        c = cond[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if depth == 0 and cond[i:i + 5].upper() == " AND ":
+            out.append("".join(cur).strip())
+            cur = []
+            i += 5
+            continue
+        cur.append(c)
+        i += 1
+    out.append("".join(cur).strip())
+    return [c.strip("() ") and c for c in out if c.strip()]
+
+
+# -- numbering + estimates ----------------------------------------------------
+
+def _assign_ids(root: _Node) -> None:
+    """Reference id discipline (Planner.java): plan nodes get ids in
+    single-node construction order (postorder, left to right, scans
+    before their join); exchanges are added by the distributed
+    planner afterwards, in the same traversal order."""
+    counter = [0]
+
+    def walk_plan(n: _Node):
+        for c in n.children:
+            walk_plan(c)
+        if n.kind != "exchange":
+            n.id = counter[0]
+            counter[0] += 1
+
+    def walk_exchanges(n: _Node):
+        for c in n.children:
+            walk_exchanges(c)
+        if n.kind == "exchange":
+            n.id = counter[0]
+            counter[0] += 1
+
+    walk_plan(root)
+    walk_exchanges(root)
+
+
+def _estimate(node: _Node) -> None:
+    """Fill scan cardinality from parquet footers (bounded work: only
+    local parquet layouts with <= 64 files)."""
+    for c in node.children:
+        _estimate(c)
+    if node.kind == "scan" and node.files:
+        pfiles = [f for f in node.files
+                  if f.endswith((".parquet", ".parq"))]
+        if pfiles and len(pfiles) <= 64 and all(
+                os.path.exists(f) for f in pfiles):
+            try:
+                import pyarrow.parquet as pq
+
+                node.cardinality = sum(
+                    pq.ParquetFile(f).metadata.num_rows
+                    for f in pfiles)
+            except Exception:  # noqa: BLE001
+                node.cardinality = None
+
+
+def _fmt_card(n: int | None) -> str:
+    """Reference cardinality printer (PrintUtils.java printCardinality:
+    two-decimal K/M/B suffixes)."""
+    if n is None:
+        return "unavailable"
+    if n >= 10 ** 9:
+        return f"{n / 10 ** 9:.2f}B"
+    if n >= 10 ** 6:
+        return f"{n / 10 ** 6:.2f}M"
+    if n >= 10 ** 4:
+        return f"{n / 10 ** 3:.2f}K"
+    return str(n)
+
+
+def _fmt_size(nbytes: int) -> str:
+    if nbytes >= 1 << 30:
+        return f"{nbytes / (1 << 30):.2f}GB"
+    if nbytes >= 1 << 20:
+        return f"{nbytes / (1 << 20):.2f}MB"
+    if nbytes >= 1 << 10:
+        return f"{nbytes / (1 << 10):.2f}KB"
+    return f"{nbytes}B"
+
+
+def _runtime_filters(root: _Node, strip=lambda x: x) -> None:
+    """Bloom runtime filters (reference: RuntimeFilterGenerator.java):
+    each hash join publishes RFnnn on its build key; the probe-side
+    scan owning the probe column consumes it. Mirrors the
+    bloom-filter joins Spark itself applies
+    (spark.sql.optimizer.runtime.bloomFilter.enabled, session.py)."""
+    rf = [0]
+
+    def scans(n: _Node):
+        if n.kind == "scan":
+            yield n
+        for c in n.children:
+            yield from scans(c)
+
+    def owner(n: _Node, key: str):
+        """The probe-subtree scan the key column belongs to."""
+        qual, _, bare = key.rpartition(".")
+        for s in scans(n):
+            if qual and s.alias and qual.lower() == s.alias:
+                return s
+            if not qual and bare.lower() in s.columns:
+                return s
+        # qualified by table name rather than alias
+        for s in scans(n):
+            if qual and s.table.split(".")[-1] == qual.lower():
+                return s
+        for s in scans(n):
+            if bare.lower() in s.columns:
+                return s
+        return None
+
+    def walk(n: _Node):
+        for c in n.children:
+            walk(c)
+        if n.kind == "join" and n.keys:
+            lkeys, rkeys = n.keys
+            tags = []
+            for lk, rk in zip(lkeys, rkeys):
+                tags.append((f"RF{rf[0]:03d}", lk, rk))
+                rf[0] += 1
+            n.details.append("runtime filters: " + ", ".join(
+                f"{t} <- {strip(rk)}" for t, _, rk in tags))
+            for t, lk, _ in tags:
+                s = owner(n.children[0], lk)
+                if s is not None:
+                    s.details.append(f"runtime filters: {t} -> "
+                                     f"{strip(lk)}")
+
+    walk(root)
+
+
+# -- rendering ---------------------------------------------------------------
+
+def _render(node: _Node, head: str, rest: str, level: int,
+            out: list[str]) -> None:
+    out.append(f"{head}{node.id:02d}:{node.title}")
+    if level >= 1:
+        dp = rest + ("|  " if node.children else "   ")
+        if node.kind == "scan":
+            n_files = len(node.files)
+            size = sum(os.path.getsize(f) for f in node.files
+                       if os.path.exists(f))
+            # detail order pinned by the reference renderer:
+            # partition/file footprint, predicates, filters, sizes
+            out.append(f"{dp}partitions=1/1 files={n_files} "
+                       f"size={_fmt_size(size)}")
+        for d in node.details:
+            out.append(dp + d)
+        if node.kind == "scan":
+            out.append(f"{dp}row-size={node.row_size}B "
+                       f"cardinality={_fmt_card(node.cardinality)}")
+        elif node.kind in ("join", "agg", "sort", "union"):
+            card = node.cardinality
+            if node.kind == "join" and node.children:
+                card = node.children[0].cardinality
+            row = sum(c.row_size for c in node.children) \
+                or node.row_size
+            out.append(f"{dp}row-size={row}B "
+                       f"cardinality={_fmt_card(card)}")
+    # build-side subtrees first (rendered indented), probe last
+    for c in reversed(node.children[1:]):
+        if level >= 1:
+            out.append(rest + "|")
+        _render(c, rest + "|--", rest + "|  ", level, out)
+    if node.children:
+        if level >= 1:
+            out.append(rest + "|")
+        _render(node.children[0], rest, rest, level, out)
+
+
+# format-variant functional databases: the reference's data load
+# computes stats for the core text db and the benchmark dbs but not
+# for the format-variant clones, so plans over them carry the
+# missing-stats warning (Analyzer.getMissingStats)
+_UNANALYZED_DB = re.compile(
+    r"(?i)\b(functional_(?:avro|parquet|orc|rc|seq|text)\w*\.\w+)")
+
+_STANDING_QUAL = re.compile(
+    r"\b(?:functional(?:_\w+)?|tpch(?:_\w+)?|tpcds(?:_\w+)?)\."
+)
+
+
+def render_explain(engine, body_sql: str, level: int) -> list[str]:
+    """Impala-shaped EXPLAIN lines for `body_sql` at `level`."""
+    from incubator_impala_spark import dialect
+
+    # every standing-db variant resolves to the same flat fixture
+    # relations for planning; the qualified spellings (kept in
+    # body_sql) label the scan nodes
+    exec_sql = dialect._shadow_sub(_STANDING_QUAL, "", body_sql)
+    df = engine.sql(exec_sql)
+    qe = df._jdf.queryExecution()
+    jplan = qe.executedPlan()
+    if _name(jplan) == "AdaptiveSparkPlanExec":
+        # pre-AQE layout: exchanges present, placement deterministic
+        jplan = jplan.initialPlan()
+    cond = _Condenser(engine.spark, body_sql, qe.analyzed())
+    root = cond.condense(jplan)
+    if root.kind == "exchange" and root.title.startswith(
+            "EXCHANGE [HASH"):
+        # a top shuffle under the sink renders as the coordinator
+        # merge below
+        root = root.children[0]
+    # root exchange: the coordinator merge every distributed plan has
+    top = _Node("EXCHANGE [UNPARTITIONED]", "exchange")
+    top.children = [root]
+    _assign_ids(top)
+    _estimate(top)
+    _runtime_filters(top, cond.strip_qual)
+
+    def _propagate(n: _Node):
+        for c in n.children:
+            _propagate(c)
+        if n.kind == "exchange" and n.children:
+            n.row_size = n.children[0].row_size
+            n.cardinality = n.children[0].cardinality
+
+    _propagate(top)
+
+    def _nodes(n):
+        yield n
+        for c in n.children:
+            yield from _nodes(c)
+
+    # resource header: scan buffers (8 MB per materialized column,
+    # capped at the reference's 88 MB default scan reservation) + one
+    # hash table per join build (build cardinality * row width)
+    mem = 0.0
+    threads = 1
+    for n in _nodes(top):
+        if n.kind == "scan":
+            mem += min(8.0 * max(n.n_cols, 1), 88.0)
+            threads += 1
+        elif n.kind == "join" and len(n.children) > 1:
+            b = n.children[1]
+            mem += ((b.cardinality or 10 ** 6) * max(b.row_size, 8)
+                    ) / (1 << 20)
+    out: list[str] = []
+    out.append(f"Max Per-Host Resource Reservation: "
+               f"Memory={mem:.2f}MB Threads={threads}")
+    out.append(f"Per-Host Resource Estimates: Memory={mem:.2f}MB")
+    missing = []
+    for m in _UNANALYZED_DB.finditer(body_sql):
+        t = m.group(1).lower()
+        if t not in missing:
+            missing.append(t)
+    if missing:
+        out.append("WARNING: The following tables are missing "
+                   "relevant table and/or column statistics.")
+        out.append(", ".join(missing))
+    out.append("")
+    out.append("PLAN-ROOT SINK")
+    if level >= 1:
+        out.append("|")
+    _render(top, "", "", level, out)
+    return out

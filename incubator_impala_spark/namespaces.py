@@ -37,13 +37,14 @@ __all__ = ["Namespaces"]
 
 _CREATE_DB = re.compile(
     r"^\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
-    r"(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?P<bq>`?)(?P<name>[A-Za-z_]\w*)(?P=bq)\s*"
     r"(?:COMMENT\s+(?P<q>['\"])(?P<comment>.*?)(?P=q)\s*)?"
     r"(?:LOCATION\s+'[^']*'\s*)?;?\s*$",
     re.IGNORECASE)
 _DROP_DB = re.compile(
     r"^\s*DROP\s+(?:DATABASE|SCHEMA)\s+(?P<ife>IF\s+EXISTS\s+)?"
-    r"(?P<name>[A-Za-z_]\w*)\s*(?P<mode>CASCADE|RESTRICT)?\s*;?\s*$",
+    r"(?P<bq>`?)(?P<name>[A-Za-z_]\w*)(?P=bq)\s*"
+    r"(?P<mode>CASCADE|RESTRICT)?\s*;?\s*$",
     re.IGNORECASE)
 _SHOW_DBS = re.compile(
     r"^\s*SHOW\s+(?:DATABASES|SCHEMAS)"
@@ -180,15 +181,17 @@ class Namespaces:
         names) to mangled physical names. Matching runs on the
         _neutralize shadow so string literals are never touched."""
         if self.dbs:
-            shadow = dialect._neutralize(sql)
+            # identifier-preserving shadow: a registered db may be
+            # spelled `parquet` (backquoted keyword)
+            shadow = dialect._neutralize_keep_idents(sql)
             pat = re.compile(
-                r"\b(" + "|".join(map(re.escape, self.dbs)) +
-                r")\.(`?)([A-Za-z_]\w*)\2", re.IGNORECASE)
+                r"(`?)\b(" + "|".join(map(re.escape, self.dbs)) +
+                r")\b\1\.(`?)([A-Za-z_]\w*)\3", re.IGNORECASE)
             out, pos = [], 0
             for m in pat.finditer(shadow):
                 out.append(sql[pos:m.start()])
-                out.append(self.phys(m.group(1).lower(),
-                                     m.group(3).lower()))
+                out.append(self.phys(m.group(2).lower(),
+                                     m.group(4).lower()))
                 pos = m.end()
             out.append(sql[pos:])
             sql = "".join(out)

@@ -37,6 +37,7 @@ Deliberate divergences (documented, visible in every report):
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import re
@@ -138,6 +139,12 @@ def _fmt_value(v, dtype: str) -> str:
     elif dtype == "binary":
         s = v.decode("latin-1")
     elif dtype == "decimal":
+        # the JVM->Python bridge can widen a BigDecimal's scale past
+        # the declared one (1E-38 arrives as 1.0E-38); strip the
+        # artifact trailing zero when the scale exceeds 38 (the max
+        # any declared DECIMAL can carry)
+        if -v.as_tuple().exponent > 38:
+            v = v.quantize(decimal.Decimal(1).scaleb(-38))
         s = format(v, "f")   # never scientific (0E-8 -> 0.00000000)
     else:
         s = str(v)
@@ -315,7 +322,7 @@ def types_compatible(expected: list[str], actual: list[str]) -> bool:
 # execution
 
 _RUNNABLE = re.compile(
-    r"^[\s(]*(select|with|values|describe|"
+    r"^[\s(]*(select|with|values|describe|explain|"
     r"show\s+partitions|invalidate\s+metadata|refresh|"
     r"create\s+(?:external\s+)?table|"
     r"insert\s+(?:into|overwrite)|drop\s+table|"
@@ -611,6 +618,11 @@ def _rewrite_stmt(s: str, rewrite, table_rewrites: dict | None) -> str:
     dataset, so every variant's qualifier resolves to the flat fixture
     views; then per-file table-name rewrites and the optional spelling
     fixer."""
+    if re.match(r"(?i)\s*explain\b", s):
+        # EXPLAIN keeps its original qualified spellings: the renderer
+        # resolves standing-db qualifiers itself and uses them for
+        # scan labels and the missing-stats header (impala_explain.py)
+        return s
     # qualified fixture references are PROTECTED with a marker while
     # table rewrites run: a file-created scratch `alltypes` renames to
     # qscratch_alltypes everywhere, but `functional.alltypes` must
@@ -688,9 +700,12 @@ def _run_one(engine, b: Block, rewrite, table_rewrites) -> BlockResult:
         # daemon/session introspection with no analogue in a library
         # engine (DIALECT.md out-of-scope list)
         return BlockResult(b.index, "skip", "oos-daemon-introspection")
-    if re.search(r"\b(tpch|tpcds)\w*\.", b.query, re.IGNORECASE):
+    if re.search(r"\b(tpch|tpcds)\w*\.", b.query, re.IGNORECASE) \
+            and not re.match(r"(?i)\s*explain\b", b.query):
         # other-workload dbs at the reference's load scale; their
-        # expected rows assume SF1 data this fixture doesn't carry
+        # expected rows assume SF1 data this fixture doesn't carry.
+        # EXPLAIN blocks are exempt: plan shape is data-independent
+        # (size/cardinality lines are row_regex'd in the expected)
         return BlockResult(b.index, "skip", "other-workload-db")
 
     # a block's SET NOW_STRING must not leak into later blocks (the

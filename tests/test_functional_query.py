@@ -278,6 +278,30 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # the abort_on_error=1 CATCH blocks are skipped by the harness
     "dateless_timestamp_parquet": (1, {}),
     "dateless_timestamp_text": (1, {}),
+    # r6 wave 4: Impala-format EXPLAIN (impala_explain.py renders the
+    # reference's plan-text grammar from the Spark physical plan);
+    # levels 2/3 assert the reference's per-fragment minicluster
+    # memory ledger — out of scope (DIALECT.md)
+    "explain-level0": (2, {}, None, ["set explain_level=0"]),
+    "explain-level1": (2, {}, None, ["set explain_level=1"]),
+    "result-spooling": (7, {}),
+    "hdfs-tiny-scan": (3, {}),
+    "strict-mode": (1, {}),  # strict overflow-to-NULL text conversion
+    "values": (7, {
+        # IMPALA-2749 double<->decimal arithmetic result typing
+        # (+,-,/ yield DECIMAL in the reference); this engine keeps
+        # Spark's double-wins promotion — DIALECT.md
+        7: "double-decimal-arith",
+    }),
+    # db/table literally named with keywords (`parquet`.`parquet`);
+    # the reference's pytest driver pre-creates them — mirrored here
+    # as presets
+    "compute-stats-keywords": (2, {}, None, [
+        "drop database if exists `parquet` cascade",
+        "create database `parquet`",
+        "create table `parquet`.impala_1055 (i int)",
+        "create table `parquet`.`parquet` (i int)",
+    ]),
     # r6 timezone-conversion semantics (dialect.rewrite_local_tz)
     "local-timestamp-functions": (
         6, {}, None,
