@@ -358,6 +358,12 @@ _RAW_PARQUET = {
     "alltypes_agg_bitpacked_def_levels":
         ["alltypes_agg_bitpacked_def_levels.parquet"],
     "deprecated_stats": ["deprecated_statistics.parquet"],
+    "kite_required_fields": ["kite_required_fields.parquet"],
+    # IMPALA-720 block-boundary coverage: 20,000 lineitem rows split
+    # over 200 row groups (absolute path: lives beside its README,
+    # not under testdata/data)
+    "lineitem_multiblock":
+        ["/root/reference/testdata/LineItemMultiBlock/000000_0"],
 }
 
 
@@ -366,7 +372,8 @@ def _register_raw_parquet_tables(spark: SparkSession) -> None:
     from pyspark.sql.types import DateType
 
     for name, files in _RAW_PARQUET.items():
-        paths = [os.path.join(_REF_DATA, f) for f in files]
+        paths = [f if os.path.isabs(f) else os.path.join(_REF_DATA, f)
+                 for f in files]
         if not all(os.path.exists(p) for p in paths):
             continue
         try:
@@ -419,6 +426,38 @@ def _register_raw_parquet_tables(spark: SparkSession) -> None:
             continue
     _register_dateless_timestamp_tables(spark)
     _register_overflow_table(spark)
+    _register_bad_parquet_table(spark)
+
+
+def _register_bad_parquet_table(spark: SparkSession) -> None:
+    """`bad_parquet` (functional_schema_template.sql:1719): one
+    STRING-column table loaded from three parquet-mr files whose
+    column is named `x` in two of them — the reference's scanner
+    resolves by POSITION, so every file's first column feeds `field`.
+    Spark resolves by name, so each file is read separately and
+    renamed before the union (same 1,006 logical rows)."""
+    files = ["bad_parquet_data.parquet", "repeated_values.parquet",
+             "multiple_rowgroups.parquet", "long_page_header.parquet"]
+    paths = [os.path.join(_REF_DATA, f) for f in files]
+    if not all(os.path.exists(p) for p in paths):
+        return
+    try:
+        import pyarrow.parquet as pq
+
+        # decoded via Arrow once at registration: repeated_values.parquet
+        # carries the 0-bit-width dictionary that IMPALA-694 is about
+        # and Spark's readers reject it outright (1,006 rows total)
+        rows = []
+        for p in paths:
+            col = pq.read_table(p).column(0).to_pylist()
+            rows += [(v.decode("utf-8", "replace")
+                      if isinstance(v, bytes) else
+                      (None if v is None else str(v)),)
+                     for v in col]
+        spark.createDataFrame(rows, "field string") \
+            .createOrReplaceTempView("bad_parquet")
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def _register_overflow_table(spark: SparkSession) -> None:

@@ -296,6 +296,15 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # db/table literally named with keywords (`parquet`.`parquet`);
     # the reference's pytest driver pre-creates them — mirrored here
     # as presets
+    "partition-key-scans-plan-rows": (1, {}),
+    "parquet": (8, {
+        # lineitem_sixblocks' parquet copy is not in the reference
+        # checkout (only a 30k-row ORC sibling); the multiblock
+        # twin covers the same scanner surface
+        8: "reference-data-not-shipped",
+        10: "reference-data-not-shipped",
+        12: "reference-data-not-shipped",
+    }),
     "compute-stats-keywords": (2, {}, None, [
         "drop database if exists `parquet` cascade",
         "create database `parquet`",
