@@ -63,9 +63,9 @@ _CREATE_TABLE_PLAIN = re.compile(
 # summaries; impala-shell surface). N comes from Spark's own
 # DataWritingCommand metric — no extra job.
 _CTAS_STMT = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
-    r"(?P<tbl>[A-Za-z_][\w.]*)[\s\S]*?\bAS\s*\(?\s*(?:SELECT|WITH)\b"
-    r"[\s\S]*$",
+    r"^\s*(?P<pre>CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<tbl>[A-Za-z_][\w.]*)[\s\S]*?\bAS)\s*"
+    r"(?P<body>\(?\s*(?:SELECT|WITH)\b[\s\S]*)$",
     re.IGNORECASE,
 )
 # INSERT INTO/OVERWRITE with optional column permutation and PARTITION
@@ -191,6 +191,10 @@ class Engine:
         # EXPLAIN_LEVEL query option (0=minimal .. 3=verbose; the
         # reference's default is STANDARD — TExplainLevel)
         self.explain_level = 1
+        # PARQUET_TIMESTAMP_TYPE write option (TParquetTimestampType;
+        # reference hdfs-parquet-table-writer.cc int64 rounding) —
+        # INT64_MILLIS/NANOS change what a CTAS stores
+        self.parquet_ts_type = "INT96_NANOS"
         if sf_dir:
             register_tables(self.spark, sf_dir)
 
@@ -209,6 +213,15 @@ class Engine:
         key = name.lower()
         if key == "timezone":
             self.tz = value.strip().strip("'\"") or "UTC"
+            # tz-converted scanner views (IMPALA-5050 int64 timestamp
+            # tables) follow the session option — metadata-only
+            # re-registration, no data movement
+            from incubator_impala_spark.sources import functional
+
+            if self.spark.conf.get(
+                    functional._REGISTERED_KEY, None) == "1":
+                functional.register_tz_parquet_tables(
+                    self.spark, self.tz)
             return True
         if key == "use_local_tz_for_unix_timestamp_conversions":
             self.use_local_tz = str(value).strip().lower() in (
@@ -219,6 +232,10 @@ class Engine:
 
             self.now = (_dt.datetime.fromisoformat(value.strip())
                         if value.strip() else None)
+            return True
+        if key == "parquet_timestamp_type":
+            self.parquet_ts_type = str(value).strip().strip("'\"") \
+                .upper()
             return True
         if key == "explain_level":
             levels = {"minimal": 0, "standard": 1, "extended": 2,
@@ -238,6 +255,44 @@ class Engine:
             self.spark.conf.set(name, str(value))
             return True
         return False
+
+    def _ctas_ts_rewrite(self, m: "re.Match") -> str | None:
+        """PARQUET_TIMESTAMP_TYPE write semantics for CTAS (reference
+        be/src/exec/parquet/hdfs-parquet-table-writer.cc: INT64_MILLIS
+        truncates to milliseconds; INT64_NANOS stores NULL outside the
+        int64-nanosecond range). Applied by wrapping the CTAS body so
+        the truncation is part of the same declarative plan — no
+        second write pass. Spark timestamps are microsecond-precision,
+        so INT64_MICROS/INT96_NANOS are identity here."""
+        if self.parquet_ts_type not in ("INT64_MILLIS", "INT64_NANOS"):
+            return None
+        from pyspark.sql.types import TimestampType
+
+        body = m.group("body")
+        try:
+            schema = self.spark.sql(self.translate(
+                f"SELECT * FROM ({body}) __pqt_probe__")).schema
+        except Exception:  # noqa: BLE001
+            return None
+        if not any(isinstance(f.dataType, TimestampType)
+                   for f in schema.fields):
+            return None
+        exprs = []
+        for f in schema.fields:
+            q = "`" + f.name.replace("`", "``") + "`"
+            if not isinstance(f.dataType, TimestampType):
+                exprs.append(q)
+            elif self.parquet_ts_type == "INT64_MILLIS":
+                exprs.append(
+                    f"timestamp_millis(unix_millis({q})) AS {q}")
+            else:  # INT64_NANOS: NULL outside the representable range
+                exprs.append(
+                    f"CASE WHEN {q} BETWEEN "
+                    f"TIMESTAMP'1677-09-21 00:12:43.145225' AND "
+                    f"TIMESTAMP'2262-04-11 23:47:16.854775' "
+                    f"THEN {q} END AS {q}")
+        return (f"{m.group('pre')} SELECT {', '.join(exprs)} "
+                f"FROM ({body}) __pqt_ts__")
 
     def sql(self, sql_text: str) -> DataFrame:
         m = _SET_STMT.match(sql_text)
@@ -299,7 +354,8 @@ class Engine:
                     m.group("tbl")):
                 n = 0  # IF NOT EXISTS on an existing table: no insert
             else:
-                self.spark.sql(self.translate(sql_text))
+                stmt = self._ctas_ts_rewrite(m) or sql_text
+                self.spark.sql(self.translate(stmt))
                 # CTAS runs as ExecutedCommandExec (no write metrics),
                 # so the summary count comes from the fresh table —
                 # parquet count(*) folds to footer row counts

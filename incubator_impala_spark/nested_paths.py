@@ -517,6 +517,19 @@ def _rewrite_item(scope: _Scope, item: str, joiner: str) -> tuple[str, str]:
         # LEFT/OUTER joins keep collection-less rows (subplan OUTER)
         if outer_join:
             if len(rels) == 1:
+                # map-typed correlated refs are rejected by Spark's
+                # DecorrelateInnerQuery inside OUTER JOIN LATERAL
+                # (UNSUPPORTED_CORRELATED_REFERENCE_DATA_TYPE);
+                # LATERAL VIEW OUTER expresses the same keep-empty
+                # semantics without a correlated subquery
+                if isinstance(final_t, MapType):
+                    mlv = re.match(
+                        r"\(select (\w+\([^()]*(?:\([^()]*\)[^()]*)*\))"
+                        r" as \(([^)]*)\)\) (\w+)$", rels[0])
+                    if mlv:
+                        return (f" LATERAL VIEW OUTER {mlv.group(1)} "
+                                f"{mlv.group(3)} AS {mlv.group(2)} ",
+                                " ")
                 return f" LATERAL {rels[0]} ON true ", " LEFT OUTER JOIN "
             joined = " , LATERAL ".join(rels[:-1])
             return (f" LATERAL {joined} LEFT OUTER JOIN LATERAL "

@@ -364,6 +364,12 @@ _RAW_PARQUET = {
     # not under testdata/data)
     "lineitem_multiblock":
         ["/root/reference/testdata/LineItemMultiBlock/000000_0"],
+    # nested TPC-H customer (c_orders array of structs with o_lineitems
+    # inside) spanning several blocks — parquet-filtering.test's nested
+    # stat-filtering cases scan it
+    "customer_multiblock":
+        ["/root/reference/testdata/CustomerMultiBlock/"
+         "customer_multiblock.parquet"],
 }
 
 
@@ -427,6 +433,150 @@ def _register_raw_parquet_tables(spark: SparkSession) -> None:
     _register_dateless_timestamp_tables(spark)
     _register_overflow_table(spark)
     _register_bad_parquet_table(spark)
+    _register_bzip_text_tables(spark)
+    _register_header_tables(spark)
+    register_tz_parquet_tables(spark, "UTC")
+
+
+def _register_bzip_text_tables(spark: SparkSession) -> None:
+    """bzip2_tbl / multistream_bzip2_tbl (functional_schema_template
+    .sql:2588-2613): one STRING column over the reference's own .bz2
+    text files (text-bzip-scan.test). Spark's Hadoop BZip2Codec
+    decodes both single-stream and multi-stream (pbzip2) files, and
+    bzip2 blocks are splittable — at scale this scan parallelizes per
+    compression block; the view is a plain distributed text read, not
+    a driver-side decode. large_*.bz2 twins are generated at load time
+    upstream and not shipped in the checkout, so they stay
+    unregistered (reason-coded xfails in the harness)."""
+    for tbl, fname in (("bzip2_tbl", "data-bzip2.bz2"),
+                       ("multistream_bzip2_tbl", "data-pbzip2.bz2")):
+        p = os.path.join(_REF_DATA, fname)
+        if os.path.exists(p):
+            spark.read.text(p).withColumnRenamed("value", "col") \
+                .createOrReplaceTempView(tbl)
+
+
+def _register_header_tables(spark: SparkSession) -> None:
+    """table_with_header / table_with_header_2 (schema template:
+    skip.header.line.count = 1 / 2 over table_with_header[_2].csv,
+    hdfs-text-scan-with-header.test). The reference's scanner drops
+    the first N physical lines of each text file; these are 5-line
+    committed fixtures, parsed once at registration."""
+    for tbl, fname, skip in (("table_with_header",
+                              "table_with_header.csv", 1),
+                             ("table_with_header_2",
+                              "table_with_header_2.csv", 2)):
+        p = os.path.join(_REF_DATA, fname)
+        if not os.path.exists(p):
+            continue
+        rows = []
+        with open(p) as fh:
+            for i, line in enumerate(fh):
+                line = line.rstrip("\n")
+                if i < skip or not line:
+                    continue
+                c1, c2 = line.split(",", 1)
+                rows.append((int(c1), float(c2)))
+        spark.createDataFrame(rows, "c1 int, c2 double") \
+            .createOrReplaceTempView(tbl)
+
+
+_TZ_TABLES_KEY = "spark.incubator_impala.tzTablesTz"
+
+
+def register_tz_parquet_tables(spark: SparkSession,
+                               tz: str = "UTC") -> None:
+    """IMPALA-5050 int64-timestamp tables (parquet-int64-timestamps
+    .test; reference setup tests/query_test/test_scanners.py:887-934):
+    parquet columns with int64 physical / timestamp_millis|micros
+    logical type, readable both as TIMESTAMP and as BIGINT.
+
+    UTC-adjusted columns (isAdjustedToUTC=true) are converted to the
+    query timezone on read — the reference scanner's behavior
+    (be/src/exec/parquet-column-stats.inline.h + timezone conversion
+    in parquet-column-readers.cc); local columns are wall-clock
+    verbatim. The engine re-registers these views whenever SET
+    TIMEZONE changes (engine.set_option), so the conversion follows
+    the session option exactly like the reference's per-query state.
+    The *_bigints twins are the reference's BIGINT-schema tables over
+    the SAME files: raw int64 epoch values in the column's unit."""
+    if spark.conf.get(_TZ_TABLES_KEY, None) == tz:
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    # positional renames: the reference CREATEs declare new column
+    # names over the file's schema (resolution by position)
+    renames = {
+        "int64_timestamps_dict": [
+            "id", "new_logical_milli_utc", "new_logical_milli_local",
+            "new_logical_micro_utc", "new_logical_micro_local"],
+    }
+    for name in ("int64_timestamps_plain", "int64_timestamps_dict",
+                 "int64_timestamps_at_dst_changes"):
+        p = os.path.join(_REF_DATA, f"{name}.parquet")
+        if not os.path.exists(p):
+            continue
+        df = spark.read.parquet(p)
+        if name in renames:
+            df = df.toDF(*renames[name])
+        df = df.select([
+            F.from_utc_timestamp(F.col(f.name), tz).alias(f.name)
+            if isinstance(f.dataType, TimestampType) else F.col(f.name)
+            for f in df.schema.fields])
+        df.createOrReplaceTempView(name)
+    # BIGINT twins: raw int64 values (arrow cast timestamp -> int64
+    # preserves the stored count in the column's own unit)
+    bigints = {"int64_bigints_plain": "int64_timestamps_plain",
+               "int64_bigints_dict": "int64_timestamps_dict"}
+    for name, src in bigints.items():
+        p = os.path.join(_REF_DATA, f"{src}.parquet")
+        if not os.path.exists(p):
+            continue
+        t = pq.read_table(p)
+        cols, fields = [], []
+        for fld in t.schema:
+            col = t.column(fld.name)
+            if pa.types.is_timestamp(fld.type):
+                col = col.cast(pa.int64())
+                fields.append(f"{fld.name} bigint")
+            elif pa.types.is_integer(fld.type):
+                col = col.cast(pa.int32())
+                fields.append(f"{fld.name} int")
+            else:
+                fields.append(f"{fld.name} string")
+            cols.append(col.to_pylist())
+        names = renames.get(src)
+        if names:
+            fields = [f"{n} {f.split(' ', 1)[1]}"
+                      for n, f in zip(names, fields)]
+        spark.createDataFrame(list(zip(*cols)), ", ".join(fields)) \
+            .createOrReplaceTempView(name)
+    # nano table: Spark timestamps are microsecond-precision, so the
+    # sub-microsecond digits are truncated (the harness xfails the
+    # ns-visible blocks with reason 'nanosecond-timestamp'); arrow
+    # decodes the ns column and the truncation happens on cast
+    p = os.path.join(_REF_DATA, "int64_timestamps_nano.parquet")
+    if os.path.exists(p):
+        t = pq.read_table(p)
+        import pyarrow.compute as pc
+
+        raw = t.column("rawValue").to_pylist()
+        us = pc.cast(t.column("nanoUtc"),
+                     pa.timestamp("us", tz="UTC"),
+                     safe=False).to_pylist()
+        loc = pc.cast(t.column("nanoNonUtc"), pa.timestamp("us"),
+                      safe=False).to_pylist()
+        df = spark.createDataFrame(
+            [(r, u.replace(tzinfo=None), n)
+             for r, u, n in zip(raw, us, loc)],
+            "rawvalue bigint, nanoutc timestamp, nanononutc timestamp")
+        df = df.withColumn("nanoutc",
+                           F.from_utc_timestamp("nanoutc", tz))
+        df.createOrReplaceTempView("int64_timestamps_nano")
+    spark.conf.set(_TZ_TABLES_KEY, tz)
 
 
 def _register_bad_parquet_table(spark: SparkSession) -> None:

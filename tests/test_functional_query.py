@@ -297,6 +297,27 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # the reference's pytest driver pre-creates them — mirrored here
     # as presets
     "partition-key-scans-plan-rows": (1, {}),
+    # compressed-text scanner over the reference's own .bz2 files
+    # (single-stream + pbzip2 multi-stream); large_* twins are
+    # generated at load time upstream, not shipped in the checkout
+    "text-bzip-scan": (7, {
+        3: "reference-data-not-shipped",
+        4: "reference-data-not-shipped",
+        5: "reference-data-not-shipped",
+        8: "reference-data-not-shipped",
+        9: "reference-data-not-shipped",
+    }),
+    # IMPALA-5050 int64 timestamp_millis/micros columns read as
+    # TIMESTAMP (with query-timezone conversion for isAdjustedToUTC)
+    # and as BIGINT; PARQUET_TIMESTAMP_TYPE write rounding
+    "parquet-int64-timestamps": (10, {
+        8: "ns-precision", 13: "ns-precision",
+    }),
+    "hdfs-text-scan-with-header": (10, {}),
+    # parquet dictionary/stat filtering incl. nested collections over
+    # customer_multiblock and map-key predicates (LATERAL VIEW OUTER
+    # translation of `left outer join f.int_map m`)
+    "parquet-filtering": (34, {}),
     "parquet": (8, {
         # lineitem_sixblocks' parquet copy is not in the reference
         # checkout (only a 30k-row ORC sibling); the multiblock
