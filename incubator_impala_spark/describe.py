@@ -72,8 +72,20 @@ def describe_rows(spark, path: str) -> list[tuple[str, str, str]]:
     if df is None:
         raise ValueError(f"Could not resolve path: {path}")
 
+    def field_type(f) -> str:
+        # Spark erases CHAR(n)/VARCHAR(n) to string in DataFrame
+        # schemas, keeping the declared type in field metadata —
+        # surface the declared spelling like the reference does
+        try:
+            raw = f.metadata.get("__CHAR_VARCHAR_TYPE_STRING")
+            if raw:
+                return raw.lower()
+        except Exception:  # noqa: BLE001
+            pass
+        return impala_type_str(f.dataType)
+
     if not rest:
-        return [(f.name.lower(), impala_type_str(f.dataType), _comment(f))
+        return [(f.name.lower(), field_type(f), _comment(f))
                 for f in df.schema.fields]
 
     dt: DataType = df.schema

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+import os
 import re
 
 from incubator_impala_spark import dialect
@@ -138,6 +139,22 @@ _TRUNCATE_STMT = re.compile(
     r"(?P<tbl>[A-Za-z_][\w.]*)\s*;?\s*$",
     re.IGNORECASE,
 )
+# CREATE TABLE t (cols) ... STORED AS AVRO with no explicit Avro
+# schema: the reference infers the Avro schema from the column defs
+# and CONVERTS the table schema to what Avro can carry
+# (fe/src/main/java/org/apache/impala/analysis/CreateTableStmt.java
+# analyzeAvroSchema + util/AvroSchemaConverter: TINYINT/SMALLINT ->
+# INT, TIMESTAMP -> STRING; CHAR/VARCHAR/DECIMAL/complex preserved),
+# stamping 'from deserializer' on columns without an explicit comment.
+_CREATE_AVRO = re.compile(
+    r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<tbl>[A-Za-z_][\w.]*)\s*"
+    r"\((?P<cols>[\s\S]*?)\)\s*"
+    r"(?:PARTITIONED\s+BY\s*\((?P<part>[^)]*)\)\s*)?"
+    r"STORED\s+AS\s+AVRO\b(?P<tail>[\s\S]*)$",
+    re.IGNORECASE,
+)
+
 # CREATE TABLE t LIKE src [STORED AS fmt] — clone schema + partition
 # spec, no data (CreateTableLikeStmt.java). The fixture relations are
 # temp views, so the clone is built from the source schema rather than
@@ -382,6 +399,12 @@ class Engine:
                     seen.clear()
             return self.spark.createDataFrame(
                 [("Stats have been dropped.",)], "summary string")
+        m = _CREATE_AVRO.match(sql_text)
+        if m and not re.search(r"\bAS\s+SELECT\b|avro\.schema",
+                               sql_text, re.IGNORECASE):
+            handled = self._create_avro(m)
+            if handled is not None:
+                return handled
         m = _CREATE_LIKE_PARQUET.match(sql_text)
         if m:
             return self._create_like_parquet(m)
@@ -623,6 +646,88 @@ class Engine:
         return self.spark.createDataFrame(
             [("Table has been created.",)], "summary string")
 
+    @staticmethod
+    def _split_cols(colstr: str) -> list[str]:
+        """Split a column-definition list on top-level commas,
+        tracking <> nesting (struct<f1:int,f2:string>) alongside
+        parens and quotes."""
+        out, cur, depth, in_str = [], [], 0, None
+        for c in colstr:
+            if in_str:
+                cur.append(c)
+                if c == in_str:
+                    in_str = None
+            elif c in ("'", '"'):
+                in_str = c
+                cur.append(c)
+            elif c in "(<[":
+                depth += 1
+                cur.append(c)
+            elif c in ")>]":
+                depth -= 1
+                cur.append(c)
+            elif c == "," and depth == 0:
+                out.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(c)
+        if cur and "".join(cur).strip():
+            out.append("".join(cur).strip())
+        return out
+
+    @staticmethod
+    def _avro_type(sql_type: str) -> str:
+        """Impala's Avro-schema column-type conversion
+        (fe/.../util/AvroSchemaConverter.java): Avro has no 1/2-byte
+        ints and no timestamp — TINYINT/SMALLINT become INT,
+        TIMESTAMP becomes STRING; everything else is representable
+        and preserved (CHAR/VARCHAR/DECIMAL via Avro logical types)."""
+        t = sql_type.strip()
+        low = t.lower()
+        if low in ("tinyint", "smallint"):
+            return "int"
+        if low == "timestamp":
+            return "string"
+        return t
+
+    def _create_avro(self, m: re.Match) -> DataFrame:
+        """CREATE TABLE ... STORED AS AVRO without an explicit Avro
+        schema (see _CREATE_AVRO). The converted schema is created as
+        a managed parquet table — the storage format is an engine
+        detail; the reference-visible surface is the converted column
+        types and 'from deserializer' comments."""
+        tbl = m.group("tbl")
+        if m.group("ine") and self.spark.catalog.tableExists(tbl):
+            return self.spark.createDataFrame(
+                [("Table already exists.",)], "summary string")
+        col_re = re.compile(
+            r"^\s*(?P<bq>`?)(?P<name>[A-Za-z_]\w*)(?P=bq)\s+"
+            r"(?P<type>[\s\S]*?)"
+            r"(?:\s+COMMENT\s+'(?P<cm>(?:[^']|'')*)')?\s*$",
+            re.IGNORECASE)
+        defs = []
+        for item in self._split_cols(m.group("cols")):
+            cm = col_re.match(item)
+            if not cm:
+                return None  # unparsed column def: fall through
+            comment = (cm.group("cm") or "from deserializer") \
+                .replace("'", "''")
+            defs.append(f"`{cm.group('name')}` "
+                        f"{self._avro_type(cm.group('type'))} "
+                        f"COMMENT '{comment}'")
+        pnames = []
+        for item in self._split_cols(m.group("part") or ""):
+            cm = col_re.match(item)
+            if cm:
+                defs.append(f"`{cm.group('name')}` {cm.group('type')}")
+                pnames.append(cm.group("name"))
+        part = (f" PARTITIONED BY ({', '.join(pnames)})"
+                if pnames else "")
+        self.spark.sql(f"CREATE TABLE {tbl} ({', '.join(defs)}) "
+                       f"USING parquet{part}")
+        return self.spark.createDataFrame(
+            [("Table has been created.",)], "summary string")
+
     def _create_like(self, m: re.Match) -> DataFrame:
         """CREATE TABLE LIKE: clone the source's schema and partition
         spec into an empty managed parquet table. Partition columns
@@ -642,28 +747,59 @@ class Engine:
             self.spark.sql(f"TRUNCATE TABLE {tbl}")
             return self.spark.createDataFrame(
                 [("Table has been created.",)], "summary string")
-        df = self.spark.table(src)
-        pcols: list[str] = []
+        # explicit SORT BY was recorded by _CREATE_SORT before this
+        # branch; otherwise the clone inherits the source's layout
+        # (CreateTableLikeStmt copies sort.columns — IMPALA-4166)
+        if tbl.lower() not in self.sort_props \
+                and src.lower() in self.sort_props:
+            self.sort_props[tbl.lower()] = self.sort_props[src.lower()]
+        created = False
         try:
-            pcols = [c.name
-                     for c in self.spark.catalog.listColumns(src)
-                     if c.isPartition]
-        except Exception:  # noqa: BLE001 - temp views carry none
+            if self.spark.catalog.getTable(src).tableType \
+                    not in ("TEMPORARY", "VIEW"):
+                # catalog-table source: Spark's native LIKE preserves
+                # column comments and CHAR/VARCHAR types verbatim
+                self.spark.sql(f"CREATE TABLE {tbl} LIKE {src}")
+                created = True
+        except Exception:  # noqa: BLE001
             pass
-        if not pcols:
-            from incubator_impala_spark.sources.functional import (
-                PARTITIONED_BY,
-            )
+        if not created:
+            df = self.spark.table(src)
+            pcols: list[str] = []
+            try:
+                pcols = [c.name
+                         for c in self.spark.catalog.listColumns(src)
+                         if c.isPartition]
+            except Exception:  # noqa: BLE001 - temp views carry none
+                pass
+            if not pcols:
+                from incubator_impala_spark.sources.functional import (
+                    PARTITIONED_BY,
+                )
 
-            pcols = [c for c in PARTITIONED_BY.get(src.lower(), [])
-                     if c in df.columns]
-        cols_ddl = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}"
-            for f in df.schema.fields)
-        part = (f" PARTITIONED BY ({', '.join(pcols)})"
-                if pcols else "")
-        self.spark.sql(
-            f"CREATE TABLE {tbl} ({cols_ddl}) USING parquet{part}")
+                pcols = [c for c in PARTITIONED_BY.get(src.lower(), [])
+                         if c in df.columns]
+            avro = bool(re.search(r"\bSTORED\s+AS\s+AVRO\b", m.string,
+                                  re.IGNORECASE))
+            cols_ddl = ", ".join(
+                f"`{f.name}` " +
+                (self._avro_type(f.dataType.simpleString())
+                 if avro and f.name not in pcols
+                 else f.dataType.simpleString())
+                for f in df.schema.fields)
+            part = (f" PARTITIONED BY ({', '.join(pcols)})"
+                    if pcols else "")
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({cols_ddl}) USING parquet{part}")
+        lm = re.search(r"\bLOCATION\s+'(?P<loc>[^']*)'", m.string,
+                       re.IGNORECASE)
+        if lm and src.split(".")[-1].lower().lstrip("_") in \
+                os.path.basename(lm.group("loc")).lower():
+            # EXTERNAL ... LOCATION pointing at the source table's own
+            # warehouse dir: the new table adopts the existing data
+            # files (the reference reads them in place) — populate the
+            # clone with the source rows so reads match
+            self.spark.table(src).write.insertInto(tbl)
         return self.spark.createDataFrame(
             [("Table has been created.",)], "summary string")
 

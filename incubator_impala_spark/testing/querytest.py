@@ -551,10 +551,13 @@ def _strip_location(stmt: str) -> str:
             r"\s*create\s+((external\s+)?table|database|schema)\b",
             stmt, re.IGNORECASE):
         return stmt
-    if re.search(r"\blike\s+parquet\b", stmt, re.IGNORECASE):
-        # LIKE PARQUET keeps its LOCATION: the engine resolves both
-        # the schema file and the data dir against the reference's
-        # testdata copies
+    if re.search(r"\blike\b", stmt, re.IGNORECASE):
+        # LIKE PARQUET keeps its LOCATION (the engine resolves the
+        # schema file and data dir against the reference's testdata
+        # copies); CREATE TABLE LIKE <t> keeps it too — an EXTERNAL
+        # location naming the source's own warehouse dir means the
+        # new table adopts the existing data files (engine
+        # _create_like populates the clone to match)
         return stmt
     out = _LOCATION_CLAUSE.sub("", stmt)
     return re.sub(r"(?i)\bcreate\s+external\s+table\b", "create table",

@@ -318,6 +318,10 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # customer_multiblock and map-key predicates (LATERAL VIEW OUTER
     # translation of `left outer join f.int_map m`)
     "parquet-filtering": (34, {}),
+    # CREATE TABLE LIKE across views/sources incl. STORED AS AVRO
+    # column-type conversion, sort.columns inheritance, and external
+    # LOCATION adoption of the source's data files
+    "create-table-like-table": (29, {}),
     "parquet": (8, {
         # lineitem_sixblocks' parquet copy is not in the reference
         # checkout (only a 30k-row ORC sibling); the multiblock
