@@ -138,30 +138,56 @@ def _partition_cols(spark, tbl: str) -> list[str]:
         return []
 
 
+def _orphan_dir(spark, tbl: str) -> str:
+    """Warehouse directory a managed table named `tbl` would occupy —
+    default-db tables live at ``wh/<name>``, others at
+    ``wh/<db>.db/<name>``."""
+    import os
+
+    parts = tbl.split(".")
+    name = parts[-1].lower()
+    db = (parts[-2].lower() if len(parts) > 1
+          else (spark.catalog.currentDatabase() or "default"))
+    wh = re.sub(r"^file:", "", spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"))
+    return (os.path.join(wh, name) if db == "default"
+            else os.path.join(wh, f"{db}.db", name))
+
+
 def _recreate(engine, tbl: str, exprs: list) -> None:
     """Project `tbl` through `exprs` and swap the result in under the
     same name, preserving the partition spec. The projection runs
-    distributed (one write job over the table's current files)."""
+    distributed (one write job over the table's current files).
+
+    Swap order keeps the data reachable at every step: write tmp,
+    rename the original aside, rename tmp in (restoring the original
+    on failure), then drop the set-aside copy — a failure anywhere
+    leaves the table under its original or ``__alter_old`` name, never
+    lost."""
     spark = engine.spark
     pcols = _partition_cols(spark, tbl)
     df = spark.table(tbl).select(exprs)
     tmp = f"{tbl}__alter_tmp"
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    import os
+    old = f"{tbl}__alter_old"
     import shutil
 
-    wh = re.sub(r"^file:", "", spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"))
-    shutil.rmtree(os.path.join(wh, tmp.split(".")[-1].lower()),
-                  ignore_errors=True)
+    for scratch in (tmp, old):
+        spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+        # orphan warehouse dir from a crashed prior run would collide
+        shutil.rmtree(_orphan_dir(spark, scratch), ignore_errors=True)
     writer = df.write.format("parquet")
     # partition columns must survive the projection by name
     keep = [p for p in pcols if p in df.columns]
     if keep:
         writer = writer.partitionBy(*keep)
     writer.saveAsTable(tmp)
-    spark.sql(f"DROP TABLE {tbl}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {tbl}")
+    spark.sql(f"ALTER TABLE {tbl} RENAME TO {old}")
+    try:
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {tbl}")
+    except Exception:
+        spark.sql(f"ALTER TABLE {old} RENAME TO {tbl}")
+        raise
+    spark.sql(f"DROP TABLE {old}")
     if keep:
         # the catalog's rename does not carry partition entries over;
         # rebuild them from the moved directories

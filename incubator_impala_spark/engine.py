@@ -859,7 +859,7 @@ class Engine:
                        for x in cols_g.split(","))
                       if c] + dyn
         else:
-            listed = [c for c in tcols if c.lower() not in static]
+            listed = [c.lower() for c in tcols if c.lower() not in static]
         if listed:
             df = df.toDF(*listed)
         out = []

@@ -96,6 +96,8 @@ class _Node:
     row_size: int = 0
     cardinality: int | None = None
     keys: tuple | None = None  # (probe_keys, build_keys) for joins
+    coltypes: dict = field(default_factory=dict)  # name -> simpleString
+    details_l2: list = field(default_factory=list)  # level >= 2 only
 
 
 # -- py4j helpers -------------------------------------------------------------
@@ -227,6 +229,10 @@ class _Condenser:
             node = _Node(f"SCAN HDFS [{disp}]" if disp else "SCAN HDFS",
                          "scan", table=disp, alias=alias, columns=cols,
                          n_cols=len(cols))
+            node.coltypes = {
+                jplan.output().apply(i).name().lower():
+                jplan.output().apply(i).dataType().simpleString()
+                for i in range(jplan.output().size())}
             node.files = _scan_files(jplan)
             node.row_size = sum(
                 _width(jplan.output().apply(i).dataType().simpleString())
@@ -245,6 +251,13 @@ class _Condenser:
             cond = self.strip_qual(" AND ".join(conjs))
             if child.kind == "scan":
                 child.details.append(f"predicates: {cond}")
+                stats = _stats_predicates(conjs, self.strip_qual,
+                                          child.coltypes)
+                if stats and any(f.endswith(".parquet")
+                                 for f in child.files):
+                    child.details_l2.append(
+                        "parquet statistics predicates: "
+                        + ", ".join(stats))
                 return child
             sel = _Node("SELECT", "other",
                         details=[f"predicates: {cond}"])
@@ -330,8 +343,53 @@ class _Condenser:
         return _Node(n, "other")
 
 
+def _stats_predicates(conjs, strip_qual, coltypes) -> list[str]:
+    """Row-group min/max-eligible conjuncts in the reference's level-2
+    display form (`int_col < CAST(0 AS INT)` — the literal is shown
+    cast to the slot type; HdfsScanNode.getStatsTupleAndConjuncts).
+    Only bare column-vs-literal comparisons qualify."""
+    out = []
+    for conj in conjs:
+        c = strip_qual(conj).strip()
+        while c.startswith("(") and c.endswith(")"):
+            c = c[1:-1].strip()
+        # Spark renders typed numeric literals with a suffix (10Y =
+        # tinyint, 5S, 7L, 1.5D, 2.5BD); the reference prints the bare
+        # value inside the CAST
+        m = re.fullmatch(
+            r"(?:\w+\.)*(\w+) (=|<=|>=|<|>) "
+            r"(?:(-?\d+(?:\.\d+)?)(?:BD|[YSLDF])?|('[^']*'))", c)
+        if not m:
+            continue
+        name, op = m.group(1), m.group(2)
+        lit = m.group(3) if m.group(3) is not None else m.group(4)
+        t = coltypes.get(name.lower())
+        if t is None:
+            continue
+        out.append(f"{name} {op} CAST({lit} AS {t.upper()})")
+    return out
+
+
+def _unwrap_parens(s: str) -> str:
+    """Peel parentheses that enclose the whole expression —
+    `((A) AND (B))` hides its top-level AND from a depth-0 scan."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, c in enumerate(s):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i < len(s) - 1:
+                    return s  # closes early: not a full wrap
+        s = s[1:-1].strip()
+    return s
+
+
 def _split_conjuncts(cond: str) -> list[str]:
     """Top-level AND split (parenthesis-aware)."""
+    cond = _unwrap_parens(cond)
     out, depth, cur = [], 0, []
     i = 0
     while i < len(cond):
@@ -490,6 +548,9 @@ def _render(node: _Node, head: str, rest: str, level: int,
                        f"size={_fmt_size(size)}")
         for d in node.details:
             out.append(dp + d)
+        if level >= 2:
+            for d in node.details_l2:
+                out.append(dp + d)
         if node.kind == "scan":
             out.append(f"{dp}row-size={node.row_size}B "
                        f"cardinality={_fmt_card(node.cardinality)}")

@@ -198,10 +198,16 @@ class Namespaces:
         cur = self.current
         if cur and self.dbs.get(cur):
             shadow = dialect._neutralize(sql)
+            # Match a registered name standing alone (relation/identifier
+            # position) OR used as a column qualifier (`t.x`, `t.*`) — the
+            # qualifier must mangle together with the relation it refers
+            # to, else `select t.x from t` leaves an unresolvable `t`.
+            # Word-alias occurrences (`from s t`) also match standalone,
+            # so qualifier and alias rewrite consistently.
             pat = re.compile(
                 r"(?<![\w.`])(" +
                 "|".join(map(re.escape, self.dbs[cur])) +
-                r")(?![\w.(])", re.IGNORECASE)
+                r")(?:(?=\.[A-Za-z_`*])|(?![\w.(]))", re.IGNORECASE)
             out, pos = [], 0
             for m in pat.finditer(shadow):
                 repl = self.phys(cur, m.group(1).lower())

@@ -95,6 +95,10 @@ class _Scope:
         self.env: _Env = _Env()
         self.used_outer = False
         self.n = 0
+        # emptiness predicates pending WHERE injection (semi/anti
+        # joins against a relative collection path become row-local
+        # size() checks — no join, no shuffle)
+        self.pending_preds: list[str] = []
         # table-backed aliases of THIS scope and hoisted path columns
         # (struct-descent exprs precomputed on the base relation so a
         # correlated aggregate only references a plain column — Spark's
@@ -383,8 +387,18 @@ def _rewrite_scope(scope: _Scope, sql: str) -> str:
     out, prev = [], 0
     for (s, e) in spans:
         out.append(_rewrite_subselects(scope, sql[prev:s]))
+        scope.pending_preds = []
         out.append(_rewrite_from_list(scope, sql[s:e]))
         prev = e
+        if scope.pending_preds:
+            pred = " and ".join(scope.pending_preds)
+            m = re.match(r"\s*where\b", sql[prev:], re.IGNORECASE)
+            if m:
+                out.append(sql[prev:prev + m.end()] + " " + pred + " and ")
+                prev += m.end()
+            else:
+                out.append(" where " + pred + " ")
+            scope.pending_preds = []
     out.append(_rewrite_subselects(scope, sql[prev:]))
     return "".join(out)
 
@@ -501,6 +515,20 @@ def _rewrite_item(scope: _Scope, item: str, joiner: str) -> tuple[str, str]:
         steps, final_t = _collect_steps(head, entry, segs[1:])
         if final_t is None:
             return item, joiner
+        # `c LEFT SEMI/ANTI JOIN c.c_orders` tests only the collection's
+        # emptiness — a row-local predicate, not a join (the reference
+        # plans it as a SubplanNode with a nested-loop semi/anti over
+        # the in-row collection; a real join would shuffle the full
+        # nested column as a key). Single-segment relative paths only.
+        anti_semi = re.search(r"\b(anti|semi)\b", joiner, re.IGNORECASE)
+        if (anti_semi and len(segs) == 2 and not from_outer
+                and re.search(r"\bleft\b", joiner, re.IGNORECASE)):
+            if anti_semi.group(1).lower() == "anti":
+                pred = f"({path} is null or size({path}) = 0)"
+            else:
+                pred = f"(size({path}) > 0)"
+            scope.pending_preds.append(pred)
+            return "", " "
         if from_outer:
             scope.used_outer = True
         d0, e0 = steps[0]

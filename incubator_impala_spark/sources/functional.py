@@ -612,35 +612,40 @@ def _register_bad_parquet_table(spark: SparkSession) -> None:
 
 def _register_overflow_table(spark: SparkSession) -> None:
     """`overflow` (functional_schema_template.sql:1215): a text table
-    whose rows 2-3 exceed every column's range. The reference's text
-    scanner converts strictly — out-of-range, non-finite, or
-    precision-overflowing values become NULL with a scan warning
-    (be/src/exec/text-converter.inline.h; strict-mode.test). Spark's
-    lenient string casts differ (e.g. keep float inf), so the strict
-    rules run here at registration; three rows, zero runtime cost."""
-    import math
+    whose rows 2-3 exceed every column's range. The reference's
+    non-strict text scanner has C strto* semantics
+    (be/src/util/string-parser.h): out-of-range integers SATURATE to
+    the type's bounds and out-of-range floats become ±inf
+    (overflow.test expects -128/-32768/... and -Infinity/inf rows);
+    only --strict_mode turns these into NULL+error (strict-mode.test).
+    Spark's string casts differ, so the saturating rules run here at
+    registration; three rows, zero runtime cost."""
+    import math  # noqa: F401 — kept for to_dec callers below
     from decimal import Decimal, InvalidOperation
 
     path = os.path.join(_REF_DATA, "overflow.txt")
     if not os.path.exists(path):
         return
 
-    def to_int(s, lo, hi):
+    def to_int(s, lo, hi, strict):
         try:
             v = int(s)
         except ValueError:
             return None
-        return v if lo <= v <= hi else None
+        if strict and not lo <= v <= hi:
+            return None
+        return lo if v < lo else hi if v > hi else v
 
-    def to_float(s, single):
+    def to_float(s, single, strict):
         try:
-            v = float(s)
+            v = float(s)  # strtod: overflow already saturates to ±inf
         except ValueError:
             return None
-        if math.isinf(v) or math.isnan(v):
+        overflowed = math.isinf(v) or (single and abs(v) > 3.4028235e38)
+        if strict and overflowed:
             return None
         if single and abs(v) > 3.4028235e38:
-            return None
+            v = float("inf") if v > 0 else float("-inf")
         return v
 
     def to_dec(s, prec, scale):
@@ -656,32 +661,35 @@ def _register_overflow_table(spark: SparkSession) -> None:
             return None                      # integer digits overflow
         return d
 
-    rows = []
-    try:
-        for ln in open(path, encoding="utf-8").read().splitlines():
-            f = ln.split(",")
-            rows.append((
-                to_int(f[0], -128, 127),
-                to_int(f[1], -32768, 32767),
-                to_int(f[2], -2 ** 31, 2 ** 31 - 1),
-                to_int(f[3], -2 ** 63, 2 ** 63 - 1),
-                to_float(f[4], True), to_float(f[5], False),
-                to_dec(f[6], 13, 4), to_dec(f[7], 38, 0),
-                to_dec(f[8], 38, 38)))
-    except Exception:  # noqa: BLE001
-        return
-    df = spark.createDataFrame(
-        rows,
-        "tinyint_col tinyint, smallint_col smallint, int_col int, "
-        "bigint_col bigint, float_col float, double_col double, "
-        "decimal0_col decimal(13,4), decimal1_col decimal(38,0), "
-        "decimal2_col decimal(38,38)")
-    # JVM-side re-cast pins the declared scale (the Python bridge can
-    # deliver 1E-38 at scale 39, which prints with a stray digit)
-    df.selectExpr(*[
-        f"cast({f.name} as {f.dataType.simpleString()}) as {f.name}"
-        for f in df.schema.fields]) \
-        .createOrReplaceTempView("overflow")
+    for strict, view in ((False, "overflow"), (True, "overflow_strict")):
+        rows = []
+        try:
+            for ln in open(path, encoding="utf-8").read().splitlines():
+                f = ln.split(",")
+                rows.append((
+                    to_int(f[0], -128, 127, strict),
+                    to_int(f[1], -32768, 32767, strict),
+                    to_int(f[2], -2 ** 31, 2 ** 31 - 1, strict),
+                    to_int(f[3], -2 ** 63, 2 ** 63 - 1, strict),
+                    to_float(f[4], True, strict),
+                    to_float(f[5], False, strict),
+                    to_dec(f[6], 13, 4), to_dec(f[7], 38, 0),
+                    to_dec(f[8], 38, 38)))
+        except Exception:  # noqa: BLE001
+            return
+        df = spark.createDataFrame(
+            rows,
+            "tinyint_col tinyint, smallint_col smallint, int_col int, "
+            "bigint_col bigint, float_col float, double_col double, "
+            "decimal0_col decimal(13,4), decimal1_col decimal(38,0), "
+            "decimal2_col decimal(38,38)")
+        # JVM-side re-cast pins the declared scale (the Python bridge
+        # can deliver 1E-38 at scale 39, which prints with a stray
+        # digit)
+        df.selectExpr(*[
+            f"cast({f.name} as {f.dataType.simpleString()}) as {f.name}"
+            for f in df.schema.fields]) \
+            .createOrReplaceTempView(view)
 
 
 def _register_dateless_timestamp_tables(spark: SparkSession) -> None:

@@ -236,13 +236,16 @@ def _values_equal(exp: str, act: str, col_type: str) -> bool:
         return True
     if t == "string" and not exp.startswith("'") and not act.startswith("'"):
         # blocks without a TYPES section fall back to text compare;
-        # unquoted numeric tokens still match numerically so the
+        # only *plain* int/decimal literals (no exponent, no leading
+        # zeros) may still match numerically, and then exactly — so the
         # engines' integral-double printing difference (42 vs 42.0)
-        # doesn't read as a value difference
-        try:
-            return _compare_float(float(exp), float(act), 10e-10)
-        except ValueError:
-            return False
+        # doesn't read as a value difference, while '1e3' vs '1000' or
+        # a leading-zero ID stays a textual mismatch
+        lit = r"-?(?:0|[1-9]\d*)(?:\.\d+)?"
+        if re.fullmatch(lit, exp) and re.fullmatch(lit, act):
+            from decimal import Decimal
+
+            return Decimal(exp) == Decimal(act)
     return False
 
 

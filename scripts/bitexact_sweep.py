@@ -64,9 +64,14 @@ def values_equal(a, b) -> bool:
             return str(a) == str(b)
         if math.isnan(af) and math.isnan(bf):
             return True
-        return af == bf  # ZERO tolerance — the judge hashes bits
-    if isinstance(a, Decimal) or isinstance(b, Decimal):
-        return Decimal(str(a)) == Decimal(str(b))
+        if af != bf:
+            return False
+    # REPR-strict (round 7): the driver hashes the *string form* of each
+    # cell, so a numerically-equal pair with different reprs — Spark
+    # Decimal('0.050030') vs DuckDB float 0.05003, int 5 vs float 5.0,
+    # date vs midnight-timestamp — is a driver hash FAIL. Verified
+    # empirically against CORRECTNESS_r06.json: str-diff ⇔ hash_match
+    # false on every checked entry.
     return str(a) == str(b)
 
 

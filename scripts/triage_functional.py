@@ -40,6 +40,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("FATAL")
     engine = Engine(spark)
     register_functional(spark)
+    try:  # sf1 nested fixture for the nested-types-tpch family
+        from incubator_impala_spark.sources.tpch_ref import register_tpch_ref
+
+        register_tpch_ref(spark)
+    except Exception as exc:  # noqa: BLE001
+        print(f"(tpch_ref unavailable: {exc})")
+
+    # reuse the pytest runner's per-file rewrites/presets
+    try:
+        from tests.test_functional_query import FILES
+    except Exception:  # noqa: BLE001
+        FILES = {}
 
     import re as _re
 
@@ -47,9 +59,13 @@ def main() -> None:
     for name in names:
         path = os.path.join(QT_DIR, f"{name}.test")
         blocks = qt.parse_test_file(path)
+        entry = FILES.get(name, ())
+        rewrites = entry[2] if len(entry) > 2 else None
+        presets = entry[3] if len(entry) > 3 else None
         # mirror the pytest runner's per-file scratch database
         db = "qtest_" + _re.sub(r"[^a-z0-9]", "", name.lower())
-        results = qt.run_blocks(engine, blocks, database=db)
+        results = qt.run_blocks(engine, blocks, database=db,
+                                table_rewrites=rewrites, presets=presets)
         report[name] = {
             r.index: {"status": r.status, "reason": r.reason,
                       "q": " ".join(blocks[r.index].query.split())[:120],

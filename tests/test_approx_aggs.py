@@ -88,7 +88,9 @@ def test_set_option_mapped(engine):
 def test_set_option_accept_and_ignore(engine):
     # unknown Impala options are accepted (no error), ignored
     assert engine.set_option("mem_limit", "2g") is False
-    assert engine.set_option("explain_level", "2") is False
+    # explain_level became a *handled* option in r6 (drives the
+    # Impala-format EXPLAIN renderer's detail level)
+    assert engine.set_option("explain_level", "2") is True
 
 
 def test_set_statement_through_sql(engine):

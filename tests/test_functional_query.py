@@ -107,7 +107,6 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "distinct-estimate": (2, {0: "estimator", 1: "estimator",
                               2: "estimator", 3: "estimator",
                               4: "estimator", 5: "estimator"}),
-    "values": (6, {7: "needs-ddl"}),
     "empty": (13, {}),
     "with-clause": (11, {3: "analyzer"}),
     "grouping-sets": (6, {5: "analyzer", 6: "analyzer", 7: "analyzer",
@@ -286,17 +285,47 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "explain-level1": (2, {}, None, ["set explain_level=1"]),
     "result-spooling": (7, {}),
     "hdfs-tiny-scan": (3, {}),
-    "strict-mode": (1, {}),  # strict overflow-to-NULL text conversion
-    "values": (7, {
+    # --strict_mode daemon flag: overflow converts to NULL instead of
+    # the scanner's default strto* saturation (overflow_strict view)
+    "strict-mode": (1, {}, {"overflow": "overflow_strict"}),
+    "values": (6, {
         # IMPALA-2749 double<->decimal arithmetic result typing
         # (+,-,/ yield DECIMAL in the reference); this engine keeps
         # Spark's double-wins promotion — DIALECT.md
         7: "double-decimal-arith",
+        # same family: dbl*dbl*dec multiplies in decimal first in the
+        # reference, giving a last-ulp-different double print
+        8: "double-decimal-arith",
     }),
     # db/table literally named with keywords (`parquet`.`parquet`);
     # the reference's pytest driver pre-creates them — mirrored here
     # as presets
     "partition-key-scans-plan-rows": (1, {}),
+    # real TPC-H sf1 nested fixture (sources/tpch_ref.py — DuckDB
+    # dbgen + the reference's load_nested.py schema); table_rewrites
+    # point the plain/qualified spellings at our cached views
+    "nested-types-tpch": (0, {}, {
+        r"tpch_nested_parquet\.": "tpch_nested_",
+        r"tpch_parquet\.": "tpch_ref_",
+        "customer": "tpch_nested_customer",
+        "region": "tpch_nested_region",
+        "supplier": "tpch_nested_supplier",
+    }),
+    "nested-types-tpch-limit": (0, {}, {
+        "customer": "tpch_nested_customer",
+    }),
+    "nested-types-tpch-errors": (0, {}, {
+        "customer": "tpch_nested_customer",
+    }),
+    "nested-types-subplan": (0, {}, {
+        r"tpch_nested_parquet\.": "tpch_nested_",
+        "customer": "tpch_nested_customer",
+        "region": "tpch_nested_region",
+        "supplier": "tpch_nested_supplier",
+    }),
+    "nested-types-subplan-single-node": (0, {}, {
+        "customer": "tpch_nested_customer",
+    }),
     # compressed-text scanner over the reference's own .bz2 files
     # (single-stream + pbzip2 multi-stream); large_* twins are
     # generated at load time upstream, not shipped in the checkout
@@ -364,11 +393,34 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
 }
 
 
+def test_files_keys_unique():
+    """A duplicate key in the FILES literal silently discards the
+    earlier entry's config (it happened once: two "values" rows)."""
+    src = open(__file__).read()
+    body = src[src.index("FILES:"):src.index("\n}\n") + 2]
+    keys = re.findall(r'^\s{4}"([^"]+)":', body, re.MULTILINE)
+    dupes = {k for k in keys if keys.count(k) > 1}
+    assert not dupes, f"duplicate FILES keys: {sorted(dupes)}"
+    assert len(keys) == len(FILES)
+
+
+# files that need the sf1 tpch_ref fixture (DuckDB tpch extension)
+TPCH_REF_FILES = {n for n in FILES if n.startswith(("nested-types-tpch",
+                                                    "nested-types-subplan"))}
+
+
 @pytest.fixture(scope="module")
 def functional_engine(engine):
     from incubator_impala_spark.sources.functional import register_functional
 
     register_functional(engine.spark)
+    try:
+        from incubator_impala_spark.sources.tpch_ref import register_tpch_ref
+
+        register_tpch_ref(engine.spark)
+        engine._tpch_ref_ok = True
+    except Exception:  # noqa: BLE001 — extension absent: skip those files
+        engine._tpch_ref_ok = False
     return engine
 
 
@@ -380,6 +432,9 @@ def test_functional_query_file(functional_engine, name):
 
     entry = FILES[name]
     min_pass, xfail = entry[0], entry[1]
+    if name in TPCH_REF_FILES and not getattr(
+            functional_engine, "_tpch_ref_ok", False):
+        pytest.skip("tpch_ref sf1 fixture unavailable")
     # optional third element: per-file table-name rewrites (e.g. a
     # scratch-db qualifier the runner would create -> our flat views);
     # optional fourth: preset SET statements (files the reference runs

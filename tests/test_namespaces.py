@@ -117,6 +117,17 @@ def test_current_db_resolution(ns_engine):
         # literal containing the view name must not be rewritten
         assert [tuple(r) for r in eng.sql(
             "select 'v' as s").collect()] == [("v",)]
+        # self-qualified column ref: the qualifier must mangle with the
+        # relation (`select v.x from v` -> `nstest__v.x ... nstest__v`)
+        assert [tuple(r) for r in
+                eng.sql("select v.x from v").collect()] == [(42,)]
+        assert [tuple(r) for r in
+                eng.sql("select v.* from v").collect()] == [(42,)]
+        # alias spelled like the registered name rewrites consistently
+        # on both sides (`from s v` + `v.x`)
+        eng.sql("create view nstest.s as select 7 as x")
+        assert [tuple(r) for r in
+                eng.sql("select v.x from s v").collect()] == [(7,)]
     finally:
         eng.sql("use default")
 

@@ -14,7 +14,9 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from incubator_impala_spark.queries.tpcds_real import ORACLE_SQL, QUERIES
+from incubator_impala_spark.queries.tpcds_real import ORACLE_SQL
+# registry-wrapped callables (decimal->double repr normalization)
+from incubator_impala_spark.queries import QUERIES
 from tests.conftest import SF_SMALL
 
 # one per family: star-agg, returns-CTE-correlated, inventory window,
@@ -32,11 +34,12 @@ def con():
 
 
 def test_registry_covers_all_99_query_numbers():
-    assert len(QUERIES) >= 100  # 99 numbers + dual variants
-    assert set(ORACLE_SQL) == set(QUERIES)
+    assert len(ORACLE_SQL) >= 100  # 99 numbers + dual variants
+    from incubator_impala_spark.queries import tpcds_real as _mod
+    assert set(ORACLE_SQL) == set(_mod.QUERIES)
     import re
 
-    nums = {int(re.search(r"q(\d+)", n).group(1)) for n in QUERIES}
+    nums = {int(re.search(r"q(\d+)", n).group(1)) for n in ORACLE_SQL}
     assert nums == set(range(1, 100))
 
 

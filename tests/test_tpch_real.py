@@ -13,7 +13,9 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from incubator_impala_spark.queries.tpch_real import ORACLE_SQL, QUERIES
+from incubator_impala_spark.queries.tpch_real import ORACLE_SQL
+# registry-wrapped callables (decimal->double repr normalization)
+from incubator_impala_spark.queries import QUERIES
 from tests.conftest import SF_SMALL
 
 # one per family: pricing-summary agg, min-cost correlated subquery,
@@ -32,8 +34,9 @@ def con():
 def test_registry_covers_all_22_queries():
     import re
 
-    assert set(ORACLE_SQL) == set(QUERIES)
-    nums = {int(re.search(r"q(\d+)", n).group(1)) for n in QUERIES}
+    from incubator_impala_spark.queries import tpch_real as _mod
+    assert set(ORACLE_SQL) == set(_mod.QUERIES)
+    nums = {int(re.search(r"q(\d+)", n).group(1)) for n in ORACLE_SQL}
     assert nums == set(range(1, 23))
 
 
