@@ -166,17 +166,27 @@ def _collect_steps(root_expr: str, root_cols: dict, segs: list[str]):
             nxt = segs[i].lower()
             steps.append((cur_t, expr))
             if isinstance(cur_t, ArrayType):
-                if nxt != "item":
+                if nxt == "item":
+                    expr, cur_t = "@item", cur_t.elementType
+                    i += 1
+                elif isinstance(cur_t.elementType, StructType) and \
+                        nxt in {f.name.lower()
+                                for f in cur_t.elementType.fields}:
+                    # implicit element hop: the reference's
+                    # `customer.c_orders.o_lineitems` unnests c_orders
+                    # and descends into the element struct without an
+                    # `item` segment (Path.java LegalPathType)
+                    expr, cur_t = "@item", cur_t.elementType
+                else:
                     return steps, None
-                expr, cur_t = "@item", cur_t.elementType
             else:
                 if nxt not in ("key", "value"):
                     return steps, None
                 expr = "@key" if nxt == "key" else "@value"
                 cur_t = (cur_t.keyType if nxt == "key"
                          else cur_t.valueType)
+                i += 1
             cur_cols = _cols(cur_t) or None
-            i += 1
     if not isinstance(cur_t, (ArrayType, MapType)):
         return steps, None
     steps.append((cur_t, expr))
@@ -544,6 +554,28 @@ def _rewrite_item(scope: _Scope, item: str, joiner: str) -> tuple[str, str]:
         # an alias-rooted relation is correlated -> Spark LATERAL;
         # LEFT/OUTER joins keep collection-less rows (subplan OUTER)
         if outer_join:
+            # single-step ARRAY outer: explode a NULL-padded array via
+            # an INNER lateral instead of OUTER JOIN LATERAL — Spark
+            # decorrelates the latter into a SortMergeJoin KEYED ON THE
+            # WHOLE NESTED ARRAY (shuffles every byte of the collection
+            # column twice); the padded form stays a single Generate
+            # with nested-field pruning intact. pos is re-NULLed on
+            # padded rows (a genuine null element keeps its position).
+            if (len(steps) == 1 and isinstance(final_t, ArrayType)
+                    and not re.search(r"\bfull\b", joiner, re.IGNORECASE)):
+                arr = steps[0][1]
+                el_ddl = final_t.elementType.simpleString()
+                empty = f"({arr} is null or size({arr}) = 0)"
+                sel = [f"case when {empty} then cast(null as int) "
+                       f"else pos end as pos", "item"]
+                if isinstance(final_t.elementType, StructType):
+                    sel += [f"item.{f.name} as {f.name}"
+                            for f in final_t.elementType.fields
+                            if f.name.lower() not in ("pos", "item")]
+                rel = (f"(select {', '.join(sel)} from (select "
+                       f"posexplode(if({empty}, array(cast(null as "
+                       f"{el_ddl})), {arr})) as (pos, item))) {alias}")
+                return f" LATERAL {rel} ", " , "
             if len(rels) == 1:
                 # map-typed correlated refs are rejected by Spark's
                 # DecorrelateInnerQuery inside OUTER JOIN LATERAL

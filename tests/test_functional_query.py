@@ -144,13 +144,9 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "mt-dop": (2, {}),
     "joins_mt_dop": (2, {}),
     "parquet-stats-agg": (8, {}),
-    # Deliberately not wired (r6 triage):
-    #   analytic-fns-tpcds.test — expected values recorded against the
-    #     reference's dsdgen-loaded TPC-DS data, which the repo does
-    #     not ship (testdata/datasets/tpcds/preload is empty); our
-    #     synthetic TPC-DS fixture cannot reproduce recorded rows.
-    #     The window shapes it covers run in analytic-fns.test and the
-    #     tpcds_real_* oracle entries instead.
+    # Deliberately not wired (r6 triage; r7: analytic-fns-tpcds and
+    # the nested-types-tpch family came online via the DuckDB
+    # dbgen/dsdgen sf1 fixtures — sources/tpch_ref.py, tpcds_ref.py):
     #   explain-level0..3.test — asserts Impala's EXPLAIN text format
     #     (PLAN-ROOT SINK/EXCHANGE lines, per-host resource header);
     #     this engine's EXPLAIN is Catalyst's. Faking the text would
@@ -304,12 +300,16 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # real TPC-H sf1 nested fixture (sources/tpch_ref.py — DuckDB
     # dbgen + the reference's load_nested.py schema); table_rewrites
     # point the plain/qualified spellings at our cached views
+    # real dsdgen sf1 item table (sources/tpcds_ref.py)
+    "analytic-fns-tpcds": (8, {}, {"item": "tpcds_ref_item",
+                               "customer": "tpcds_ref_customer"}),
     "nested-types-tpch": (0, {}, {
         r"tpch_nested_parquet\.": "tpch_nested_",
         r"tpch_parquet\.": "tpch_ref_",
         "customer": "tpch_nested_customer",
         "region": "tpch_nested_region",
         "supplier": "tpch_nested_supplier",
+        "part": "tpch_nested_part",
     }),
     "nested-types-tpch-limit": (0, {}, {
         "customer": "tpch_nested_customer",
@@ -405,8 +405,10 @@ def test_files_keys_unique():
 
 
 # files that need the sf1 tpch_ref fixture (DuckDB tpch extension)
-TPCH_REF_FILES = {n for n in FILES if n.startswith(("nested-types-tpch",
-                                                    "nested-types-subplan"))}
+TPCH_REF_FILES = {n for n in FILES
+                  if n.startswith(("nested-types-tpch",
+                                   "nested-types-subplan",
+                                   "analytic-fns-tpcds"))}
 
 
 @pytest.fixture(scope="module")
@@ -416,8 +418,11 @@ def functional_engine(engine):
     register_functional(engine.spark)
     try:
         from incubator_impala_spark.sources.tpch_ref import register_tpch_ref
+        from incubator_impala_spark.sources.tpcds_ref import \
+            register_tpcds_ref
 
         register_tpch_ref(engine.spark)
+        register_tpcds_ref(engine.spark)
         engine._tpch_ref_ok = True
     except Exception:  # noqa: BLE001 — extension absent: skip those files
         engine._tpch_ref_ok = False
