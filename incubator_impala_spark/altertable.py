@@ -154,6 +154,51 @@ def _orphan_dir(spark, tbl: str) -> str:
             else os.path.join(wh, f"{db}.db", name))
 
 
+def _overlay_for(engine, tbl: str):
+    """Existing or newly-eligible schema overlay for metadata-only
+    CHANGE/REPLACE COLUMNS (schema_resolution.py). Eligible: an
+    unpartitioned managed table whose directory holds parquet files —
+    the reference never rewrites data for these ALTERs; the resolution
+    mode decides what a scan sees."""
+    import glob
+    import os
+
+    key = tbl.lower()
+    ov = engine.schema_overlays.get(key)
+    if ov is not None:
+        return ov
+    # Metadata-only ALTER is opt-in (SET ALTER_SCHEMA_IN_PLACE=1):
+    # the overlay temp view shadows the managed table for subsequent
+    # INSERT/ALTER/DROP, which the general ALTER surface (alter-table
+    # workload) exercises heavily — there the engine's documented
+    # rewrite strategy applies. The schema-resolution workload, whose
+    # semantics REQUIRE untouched data files, opts in per-file.
+    if not getattr(engine, "alter_in_place", False):
+        return None
+    if _partition_cols(engine.spark, tbl):
+        return None
+    loc = _orphan_dir(engine.spark, tbl)
+    if not os.path.isdir(loc):
+        return None
+    files = [f for f in glob.glob(os.path.join(loc, "*"))
+             if f.endswith((".parquet", ".parq"))]
+    if not files:
+        return None
+    return {"location": loc, "logical": engine.spark.table(tbl).schema}
+
+
+def _overlay_install(engine, tbl: str, ov: dict, logical) -> None:
+    ov["logical"] = logical
+    engine.schema_overlays[tbl.lower()] = ov
+    engine._refresh_overlays("")
+
+
+def _parse_type(spark, typ: str):
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(typ)
+
+
 def _recreate(engine, tbl: str, exprs: list) -> None:
     """Project `tbl` through `exprs` and swap the result in under the
     same name, preserving the partition spec. The projection runs
@@ -308,6 +353,23 @@ def handle(engine, sql_text: str) -> DataFrame | None:
         old, new, typ = cm.group("old"), cm.group("new"), \
             cm.group("type")
         comment = cm.group("comment")
+        ov = _overlay_for(engine, tbl)
+        if ov is not None:
+            from pyspark.sql.types import StructField, StructType
+
+            fields, found = [], False
+            for f in ov["logical"].fields:
+                if f.name.lower() == old.lower():
+                    found = True
+                    fields.append(StructField(
+                        new, _parse_type(spark, typ), True))
+                else:
+                    fields.append(f)
+            if not found:
+                raise ValueError(f"Column does not exist: {old}")
+            _overlay_install(engine, tbl, ov, StructType(fields))
+            _rename_sort_col(engine, tbl, old, new)
+            return _summary(spark, "Column has been altered.")
         exprs = []
         found = False
         df0 = spark.table(tbl)
@@ -352,6 +414,16 @@ def handle(engine, sql_text: str) -> DataFrame | None:
     if rm:
         defs = [_col_def(x)
                 for x in _split_cols(rm.group("cols"))]
+        ov = _overlay_for(engine, tbl)
+        if ov is not None:
+            from pyspark.sql.types import StructField, StructType
+
+            logical = StructType([
+                StructField(n, _parse_type(spark, t), True,
+                            {"comment": c} if c is not None else {})
+                for n, t, c in defs])
+            _overlay_install(engine, tbl, ov, logical)
+            return _summary(spark, "Table columns have been replaced.")
         pcols = _partition_cols(spark, tbl)
         fields = [f for f in spark.table(tbl).schema.fields
                   if f.name not in pcols]
@@ -413,18 +485,22 @@ def handle(engine, sql_text: str) -> DataFrame | None:
 
     pm = _DROP_PART.match(rest)
     if pm:
-        raw = pm.group("spec")
-        if re.search(r"[<>!]|(?<![<>!=])=\s*=", raw):
-            # range form (AlterTableDropPartitionStmt accepts general
-            # comparison predicates): evaluate the predicate against
-            # each catalog partition — a metadata-sized loop
-            n = _drop_parts_by_predicate(engine, tbl, raw)
-            return _summary(spark, f"Dropped {n} partition(s).")
-        spec = _fold_spec(engine, raw)
-        sql_spec = ", ".join(f"`{k}`={v}" for k, v in spec)
-        ife = "IF EXISTS " if pm.group("ife") else ""
-        spark.sql(f"ALTER TABLE {tbl} DROP {ife}PARTITION ({sql_spec})")
-        return _summary(spark, "Dropped 1 partition(s).")
+        # every spec form — exact, NULL-valued, or comparison
+        # predicates — evaluates against the catalog's partition list
+        # (AlterTableDropPartitionStmt); metadata-sized
+        from incubator_impala_spark import partitions
+
+        matched = partitions.match_partitions(
+            engine, tbl, engine.translate(pm.group("spec")))
+        key = tbl.split(".")[-1].lower()
+        for kv in matched:
+            spark.sql(f"ALTER TABLE {tbl} DROP PARTITION "
+                      f"({partitions.drop_spec(kv)})")
+            suffix = partitions.part_suffix(kv)
+            engine.part_formats.pop((key, suffix), None)
+            engine.part_rows.pop((key, suffix), None)
+        return _summary(spark,
+                        f"Dropped {len(matched)} partition(s).")
 
     sm = _SET_META.match(rest)
     if sm:
@@ -435,12 +511,31 @@ def handle(engine, sql_text: str) -> DataFrame | None:
             except Exception:  # noqa: BLE001
                 pass
         if sm.group("spec"):
+            from incubator_impala_spark import partitions
+
+            matched = partitions.match_partitions(
+                engine, tbl, engine.translate(sm.group("spec")))
             if re.match(r"^\s*PARTITION\s*\([^)]*(?:\([^)]*\)[^)]*)*\)"
                         r"\s+SET\s+LOCATION\b", rest, re.IGNORECASE):
+                # partition found → the reference's per-partition
+                # message; an empty match is a no-op with the
+                # table-level message (partition-ddl-predicates)
                 return _summary(
                     spark, "New location has been set for the "
-                           "specified partition.")
-            return _summary(spark, "Updated 1 partition(s).")
+                           "specified partition." if matched
+                    else "New location has been set.")
+            fm = re.search(r"\bSET\s+FILEFORMAT\s+(\w+)", rest,
+                           re.IGNORECASE)
+            if fm:
+                key = tbl.split(".")[-1].lower()
+                disp = {"textfile": "TEXT", "sequencefile": "SEQUENCE",
+                        "rcfile": "RC"}.get(fm.group(1).lower(),
+                                            fm.group(1).upper())
+                for kv in matched:
+                    engine.part_formats[
+                        (key, partitions.part_suffix(kv))] = disp
+            return _summary(spark,
+                            f"Updated {len(matched)} partition(s).")
         return _summary(spark, "Updated table.")
 
     sb = re.match(r"^SORT\s+BY\s*(?P<ord>ZORDER|LEXICAL)?\s*"

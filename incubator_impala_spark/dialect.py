@@ -1118,6 +1118,50 @@ def _strip_parens(text: str) -> str:
     return "".join(out)
 
 
+_IN_SELECT = re.compile(r"\bin\s*\(\s*select\b(?!\s+distinct\b)",
+                        re.IGNORECASE)
+
+
+def rewrite_in_subquery_distinct(sql: str) -> str:
+    """`x [NOT] IN (SELECT ...)` → `... (SELECT DISTINCT ...)`.
+
+    IN is pure set membership, so deduplicating the subquery never
+    changes results (correlated or not) — but it changes the PLAN:
+    the semi/anti join's build side collapses before the join. The
+    reference's planner gets this for free from NDV stats (its hash
+    semi-join build is keyed on the join exprs); Spark's
+    RewritePredicateSubquery keeps the raw multiset, and a
+    low-distinct high-cardinality build side (IMPALA-2256's 60M-row
+    constant subquery, semi-joins-exhaustive.test) then OOMs the
+    hashed relation at ANY memory budget. Skipped when the subquery
+    has a top-level LIMIT/OFFSET: DISTINCT would change which rows
+    the limit picks, i.e. the set itself."""
+    shadow = _neutralize(sql)
+    out, last = [], 0
+    for m in _IN_SELECT.finditer(shadow):
+        open_p = shadow.index("(", m.start())
+        depth, j = 0, open_p
+        while j < len(shadow):
+            if shadow[j] == "(":
+                depth += 1
+            elif shadow[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        body = shadow[open_p + 1:j]
+        if re.search(r"(?i)\b(limit|offset)\b",
+                     _strip_parens_preserving(body)):
+            continue
+        sel_end = open_p + 1 + re.search(r"(?i)select",
+                                         body).end()
+        out.append(sql[last:sel_end])
+        out.append(" distinct")
+        last = sel_end
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def rewrite_right_semi(sql: str) -> str:
     """Impala's RIGHT SEMI/ANTI JOIN keeps the RIGHT side's rows
     (reference: fe/.../JoinOperator.java); Spark only has the LEFT
@@ -1785,6 +1829,7 @@ def translate(sql: str, macros: dict | None = None, now=None) -> str:
     if stmt is not None:
         return stmt
     sql = strip_plan_hints(sql)
+    sql = rewrite_in_subquery_distinct(sql)
     sql = rewrite_setop_operand_limits(sql)
     sql = rewrite_setop_precedence(sql)
     sql = rewrite_right_semi(sql)

@@ -28,6 +28,39 @@ from incubator_impala_spark.sources.tables import register_tables
 _SET_STMT = re.compile(
     r"^\s*SET\s+([A-Za-z_][\w.]*)\s*=\s*(.+?)\s*;?\s*$", re.IGNORECASE
 )
+_SET_ALL_STMT = re.compile(r"^\s*SET\s+ALL\s*;?\s*$", re.IGNORECASE)
+
+# SET ALL display registry — (name, default display, level), the
+# subset of be/src/service/query-options.h the workloads assert
+# (set.test VERIFY_IS_SUBSET). Values shown are Impala's defaults;
+# a session SET overrides the display.
+OPTION_DISPLAY_DEFAULTS = [
+    ("ABORT_ON_ERROR", "1", "REGULAR"),
+    ("BATCH_SIZE", "0", "DEVELOPMENT"),
+    ("BUFFER_POOL_LIMIT", "", "ADVANCED"),
+    ("DEBUG_ACTION", "", "DEVELOPMENT"),
+    ("DISABLE_CODEGEN", "0", "REGULAR"),
+    ("DISABLE_OUTERMOST_TOPN", "0", "DEVELOPMENT"),
+    ("EXPLAIN_LEVEL", "STANDARD", "REGULAR"),
+    ("HBASE_CACHE_BLOCKS", "0", "ADVANCED"),
+    ("HBASE_CACHING", "0", "ADVANCED"),
+    ("MAX_ERRORS", "100", "ADVANCED"),
+    ("MAX_SCAN_RANGE_LENGTH", "0", "DEVELOPMENT"),
+    ("MEM_LIMIT", "0", "REGULAR"),
+    ("NUM_NODES", "0", "DEVELOPMENT"),
+    ("NUM_SCANNER_THREADS", "0", "REGULAR"),
+    ("COMPRESSION_CODEC", "", "REGULAR"),
+    ("PARQUET_FILE_SIZE", "0", "ADVANCED"),
+    ("REQUEST_POOL", "", "REGULAR"),
+    ("SYNC_DDL", "0", "REGULAR"),
+    ("DEFAULT_FILE_FORMAT", "TEXT", "REGULAR"),
+    ("DISABLE_HDFS_NUM_ROWS_ESTIMATE", "0", "REGULAR"),
+    ("RUNTIME_FILTER_MODE", "GLOBAL", "REGULAR"),
+    ("PARQUET_FALLBACK_SCHEMA_RESOLUTION", "POSITION", "ADVANCED"),
+    ("TIMEZONE", "", "REGULAR"),
+]
+_EXPLAIN_LEVEL_NAMES = {0: "MINIMAL", 1: "STANDARD", 2: "EXTENDED",
+                        3: "VERBOSE"}
 
 # LOAD DATA INPATH 'p' [OVERWRITE] INTO TABLE t [PARTITION (k=v, ...)]
 # (reference fe/.../analysis/LoadDataStmt.java; grammar
@@ -212,6 +245,19 @@ class Engine:
         # reference hdfs-parquet-table-writer.cc int64 rounding) —
         # INT64_MILLIS/NANOS change what a CTAS stores
         self.parquet_ts_type = "INT96_NANOS"
+        # PARQUET_FALLBACK_SCHEMA_RESOLUTION (0=POSITION default,
+        # 1=NAME) + per-table metadata-only ALTER overlays
+        # (schema_resolution.py) — {physical name: {"location","logical"}}
+        self.parquet_resolution = "position"
+        self.alter_in_place = False
+        self.schema_overlays: dict[str, dict] = {}
+        # raw display values of session-SET options (SET ALL listing)
+        self.option_display: dict[str, str] = {}
+        # partition surface (partitions.py): per-partition fileformat
+        # overrides, incremental-stats row counts, table numRows
+        self.part_formats: dict[tuple[str, str], str] = {}
+        self.part_rows: dict[tuple[str, str], int] = {}
+        self.table_numrows: dict[str, int] = {}
         if sf_dir:
             register_tables(self.spark, sf_dir)
 
@@ -228,6 +274,10 @@ class Engine:
         confs; Spark conf names pass through; everything else is
         accepted and ignored (returns False)."""
         key = name.lower()
+        disp = str(value).strip().strip("'\"")
+        if disp.lower() in ("true", "false"):
+            disp = "1" if disp.lower() == "true" else "0"
+        self.option_display[key.upper()] = disp
         if key == "timezone":
             self.tz = value.strip().strip("'\"") or "UTC"
             # tz-converted scanner views (IMPALA-5050 int64 timestamp
@@ -253,6 +303,15 @@ class Engine:
         if key == "parquet_timestamp_type":
             self.parquet_ts_type = str(value).strip().strip("'\"") \
                 .upper()
+            return True
+        if key == "alter_schema_in_place":
+            self.alter_in_place = str(value).strip().strip("'\"") \
+                in ("1", "true", "TRUE", "True")
+            return True
+        if key == "parquet_fallback_schema_resolution":
+            v = str(value).strip().strip("'\"").lower()
+            self.parquet_resolution = \
+                "name" if v in ("name", "1") else "position"
             return True
         if key == "explain_level":
             levels = {"minimal": 0, "standard": 1, "extended": 2,
@@ -311,7 +370,49 @@ class Engine:
         return (f"{m.group('pre')} SELECT {', '.join(exprs)} "
                 f"FROM ({body}) __pqt_ts__")
 
+    def _refresh_overlays(self, sql_text: str) -> None:
+        """Re-project overlay tables (metadata-only ALTERed parquet
+        tables) under the CURRENT resolution mode; clean up overlays
+        whose table is being dropped."""
+        import re as _re
+
+        from incubator_impala_spark import schema_resolution
+
+        dm = _re.match(r"(?is)\s*drop\s+table\s+(?:if\s+exists\s+)?"
+                       r"`?([\w.]+)`?", sql_text)
+        dropping = dm.group(1).split(".")[-1].lower() if dm else None
+        for tbl, ov in list(self.schema_overlays.items()):
+            if dropping and tbl.lower().endswith(dropping):
+                self.spark.catalog.dropTempView(tbl)
+                del self.schema_overlays[tbl]
+                continue
+            try:
+                df = schema_resolution.resolve_overlay(
+                    self.spark, ov["location"], ov["logical"],
+                    self.parquet_resolution)
+                df.createOrReplaceTempView(tbl)
+            except Exception:  # noqa: BLE001
+                # an unresolvable logical/file pairing under the
+                # CURRENT mode must not abort an unrelated statement;
+                # the next mode change re-resolves
+                pass
+
+    def _set_all(self) -> DataFrame:
+        rows = []
+        for name, default, level in OPTION_DISPLAY_DEFAULTS:
+            v = self.option_display.get(name, default)
+            if name == "EXPLAIN_LEVEL":
+                v = _EXPLAIN_LEVEL_NAMES.get(self.explain_level,
+                                             "STANDARD")
+            elif name == "PARQUET_FALLBACK_SCHEMA_RESOLUTION":
+                v = self.parquet_resolution.upper()
+            rows.append((name, v, level))
+        return self.spark.createDataFrame(
+            rows, "option string, value string, level string")
+
     def sql(self, sql_text: str) -> DataFrame:
+        if _SET_ALL_STMT.match(sql_text):
+            return self._set_all()
         m = _SET_STMT.match(sql_text)
         if m:
             self.set_option(m.group(1), m.group(2).strip("'\""))
@@ -327,6 +428,8 @@ class Engine:
                 self, m.group("body"), self.explain_level)
             return self.spark.createDataFrame(
                 [(ln,) for ln in lines], "explain_string string")
+        if self.schema_overlays:
+            self._refresh_overlays(sql_text)
         # namespace shim: engine-owned db references become physical
         # (mangled) names; db-scoped DDL returns its summary rows here
         sql_text = self.ns.resolve(sql_text)
@@ -338,6 +441,20 @@ class Engine:
         handled = altertable.handle(self, sql_text)
         if handled is not None:
             return handled
+        m = re.match(r"(?is)^\s*SHOW\s+PARTITIONS\s+"
+                     r"([A-Za-z_][\w.]*)\s*;?\s*$", sql_text)
+        if m:
+            from incubator_impala_spark import partitions
+
+            return partitions.show_partitions(self, m.group(1))
+        m = re.match(r"(?is)^\s*SHOW\s+FILES\s+IN\s+([A-Za-z_][\w.]*)"
+                     r"(?:\s+PARTITION\s*\((?P<spec>(?:[^()]|"
+                     r"\([^()]*\))*)\))?\s*;?\s*$", sql_text)
+        if m:
+            from incubator_impala_spark import partitions
+
+            return partitions.show_files(self, m.group(1),
+                                         m.group("spec"))
         m = _CREATE_SORT.match(sql_text)
         if m:
             cols = [c.strip().strip("`")
@@ -538,22 +655,33 @@ class Engine:
                     f"SHOW PARTITIONS {tbl}").collect()}
             except Exception:  # noqa: BLE001
                 pass
-            spec = {}
-            for item in (m.group("part") or "").split(","):
-                if "=" in item:
-                    k, v = item.split("=", 1)
-                    spec[k.strip().strip("`").lower()] = \
-                        v.strip().strip("'\"")
-
-            def matches(p: str) -> bool:
-                kv = dict(x.split("=", 1) for x in p.split("/"))
-                return all(kv.get(k) == v for k, v in spec.items())
-
+            spec = (m.group("part") or "").strip()
             key = tbl.lower()
             if spec:
-                hit = {p for p in parts if matches(p)}
+                from incubator_impala_spark import partitions
+
+                matched = partitions.match_partitions(self, tbl, spec)
+                hit = {partitions.part_suffix(kv) for kv in matched}
                 n_parts = len(hit)
                 self.stats_seen.setdefault(key, set()).update(hit)
+                # per-partition row counts (what the reference's
+                # incremental stats persist): one partition-pruned
+                # aggregate over the matched set
+                skey = tbl.split(".")[-1].lower()
+                pred = partitions._translate_pred(spec)
+                try:
+                    for r in self.spark.sql(
+                            f"SELECT {', '.join(pcols)}, count(*) c "
+                            f"FROM {tbl} WHERE {pred} "
+                            f"GROUP BY {', '.join(pcols)}").collect():
+                        kv = {c: r[c] for c in pcols}
+                        self.part_rows[
+                            (skey, partitions.part_suffix(kv))] = r["c"]
+                    self.table_numrows[skey] = sum(
+                        v for (t, _), v in self.part_rows.items()
+                        if t == skey)
+                except Exception:  # noqa: BLE001
+                    pass
             elif m.group("inc") and key in self.stats_seen:
                 # incremental re-run: only partitions not yet covered
                 new = parts - self.stats_seen[key]
@@ -936,41 +1064,96 @@ class Engine:
         return self.spark.createDataFrame(
             rows, "__insert_summary__ string")
 
+    def _warehouse_dir(self) -> str:
+        return re.sub(r"^file:", "", self.spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"))
+
+    def _resolve_fs_path(self, path: str) -> str:
+        """The reference's paths are warehouse-rooted
+        (`/test-warehouse/...`); map that root onto the session
+        warehouse so LOAD DATA texts run verbatim."""
+        p = re.sub(r"^file:", "", path)
+        m = re.match(r"/?test-warehouse/(.*)$", p)
+        if m:
+            return os.path.join(self._warehouse_dir(), m.group(1))
+        return p
+
+    def _table_location(self, table: str) -> str:
+        for r in self.spark.sql(
+                f"DESCRIBE TABLE EXTENDED {table}").collect():
+            if r["col_name"] == "Location":
+                return re.sub(r"^file:", "", r["data_type"])
+        return os.path.join(self._warehouse_dir(),
+                            table.split(".")[-1].lower())
+
     def _load_data(self, path: str, table: str, overwrite: bool,
                    partition: str | None) -> DataFrame:
-        """LOAD DATA veneer: read staged files with the table's format,
-        append/overwrite via insertInto (dynamic-partition aware)."""
-        from pyspark.sql import functions as F
+        """LOAD DATA: MOVE staged files into the table/partition
+        directory — the reference's semantics exactly
+        (fe/.../analysis/LoadDataStmt.java, service: LoadData RPC):
+        hidden files (`.`/`_` prefix) and subdirectories are skipped,
+        OVERWRITE clears the destination first, a same-named file gets
+        a uniquified name, sources vanish from their old location, and
+        the returned row is the shell's
+        'Loaded N file(s). Total files in destination location: M'.
+        Pure metadata work — no data is read or rewritten, which is
+        also why it scales: moving 10k files is a namenode op, not a
+        100 TB rewrite (the old veneer re-inserted the data)."""
+        import shutil
+        import uuid
 
-        detail = {
-            r["col_name"]: r["data_type"]
-            for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
-            if r["col_name"] and not r["col_name"].startswith("#")
-        }
-        provider = (detail.get("Provider") or "parquet").lower()
-        df = self.spark.read.format(provider).load(path)
+        src = self._resolve_fs_path(path.strip())
+        dest = self._table_location(table)
         if partition:
             for item in partition.split(","):
                 k, v = item.split("=", 1)
-                df = df.withColumn(
-                    k.strip(), F.lit(v.strip().strip("'\""))
-                )
-        cols = [f.name for f in self.spark.table(table).schema.fields]
-        df = df.select(*cols)
-        if overwrite:
-            # static-partition overwrite semantics (replace only the
-            # named partition) — Spark's dynamic overwrite mode
-            prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                df.write.mode("overwrite").insertInto(table, overwrite=True)
-            finally:
-                self.spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
-                )
+                dest = os.path.join(
+                    dest, f"{k.strip()}={v.strip().strip(chr(39))}")
+        os.makedirs(dest, exist_ok=True)
+        if os.path.isdir(src):
+            files = sorted(
+                os.path.join(src, f) for f in os.listdir(src)
+                if not f.startswith((".", "_"))
+                and os.path.isfile(os.path.join(src, f)))
+        elif os.path.isfile(src):
+            files = [src]
         else:
-            df.write.insertInto(table, overwrite=False)
-        return self.spark.sql("SELECT 1 AS status")
+            raise FileNotFoundError(f"LOAD DATA source not found: {src}")
+        src_real = {os.path.realpath(f) for f in files}
+        if overwrite:
+            for f in os.listdir(dest):
+                fp = os.path.join(dest, f)
+                if os.path.isfile(fp) \
+                        and os.path.realpath(fp) not in src_real:
+                    os.remove(fp)
+        for f in files:
+            target = os.path.join(dest, os.path.basename(f))
+            if os.path.realpath(f) == os.path.realpath(target):
+                continue  # self-load: already in place
+            if os.path.exists(target):
+                stem, ext = os.path.splitext(os.path.basename(f))
+                target = os.path.join(
+                    dest, f"{stem}_{uuid.uuid4().hex[:8]}{ext}")
+            shutil.move(f, target)
+        total = sum(
+            1 for f in os.listdir(dest)
+            if not f.startswith((".", "_"))
+            and os.path.isfile(os.path.join(dest, f)))
+        if partition:
+            # a catalog-tracked partitioned table only sees the new
+            # directory once the partition is registered
+            try:
+                self.spark.sql(f"ALTER TABLE {table} ADD IF NOT EXISTS "
+                               f"PARTITION ({partition})")
+            except Exception:  # noqa: BLE001 — path-discovered tables
+                pass
+        try:
+            self.spark.catalog.refreshTable(table)
+        except Exception:  # noqa: BLE001 — temp-view-backed tables
+            pass
+        msg = (f"Loaded {len(files)} file(s). "
+               f"Total files in destination location: {total}")
+        return self.spark.createDataFrame([(msg,)], "summary string")
 
     def create_java_function(self, name: str, class_name: str,
                              return_type=None) -> None:

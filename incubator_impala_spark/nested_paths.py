@@ -41,7 +41,8 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import SparkSession
-from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+from pyspark.sql.types import (ArrayType, DataType, DecimalType, MapType,
+                               StructType)
 
 _IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
 _PATH_ITEM = re.compile(
@@ -442,6 +443,22 @@ def _rewrite_subselects(scope: _Scope, text: str) -> str:
                 j += 1
             inner = text[i + 1:j]
             if re.match(r"\s*select\b", inner, re.IGNORECASE):
+                # row-local SubplanNode shapes first (EXISTS / scalar
+                # aggregate over a relative collection → HOF, no
+                # correlated subquery at all)
+                joined = "".join(out)
+                m_ex = re.search(r"(?is)\b(not\s+)?exists\s*$", joined)
+                repl = _subplan_where_expr(scope, inner,
+                                           exists_ctx=bool(m_ex))
+                if repl is not None:
+                    if m_ex:
+                        out = [joined[:m_ex.start()]
+                               + (m_ex.group(1) or "")]
+                        out.append(f"({repl})")
+                    else:
+                        out.append(f"({repl})")
+                    i = j + 1
+                    continue
                 sub = _Scope(scope.spark, scope)
                 out.append("(" + _rewrite_scope(sub, inner) + ")")
                 if sub.used_outer:
@@ -481,10 +498,20 @@ def _rewrite_item(scope: _Scope, item: str, joiner: str) -> tuple[str, str]:
                     break
             j += 1
         inner, tail = stripped[1:j], stripped[j + 1:]
+        alias = re.sub(r"(?i)^\s*as\s+", "", tail).strip()
+        # row-local SubplanNode FROM shapes (filter/sort/limit/group
+        # over a relative collection → HOFs + one inner lateral)
+        if re.match(r"\s*select\b", inner, re.IGNORECASE) \
+                and not re.search(r"(?i)\b(left|right|full|outer|anti|"
+                                  r"semi)\b", joiner):
+            sub_rel = _subplan_from_rel(scope, inner, alias)
+            if sub_rel is not None:
+                if alias:
+                    scope.env[alias.lower()] = {}
+                return f" LATERAL {sub_rel}{tail} ", joiner
         sub = _Scope(scope.spark, scope)
         new_inner = _rewrite_scope(sub, inner)
         lead = " LATERAL " if sub.used_outer else " "
-        alias = re.sub(r"(?i)^\s*as\s+", "", tail).strip()
         if alias:
             scope.env[alias.lower()] = {}
         return f"{lead}({new_inner}){tail} ", joiner
@@ -618,6 +645,843 @@ _PATH_HINT = re.compile(
     r"(?=,|$|\)|\bjoin\b|\bwhere\b|\bgroup\b|\border\b|\blimit\b|"
     r"\bleft\b|\bright\b|\bfull\b|\binner\b|\bcross\b|\bunion\b)",
     re.IGNORECASE)
+
+
+# ---------------------------------------------------------------------------
+# SubplanNode row-local translation (round 7).
+#
+# The reference evaluates subqueries over a row's own collection
+# (`exists (select ... from c.c_orders ...)`, `(select avg(x) from
+# c.c_orders)`, `(select * from c.c_orders order by f limit 2) v`)
+# with a per-row SubplanNode (be/src/exec/subplan-node.h). Spark's
+# generic decorrelation of such correlated subqueries builds a domain
+# join KEYED ON THE COLLECTION VALUE — it broadcasts/shuffles every
+# byte of the nested column, which is catastrophic at scale (and OOMs
+# at sf1 locally). These helpers translate the common shapes into
+# higher-order functions over the array: zero joins, zero shuffles,
+# exactly the SubplanNode cost model.
+# ---------------------------------------------------------------------------
+
+def _sub_outside_strings(text: str, fn) -> str:
+    """Apply fn to the segments of `text` outside single-quoted
+    string literals."""
+    out, i, n = [], 0, len(text)
+    start = 0
+    while i < n:
+        if text[i] == "'":
+            out.append(fn(text[start:i]))
+            j = i + 1
+            while j < n and text[j] != "'":
+                j += 1
+            out.append(text[i:j + 1])
+            i = j + 1
+            start = i
+            continue
+        i += 1
+    out.append(fn(text[start:]))
+    return "".join(out)
+
+
+def _elem_refs(text: str, alias: str | None, fields: list[str],
+               var: str) -> str | None:
+    """Rewrite element references (`o.f`, `o.item[.f]`, bare field
+    names, bare `item`) to lambda-variable access. Outer-alias refs
+    pass through untouched (valid inside a HOF lambda — same row).
+    Returns None when the text needs `pos` — a HOF lambda has no
+    element position, so the caller must fall back."""
+    low = {f.lower() for f in fields}
+    bail: list[int] = []
+
+    def seg(s: str) -> str:
+        if alias:
+            a = re.escape(alias)
+            if re.search(rf"(?i)(?<![\w.`]){a}\.pos\b", s):
+                bail.append(1)
+            s = re.sub(rf"(?i)(?<![\w.`]){a}\.item\.(\w+)",
+                       rf"{var}.\1", s)
+            s = re.sub(rf"(?i)(?<![\w.`]){a}\.item\b", var, s)
+            s = re.sub(rf"(?i)(?<![\w.`]){a}\.(\w+)",
+                       rf"{var}.\1", s)
+        if fields:
+            pat = re.compile(
+                r"(?i)(?<![\w.`'])("
+                + "|".join(map(re.escape,
+                               sorted(fields, key=len, reverse=True)))
+                + r")\b(?!\s*\()")
+            s = pat.sub(lambda m: f"{var}.{m.group(1)}", s)
+        if "item" not in low:
+            s = re.sub(r"(?i)(?<![\w.`'])item\b(?!\s*\()", var, s)
+        if "pos" not in low and re.search(
+                r"(?i)(?<![\w.`'])pos\b(?!\s*\()", s):
+            bail.append(1)
+        return s
+
+    out = _sub_outside_strings(text, seg)
+    return None if bail else out
+
+
+def _split_clauses(inner: str) -> dict | None:
+    """Parse a flat `select ... from <dotted-path> [alias] [where]
+    [group by] [order by] [limit]` subquery. None if it has joins,
+    commas in FROM, nested selects, DISTINCT, or HAVING."""
+    if re.search(r"(?is)\(\s*select\b", inner):
+        return None
+    m = re.match(r"(?is)\s*select\s+(?!distinct\b)(?P<sel>.*?)\s+from\s+"
+                 r"(?P<path>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)"
+                 r"(?:\s+(?:as\s+)?"
+                 r"(?P<alias>(?!where\b|group\b|order\b|limit\b|on\b|"
+                 r"join\b|having\b)[A-Za-z_]\w*))?"
+                 r"(?P<rest>.*)$", inner)
+    if not m:
+        return None
+    rest = m.group("rest")
+    if re.match(r"(?is)\s*(,|join\b|left\b|right\b|inner\b|cross\b)",
+                rest):
+        return None
+    cl = {"sel": m.group("sel").strip(), "path": m.group("path"),
+          "alias": m.group("alias"), "where": None, "group": None,
+          "order": None, "limit": None}
+    pat = re.compile(r"(?is)\b(where|group\s+by|order\s+by|limit|having)\b")
+    pos = 0
+    pieces = []
+    for km in pat.finditer(rest):
+        pieces.append((km.group(1).lower(), km.start(), km.end()))
+    for k, (kw, s, e) in enumerate(pieces):
+        end = pieces[k + 1][1] if k + 1 < len(pieces) else len(rest)
+        body = rest[e:end].strip()
+        key = kw.split()[0]
+        if key == "having":
+            return None
+        cl[key] = body
+    head = rest[:pieces[0][1]] if pieces else rest
+    if head.strip():
+        return None
+    return cl
+
+
+def _resolve_rel_array(scope: "_Scope", path: str):
+    """(head, arr_expr, fields) for a single-step alias-rooted
+    array-of-struct path; None otherwise."""
+    segs = path.split(".")
+    head = segs[0]
+    entry, _ = scope.lookup(head)
+    if entry is None:
+        return None
+    steps, final_t = _collect_steps(head, entry, segs[1:])
+    if final_t is None or len(steps) != 1:
+        return None
+    if not isinstance(final_t, ArrayType) \
+            or not isinstance(final_t.elementType, StructType):
+        return None
+    return head, steps[0][1], [f.name for f in final_t.elementType.fields]
+
+
+def _probe_elem_type(scope: "_Scope", head: str, expr: str):
+    """Element DataType of an array expression, by Spark analysis over
+    the alias's base table. None if unresolvable (→ caller bails)."""
+    owner = scope.owning_scope(head)
+    tbl = owner.table_items.get(head.lower()) if owner else None
+    if tbl is None:
+        return None
+    try:
+        dt = scope.spark.table(tbl).alias(head) \
+            .selectExpr(f"{expr} as __p").schema[0].dataType
+        return dt.elementType if isinstance(dt, ArrayType) else dt
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _sum_type(dt: DataType) -> str:
+    if isinstance(dt, DecimalType):
+        return f"decimal(38,{dt.scale})"  # reference: SUM(DECIMAL(p,s))
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "bigint"
+    return "double"
+
+
+_AGG_RE = re.compile(r"(?is)^\s*(count|sum|avg|min|max)\s*\((.*)\)\s*$")
+
+
+def _agg_hof(scope: "_Scope", head: str, func: str, arg: str,
+             arr_f: str, fields: list[str], alias: str | None,
+             probe_arr: str | None = None):
+    """One aggregate over a (filtered) array as a HOF expression.
+    None if the shape can't be typed. `probe_arr`: standalone-valid
+    array expr for the type probe when arr_f itself references free
+    lambda variables (the group-by per-key filter)."""
+    func = func.lower()
+    arr_f = f"coalesce({arr_f}, array())"  # NULL collection == empty
+    if func == "count" and arg.strip() == "*":
+        return f"cast(size({arr_f}) as bigint)"
+    var = scope.fresh("__sv")
+    argx = _elem_refs(arg, alias, fields, var)
+    if argx is None:
+        return None
+    vals = f"transform({arr_f}, {var} -> {argx})"
+    nn = f"filter({vals}, __nnv -> __nnv is not null)"
+    if func == "count":
+        return f"cast(size({nn}) as bigint)"
+    if func == "min":
+        return f"array_min({nn})"
+    if func == "max":
+        return f"array_max({nn})"
+    probe = vals if probe_arr is None else \
+        f"transform({probe_arr}, {var} -> {argx})"
+    elem_t = _probe_elem_type(scope, head, probe)
+    if elem_t is None:
+        return None
+    st = _sum_type(elem_t)
+    sum_expr = (f"aggregate({nn}, cast(null as {st}), (__acc, __v) -> "
+                f"case when __acc is null then __v "
+                f"else __acc + __v end)")
+    if func == "sum":
+        return sum_expr
+    if isinstance(elem_t, DecimalType):
+        # reference avg(DECIMAL) result scale 6 (ScalarType.java)
+        return f"cast({sum_expr} / size({nn}) as decimal(38,6))"
+    return f"cast({sum_expr} as double) / nullif(size({nn}), 0)"
+
+
+def _subplan_where_expr(scope: "_Scope", inner: str,
+                        exists_ctx: bool) -> str | None:
+    """EXISTS/scalar-agg subquery over a relative collection → boolean
+    or scalar HOF expression (row-local)."""
+    cl = _split_clauses(inner)
+    if cl is None or cl["group"] or cl["order"] or cl["limit"]:
+        return None
+    r = _resolve_rel_array(scope, cl["path"])
+    if r is None:
+        return None
+    head, arr, fields = r
+    alias = cl["alias"]
+    arr_f = arr
+    if cl["where"]:
+        var = scope.fresh("__sv")
+        pred = _elem_refs(cl["where"], alias, fields, var)
+        if pred is None:
+            return None
+        arr_f = f"filter({arr}, {var} -> coalesce({pred}, false))"
+    if exists_ctx:
+        return f"coalesce(size({arr_f}) > 0, false)"
+    m = _AGG_RE.match(cl["sel"])
+    if not m:
+        return None
+    return _agg_hof(scope, head, m.group(1), m.group(2), arr_f,
+                    fields, alias)
+
+
+def _order_comparator(ordspec: str, alias: str | None,
+                      fields: list[str], va: str, vb: str) -> str | None:
+    """array_sort comparator for `f1 [asc|desc], f2 ...` (reference
+    default null ordering: last for asc, first for desc)."""
+    terms = []
+    for item in ordspec.split(","):
+        m = re.match(r"(?is)^\s*(.+?)\s*(asc|desc)?"
+                     r"\s*(?:nulls\s+(first|last))?\s*$", item)
+        if not m:
+            return None
+        key, direction = m.group(1), (m.group(2) or "asc").lower()
+        nulls = (m.group(3) or
+                 ("last" if direction == "asc" else "first")).lower()
+        ka = _elem_refs(key, alias, fields, va)
+        kb = _elem_refs(key, alias, fields, vb)
+        if ka is None or kb is None:
+            return None
+        lo, hi = ("-1", "1") if direction == "asc" else ("1", "-1")
+        nl, nh = ("1", "-1") if nulls == "last" else ("-1", "1")
+        terms.append(
+            f"case when {ka} is null and {kb} is null then 0 "
+            f"when {ka} is null then {nl} when {kb} is null then {nh} "
+            f"when {ka} < {kb} then {lo} when {ka} > {kb} then {hi} "
+            f"else 0 end")
+    if len(terms) == 1:
+        return terms[0]
+    # lexicographic chain
+    expr = terms[-1]
+    for t in reversed(terms[:-1]):
+        expr = f"case when ({t}) <> 0 then ({t}) else ({expr}) end"
+    return expr
+
+
+def _parse_union_branches(inner: str) -> list[tuple[str, str | None]]:
+    """[(branch_text, union_mode_before)] — top-level UNION split;
+    mode is 'all' or 'distinct' (bare UNION = distinct)."""
+    out, depth, i, n = [], 0, 0, len(inner)
+    start, mode = 0, None
+    while i < n:
+        c = inner[i]
+        if c == "'":
+            i += 1
+            while i < n and inner[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = re.match(r"union(\s+(all|distinct))?\b", inner[i:],
+                         re.IGNORECASE)
+            if m and not (i > 0 and (inner[i - 1].isalnum()
+                                     or inner[i - 1] == "_")):
+                out.append((inner[start:i], mode))
+                mode = (m.group(2) or "distinct").lower()
+                i += m.end()
+                start = i
+                continue
+        i += 1
+    out.append((inner[start:], mode))
+    return out
+
+
+def _parse_subq(text: str) -> dict | None:
+    """Multi-item variant of _split_clauses: FROM may hold several
+    comma/JOIN items, each `path [alias] [on cond]` or a
+    parenthesized subquery (handled recursively by the caller)."""
+    m = re.match(r"(?is)\s*select\s+(?P<dist>distinct\s+)?(?P<sel>.*?)"
+                 r"\s+from\s+(?P<rest>.*)$", text)
+    if not m:
+        return None
+    rest = m.group("rest")
+    pat = re.compile(
+        r"(?is)\b(where|group\s+by|order\s+by|limit|having)\b")
+    pieces = [(km.group(1).lower(), km.start(), km.end())
+              for km in pat.finditer(rest)]
+    cl = {"sel": m.group("sel").strip(),
+          "distinct": bool(m.group("dist")),
+          "where": None, "group": None, "order": None, "limit": None}
+    for k, (kw, s0, e0) in enumerate(pieces):
+        endp = pieces[k + 1][1] if k + 1 < len(pieces) else len(rest)
+        key = kw.split()[0]
+        if key == "having":
+            return None
+        cl[key] = rest[e0:endp].strip()
+    fromtext = rest[:pieces[0][1]] if pieces else rest
+    items = []
+    for joiner, item in _split_from_items(fromtext):
+        pm = re.match(rf"(?is)^\s*\((?P<sub>.*)\)\s*(?:as\s+)?"
+                      rf"(?P<alias>{_IDENT})?\s*$", item)
+        if pm:
+            items.append((joiner.strip().lower(), None,
+                          pm.group("alias"), None, pm.group("sub")))
+            continue
+        im = re.match(
+            rf"(?is)^\s*(?P<path>{_IDENT}(?:\.{_IDENT})+)"
+            rf"(?:\s+(?:as\s+)?(?P<alias>(?!on\b|where\b|group\b|"
+            rf"order\b|limit\b){_IDENT}))?"
+            r"(?:\s+on\s+(?P<on>.*?))?\s*$", item)
+        if not im:
+            return None
+        items.append((joiner.strip().lower(), im.group("path"),
+                      im.group("alias"), im.group("on"), None))
+    if not items:
+        return None
+    # nested selects are only supported as the FROM item itself
+    for part in ("sel", "where", "group", "order", "limit"):
+        if cl[part] and re.search(r"(?is)\(\s*select\b", cl[part]):
+            return None
+    cl["items"] = items
+    return cl
+
+
+def _resolve_rel_array2(scope: "_Scope", path: str):
+    """Like _resolve_rel_array but also returns the element
+    StructType (for typed NULL padding)."""
+    segs = path.split(".")
+    head = segs[0]
+    entry, _ = scope.lookup(head)
+    if entry is None:
+        return None
+    steps, final_t = _collect_steps(head, entry, segs[1:])
+    if final_t is None or len(steps) != 1:
+        return None
+    if not isinstance(final_t, ArrayType) \
+            or not isinstance(final_t.elementType, StructType):
+        return None
+    return head, steps[0][1], \
+        [f.name for f in final_t.elementType.fields], final_t.elementType
+
+
+def _lambda_refs(text: str, amap: dict) -> str | None:
+    """Rewrite refs against several aliases to their lambda vars.
+    amap: alias -> (var_expr, fields). None on pos refs or ambiguous
+    bare fields."""
+    bail: list[int] = []
+    owners: dict = {}
+    for al, (var, fields) in amap.items():
+        for f in fields:
+            owners.setdefault(f.lower(), []).append((var, f))
+    unique = {f: v[0] for f, v in owners.items() if len(v) == 1}
+    amb = [f for f, v in owners.items() if len(v) > 1]
+
+    def seg(s: str) -> str:
+        for al, (var, fields) in amap.items():
+            if al is None:
+                continue
+            a = re.escape(al)
+            if re.search(rf"(?i)(?<![\w.`]){a}\.pos\b", s):
+                bail.append(1)
+            s = re.sub(rf"(?i)(?<![\w.`]){a}\.item\.(\w+)",
+                       rf"{var}.\1", s)
+            s = re.sub(rf"(?i)(?<![\w.`]){a}\.item\b", var, s)
+            s = re.sub(rf"(?i)(?<![\w.`]){a}\.(\w+)", rf"{var}.\1", s)
+        if unique:
+            pat = re.compile(
+                r"(?i)(?<![\w.`'])("
+                + "|".join(map(re.escape,
+                               sorted(unique, key=len, reverse=True)))
+                + r")\b(?!\s*\()")
+            s = pat.sub(
+                lambda mm: f"{unique[mm.group(1).lower()][0]}."
+                           f"{unique[mm.group(1).lower()][1]}", s)
+        if amb:
+            pat2 = re.compile(
+                r"(?i)(?<![\w.`'])(" + "|".join(map(re.escape, amb))
+                + r")\b(?!\s*\()")
+            if pat2.search(s):
+                bail.append(1)
+        if re.search(r"(?i)(?<![\w.`'])pos\b(?!\s*\()", s) \
+                and "pos" not in owners:
+            bail.append(1)
+        return s
+
+    out = _sub_outside_strings(text, seg)
+    return None if bail else out
+
+
+_OVER_RE = re.compile(
+    r"(?is)^\s*(count|sum|avg|min|max)\s*\((.*?)\)\s*over\s*"
+    r"\(\s*(?:partition\s+by\s+(.+?))?\s*\)\s*$")
+
+
+def _sel_items(sel: str) -> list[tuple[str, str | None]]:
+    out = []
+    for item in _split_top_commas(sel):
+        im = re.match(r"(?is)^\s*(.*?)(?:\s+(?:as\s+)?"
+                      r"([A-Za-z_]\w*))?\s*$", item)
+        out.append((im.group(1), im.group(2)))
+    return out
+
+
+def _single_tuple_array(scope: "_Scope", cl: dict,
+                        want_cols: list | None, source=None):
+    """(array_expr, cols, head) for a one-collection branch. Elements
+    are structs named by the select list (or the raw elements for *).
+    `source`: (head, arr_expr, fields) for a pre-built tuple array
+    (parenthesized FROM subquery) instead of a path."""
+    joiner, path, alias, on, _sub = cl["items"][0]
+    if on or re.search(r"(?i)\b(left|right|full|outer|anti|semi)\b",
+                       joiner):
+        return None
+    if source is not None:
+        head, arr, fields = source
+    else:
+        r = _resolve_rel_array2(scope, path)
+        if r is None:
+            return None
+        head, arr, fields, _et = r
+    arr_f = arr
+    if cl["where"]:
+        var = scope.fresh("__sv")
+        pred = _elem_refs(cl["where"], alias, fields, var)
+        if pred is None:
+            return None
+        arr_f = f"filter({arr}, {var} -> coalesce({pred}, false))"
+
+    if cl["group"]:
+        if cl["order"] or cl["limit"] or cl["distinct"]:
+            return None
+        gkeys = [g.strip() for g in cl["group"].split(",") if g.strip()]
+        if len(gkeys) != 1:
+            return None
+        var = scope.fresh("__sv")
+        gkey = _elem_refs(gkeys[0], alias, fields, var)
+        if gkey is None:
+            return None
+        keys = f"array_distinct(transform({arr_f}, {var} -> {gkey}))"
+        # One struct per group, computed entirely INSIDE the single
+        # generator argument: a second correlated ref outside it
+        # forces Spark's domain-join decorrelation, keyed on the
+        # collection value.
+        kv = scope.fresh("__sk")
+        var2 = scope.fresh("__sv")
+        gkey2 = _elem_refs(gkeys[0], alias, fields, var2)
+        if gkey2 is None:
+            return None
+        per_key = f"filter({arr_f}, {var2} -> ({gkey2} <=> {kv}))"
+        pairs, names = [], []
+        for k, (expr, oname) in enumerate(_sel_items(cl["sel"])):
+            am = _AGG_RE.match(expr)
+            if am and not _OVER_RE.match(expr):
+                hof = _agg_hof(scope, head, am.group(1), am.group(2),
+                               per_key, fields, alias, probe_arr=arr_f)
+                if hof is None:
+                    return None
+                name = oname or f"__c{k}"
+                pairs.append(f"'{name}', {hof}")
+            else:
+                if expr.strip().lower() != gkeys[0].strip().lower():
+                    return None
+                name = oname or expr.strip().split(".")[-1]
+                pairs.append(f"'{name}', {kv}")
+            names.append(name)
+        return (f"transform({keys}, {kv} -> "
+                f"named_struct({', '.join(pairs)}))"), names, head
+
+    if cl["order"]:
+        va, vb = scope.fresh("__sa"), scope.fresh("__sb")
+        cmp_ = _order_comparator(cl["order"], alias, fields, va, vb)
+        if cmp_ is None:
+            return None
+        arr_f = f"array_sort({arr_f}, ({va}, {vb}) -> {cmp_})"
+    if cl["limit"]:
+        if not re.fullmatch(r"\d+", cl["limit"].strip()):
+            return None
+        arr_f = f"slice({arr_f}, 1, {cl['limit'].strip()})"
+
+    items = _sel_items(cl["sel"]) if cl["sel"].strip() != "*" else None
+    if items is None:
+        if cl["distinct"]:
+            arr_f = f"array_distinct({arr_f})"
+        return arr_f, list(fields), head
+
+    aggs = [bool(_AGG_RE.match(e) and not _OVER_RE.match(e))
+            for e, _ in items]
+    overs = [bool(_OVER_RE.match(e)) for e, _ in items]
+    if all(aggs) and items:
+        # global aggregate: a one-row relation per parent
+        pairs, names = [], []
+        for k, (expr, oname) in enumerate(items):
+            am = _AGG_RE.match(expr)
+            hof = _agg_hof(scope, head, am.group(1), am.group(2),
+                           arr_f, fields, alias)
+            if hof is None:
+                return None
+            name = oname or f"__c{k}"
+            pairs.append(f"'{name}', {hof}")
+            names.append(name)
+        return f"array(named_struct({', '.join(pairs)}))", names, head
+    if any(aggs):
+        return None
+
+    var = scope.fresh("__sv")
+    pairs, names = [], []
+    for k, (expr, oname) in enumerate(items):
+        if expr.strip() == "*":
+            for f in fields:
+                pairs.append(f"'{f}', {var}.{f}")
+                names.append(f)
+            continue
+        om = _OVER_RE.match(expr)
+        if om:
+            fn, arg, part = om.group(1), om.group(2), om.group(3)
+            if part is not None:
+                y = scope.fresh("__sw")
+                px = _elem_refs(part, alias, fields, var)
+                py = _elem_refs(part, alias, fields, y)
+                if px is None or py is None:
+                    return None
+                sub_arr = f"filter({arr_f}, {y} -> ({py} <=> {px}))"
+            else:
+                sub_arr = arr_f
+            hof = _agg_hof(scope, head, fn, arg, sub_arr, fields,
+                           alias, probe_arr=arr_f)
+            if hof is None:
+                return None
+            name = oname or f"__c{k}"
+            pairs.append(f"'{name}', {hof}")
+            names.append(name)
+            continue
+        ex = _elem_refs(expr, alias, fields, var)
+        if ex is None:
+            return None
+        name = oname or (expr.strip().split(".")[-1]
+                         if re.fullmatch(r"[\w.]+", expr.strip())
+                         else f"__c{k}")
+        pairs.append(f"'{name}', {ex}")
+        names.append(name)
+    out = f"transform({arr_f}, {var} -> named_struct({', '.join(pairs)}))"
+    if cl["distinct"]:
+        out = f"array_distinct({out})"
+    if cl["limit"]:
+        if not re.fullmatch(r"\d+", cl["limit"].strip()):
+            return None
+        out = f"slice({out}, 1, {cl['limit'].strip()})"
+    return out, names, head
+
+
+def _multi_tuple_array(scope: "_Scope", cl: dict):
+    """Row-local join of several relative collections: nested
+    transform/flatten builds the tuple array (the reference's nested
+    SubplanNode nested-loop join), then ON/WHERE filter and the select
+    list project it. Supports N-way inner/cross and 2-way LEFT/RIGHT
+    OUTER ON."""
+    if cl["group"] or cl["order"]:
+        return None
+    if cl["limit"] and not re.fullmatch(r"\d+", cl["limit"].strip()):
+        return None
+    resolved = []
+    for joiner, path, alias, on, sub in cl["items"]:
+        if sub is not None:
+            return None
+        r = _resolve_rel_array2(scope, path)
+        if r is None:
+            return None
+        head, arr, fields, et = r
+        al = (alias or path.split(".")[-1]).lower()
+        resolved.append({"joiner": joiner, "arr": arr, "fields": fields,
+                         "et": et, "alias": al, "on": on, "head": head})
+    aliases = [it["alias"] for it in resolved]
+    if len(set(aliases)) != len(aliases):
+        return None
+    outer_at = [k for k, it in enumerate(resolved)
+                if re.search(r"\b(left|right|full)\b", it["joiner"],
+                             re.IGNORECASE)]
+    if any(re.search(r"\b(anti|semi|full)\b", it["joiner"],
+                     re.IGNORECASE) for it in resolved):
+        return None
+
+    vars_ = [scope.fresh("__sj") for _ in resolved]
+    pref = {it["alias"]: it["alias"] + "__" for it in resolved}
+    ns_pairs = []
+    for k, it in enumerate(resolved):
+        for f in it["fields"]:
+            ns_pairs.append(f"'{pref[it['alias']]}{f}', {vars_[k]}.{f}")
+    ns = f"named_struct({', '.join(ns_pairs)})"
+    amap_lambda = {it["alias"]: (vars_[k], it["fields"])
+                   for k, it in enumerate(resolved)}
+
+    if outer_at:
+        if len(resolved) != 2 or outer_at != [1] \
+                or not resolved[1]["on"]:
+            return None
+        it1, it2 = resolved
+        right = bool(re.search(r"\bright\b", it2["joiner"],
+                               re.IGNORECASE))
+        outer_it, inner_it = (it2, it1) if right else (it1, it2)
+        outer_var, inner_var = (vars_[1], vars_[0]) if right \
+            else (vars_[0], vars_[1])
+        cond = _lambda_refs(it2["on"], amap_lambda)
+        if cond is None:
+            return None
+        matched = (f"filter({inner_it['arr']}, {inner_var} -> "
+                   f"coalesce({cond}, false))")
+        null_inner = f"cast(null as {inner_it['et'].simpleString()})"
+        ns_null = ns.replace(f"{inner_var}.", f"{null_inner}.")
+        tuples = (f"flatten(transform({outer_it['arr']}, {outer_var} ->"
+                  f" if(size({matched}) = 0, array({ns_null}), "
+                  f"transform({matched}, {inner_var} -> {ns}))))")
+    else:
+        conds = []
+        for it in resolved:
+            if it["on"]:
+                conds.append(it["on"])
+        tuples = f"transform({resolved[-1]['arr']}, {vars_[-1]} -> {ns})"
+        for k in range(len(resolved) - 2, -1, -1):
+            tuples = (f"flatten(transform({resolved[k]['arr']}, "
+                      f"{vars_[k]} -> {tuples}))")
+        if conds:
+            t = scope.fresh("__st")
+            amap_post = {it["alias"]:
+                         (t, [])  # alias.f only; bare handled below
+                         for it in resolved}
+            cond_txt = " and ".join(f"({c})" for c in conds)
+            cx = _post_refs(cond_txt, resolved, t)
+            if cx is None:
+                return None
+            tuples = f"filter({tuples}, {t} -> coalesce({cx}, false))"
+
+    if cl["where"]:
+        t = scope.fresh("__st")
+        wx = _post_refs(cl["where"], resolved, t)
+        if wx is None:
+            return None
+        tuples = f"filter({tuples}, {t} -> coalesce({wx}, false))"
+
+    items = _sel_items(cl["sel"]) if cl["sel"].strip() != "*" else None
+    if items is None:
+        return None
+    t = scope.fresh("__st")
+    pairs, names = [], []
+    for k, (expr, oname) in enumerate(items):
+        if _AGG_RE.match(expr):
+            return None
+        ex = _post_refs(expr, resolved, t)
+        if ex is None:
+            return None
+        name = oname or (expr.strip().split(".")[-1]
+                         if re.fullmatch(r"[\w.]+", expr.strip())
+                         else f"__c{k}")
+        pairs.append(f"'{name}', {ex}")
+        names.append(name)
+    out = f"transform({tuples}, {t} -> named_struct({', '.join(pairs)}))"
+    if cl["distinct"]:
+        out = f"array_distinct({out})"
+    if cl["limit"]:
+        out = f"slice({out}, 1, {cl['limit'].strip()})"
+    return out, names, resolved[0]["head"]
+
+
+def _post_refs(text: str, resolved: list, var: str) -> str | None:
+    """Rewrite `alias.f` / unique bare `f` to tuple-struct access
+    `var.alias__f` after the join build."""
+    amap = {}
+    for it in resolved:
+        amap[it["alias"]] = (var, it["fields"], it["alias"] + "__")
+    bail: list[int] = []
+    owners: dict = {}
+    for it in resolved:
+        for f in it["fields"]:
+            owners.setdefault(f.lower(), []).append(
+                f"{var}.{it['alias']}__{f}")
+    unique = {f: v[0] for f, v in owners.items() if len(v) == 1}
+    amb = [f for f, v in owners.items() if len(v) > 1]
+
+    def seg(s: str) -> str:
+        for it in resolved:
+            a = re.escape(it["alias"])
+            if re.search(rf"(?i)(?<![\w.`]){a}\.pos\b", s):
+                bail.append(1)
+            s = re.sub(rf"(?i)(?<![\w.`]){a}\.(\w+)",
+                       rf"{var}.{it['alias']}__\1", s)
+        if unique:
+            pat = re.compile(
+                r"(?i)(?<![\w.`'])("
+                + "|".join(map(re.escape,
+                               sorted(unique, key=len, reverse=True)))
+                + r")\b(?!\s*\()")
+            s = pat.sub(lambda mm: unique[mm.group(1).lower()], s)
+        if amb:
+            pat2 = re.compile(
+                r"(?i)(?<![\w.`'])(" + "|".join(map(re.escape, amb))
+                + r")\b(?!\s*\()")
+            if pat2.search(s):
+                bail.append(1)
+        return s
+
+    out = _sub_outside_strings(text, seg)
+    return None if bail else out
+
+
+def _values_tuple_array(text: str, want_cols: list | None):
+    """VALUES union operand → array of structs. Accepts both the raw
+    `values(..),(..)` spelling and the dialect shim's output
+    `select col1 AS x[, ...] from (values (..), (..))`."""
+    if not want_cols:
+        return None
+    sel_items = None
+    m = re.match(r"(?is)^\s*values\s*(.*)$", text)
+    if not m:
+        m2 = re.match(r"(?is)^\s*select\s+(?P<sel>.*?)\s+from\s*"
+                      r"\(\s*values\s*(?P<rows>.*?)\)\s*"
+                      r"(?:as\s+)?\w*\s*$", text)
+        if not m2:
+            return None
+        sel_items = [
+            re.sub(r"(?is)\s+as\s+(`[^`]*`|\w+)\s*$", "", e)
+            for e, _ in _sel_items(m2.group("sel"))]
+        rows_txt = m2.group("rows")
+    else:
+        rows_txt = m.group(1)
+    rows = []
+    for row in _split_top_commas(rows_txt):
+        row = row.strip()
+        if not (row.startswith("(") and row.endswith(")")):
+            return None
+        vals = [v.strip() for v in _split_top_commas(row[1:-1])]
+        if sel_items is not None:
+            # positional colN substitution through the select list
+            out_vals = []
+            for e in sel_items:
+                for k, v in enumerate(vals):
+                    e = re.sub(rf"(?i)\bcol{k + 1}\b", v, e)
+                out_vals.append(e)
+            vals = out_vals
+        if len(vals) != len(want_cols):
+            return None
+        rows.append("named_struct(" + ", ".join(
+            f"'{c}', {v}" for c, v in zip(want_cols, vals)) + ")")
+    return f"array({', '.join(rows)})", list(want_cols), None
+
+
+def _subq_tuple_array(scope: "_Scope", inner: str,
+                      want_cols: list | None = None):
+    """(array_expr, cols, head) for a subquery over relative
+    collections — including UNION [ALL|DISTINCT] chains, VALUES
+    operands, and a parenthesized FROM subquery."""
+    branches = _parse_union_branches(inner)
+    if len(branches) > 1:
+        expr, cols, head0 = None, want_cols, None
+        for text, mode in branches:
+            r = _values_tuple_array(text, cols)
+            if r is None:
+                r = _subq_tuple_array(scope, text, cols)
+            if r is None:
+                return None
+            barr, bcols, bh = r
+            head0 = head0 or bh
+            if cols is None:
+                cols = bcols
+            elif len(bcols) != len(cols):
+                return None
+            if expr is None:
+                expr = barr
+            else:
+                # a NULL operand (NULL source collection) is an EMPTY
+                # union operand, and concat propagates NULL
+                expr = (f"concat(coalesce({expr}, array()), "
+                        f"coalesce({barr}, array()))")
+                if mode == "distinct":
+                    expr = f"array_distinct({expr})"
+        return expr, cols, head0
+    cl = _parse_subq(inner)
+    if cl is None:
+        return None
+    if len(cl["items"]) == 1:
+        sub = cl["items"][0][4]
+        if sub is not None:
+            r = _subq_tuple_array(scope, sub)
+            if r is None:
+                return None
+            sarr, scols, shead = r
+            if shead is None:
+                return None
+            return _single_tuple_array(
+                scope, cl, want_cols, source=(shead, sarr, scols))
+        return _single_tuple_array(scope, cl, want_cols)
+    return _multi_tuple_array(scope, cl)
+
+
+def _subplan_from_rel(scope: "_Scope", inner: str,
+                      out_alias: str) -> str | None:
+    """FROM-item subquery over relative collections → one inner
+    LATERAL posexplode over a HOF-built tuple array. Returns the
+    parenthesized relation text (without trailing alias)."""
+    r = _subq_tuple_array(scope, inner)
+    if r is None:
+        return None
+    arr, cols, _head = r
+    if len(set(c.lower() for c in cols)) != len(cols):
+        return None
+    proj = ", ".join(f"__si.{c} as {c}" for c in cols)
+    return (f"(select {proj} from "
+            f"(select posexplode({arr}) as (__sp, __si)))")
+
+
+def _split_top_commas(text: str) -> list[str]:
+    items, depth, cur = [], 0, []
+    for c in text:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    items.append("".join(cur))
+    return items
 
 
 def rewrite_collection_refs(spark: SparkSession, sql: str) -> str:

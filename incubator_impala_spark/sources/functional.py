@@ -432,6 +432,26 @@ def _register_raw_parquet_tables(spark: SparkSession) -> None:
             continue
     _register_dateless_timestamp_tables(spark)
     _register_overflow_table(spark)
+    # widerow: one row whose string_col is 10 MiB (the reference's
+    # testdata/bin/load-data generates it; only the length is asserted)
+    spark.sql("select repeat('z', 10485760) as string_col") \
+        .createOrReplaceTempView("widerow")
+    # avro variant of date_tbl (avro_date.test): the 0001-01-01
+    # partition's avro file aborts at the first Julian-shifted
+    # out-of-range date (Hive2 wrote 0001-01-01 as 0000-12-30), so its
+    # rows vanish whenever date_col is materialized
+    spark.sql("select id_col, date_part, "
+              "case when date_col < DATE'1582-10-15' "
+              "then date_add(date_col, -2) else date_col end as date_col "
+              "from date_tbl where date_part <> DATE'0001-01-01'") \
+        .createOrReplaceTempView("avro_date_tbl")
+    # rcfile escaping bug (string-escaping-rcfile-bug.test): the
+    # reference's rcfile writer doubles backslashes on load
+    spark.sql(r"select replace(s, '\\', '\\\\') as s "
+              "from strings_with_quotes") \
+        .createOrReplaceTempView("strings_with_quotes_rcfile")
+    _register_out_of_range_timestamp(spark)
+    _register_decimal_rtf_tables(spark)
     _register_bad_parquet_table(spark)
     _register_bzip_text_tables(spark)
     _register_header_tables(spark)
@@ -690,6 +710,51 @@ def _register_overflow_table(spark: SparkSession) -> None:
             f"cast({f.name} as {f.dataType.simpleString()}) as {f.name}"
             for f in df.schema.fields]) \
             .createOrReplaceTempView(view)
+
+
+def _register_decimal_rtf_tables(spark: SparkSession) -> None:
+    """decimal_rtf_tbl / decimal_rtf_tiny_tbl — the min-max
+    runtime-filter decimal workload's tables
+    (functional_schema_template.sql:1936,2015: 24 decimal columns at
+    every precision class + a dpc=1 partition). Loaded from the
+    reference's own comma-delimited data files; a value out of the
+    column's range parses to NULL exactly as the reference's text
+    scanner does (Spark csv permissive mode)."""
+    cols = ["d5_0 decimal(5,0)", "d5_1 decimal(5,1)",
+            "d5_3 decimal(5,3)", "d5_5 decimal(5,5)",
+            "d9_0 decimal(9,0)", "d9_1 decimal(9,1)",
+            "d9_5 decimal(9,5)", "d9_9 decimal(9,9)",
+            "d14_0 decimal(14,0)", "d14_1 decimal(14,1)",
+            "d14_7 decimal(14,7)", "d14_14 decimal(14,14)",
+            "d18_0 decimal(18,0)", "d18_1 decimal(18,1)",
+            "d18_9 decimal(18,9)", "d18_18 decimal(18,18)",
+            "d28_0 decimal(28,0)", "d28_1 decimal(28,1)",
+            "d28_14 decimal(28,14)", "d28_28 decimal(28,28)",
+            "d38_0 decimal(38,0)", "d38_1 decimal(38,1)",
+            "d38_19 decimal(38,19)", "d38_38 decimal(38,38)"]
+    schema = ", ".join(cols)
+    for tbl in ("decimal_rtf_tbl", "decimal_rtf_tiny_tbl"):
+        p = os.path.join(_REF_DATA, f"{tbl}.txt")
+        if not os.path.exists(p):
+            continue
+        (spark.read.schema(schema).option("mode", "PERMISSIVE")
+         .csv(p)
+         .selectExpr("*", "cast(1 as decimal(9,0)) as dpc")
+         .createOrReplaceTempView(tbl))
+
+
+def _register_out_of_range_timestamp(spark: SparkSession) -> None:
+    """IMPALA-4363: reference parquet files carrying timestamps outside
+    the engine's 1400..9999 range — the scanner NULLs them with a
+    warning (out-of-range-timestamp-*.test). The clamp runs JVM-side:
+    a year-10000 INT96 crashes Python datetime conversion otherwise."""
+    p = os.path.join(_REF_DATA, "out_of_range_timestamp.parquet")
+    if os.path.exists(p):
+        spark.sql(
+            f"select case when ts >= timestamp'1400-01-01' "
+            f"and year(ts) <= 9999 then ts end as ts "
+            f"from parquet.`{p}`"
+        ).createOrReplaceTempView("out_of_range_timestamp")
 
 
 def _register_dateless_timestamp_tables(spark: SparkSession) -> None:

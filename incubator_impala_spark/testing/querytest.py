@@ -61,6 +61,9 @@ class Block:
     verifier: str | None
     has_catch: bool
     sections: dict
+    # SHELL-only sections preceding this block (`hdfs dfs -cp ...`
+    # data staging in the reference's runner) — emulated locally
+    shell: list = None
 
 
 def _strip_comments(text: str) -> str:
@@ -73,7 +76,13 @@ def parse_test_file(path: str) -> list[Block]:
     with open(path, encoding="utf-8") as f:
         content = f.read()
     blocks: list[Block] = []
+    pending_shell: list[str] = []
     for section in re.split(r"(?m)^====", content):
+        if "---- SHELL" in section and "---- QUERY" not in section:
+            m = re.search(r"(?ms)^---- SHELL\s*\n(.*)", section)
+            if m:
+                pending_shell.append(m.group(1))
+            continue
         if not section.strip() or "---- QUERY" not in section:
             continue
         subs: dict[str, tuple[str | None, str]] = {}
@@ -101,8 +110,106 @@ def parse_test_file(path: str) -> list[Block]:
             query=_strip_comments(subs["QUERY"][1]).strip().rstrip(";"),
             results=results, types=types, labels=labels,
             verifier=verifier, has_catch="CATCH" in subs,
-            sections=subs))
+            sections=subs, shell=pending_shell or None))
+        pending_shell = []
     return blocks
+
+
+# --------------------------------------------------------------------------
+# SHELL data staging (`hdfs dfs -cp/-copyFromLocal SRC DST`) — the
+# reference's runner stages data files over HDFS; emulated as local
+# copies with the known source spellings mapped to this repo's fixture
+# files and warehouse layout.
+
+_SHELL_SRC_MAP = {
+    "test-warehouse/complextypestbl_parquet/nullable.parq":
+        ("functional", "complextypestbl_nullable.parquet"),
+    "test-warehouse/complextypestbl_parquet/nonnullable.parq":
+        ("functional", "complextypestbl_nonnullable.parquet"),
+}
+
+
+def _shell_path(token: str, engine, database: str | None) -> str | None:
+    import os
+
+    t = token.replace("$FILESYSTEM_PREFIX", "").lstrip("/")
+    if t.startswith("$IMPALA_HOME/"):
+        return "/root/reference/" + t[len("$IMPALA_HOME/"):]
+    for pref, (fixdir, fname) in _SHELL_SRC_MAP.items():
+        if t == pref:
+            root = os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))))
+            return os.path.join(root, "fixtures", fixdir, fname)
+    m = re.match(r"test-warehouse/\$DATABASE\.db/([\w./=-]+)$", t)
+    if m and database:
+        wh = re.sub(r"^file:", "", engine.spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"))
+        rel = m.group(1)
+        parts = rel.split("/", 1)
+        # physical dir: the preceding CREATE already made it — probe
+        # the plain spelling (unqualified creation under USE) first,
+        # then the mangled db__name form
+        cands = [parts[0].lower(), f"{database}__{parts[0].lower()}"]
+        phys = next((c for c in cands
+                     if os.path.isdir(os.path.join(wh, c))), cands[0])
+        p = os.path.join(wh, phys, *(parts[1:] or [""]))
+        if rel.endswith("/") and not p.endswith("/"):
+            p += "/"
+        _SHELL_TOUCHED.append(phys)
+        return p
+    return None
+
+
+_SHELL_TOUCHED: list = []
+
+
+def _emulate_shell(engine, text: str, database: str | None) -> bool:
+    """True iff every command in the SHELL text was emulated."""
+    import os
+    import shutil
+
+    cmds, cur = [], ""
+    for ln in text.strip().split("\n"):
+        ln = ln.strip()
+        if ln.endswith("\\"):
+            cur += ln[:-1] + " "
+            continue
+        cur += ln
+        if cur.strip():
+            cmds.append(cur)
+        cur = ""
+    if cur.strip():
+        cmds.append(cur)
+    for one in [c for cmd in cmds
+                for c in re.split(r"\s*(?:&&|;)\s*", cmd)]:
+        if not one.strip():
+            continue
+        m = re.match(r"hdfs\s+dfs\s+-(?:cp|copyFromLocal)"
+                     r"((?:\s+-\w+)*)\s+(.+)$", one.strip())
+        if not m:
+            return False
+        toks = m.group(2).split()
+        if len(toks) < 2:
+            return False
+        dst = _shell_path(toks[-1], engine, database)
+        srcs = [_shell_path(x, engine, database) for x in toks[:-1]]
+        if dst is None or any(x is None for x in srcs):
+            return False
+        for src in srcs:
+            if not os.path.exists(src):
+                return False
+            target = (os.path.join(dst, os.path.basename(src))
+                      if dst.endswith("/") or os.path.isdir(dst)
+                      else dst)
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            shutil.copyfile(src, target)
+    for phys in set(_SHELL_TOUCHED):
+        try:
+            engine.spark.catalog.refreshTable(phys)
+        except Exception:  # noqa: BLE001
+            pass
+    _SHELL_TOUCHED.clear()
+    return True
 
 
 # --------------------------------------------------------------------------
@@ -115,7 +222,7 @@ def _fmt_timestamp(v) -> str:
     return base
 
 
-def _fmt_value(v, dtype: str) -> str:
+def _fmt_value(v, dtype: str, scale: int | None = None) -> str:
     # NULL prints bare for non-string columns; for string-family
     # columns the server prints NULL and the harness quotes every
     # string value, so it appears as 'NULL' (the reference's
@@ -140,11 +247,18 @@ def _fmt_value(v, dtype: str) -> str:
         s = v.decode("latin-1")
     elif dtype == "decimal":
         # the JVM->Python bridge can widen a BigDecimal's scale past
-        # the declared one (1E-38 arrives as 1.0E-38); strip the
-        # artifact trailing zero when the scale exceeds 38 (the max
+        # the declared one (py4j collect: 18E-14 in a decimal(14,14)
+        # arrives as Decimal('1.80E-13'), scale 15); re-quantize to
+        # the DECLARED scale when known, else clamp at 38 (the max
         # any declared DECIMAL can carry)
-        if -v.as_tuple().exponent > 38:
-            v = v.quantize(decimal.Decimal(1).scaleb(-38))
+        with decimal.localcontext() as ctx:
+            # default context precision (28) raises InvalidOperation
+            # quantizing 38-digit SUM results; match Impala's max
+            ctx.prec = 76
+            if scale is not None:
+                v = v.quantize(decimal.Decimal(1).scaleb(-scale))
+            elif -v.as_tuple().exponent > 38:
+                v = v.quantize(decimal.Decimal(1).scaleb(-38))
         s = format(v, "f")   # never scientific (0E-8 -> 0.00000000)
     else:
         s = str(v)
@@ -183,10 +297,16 @@ def dataframe_rows(df) -> tuple[list[str], list[str]]:
         # RPC's partition map, not as a quoted result set
         return [r[0] for r in df.collect()], ["string"]
     kinds = [_col_kind(f.dataType.simpleString()) for f in df.schema.fields]
+    # declared decimal scales, for re-quantizing bridge-widened values
+    scales = []
+    for f in df.schema.fields:
+        m = re.match(r"decimal\((\d+),(\d+)\)", f.dataType.simpleString())
+        scales.append(int(m.group(2)) if m else None)
     rows = []
     for row in df.collect():
         rows.append(",".join(
-            _fmt_value(v, k) for v, k in zip(row, kinds)))
+            _fmt_value(v, k, sc)
+            for v, k, sc in zip(row, kinds, scales)))
     return rows, kinds
 
 
@@ -326,7 +446,7 @@ def types_compatible(expected: list[str], actual: list[str]) -> bool:
 
 _RUNNABLE = re.compile(
     r"^[\s(]*(select|with|values|describe|explain|"
-    r"show\s+partitions|invalidate\s+metadata|refresh|"
+    r"show\s+partitions|show\s+files|invalidate\s+metadata|refresh|"
     r"create\s+(?:external\s+)?table|"
     r"insert\s+(?:into|overwrite)|drop\s+table|"
     r"truncate|alter\s+table|use|"
@@ -336,7 +456,7 @@ _RUNNABLE = re.compile(
     r"drop\s+(?:database|schema|view)|alter\s+view|"
     r"create\s+(?:aggregate\s+)?function|drop\s+function|"
     r"compute\s+(?:incremental\s+)?stats|"
-    r"drop\s+(?:incremental\s+)?stats)\b",
+    r"drop\s+(?:incremental\s+)?stats|load\s+data)\b",
     re.IGNORECASE)
 _VAR = re.compile(r"\$[A-Z][A-Z0-9_]*")
 
@@ -408,15 +528,45 @@ def run_blocks(engine, blocks: list[Block], *,
         # the reference's default-filesystem prefix is the empty
         # string (tests/common: FILESYSTEM_PREFIX='' on HDFS)
         b.query = b.query.replace("$FILESYSTEM_PREFIX", "")
+        # runtime-filter workloads parameterize the filter-arrival
+        # wait; any value works — the SET is accepted session-side and
+        # Spark's DPP/bloom runtime filters need no arrival wait
+        b.query = b.query.replace("$RUNTIME_FILTER_WAIT_TIME_MS",
+                                  "10000")
     if hasattr(engine, "ns"):
         engine.ns.current = None     # a prior file's USE must not leak
     if hasattr(engine, "tz"):
         engine.tz, engine.use_local_tz = "UTC", False
+    if hasattr(engine, "option_display"):
+        # the reference harness resets explicitly-SET query options
+        # between test files; SET ALL listings assume defaults
+        engine.option_display.clear()
+        engine.parquet_resolution = "position"
+        engine.explain_level = 1
+    if hasattr(engine, "alter_in_place"):
+        # per-file opt-in (presets); must not leak across files
+        engine.alter_in_place = False
+        for tbl in list(getattr(engine, "schema_overlays", {})):
+            try:
+                engine.spark.catalog.dropTempView(tbl)
+            except Exception:  # noqa: BLE001
+                pass
+            del engine.schema_overlays[tbl]
     if hasattr(engine, "stats_seen"):
         engine.stats_seen.clear()   # incremental-stats state per file
     for p in presets or []:
         # file-level startup flags (the reference runs some files with
         # impalad flags, e.g. -use_local_tz_for_unix_timestamp_conversions)
+        dm = re.match(r"(?i)\s*drop\s+table\s+if\s+exists\s+([\w.]+)",
+                      p)
+        if dm:
+            # a crashed prior session can leave the warehouse dir of a
+            # preset-created table orphaned; the drop can't see it
+            wh = re.sub(r"^file:", "", engine.spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"))
+            shutil.rmtree(os.path.join(
+                wh, dm.group(1).split(".")[-1].lower()),
+                ignore_errors=True)
         engine.sql(p)
     for name in sorted(dbs_used):
         try:
@@ -519,6 +669,10 @@ def run_blocks(engine, blocks: list[Block], *,
             pass
     out: list[BlockResult] = []
     for b in blocks:
+        if b.shell and not all(_emulate_shell(engine, sh, database)
+                               for sh in b.shell):
+            out.append(BlockResult(b.index, "skip", "shell-staging"))
+            continue
         r = _run_one(engine, b, rewrite, table_rewrites or {})
         if b.index in xfail:
             if r.status == "fail" or r.status == "error":
@@ -706,14 +860,6 @@ def _run_one(engine, b: Block, rewrite, table_rewrites) -> BlockResult:
         # daemon/session introspection with no analogue in a library
         # engine (DIALECT.md out-of-scope list)
         return BlockResult(b.index, "skip", "oos-daemon-introspection")
-    if re.search(r"\b(tpch|tpcds)\w*\.", b.query, re.IGNORECASE) \
-            and not re.match(r"(?i)\s*explain\b", b.query):
-        # other-workload dbs at the reference's load scale; their
-        # expected rows assume SF1 data this fixture doesn't carry.
-        # EXPLAIN blocks are exempt: plan shape is data-independent
-        # (size/cardinality lines are row_regex'd in the expected)
-        return BlockResult(b.index, "skip", "other-workload-db")
-
     # a block's SET NOW_STRING must not leak into later blocks (the
     # reference harness re-sets it per block; expected values of other
     # blocks assume the real clock is irrelevant)
@@ -721,15 +867,30 @@ def _run_one(engine, b: Block, rewrite, table_rewrites) -> BlockResult:
         engine.now = None
     sql_stmts = [_rewrite_stmt(s, rewrite, table_rewrites)
                  for s in stmts]
+    if re.search(r"\b(?!tpch_ref_|tpcds_ref_|tpch_nested_"
+                 r"(?:customer|region|supplier|part)\b)"
+                 r"(tpch|tpcds)\w*\.", " ".join(sql_stmts),
+                 re.IGNORECASE) \
+            and not re.match(r"(?i)\s*explain\b", b.query):
+        # other-workload dbs at the reference's load scale; their
+        # expected rows assume SF1 data this fixture doesn't carry —
+        # checked AFTER table_rewrites, so a file whose rewrites map
+        # tpch spellings onto the sf1 dbgen views runs normally (the
+        # engine's own tpch_ref_/tpch_nested_/tpcds_ref_ views ARE
+        # that sf1 data; a collection path like
+        # tpch_nested_customer.c_orders must not re-trip the skip)
+        return BlockResult(b.index, "skip", "other-workload-db")
     try:
         df = None
         for s in sql_stmts:
             _preclear_create(engine, s)
-            if s.lower().startswith("set "):
+            if s.lower().startswith("set ") \
+                    and not re.match(r"(?i)\s*set\s+all\s*$", s):
                 engine.sql(s)
             else:
-                df = engine.sql(s)
-        actual, kinds = dataframe_rows(df)
+                df = engine.sql(s)  # `set all` RETURNS the listing
+        # a block of only SET statements verifies as zero rows
+        actual, kinds = dataframe_rows(df) if df is not None else ([], [])
     except Exception as exc:  # noqa: BLE001 - report, don't crash the file
         first = next((ln for ln in str(exc).split("\n") if ln.strip()), "")
         msg = f"{type(exc).__name__}: {first}"[:300]

@@ -20,15 +20,19 @@ QT_DIR = ("/root/reference/testdata/workloads/functional-query/queries/"
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     show = 6
-    if "--show-fails" in sys.argv:
-        show = int(sys.argv[sys.argv.index("--show-fails") + 1])
+    if "--show-fails" in argv:
+        k = argv.index("--show-fails")
+        show = int(argv[k + 1])
+        del argv[k:k + 2]
+    names = [a for a in argv if not a.startswith("--")]
 
     import json
     out_json = None
-    if "--json" in sys.argv:
-        out_json = sys.argv[sys.argv.index("--json") + 1]
+    if "--json" in argv:
+        k = argv.index("--json")
+        out_json = argv[k + 1]
         names = [n for n in names if n != out_json]
 
     from incubator_impala_spark.engine import Engine
@@ -49,9 +53,9 @@ def main() -> None:
 
     # reuse the pytest runner's per-file rewrites/presets
     try:
-        from tests.test_functional_query import FILES
+        from tests.test_functional_query import FILES, SETUP_HOOKS
     except Exception:  # noqa: BLE001
-        FILES = {}
+        FILES, SETUP_HOOKS = {}, {}
 
     import re as _re
 
@@ -64,6 +68,8 @@ def main() -> None:
         presets = entry[3] if len(entry) > 3 else None
         # mirror the pytest runner's per-file scratch database
         db = "qtest_" + _re.sub(r"[^a-z0-9]", "", name.lower())
+        if name in SETUP_HOOKS:
+            SETUP_HOOKS[name](engine, db)
         results = qt.run_blocks(engine, blocks, database=db,
                                 table_rewrites=rewrites, presets=presets)
         report[name] = {

@@ -211,15 +211,27 @@ def test_load_data_into_partitioned_table(spark, engine, tmp_path):
         "CREATE TABLE ld_pt (x INT, p STRING) USING parquet PARTITIONED BY (p)"
     )
     try:
-        staged = str(tmp_path / "staged")
-        spark.range(5).selectExpr("CAST(id AS INT) AS x").write.parquet(staged)
+        import glob
+        import os
+
+        def stage(d):
+            spark.range(5).selectExpr("CAST(id AS INT) AS x") \
+                .coalesce(1).write.mode("overwrite").parquet(d)
+            return d
+
+        staged = stage(str(tmp_path / "staged"))
         engine.sql(f"LOAD DATA INPATH '{staged}' INTO TABLE ld_pt PARTITION (p='a')")
         assert spark.table("ld_pt").where("p = 'a'").count() == 5
-        # append again
+        # LOAD DATA *moves* files (LoadDataStmt.java) — the source is
+        # drained, so appending needs a fresh staging copy
+        assert not glob.glob(os.path.join(staged, "*.parquet"))
+        stage(staged)
         engine.sql(f"LOAD DATA INPATH '{staged}' INTO TABLE ld_pt PARTITION (p='a')")
         assert spark.table("ld_pt").where("p = 'a'").count() == 10
         # second partition untouched by the overwrite of 'a'
+        stage(staged)
         engine.sql(f"LOAD DATA INPATH '{staged}' INTO TABLE ld_pt PARTITION (p='b')")
+        stage(staged)
         engine.sql(
             f"LOAD DATA INPATH '{staged}' OVERWRITE INTO TABLE ld_pt PARTITION (p='a')"
         )
@@ -247,12 +259,17 @@ def test_alter_table_add_partition_visibility(spark, engine):
         "CREATE TABLE ap_pt (x INT, p STRING) USING parquet PARTITIONED BY (p)"
     )
     try:
+        # engine SHOW PARTITIONS speaks Impala's listing (partitions.py):
+        # one row per partition keyed by the partition columns + a
+        # 'Total' row
         engine.sql("ALTER TABLE ap_pt ADD IF NOT EXISTS PARTITION (p='z')")
-        parts = {r.partition for r in engine.sql("SHOW PARTITIONS ap_pt").collect()}
-        assert "p=z" in parts
+        parts = {r.p for r in engine.sql("SHOW PARTITIONS ap_pt").collect()
+                 if r.p != "Total"}
+        assert "z" in parts
         engine.sql("ALTER TABLE ap_pt DROP IF EXISTS PARTITION (p='z')")
-        parts = {r.partition for r in engine.sql("SHOW PARTITIONS ap_pt").collect()}
-        assert "p=z" not in parts
+        parts = {r.p for r in engine.sql("SHOW PARTITIONS ap_pt").collect()
+                 if r.p != "Total"}
+        assert "z" not in parts
     finally:
         spark.sql("DROP TABLE IF EXISTS ap_pt")
 

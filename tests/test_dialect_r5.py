@@ -120,3 +120,50 @@ def test_decode_macro_default_parity():
 
 def test_count_zero_args_macro():
     assert MACROS["count"]([]) == "count(*)"
+
+
+# ---------------------------------------------------------------------------
+# r7: IN-subquery DISTINCT (semi/anti-join build-side dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_in_subquery_distinct_rewrite():
+    from incubator_impala_spark.dialect import rewrite_in_subquery_distinct
+
+    r = rewrite_in_subquery_distinct
+    # plain IN and NOT IN subqueries dedup their build side
+    assert r("select * from t where x in (select y from u)") \
+        == "select * from t where x in (select distinct y from u)"
+    assert "not in (select distinct y" in \
+        r("select * from t where x not in (select y from u)")
+    # nested IN subqueries each rewritten
+    out = r("select * from t where x in (select y from u "
+            "where z in (select w from v))")
+    assert out.count("select distinct") == 2
+    # a top-level LIMIT/OFFSET pins the multiset — no rewrite there,
+    # but an enclosing subquery without one still rewrites
+    assert r("select * from t where x in (select y from u limit 5)") \
+        == "select * from t where x in (select y from u limit 5)"
+    out = r("select * from t where x in (select y from u "
+            "where q in (select 1 from v limit 2))")
+    assert "in (select distinct y" in out
+    assert "in (select 1 from v limit 2)" in out
+    # already-distinct, literals, and value lists untouched
+    sql = "select * from t where x in (select distinct y from u)"
+    assert r(sql) == sql
+    sql = "select * from t where x in ('in (select', 'b')"
+    assert r(sql) == sql
+    sql = "select * from t where x in (1, 2, 3)"
+    assert r(sql) == sql
+
+
+def test_in_subquery_distinct_semantics(spark):
+    from incubator_impala_spark.dialect import rewrite_in_subquery_distinct
+
+    spark.range(10).selectExpr("id", "id % 3 AS k") \
+        .createOrReplaceTempView("ind_t")
+    q = ("select count(*) c from ind_t where k in "
+         "(select id % 2 from ind_t)")
+    a = spark.sql(q).collect()[0][0]
+    b = spark.sql(rewrite_in_subquery_distinct(q)).collect()[0][0]
+    assert a == b

@@ -67,6 +67,16 @@ QT_DIR = ("/root/reference/testdata/workloads/functional-query/queries/"
           "QueryTest")
 
 # file -> (min_pass floor, {block index: reason})
+# runtime-filter family: kudu/parquet-flavored db qualifiers map to
+# the same logical tables; tpch spellings are the sf1 dbgen views
+_RTF_REWRITES = {
+    r"functional_kudu\.": "",
+    r"functional_parquet\.": "",
+    r"tpch_kudu\.": "tpch_ref_",
+    r"tpch_parquet\.": "tpch_ref_",
+    r"\btpch\.": "tpch_ref_",
+}
+
 FILES: dict[str, tuple[int, dict[int, str]]] = {
     "exprs": (253, {
         52: "float-promotion", 53: "float-promotion", 54: "float-promotion",
@@ -212,11 +222,10 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     #   schema-on-read-delim  changing the field delimiter re-reads
     #                         EXISTING text files under the new
     #                         delimiter (data reinterpretation)
-    "alter-table": (144, dict(
+    "alter-table": (147, dict(
         [(i, "runner-setup-table") for i in (11, 13)]
         + [(i, "varchar-erasure") for i in (33, 34)]
         + [(i, "external-part-data") for i in (38, 41, 49, 77, 80)]
-        + [(i, "hive-default-partition") for i in (69, 70, 73)]
         + [(i, "location-semantics") for i in range(118, 130)]
         + [(i, "partition-stats-layout") for i in (135, 137)]
         + [(i, "schema-on-read-delim")
@@ -300,10 +309,63 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # real TPC-H sf1 nested fixture (sources/tpch_ref.py — DuckDB
     # dbgen + the reference's load_nested.py schema); table_rewrites
     # point the plain/qualified spellings at our cached views
+    "wide-row": (1, {}),
+    "set": (6, {
+        # OPTIMIZE_PARTITION_KEY_SCANS rewrites the agg into a UNION of
+        # constant partition keys in the reference's planner; this
+        # engine answers from the same metadata but renders the
+        # ordinary scan plan, so the pinned node lines differ
+        20: "partition-key-scan-plan",
+        21: "partition-key-scan-plan",
+    }),
+    # the avro date_tbl variant drops the poisoned partition whenever
+    # date_col is materialized; count(*) doesn't materialize it, so
+    # that one block keeps the base table (3 ordered rewrites)
+    "avro_date": (9, {}, {
+        r"count\(\*\)\s+from\s+date_tbl": "count(*) from base_date_tbl",
+        "date_tbl": "avro_date_tbl",
+        "base_date_tbl": "date_tbl",
+    }),
+    "string-escaping-rcfile-bug": (5, {}, {
+        "strings_with_quotes": "strings_with_quotes_rcfile",
+    }),
+    "out-of-range-timestamp-continue-on-error": (1, {
+        # block 1's expected rows carry nanosecond time-of-day the
+        # µs engine cannot represent (also needs an int64-nanos read)
+        1: "ns-precision",
+    }),
+    # PARQUET_FALLBACK_SCHEMA_RESOLUTION (overlay tables +
+    # schema_resolution.py); data staged via emulated SHELL copies;
+    # metadata-only ALTER opted in (engine rewrites storage otherwise)
+    "parquet-resolution-by-name": (12, {
+        # switched_map.parq stores the MAP group's key/value members in
+        # swapped order with swapped names; Spark's parquet map reader
+        # is spec-positional and cannot re-pair them by name
+        14: "parquet-map-field-names",
+    }, None, ["set alter_schema_in_place=1"]),
+    # IMPALA-901 hash-collision regression: the runner pre-creates the
+    # 1-column table in its unique db
+    "aggregation_no_codegen_only": (1, {}, None, [
+        "drop table if exists imp_901",
+        "create table imp_901 (col tinyint)",
+    ]),
+    # scanner-vs-metadata mismatch semantics: the runner pre-copies
+    # jointbl's files under a fresh table; a managed CTAS + the ALTER
+    # veneer reproduces the add/drop-column scan behavior
+    "test-unmatched-schema": (10, {}, None, [
+        "drop table if exists jointbl_test",
+        "create table jointbl_test as select * from jointbl",
+    ]),
     # real dsdgen sf1 item table (sources/tpcds_ref.py)
     "analytic-fns-tpcds": (8, {}, {"item": "tpcds_ref_item",
                                "customer": "tpcds_ref_customer"}),
-    "nested-types-tpch": (0, {}, {
+    "nested-types-tpch": (11, {
+        # FROM-level self-join of a collection under two aliases
+        # (`customer c JOIN c.c_orders o1 JOIN c.c_orders o2 ON ..`):
+        # the merged-lateral alias rename isn't implemented; the
+        # subquery-level pair joins in nested-types-subplan are.
+        11: "subplan-pair-alias",
+    }, {
         r"tpch_nested_parquet\.": "tpch_nested_",
         r"tpch_parquet\.": "tpch_ref_",
         "customer": "tpch_nested_customer",
@@ -311,19 +373,24 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
         "supplier": "tpch_nested_supplier",
         "part": "tpch_nested_part",
     }),
-    "nested-types-tpch-limit": (0, {}, {
+    "nested-types-tpch-limit": (2, {}, {
         "customer": "tpch_nested_customer",
     }),
     "nested-types-tpch-errors": (0, {}, {
         "customer": "tpch_nested_customer",
     }),
-    "nested-types-subplan": (0, {}, {
+    "nested-types-subplan": (43, {
+        # LIMIT 1 over an unordered DISTINCT pair join: the recorded
+        # value is the reference loader's insertion-order artifact
+        # (its own block 3 uses regex rows for exactly this reason)
+        44: "subplan-limit-pick",
+    }, {
         r"tpch_nested_parquet\.": "tpch_nested_",
         "customer": "tpch_nested_customer",
         "region": "tpch_nested_region",
         "supplier": "tpch_nested_supplier",
     }),
-    "nested-types-subplan-single-node": (0, {}, {
+    "nested-types-subplan-single-node": (1, {}, {
         "customer": "tpch_nested_customer",
     }),
     # compressed-text scanner over the reference's own .bz2 files
@@ -390,6 +457,35 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
         # native .so UDFs are catalog-surface only here
         37: "native-udf-exec", 42: "native-udf-exec",
     }),
+    # r7 runtime-filter workloads: the queries are plain functional /
+    # tpch joins whose RESULTS sections verify normally; the
+    # RUNTIME_PROFILE counters they additionally pin (RowsRead, Files
+    # rejected) are Impala-daemon introspection the harness does not
+    # verify — Spark's equivalents are DPP + bloom runtime filters
+    # (session.py confs), plan-asserted in test_plan_quality.py.
+    # kudu-flavored spellings map to the same logical tables.
+    # LOAD DATA move semantics over SETUP_HOOKS["load"]'s staging
+    # (the reference drives this from tests/metadata/test_load.py)
+    "load": (24, {}),
+    # predicate partition specs + Impala SHOW PARTITIONS/FILES
+    # listings (partitions.py)
+    "partition-ddl-predicates-all-fs": (21, {}),
+    "runtime_filters": (21, {}, _RTF_REWRITES),
+    "all_runtime_filters": (45, {}, _RTF_REWRITES),
+    "bloom_filters": (8, {}, _RTF_REWRITES),
+    "min_max_filters": (40, {
+        # l_comment self-join counts: DuckDB dbgen's comment text RNG
+        # diverges from the official dbgen the reference loaded, so
+        # comment-duplicate distributions differ (keys/dates/prices
+        # are bit-identical — every other block passes)
+        39: "dbgen-comment-variant",
+    }, _RTF_REWRITES),
+    "decimal_min_max_filters": (126, {}, _RTF_REWRITES),
+    "diff_runtime_filter_types": (12, {}, _RTF_REWRITES),
+    "runtime_row_filters": (22, {
+        20: "dbgen-comment-variant",
+    }, _RTF_REWRITES),
+    "runtime_filters_mt_dop": (21, {}, _RTF_REWRITES),
 }
 
 
@@ -397,18 +493,79 @@ def test_files_keys_unique():
     """A duplicate key in the FILES literal silently discards the
     earlier entry's config (it happened once: two "values" rows)."""
     src = open(__file__).read()
-    body = src[src.index("FILES:"):src.index("\n}\n") + 2]
+    start = src.index("FILES:")
+    body = src[start:src.index("\n}\n", start) + 2]
     keys = re.findall(r'^\s{4}"([^"]+)":', body, re.MULTILINE)
     dupes = {k for k in keys if keys.count(k) > 1}
     assert not dupes, f"duplicate FILES keys: {sorted(dupes)}"
     assert len(keys) == len(FILES)
 
 
+def _setup_load(engine, db):
+    """Stage what the reference's tests/metadata/test_load.py stages:
+    test_load (partitioned LIKE alltypes) + test_load_nopart text
+    tables, and test_load_staging/{1..5} — dirs 1-3 one alltypes text
+    file each (310 rows), dir 3 plus hidden `.`/`_` copies, dirs 4-5
+    four files of 250 rows each, every dir a _hidden_dir."""
+    import shutil
+
+    spark = engine.spark
+    wh = engine._warehouse_dir()
+    for t in ("test_load", "test_load_nopart"):
+        spark.sql(f"drop table if exists {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    staging = os.path.join(wh, "test_load_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    cols = ("id int, bool_col boolean, tinyint_col tinyint, "
+            "smallint_col smallint, int_col int, bigint_col bigint, "
+            "float_col float, double_col double, "
+            "date_string_col string, string_col string, "
+            "timestamp_col timestamp")
+    engine.sql(f"create table test_load ({cols}) "
+               "partitioned by (year int, month int) "
+               "row format delimited fields terminated by ',' "
+               "stored as textfile")
+    engine.sql(f"create table test_load_nopart ({cols}) "
+               "row format delimited fields terminated by ',' "
+               "stored as textfile")
+    base = spark.table("alltypes").where("year=2010 and month=1") \
+        .drop("year", "month")
+    tmp = os.path.join(staging, "__csv_tmp__")
+    base.coalesce(1).write.option("timestampFormat",
+                                  "yyyy-MM-dd HH:mm:ss").csv(tmp)
+    src = next(os.path.join(tmp, f) for f in os.listdir(tmp)
+               if f.endswith(".csv"))
+    import itertools
+
+    with open(src) as fh:
+        lines = fh.readlines()
+    for i in range(1, 6):
+        d = os.path.join(staging, str(i))
+        os.makedirs(os.path.join(d, "_hidden_dir"), exist_ok=True)
+        if i <= 3:
+            shutil.copyfile(src, os.path.join(d, "100101.txt"))
+        else:
+            quarter = itertools.cycle(lines)
+            for k in range(4):
+                with open(os.path.join(d, f"agg_{k}.txt"), "w") as out:
+                    out.writelines(next(quarter) for _ in range(250))
+    for hidden in (".100101.txt", "_100101.txt"):
+        shutil.copyfile(src, os.path.join(staging, "3", hidden))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+# per-file python staging the reference does in its pytest driver
+# (outside the .test file)
+SETUP_HOOKS = {"load": _setup_load}
+
+
 # files that need the sf1 tpch_ref fixture (DuckDB tpch extension)
 TPCH_REF_FILES = {n for n in FILES
                   if n.startswith(("nested-types-tpch",
                                    "nested-types-subplan",
-                                   "analytic-fns-tpcds"))}
+                                   "analytic-fns-tpcds"))} | {
+    "all_runtime_filters", "bloom_filters", "min_max_filters",
+    "diff_runtime_filter_types", "runtime_row_filters"}
 
 
 @pytest.fixture(scope="module")
@@ -450,6 +607,8 @@ def test_functional_query_file(functional_engine, name):
     # per-file scratch database for the runner's $DATABASE variable
     # (unique-database fixture in the reference's pytest driver)
     db = "qtest_" + re.sub(r"[^a-z0-9]", "", name.lower())
+    if name in SETUP_HOOKS:
+        SETUP_HOOKS[name](functional_engine, db)
     results = qt.run_blocks(functional_engine, blocks, xfail=xfail,
                             table_rewrites=rewrites, database=db,
                             presets=presets)
