@@ -504,6 +504,13 @@ def handle(engine, sql_text: str) -> DataFrame | None:
 
     sm = _SET_META.match(rest)
     if sm:
+        lm = re.search(r"avro\.schema\.literal'\s*=\s*'([^']*)'", rest)
+        if lm and not sm.group("spec"):
+            # a new avro literal REPLACES the table schema
+            # (AvroSchemaUtils.reconcileSchemas); these tables are
+            # metadata-only, so recreate under the new literal
+            engine.create_avro_from_literal(tbl, lm.group(1), None)
+            return _summary(spark, "Updated table.")
         if re.match(r"^\s*SET\s+TBLPROPERTIES\b", rest, re.IGNORECASE) \
                 and not sm.group("spec"):
             try:  # real property store when Spark supports it

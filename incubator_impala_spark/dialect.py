@@ -1859,6 +1859,13 @@ def translate(sql: str, macros: dict | None = None, now=None) -> str:
                                   m.group(1).lower(), m.group(1).lower()),
         sql)
     sql = rewrite_ctas_clause_order(sql)
+    # Impala/Hive allow EXTERNAL without LOCATION (external.table.purge
+    # managed-external); Spark requires LOCATION for EXTERNAL — the
+    # managed table has identical query-facing semantics
+    if not re.search(r"(?i)\blocation\s*'", _neutralize(sql)):
+        sql = _shadow_sub(
+            re.compile(r"\bcreate\s+external\s+table\b", re.IGNORECASE),
+            "create table", sql)
     # Impala aliases: REAL is DOUBLE (Spark's REAL is FLOAT); `&&` is
     # logical AND (`||` is NOT mapped — it is concat in Spark texts).
     # All three run on the literal-blind shadow: 'a&&b' is data.

@@ -146,7 +146,8 @@ _COMPUTE_STATS_STMT = re.compile(
 _CREATE_LIKE_PARQUET = re.compile(
     r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+"
     r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
-    r"(?P<tbl>[A-Za-z_][\w.]*)\s+LIKE\s+PARQUET\s+'(?P<path>[^']+)'"
+    r"(?P<tbl>[A-Za-z_][\w.]*)\s+LIKE\s+(?P<fmt>PARQUET|ORC)\s+"
+    r"'(?P<path>[^']+)'"
     r"(?:\s+PARTITIONED\s+BY\s*\((?P<part>[^)]*)\))?"
     r"(?:\s+STORED\s+AS\s+\w+)?"
     r"(?:\s+LOCATION\s+'(?P<loc>[^']+)')?"
@@ -516,6 +517,16 @@ class Engine:
                     seen.clear()
             return self.spark.createDataFrame(
                 [("Stats have been dropped.",)], "summary string")
+        lm = re.match(
+            r"(?is)^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<tbl>[A-Za-z_][\w.]*)\s*"
+            r"(?:\((?P<cols>[\s\S]*?)\)\s*)?STORED\s+AS\s+AVRO\b"
+            r"[\s\S]*?avro\.schema\.literal'\s*=\s*'(?P<lit>[^']*)'"
+            r"[\s\S]*$", sql_text)
+        if lm and not re.search(r"\bAS\s+SELECT\b", sql_text,
+                                re.IGNORECASE):
+            return self.create_avro_from_literal(
+                lm.group("tbl"), lm.group("lit"), lm.group("cols"))
         m = _CREATE_AVRO.match(sql_text)
         if m and not re.search(r"\bAS\s+SELECT\b|avro\.schema",
                                sql_text, re.IGNORECASE):
@@ -699,19 +710,34 @@ class Engine:
               f"{len(wanted)} column(s).",)], "summary string")
 
     def _create_like_parquet(self, m: re.Match) -> DataFrame:
-        """CREATE TABLE LIKE PARQUET 'file': clone the file footer's
-        schema into an empty managed table
+        """CREATE TABLE LIKE PARQUET|ORC 'file': clone the file
+        footer's schema into an empty managed table
         (CreateTableLikeFileStmt.java). Unreachable test-warehouse
-        paths resolve by basename against the reference's testdata
-        (the same files the load scripts would have staged)."""
+        paths resolve first against the session warehouse (staged by
+        an earlier CTAS — a named file like 000000_0 falls back to any
+        data file in the same directory), then by basename against the
+        reference's testdata (the files the load scripts would have
+        staged)."""
         import os
 
+        fmt = (m.group("fmt") or "PARQUET").upper()
+        reader = (self.spark.read.orc if fmt == "ORC"
+                  else self.spark.read.parquet)
         tbl, path = m.group("tbl"), m.group("path")
         if m.group("ine") and self.spark.catalog.tableExists(tbl):
             return self.spark.createDataFrame(
                 [("Table already exists.",)], "summary string")
         if not os.path.exists(path):
             cands = []
+            wh = self._resolve_fs_path(path)
+            cands.append(wh)
+            if os.path.isdir(os.path.dirname(wh)):
+                # the runner names Hive's output file (000000_0); any
+                # data file in the staged directory has the schema
+                cands += sorted(
+                    os.path.join(os.path.dirname(wh), f)
+                    for f in os.listdir(os.path.dirname(wh))
+                    if not f.startswith((".", "_")))
             if path.startswith("/test-warehouse/"):
                 # the load scripts stage testdata/data/** under
                 # /test-warehouse/** — reverse the mapping
@@ -726,23 +752,27 @@ class Engine:
                           "/root/reference/testdata/data/schemas/nested",
                           "/root/reference/testdata/ComplexTypesTbl")]
             for cand in cands:
-                if os.path.exists(cand):
+                if os.path.isfile(cand):
                     path = cand
                     break
             else:
                 raise ValueError(
-                    f"LIKE PARQUET source not found: {path}")
-        src = self.spark.read.parquet(path)
+                    f"LIKE {fmt} source not found: {path}")
+        src = reader(path)
 
-        def impala_type(dt) -> str:
+        def impala_type(f) -> str:
+            # CHAR/VARCHAR survive in Spark's schema metadata; an
             # un-annotated BINARY infers as STRING
-            # (ParquetHelper.java type mapping)
-            s = dt.simpleString()
-            return s.replace("binary", "string")
+            # (ParquetHelper.java / OrcSchemaExtractor type mapping)
+            raw = (f.metadata or {}).get("__CHAR_VARCHAR_TYPE_STRING")
+            if raw:
+                return raw.lower()
+            return f.dataType.simpleString().replace("binary", "string")
 
+        fmt_disp = "Parquet" if fmt == "PARQUET" else fmt
         cols_ddl = ", ".join(
-            f"`{f.name}` {impala_type(f.dataType)} "
-            "COMMENT 'Inferred from Parquet file.'"
+            f"`{f.name}` {impala_type(f)} "
+            f"COMMENT 'Inferred from {fmt_disp} file.'"
             for f in src.schema.fields)
         part = ""
         if m.group("part"):
@@ -755,7 +785,8 @@ class Engine:
             else:
                 part = f" PARTITIONED BY ({', '.join(items)})"
         self.spark.sql(
-            f"CREATE TABLE {tbl} ({cols_ddl}) USING parquet{part}")
+            f"CREATE TABLE {tbl} ({cols_ddl}) "
+            f"USING {fmt.lower()}{part}")
         if m.group("loc") and not m.group("part"):
             # external LOCATION over staged data: the created table
             # reads those rows (loaded here since the warehouse path
@@ -817,6 +848,49 @@ class Engine:
         if low == "timestamp":
             return "string"
         return t
+
+    def create_avro_from_literal(self, tbl: str, literal: str,
+                                 coldefs: str | None) -> DataFrame:
+        """CREATE/ALTER with `avro.schema.literal`: the AVRO SCHEMA is
+        the table schema (AvroSchemaParser/AvroSchemaUtils — names,
+        types, and `doc` comments come from the literal), EXCEPT that
+        CHAR/VARCHAR column-definition types are kept positionally
+        (IMPALA-3687: avro stores them as string; the coldef preserves
+        the length)."""
+        import json as _json
+
+        from incubator_impala_spark.sources.avro_io import (
+            avro_field_spark_type,
+        )
+
+        fields = _json.loads(literal)["fields"]
+        cd_types: list[str] = []
+        if coldefs:
+            col_re = re.compile(
+                r"^\s*`?(?P<name>[A-Za-z_]\w*)`?\s+(?P<type>[\w()<>, ]+?)"
+                r"(?:\s+COMMENT\s+'(?:[^']|'')*')?\s*$", re.IGNORECASE)
+            for item in self._split_cols(coldefs):
+                cm = col_re.match(item)
+                cd_types.append(cm.group("type").strip() if cm else "")
+        defs = []
+        for i, f in enumerate(fields):
+            typ = avro_field_spark_type(f["type"])
+            if i < len(cd_types) and re.match(
+                    r"(?i)\s*(char|varchar)\s*\(", cd_types[i]):
+                typ = cd_types[i].lower()
+            comment = (f.get("doc") or "from deserializer") \
+                .replace("'", "''")
+            defs.append(f"`{f['name']}` {typ} COMMENT '{comment}'")
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        import shutil as _sh
+
+        _sh.rmtree(os.path.join(
+            self._warehouse_dir(), tbl.split(".")[-1].lower()),
+            ignore_errors=True)
+        self.spark.sql(
+            f"CREATE TABLE {tbl} ({', '.join(defs)}) USING parquet")
+        return self.spark.createDataFrame(
+            [("Table has been created.",)], "summary string")
 
     def _create_avro(self, m: re.Match) -> DataFrame:
         """CREATE TABLE ... STORED AS AVRO without an explicit Avro
@@ -1071,12 +1145,26 @@ class Engine:
     def _resolve_fs_path(self, path: str) -> str:
         """The reference's paths are warehouse-rooted
         (`/test-warehouse/...`); map that root onto the session
-        warehouse so LOAD DATA texts run verbatim."""
+        warehouse so LOAD DATA / LIKE-file texts run verbatim. A
+        `<db>.db/<tbl>` component probes the engine's two physical
+        layouts for db-scoped tables (plain name for tables created
+        under USE, `db__name` for the namespace-mangled form)."""
         p = re.sub(r"^file:", "", path)
         m = re.match(r"/?test-warehouse/(.*)$", p)
-        if m:
-            return os.path.join(self._warehouse_dir(), m.group(1))
-        return p
+        if not m:
+            return p
+        rel = m.group(1)
+        wh = self._warehouse_dir()
+        dm = re.match(r"([\w]+)\.db/([\w.=-]+)(/.*)?$", rel)
+        if dm:
+            db, tbl, rest = dm.group(1), dm.group(2), dm.group(3) or ""
+            for phys in (tbl.lower(), f"{db.lower()}__{tbl.lower()}"):
+                cand = os.path.join(wh, phys + rest)
+                if os.path.exists(cand) or os.path.isdir(
+                        os.path.dirname(cand)):
+                    return cand
+            return os.path.join(wh, tbl.lower() + rest)
+        return os.path.join(wh, rel)
 
     def _table_location(self, table: str) -> str:
         for r in self.spark.sql(

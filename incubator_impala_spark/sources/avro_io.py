@@ -287,6 +287,27 @@ def _unwrap_nullable(schema):
     return schema
 
 
+def _coerce_default(rtype, default):
+    """A reader-side default is the RAW avro value (spec §default);
+    logical types still apply (a date default of 1 is day 1 =
+    1970-01-02 — avro-schema-resolution.test)."""
+    rt = _unwrap_nullable(rtype)
+    lt = rt.get("logicalType") if isinstance(rt, dict) else None
+    if lt is None or default is None:
+        return default
+    import datetime as _dt
+
+    if lt == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=default)
+    if lt in ("timestamp-micros", "local-timestamp-micros"):
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            microseconds=default)
+    if lt in ("timestamp-millis", "local-timestamp-millis"):
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            milliseconds=default)
+    return default
+
+
 def resolve(writer_record: dict, reader_record: dict, rec: dict) -> dict:
     """Resolve one decoded writer record against the reader schema:
     match by name or reader-side alias, apply defaults for fields the
@@ -303,13 +324,22 @@ def resolve(writer_record: dict, reader_record: dict, rec: dict) -> dict:
                 break
         if src is None:
             if "default" in rf:
-                out[rf["name"]] = rf["default"]
+                out[rf["name"]] = _coerce_default(rf["type"],
+                                                  rf["default"])
             else:
                 out[rf["name"]] = None
             continue
         v = rec[src["name"]]
         wt = _type_name(_unwrap_nullable(src["type"]))
         rt = _type_name(_unwrap_nullable(rf["type"]))
+        if isinstance(v, int) and not isinstance(v, bool):
+            # writer stored a plain int where the reader declares a
+            # logical date/timestamp (file_schema2's "type promotion"
+            # fields) — the logical annotation resolves like a type
+            coerced = _coerce_default(rf["type"], v)
+            if coerced is not v:
+                out[rf["name"]] = coerced
+                continue
         if v is not None and wt != rt and rt in _PROMOTIONS.get(wt, ()):
             if rt in ("float", "double") and wt in ("int", "long"):
                 v = float(v)
@@ -360,6 +390,8 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
         block = buf.read(n_bytes)
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            block = _snappy_decompress(block)
         elif codec != "null":
             raise ValueError(f"unsupported codec {codec!r}")
         bbuf = io.BytesIO(block)
@@ -483,6 +515,33 @@ def _find_sync(fh, sync: bytes, from_pos: int, limit: int) -> int | None:
     return None
 
 
+def _snappy_decompress(block: bytes) -> bytes:
+    """Avro snappy block: raw-snappy data + 4-byte big-endian CRC32 of
+    the uncompressed bytes (avro spec §Required Codecs). No snappy
+    module in this environment — pyarrow's codec handles the raw
+    frame given the decompressed size, which raw snappy carries as a
+    leading uvarint."""
+    import binascii
+    import struct
+
+    import pyarrow as pa
+
+    data, crc = block[:-4], block[-4:]
+    n, shift, i = 0, 0, 0
+    while True:
+        b = data[i]
+        n |= (b & 0x7F) << shift
+        i += 1
+        shift += 7
+        if not b & 0x80:
+            break
+    out = pa.decompress(data, decompressed_size=n, codec="snappy",
+                        asbytes=True)
+    if struct.pack(">I", binascii.crc32(out) & 0xFFFFFFFF) != crc:
+        raise ValueError("avro snappy block CRC mismatch")
+    return out
+
+
 def _decode_range(fh, reader: dict, start: int, end: int) -> list[dict]:
     """Decode all blocks whose boundary position lies in [start, end)
     of one container file, resolving writer→reader schema. `start` at
@@ -512,6 +571,8 @@ def _decode_range(fh, reader: dict, start: int, end: int) -> list[dict]:
         block = fh.read(n_bytes)
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            block = _snappy_decompress(block)
         elif codec != "null":
             raise ValueError(f"unsupported codec {codec!r}")
         bbuf = io.BytesIO(block)

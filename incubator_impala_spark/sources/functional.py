@@ -451,6 +451,7 @@ def _register_raw_parquet_tables(spark: SparkSession) -> None:
               "from strings_with_quotes") \
         .createOrReplaceTempView("strings_with_quotes_rcfile")
     _register_out_of_range_timestamp(spark)
+    _register_avro_resolution_tables(spark)
     _register_decimal_rtf_tables(spark)
     _register_bad_parquet_table(spark)
     _register_bzip_text_tables(spark)
@@ -741,6 +742,77 @@ def _register_decimal_rtf_tables(spark: SparkSession) -> None:
          .csv(p)
          .selectExpr("*", "cast(1 as decimal(9,0)) as dpc")
          .createOrReplaceTempView(tbl))
+
+
+def _register_avro_resolution_tables(spark: SparkSession) -> None:
+    """functional_avro_snap tables (avro-schema-resolution.test):
+
+    - schema_resolution_test: the reference's own records1/2.avro read
+      under the DDL's READER schema (testdata/avro_schema_resolution/
+      create_table.sql) — exercises avro_io's writer->reader
+      resolution: missing fields fill from defaults, unions unwrap
+    - no_avro_schema: alltypes with timestamp erased to STRING
+      (IMPALA-1947 — avro tables store TIMESTAMP coldefs as string)
+    - avro_coldef / avro_extra_coldef: the create_table.sql INSERTs
+      (two 5-row partitions of alltypes), the extra coldef reading the
+      same data with a NULL-filled trailing column (IMPALA-2798)"""
+    import json as _json
+
+    base = "/root/reference/testdata/avro_schema_resolution"
+    if os.path.exists(os.path.join(base, "records1.avro")):
+        from incubator_impala_spark.sources import avro_io
+
+        reader = _json.loads("""{
+        "name": "a", "type": "record",
+        "fields": [
+          {"name":"boolean1", "type":"boolean", "default": true},
+          {"name":"int1",     "type":"int",     "default": 1},
+          {"name":"long1",    "type":"long",    "default": 1},
+          {"name":"float1",   "type":"float",   "default": 1.0},
+          {"name":"double1",  "type":"double",  "default": 1.0},
+          {"name":"date1",
+           "type": {"type": "int", "logicalType": "date"},
+           "default": 1},
+          {"name":"string1",  "type":"string",
+           "default": "default string"},
+          {"name":"string2",  "type": ["string", "null"],
+           "default": ""},
+          {"name":"string3",  "type": ["null", "string"],
+           "default": null}
+        ]}""")
+        try:
+            df = avro_io.read_avro(
+                spark, os.path.join(base, "records1.avro"), reader)
+            df = df.unionByName(avro_io.read_avro(
+                spark, os.path.join(base, "records2.avro"), reader))
+            df.createOrReplaceTempView("schema_resolution_test")
+        except Exception:  # noqa: BLE001 — fixture stays optional
+            pass
+    # only partitions (2009,9) and (2010,10) are registered for this
+    # table (functional_schema_template.sql:2259-2264 ALTER section)
+    spark.sql(
+        "select id, bool_col, cast(tinyint_col as int) tinyint_col, "
+        "cast(smallint_col as int) smallint_col, int_col, "
+        "bigint_col, float_col, double_col, date_string_col, "
+        "string_col, cast(timestamp_col as string) as timestamp_col, "
+        "year, month from alltypes "
+        "where (year=2009 and month=9) or (year=2010 and month=10)"
+    ).createOrReplaceTempView("no_avro_schema")
+    first5 = ("select bool_col, cast(tinyint_col as int) tinyint_col, "
+              "cast(smallint_col as int) smallint_col, int_col, "
+              "bigint_col, float_col, double_col, date_string_col, "
+              "string_col, timestamp_col "
+              "from (select * from alltypes order by id limit 5)")
+    spark.sql(
+        f"select *, 2014 as year, 1 as month from ({first5}) "
+        f"union all select *, 2014 as year, 2 as month from ({first5})"
+    ).createOrReplaceTempView("avro_coldef")
+    spark.sql(
+        "select bool_col, tinyint_col, smallint_col, int_col, "
+        "bigint_col, float_col, double_col, date_string_col, "
+        "string_col, timestamp_col, cast(null as string) as extra_col, "
+        "year, month from avro_coldef"
+    ).createOrReplaceTempView("avro_extra_coldef")
 
 
 def _register_out_of_range_timestamp(spark: SparkSession) -> None:

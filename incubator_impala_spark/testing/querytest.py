@@ -64,6 +64,10 @@ class Block:
     # SHELL-only sections preceding this block (`hdfs dfs -cp ...`
     # data staging in the reference's runner) — emulated locally
     shell: list = None
+    # HIVE_QUERY-only sections preceding this block (the runner stages
+    # data via a beeline session) — run through this engine (the DDL
+    # the corpus uses is the shared subset)
+    hive: list = None
 
 
 def _strip_comments(text: str) -> str:
@@ -77,11 +81,18 @@ def parse_test_file(path: str) -> list[Block]:
         content = f.read()
     blocks: list[Block] = []
     pending_shell: list[str] = []
+    pending_hive: list[str] = []
     for section in re.split(r"(?m)^====", content):
         if "---- SHELL" in section and "---- QUERY" not in section:
             m = re.search(r"(?ms)^---- SHELL\s*\n(.*)", section)
             if m:
                 pending_shell.append(m.group(1))
+            continue
+        if "---- HIVE_QUERY" in section and "---- QUERY" not in section:
+            m = re.search(r"(?ms)^---- HIVE_QUERY\s*\n(.*?)(?=^----|\Z)",
+                          section)
+            if m:
+                pending_hive.append(_strip_comments(m.group(1)).strip())
             continue
         if not section.strip() or "---- QUERY" not in section:
             continue
@@ -110,8 +121,10 @@ def parse_test_file(path: str) -> list[Block]:
             query=_strip_comments(subs["QUERY"][1]).strip().rstrip(";"),
             results=results, types=types, labels=labels,
             verifier=verifier, has_catch="CATCH" in subs,
-            sections=subs, shell=pending_shell or None))
+            sections=subs, shell=pending_shell or None,
+            hive=pending_hive or None))
         pending_shell = []
+        pending_hive = []
     return blocks
 
 
@@ -524,10 +537,13 @@ def run_blocks(engine, blocks: list[Block], *,
             b.query = _DB_VAR.sub(_sub, b.query)
             if b.results is not None:
                 b.results = [_DB_VAR.sub(_sub, r) for r in b.results]
+            if b.hive:
+                b.hive = [_DB_VAR.sub(_sub, h) for h in b.hive]
         b.query = b.query.replace("$ORIGINAL_DB", "functional")
         # the reference's default-filesystem prefix is the empty
         # string (tests/common: FILESYSTEM_PREFIX='' on HDFS)
         b.query = b.query.replace("$FILESYSTEM_PREFIX", "")
+        b.query = b.query.replace("$NAMENODE", "")
         # runtime-filter workloads parameterize the filter-arrival
         # wait; any value works — the SET is accepted session-side and
         # Spark's DPP/bloom runtime filters need no arrival wait
@@ -617,11 +633,12 @@ def run_blocks(engine, blocks: list[Block], *,
     # IF NOT EXISTS semantics that later blocks assert on.
     created = set()
     for b in blocks:
-        for cm in re.finditer(
-                r"(?is)\bcreate\s+(?:external\s+)?table\s+"
-                r"(?:if\s+not\s+exists\s+)?"
-                r"([A-Za-z_][\w.]*)", b.query):
-            created.add(cm.group(1))
+        for text in [b.query] + (b.hive or []):
+            for cm in re.finditer(
+                    r"(?is)\bcreate\s+(?:external\s+)?table\s+"
+                    r"(?:if\s+not\s+exists\s+)?"
+                    r"([A-Za-z_][\w.]*)", text):
+                created.add(cm.group(1))
     # scratch tables that SHADOW fixture views (the reference file
     # creates `alltypes` in its unique db, distinct from
     # functional.alltypes): rename the scratch table throughout —
@@ -673,6 +690,21 @@ def run_blocks(engine, blocks: list[Block], *,
                                for sh in b.shell):
             out.append(BlockResult(b.index, "skip", "shell-staging"))
             continue
+        if b.hive:
+            # beeline staging sections run through this engine — the
+            # corpus' HIVE_QUERY DDL is the shared SQL subset; an
+            # unstageable section skips the dependent block
+            try:
+                for htext in b.hive:
+                    for s in _split_statements(htext):
+                        s = _rewrite_stmt(s, rewrite,
+                                          table_rewrites or {})
+                        if s.strip():
+                            engine.sql(s)
+            except Exception:  # noqa: BLE001
+                out.append(BlockResult(b.index, "skip",
+                                       "hive-staging"))
+                continue
         r = _run_one(engine, b, rewrite, table_rewrites or {})
         if b.index in xfail:
             if r.status == "fail" or r.status == "error":

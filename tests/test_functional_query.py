@@ -470,6 +470,17 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # predicate partition specs + Impala SHOW PARTITIONS/FILES
     # listings (partitions.py)
     "partition-ddl-predicates-all-fs": (21, {}),
+    # avro_io reader-schema resolution over the reference's own
+    # records1/2.avro (snappy blocks via pyarrow) + avro.schema.literal
+    # DDL (schema favored over coldefs except CHAR/VARCHAR)
+    "avro-schema-resolution": (8, {}),
+    # LIKE ORC file-schema clone; HIVE_QUERY staging runs through the
+    # engine; char/varchar inferred via Spark's schema metadata
+    "create-table-like-file-orc": (10, {
+        # $TRANSACTIONAL_COMPLEXTYPESTBL_FILE: a Hive-ACID delta file
+        # the reference repo does not ship
+        11: "needs-acid-file",
+    }),
     "runtime_filters": (21, {}, _RTF_REWRITES),
     "all_runtime_filters": (45, {}, _RTF_REWRITES),
     "bloom_filters": (8, {}, _RTF_REWRITES),
