@@ -252,6 +252,10 @@ class Engine:
         self.parquet_resolution = "position"
         self.alter_in_place = False
         self.schema_overlays: dict[str, dict] = {}
+        # PARQUET_ARRAY_RESOLUTION (array_resolution.py):
+        # {view name: {"location", "array_col", "elem_fields"}}
+        self.parquet_array_res = "two_level_then_three_level"
+        self.array_overlays: dict[str, dict] = {}
         # raw display values of session-SET options (SET ALL listing)
         self.option_display: dict[str, str] = {}
         # partition surface (partitions.py): per-partition fileformat
@@ -313,6 +317,20 @@ class Engine:
             v = str(value).strip().strip("'\"").lower()
             self.parquet_resolution = \
                 "name" if v in ("name", "1") else "position"
+            return True
+        if key == "parquet_array_resolution":
+            v = str(value).strip().strip("'\"").lower()
+            valid = {"three_level": "three_level", "0": "three_level",
+                     "two_level": "two_level", "1": "two_level",
+                     "two_level_then_three_level":
+                         "two_level_then_three_level",
+                     "2": "two_level_then_three_level"}
+            if v not in valid:
+                raise ValueError(
+                    f"Invalid parquet array resolution: '{v}'. Valid "
+                    "values are THREE_LEVEL(0), TWO_LEVEL(1), "
+                    "TWO_LEVEL_THEN_THREE_LEVEL(2).")
+            self.parquet_array_res = valid[v]
             return True
         if key == "explain_level":
             levels = {"minimal": 0, "standard": 1, "extended": 2,
@@ -431,6 +449,17 @@ class Engine:
                 [(ln,) for ln in lines], "explain_string string")
         if self.schema_overlays:
             self._refresh_overlays(sql_text)
+        for name, ov in list(self.array_overlays.items()):
+            from incubator_impala_spark import array_resolution
+
+            try:
+                array_resolution.resolve_array_view(
+                    self.spark, ov["location"], ov["array_col"],
+                    ov["elem_fields"], self.parquet_resolution,
+                    self.parquet_array_res,
+                ).createOrReplaceTempView(name)
+            except Exception:  # noqa: BLE001 — re-resolved next stmt
+                pass
         # namespace shim: engine-owned db references become physical
         # (mangled) names; db-scoped DDL returns its summary rows here
         sql_text = self.ns.resolve(sql_text)

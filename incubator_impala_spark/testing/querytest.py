@@ -559,6 +559,10 @@ def run_blocks(engine, blocks: list[Block], *,
         engine.option_display.clear()
         engine.parquet_resolution = "position"
         engine.explain_level = 1
+        engine.parquet_array_res = "two_level_then_three_level"
+        # array_overlays are installed by the per-file SETUP hook
+        # (which runs BEFORE run_blocks), so they are not cleared
+        # here; each hook replaces its own entries
     if hasattr(engine, "alter_in_place"):
         # per-file opt-in (presets); must not leak across files
         engine.alter_in_place = False

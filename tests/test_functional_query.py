@@ -470,6 +470,18 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # predicate partition specs + Impala SHOW PARTITIONS/FILES
     # listings (partitions.py)
     "partition-ddl-predicates-all-fs": (21, {}),
+    # PARQUET_ARRAY_RESOLUTION: 2-vs-3-level list encoding resolved
+    # by position/name per statement (array_resolution.py), incl. the
+    # reference's pinned WRONG-data outcomes under mismatched policies
+    "parquet-ambiguous-list-modern": (6, {}),
+    "parquet-ambiguous-list-legacy": (6, {}),
+    "hdfs-scan-node": (13, {
+        # pre-Hive-9 RCFile binary (oldrcfile.rc): reading it needs
+        # the Hive serde session (sources/formats.py read_rcfile);
+        # the plain test session is catalog-less
+        12: "needs-hive-serde-session",
+    }),
+    "mt-dop-parquet-scheduling": (8, {}),
     # avro_io reader-schema resolution over the reference's own
     # records1/2.avro (snappy blocks via pyarrow) + avro.schema.literal
     # DDL (schema favored over coldefs except CHAR/VARCHAR)
@@ -565,9 +577,35 @@ def _setup_load(engine, db):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _setup_ambig(which):
+    """tests/query_test/test_nested_types.py::test_ambiguous_list —
+    the runner declares ambig_{modern,legacy} with the LOGICAL element
+    schema over the 3-level/2-level-encoded reference parquet file;
+    the engine re-resolves the view per statement under the current
+    (PARQUET_FALLBACK_SCHEMA_RESOLUTION, PARQUET_ARRAY_RESOLUTION)."""
+    def hook(engine, db):
+        engine.array_overlays[f"ambig_{which}"] = {
+            "location": ("/root/reference/testdata/"
+                         "parquet_nested_types_encodings/"
+                         f"AmbiguousList_{which.capitalize()}.parquet"),
+            "array_col": "ambigarray",
+            "elem_fields": [
+                ("s2", None, [("f21", "int", None),
+                              ("f22", "int", None)]),
+                ("f11", "int", None),
+                ("f12", "int", None),
+            ],
+        }
+    return hook
+
+
 # per-file python staging the reference does in its pytest driver
 # (outside the .test file)
-SETUP_HOOKS = {"load": _setup_load}
+SETUP_HOOKS = {
+    "load": _setup_load,
+    "parquet-ambiguous-list-modern": _setup_ambig("modern"),
+    "parquet-ambiguous-list-legacy": _setup_ambig("legacy"),
+}
 
 
 # files that need the sf1 tpch_ref fixture (DuckDB tpch extension)
