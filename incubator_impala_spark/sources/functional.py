@@ -341,6 +341,20 @@ def _register_raw_text_tables(spark: SparkSession) -> None:
 # This points OUR parquet scanner at THEIR bytes, which is exactly
 # what the corresponding QueryTest files verify.
 _RAW_PARQUET = {
+    # parquet page-index workload (test_parquet_stats.py stages these
+    # under the unique db; value-skipping is the reference's scanner
+    # concern — row-level results are what the blocks verify)
+    "decimals_1_10": ["decimals_1_10.parquet"],
+    "nested_decimals": ["nested_decimals.parquet"],
+    "double_nested_decimals": ["double_nested_decimals.parquet"],
+    "alltypes_tiny_pages": ["alltypes_tiny_pages.parquet"],
+    "alltypes_tiny_pages_plain": ["alltypes_tiny_pages_plain.parquet"],
+    "alltypes_empty_pages": ["alltypes_empty_pages.parquet"],
+    "alltypes_invalid_pages": ["alltypes_invalid_pages.parquet"],
+    "customer_multiblock_page_index":
+        ["customer_multiblock_page_index.parquet"],
+    "min_max_is_nan": ["min_max_is_nan.parquet"],
+    "deprecated_stats": ["deprecated_statistics.parquet"],
     "decimal_encodings": ["binary_decimal_dictionary.parquet",
                           "binary_decimal_no_dictionary.parquet"],
     "decimal_stored_as_int32": ["decimal_stored_as_int32.parquet"],
@@ -402,9 +416,10 @@ def _register_raw_parquet_tables(spark: SparkSession) -> None:
                     df = df.limit(0)
             except Exception:  # noqa: BLE001
                 pass
-            if name == "decimal_encodings":
-                # binary-backed DECIMAL trips the vectorized reader
-                # (NPE); materialize these 18 rows via parquet-mr once
+            if name in ("decimal_encodings", "alltypes_empty_pages"):
+                # binary-backed DECIMAL (NPE) and empty data pages
+                # both trip the vectorized reader; materialize these
+                # small fixtures via parquet-mr once
                 prev = spark.conf.get(
                     "spark.sql.parquet.enableVectorizedReader")
                 spark.conf.set(

@@ -470,6 +470,26 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # predicate partition specs + Impala SHOW PARTITIONS/FILES
     # listings (partitions.py)
     "partition-ddl-predicates-all-fs": (21, {}),
+    # parquet page-index workload over the reference's own data files
+    # (decimals_1_10, alltypes_tiny_pages, nested_decimals, ... —
+    # value-skipping is a scanner-internal concern; the row-level
+    # results are the graded surface)
+    "parquet-page-index": (18, {}, _RTF_REWRITES),
+    # parquet-page-index-large NOT wired: all 11 blocks `select *`
+    # sf1 lineitem rows incl. l_comment, whose text DuckDB's dbgen
+    # generates differently than the official dbgen the reference
+    # loaded (keys/prices/dates are bit-identical — see the
+    # dbgen-comment-variant xfails in min_max_filters)
+    "parquet-page-index-alltypes-tiny-pages": (7, {}),
+    "parquet-page-index-alltypes-tiny-pages-plain": (7, {}),
+    "nested-types-parquet-page-index": (31, {}),
+    "nested-types-parquet-stats": (22, {}),
+    "parquet-deprecated-stats": (18, {}),
+    "parquet-invalid-minmax-stats": (2, {
+        # NaN comparison semantics: Impala NaN>0 is false / NOT(>=0)
+        # is true; Spark orders NaN greatest (DIALECT.md nan-semantics)
+        0: "nan-semantics", 2: "nan-semantics",
+    }),
     # PARQUET_ARRAY_RESOLUTION: 2-vs-3-level list encoding resolved
     # by position/name per statement (array_resolution.py), incl. the
     # reference's pinned WRONG-data outcomes under mismatched policies
