@@ -354,7 +354,6 @@ _RAW_PARQUET = {
     "customer_multiblock_page_index":
         ["customer_multiblock_page_index.parquet"],
     "min_max_is_nan": ["min_max_is_nan.parquet"],
-    "deprecated_stats": ["deprecated_statistics.parquet"],
     "decimal_encodings": ["binary_decimal_dictionary.parquet",
                           "binary_decimal_no_dictionary.parquet"],
     "decimal_stored_as_int32": ["decimal_stored_as_int32.parquet"],

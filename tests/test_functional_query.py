@@ -484,7 +484,6 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "parquet-page-index-alltypes-tiny-pages-plain": (7, {}),
     "nested-types-parquet-page-index": (31, {}),
     "nested-types-parquet-stats": (22, {}),
-    "parquet-deprecated-stats": (18, {}),
     "parquet-invalid-minmax-stats": (2, {
         # NaN comparison semantics: Impala NaN>0 is false / NOT(>=0)
         # is true; Spark orders NaN greatest (DIALECT.md nan-semantics)
