@@ -492,7 +492,7 @@ def handle(engine, sql_text: str) -> DataFrame | None:
 
         matched = partitions.match_partitions(
             engine, tbl, engine.translate(pm.group("spec")))
-        key = tbl.split(".")[-1].lower()
+        key = engine._stats_key(tbl)
         for kv in matched:
             spark.sql(f"ALTER TABLE {tbl} DROP PARTITION "
                       f"({partitions.drop_spec(kv)})")
@@ -534,7 +534,7 @@ def handle(engine, sql_text: str) -> DataFrame | None:
             fm = re.search(r"\bSET\s+FILEFORMAT\s+(\w+)", rest,
                            re.IGNORECASE)
             if fm:
-                key = tbl.split(".")[-1].lower()
+                key = engine._stats_key(tbl)
                 disp = {"textfile": "TEXT", "sequencefile": "SEQUENCE",
                         "rcfile": "RC"}.get(fm.group(1).lower(),
                                             fm.group(1).upper())

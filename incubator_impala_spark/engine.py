@@ -263,6 +263,10 @@ class Engine:
         self.part_formats: dict[tuple[str, str], str] = {}
         self.part_rows: dict[tuple[str, str], int] = {}
         self.table_numrows: dict[str, int] = {}
+        # per-column stats (SHOW COLUMN STATS / ALTER SET COLUMN
+        # STATS / COMPUTE STATS): {(tbl, col): {ndv, nulls, max, avg,
+        # trues, falses}}
+        self.col_stats: dict[tuple[str, str], dict] = {}
         if sf_dir:
             register_tables(self.spark, sf_dir)
 
@@ -308,6 +312,13 @@ class Engine:
         if key == "parquet_timestamp_type":
             self.parquet_ts_type = str(value).strip().strip("'\"") \
                 .upper()
+            return True
+        if key == "appx_count_distinct":
+            # Impala rewrites COUNT(DISTINCT x) to NDV(x) under this
+            # option (AppxCountDistinctRule); ndv here is the
+            # reference-exact HLL (functions/hll.py)
+            self.appx_count_distinct = str(value).strip() \
+                .strip("'\"").lower() in ("1", "true")
             return True
         if key == "alter_schema_in_place":
             self.alter_in_place = str(value).strip().strip("'\"") \
@@ -463,6 +474,19 @@ class Engine:
         # namespace shim: engine-owned db references become physical
         # (mangled) names; db-scoped DDL returns its summary rows here
         sql_text = self.ns.resolve(sql_text)
+        dm = re.match(r"(?is)^\s*(?:drop|create)\s+(?:external\s+)?"
+                      r"table\s+(?:if\s+(?:not\s+)?exists\s+)?"
+                      r"`?([\w.]+)`?", sql_text)
+        if dm:
+            # stats die with the table (and a recreate starts clean) —
+            # BEFORE ns.handle, which serves registered-object drops
+            skey = self._stats_key(dm.group(1))
+            for reg in (self.col_stats, self.part_rows,
+                        self.part_formats):
+                for k in [k for k in reg if k[0] == skey]:
+                    del reg[k]
+            self.table_numrows.pop(skey, None)
+            getattr(self, "stats_computed", set()).discard(skey)
         handled = self.ns.handle(self, sql_text)
         if handled is not None:
             return handled
@@ -477,6 +501,40 @@ class Engine:
             from incubator_impala_spark import partitions
 
             return partitions.show_partitions(self, m.group(1))
+        m = re.match(r"(?is)^\s*SHOW\s+COLUMN\s+STATS\s+"
+                     r"([A-Za-z_][\w.]*)\s*;?\s*$", sql_text)
+        if m:
+            return self._show_column_stats(m.group(1))
+        m = re.match(r"(?is)^\s*SHOW\s+TABLE\s+STATS\s+"
+                     r"([A-Za-z_][\w.]*)\s*;?\s*$", sql_text)
+        if m:
+            from incubator_impala_spark import partitions
+
+            return partitions.show_table_stats(self, m.group(1))
+        m = re.match(
+            r"(?is)^\s*ALTER\s+TABLE\s+(?P<tbl>[A-Za-z_][\w.]*)\s+"
+            r"SET\s+COLUMN\s+STATS\s+(?P<col>`?\w+`?)\s*"
+            r"\((?P<kv>[^)]*)\)\s*;?\s*$", sql_text)
+        if m:
+            # AlterTableSetColumnStats.java: manual per-column stats;
+            # -1 resets a value to unknown
+            key = (self._stats_key(m.group("tbl")),
+                   m.group("col").strip("`").lower())
+            st = self.col_stats.setdefault(key, {})
+            names = {"numdvs": "ndv", "numnulls": "nulls",
+                     "maxsize": "max", "avgsize": "avg",
+                     "numtrues": "trues", "numfalses": "falses"}
+            for item in m.group("kv").split(","):
+                if "=" not in item:
+                    continue
+                k, v = item.split("=", 1)
+                k = k.strip().strip("'\"").lower()
+                v = v.strip().strip("'\"")
+                if k in names:
+                    st[names[k]] = float(v) if k == "avgsize" \
+                        else int(v)
+            return self.spark.createDataFrame(
+                [("Column stats have been set.",)], "summary string")
         m = re.match(r"(?is)^\s*SHOW\s+FILES\s+IN\s+([A-Za-z_][\w.]*)"
                      r"(?:\s+PARTITION\s*\((?P<spec>(?:[^()]|"
                      r"\([^()]*\))*)\))?\s*;?\s*$", sql_text)
@@ -534,6 +592,14 @@ class Engine:
                     k, v = item.split("=", 1)
                     spec[k.strip().strip("`").lower()] = \
                         v.strip().strip("'\"")
+            skey = self._stats_key(m.group("tbl"))
+            if not (m.group("part") or "").strip():
+                # a partition-scoped DROP INCREMENTAL STATS keeps the
+                # table-level column stats (only the partition cover
+                # is invalidated)
+                for k in [k for k in self.col_stats if k[0] == skey]:
+                    del self.col_stats[k]
+                self.table_numrows.pop(skey, None)
             seen = self.stats_seen.get(m.group("tbl").lower())
             if seen is not None:
                 if spec:
@@ -623,6 +689,17 @@ class Engine:
         # dialect first (plan hints stripped, macros expanded), then
         # collection-path resolution on the cleaned text
         translated = self.translate(sql_text)
+        if getattr(self, "appx_count_distinct", False):
+            def _acd(a):
+                m2 = re.match(r"(?is)^\s*distinct\s+(.+)$", a[0]) \
+                    if len(a) == 1 else None
+                if m2 is None:
+                    raise ValueError("keep native count")
+                inner = m2.group(1).strip()
+                return (f"impala_hll_est(collect_set("
+                        f"hll_slot_typed({inner}, typeof({inner}))))")
+            translated = dialect.rewrite_macro_calls(
+                translated, "count", _acd)
         if self.use_local_tz and self.tz.upper() not in ("UTC", "GMT"):
             translated = dialect.rewrite_local_tz(translated, self.tz)
         translated = nested_paths.rewrite_collection_refs(
@@ -646,6 +723,95 @@ class Engine:
                         (dt.precision, dt.scale)
                         if isinstance(dt, DecimalType) else None))
         return out
+
+    def _show_column_stats(self, tbl: str) -> DataFrame:
+        """Impala's SHOW COLUMN STATS listing (Column, Type, #Distinct
+        Values, #Nulls, Max Size, Avg Size, #Trues, #Falses). Sizes of
+        fixed-width types come from the type itself (the reference
+        shows them without any stats computed); variable-width sizes
+        and counts are -1 until COMPUTE STATS / SET COLUMN STATS."""
+        key = self._stats_key(tbl)
+        try:
+            pcols = [c.name.lower()
+                     for c in self.spark.catalog.listColumns(tbl)
+                     if c.isPartition]
+        except Exception:  # noqa: BLE001
+            pcols = []
+        pstats: dict[str, tuple] = {}
+        if pcols:
+            # the reference knows partition-key NDV/nulls WITHOUT
+            # compute stats (catalog metadata): NDV counts distinct
+            # partition values INCLUDING the NULL partition, #Nulls
+            # counts NULL partitions
+            from incubator_impala_spark import partitions as _parts
+
+            try:
+                plist = _parts.list_partitions(self, tbl)
+            except Exception:  # noqa: BLE001
+                plist = []
+            if plist:
+                for c0 in plist[0]:
+                    vals = [kv.get(c0) for kv in plist]
+                    pstats[c0.lower()] = (
+                        len(set(vals)),
+                        sum(1 for v in vals if v is None))
+            elif key in getattr(self, "stats_computed", set()):
+                # computed-but-empty partitioned table: the reference
+                # reports 0 partitions as 0, not unknown
+                for c0 in pcols:
+                    pstats[c0] = (0, 0)
+            else:
+                # path-discovered tables (no catalog partitions):
+                # derive from the key columns — with parquet layout
+                # that reads directory names / footers, not data
+                try:
+                    from pyspark.sql import functions as F
+
+                    aggs = []
+                    for c in pcols:
+                        aggs += [
+                            F.countDistinct(c).alias(f"d_{c}"),
+                            F.count(F.when(F.col(c).isNull(), 1))
+                            .alias(f"n_{c}")]
+                    row = self.spark.table(tbl).agg(*aggs).collect()[0]
+                    for c in pcols:
+                        # an empty table has no partitions → unknown
+                        # (-1), matching the reference's unloaded clone
+                        if row[f"d_{c}"] or row[f"n_{c}"]:
+                            pstats[c] = (row[f"d_{c}"], row[f"n_{c}"])
+                except Exception:  # noqa: BLE001
+                    pass
+        rows = []
+        for f in self.spark.table(tbl).schema.fields:
+            t = f.dataType.simpleString()
+            raw = (f.metadata or {}).get("__CHAR_VARCHAR_TYPE_STRING")
+            disp = (raw or t).upper()
+            fixed = {"tinyint": 1, "smallint": 2, "int": 4,
+                     "bigint": 8, "float": 4, "double": 8,
+                     "boolean": 1, "timestamp": 16, "date": 4}
+            if t in fixed:
+                size = fixed[t]
+            elif t.startswith("decimal"):
+                p = int(re.match(r"decimal\((\d+)", t).group(1))
+                size = 4 if p <= 9 else 8 if p <= 18 else 16
+            elif raw and raw.lower().startswith("char("):
+                size = int(re.match(r"(?i)char\((\d+)\)", raw).group(1))
+            else:
+                size = -1
+            st = self.col_stats.get((key, f.name.lower()), {})
+            pdefault = pstats.get(f.name.lower(), (-1, -1))
+            rows.append((
+                f.name.lower(), disp,
+                int(st.get("ndv", pdefault[0])),
+                int(st.get("nulls", pdefault[1])),
+                int(st.get("max", size)),
+                float(st.get("avg", size)),
+                int(st.get("trues", -1)), int(st.get("falses", -1))))
+        return self.spark.createDataFrame(
+            rows, "`Column` string, Type string, "
+                  "`#Distinct Values` bigint, `#Nulls` bigint, "
+                  "`Max Size` bigint, `Avg Size` double, "
+                  "`#Trues` bigint, `#Falses` bigint")
 
     def _compute_stats(self, m: re.Match) -> DataFrame:
         """COMPUTE STATS veneer: runs Spark's ANALYZE (footer counts +
@@ -687,6 +853,69 @@ class Engine:
                     f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
         except Exception:  # noqa: BLE001
             pass          # temp-view fixtures: stats are advisory
+        # SHOW COLUMN STATS values: one scan with per-column
+        # aggregates (that IS compute stats' cost model). NDV is the
+        # reference-exact HLL (functions/hll.py). A partition-scoped
+        # incremental compute does NOT refresh table-level column
+        # stats (the reference fills those only on full computes).
+        try:
+            if (m.group("part") or "").strip():
+                raise StopIteration  # skip the column-stats fill
+            from pyspark.sql import functions as F
+
+            types = {f.name: f.dataType.simpleString()
+                     for f in self.spark.table(tbl).schema.fields}
+            aggs = [F.count(F.lit(1)).alias("__nrows__")]
+            for c in wanted:
+                aggs += [F.expr(
+                    f"impala_hll_est(collect_set("
+                    f"hll_slot_typed(`{c}`, typeof(`{c}`))))")
+                    .alias(f"ndv_{c}"),
+                    F.count(F.when(F.col(c).isNull(), 1))
+                    .alias(f"nul_{c}")]
+                if types.get(c) == "boolean":
+                    aggs += [F.count(F.when(F.col(c), 1))
+                             .alias(f"tru_{c}"),
+                             F.count(F.when(~F.col(c), 1))
+                             .alias(f"fls_{c}")]
+                elif types.get(c) == "string":
+                    aggs += [F.max(F.length(c)).alias(f"max_{c}"),
+                             F.avg(F.length(c)).alias(f"avg_{c}")]
+            if aggs:
+                row = self.spark.table(tbl).agg(*aggs).collect()[0]
+                skey = self._stats_key(tbl)
+                nrows = row["__nrows__"]
+                for c in wanted:
+                    st = self.col_stats.setdefault(
+                        (skey, c.lower()), {})
+                    # the reference caps the HLL estimate at the row
+                    # count (ColumnStats); boolean NDV is the type's
+                    # domain size regardless of data
+                    st["ndv"] = min(row[f"ndv_{c}"], nrows)
+                    st["nulls"] = row[f"nul_{c}"]
+                    if types.get(c) == "boolean":
+                        st["ndv"] = 2
+                        st["trues"] = row[f"tru_{c}"]
+                        st["falses"] = row[f"fls_{c}"]
+                    elif types.get(c) == "string":
+                        if nrows == 0:
+                            # an empty computed table reports sizes 0
+                            st["max"], st["avg"] = 0, 0.0
+                        else:
+                            st["max"] = row[f"max_{c}"] or -1
+                            # the reference stores avg size as FLOAT
+                            import struct as _st
+
+                            avg = row[f"avg_{c}"]
+                            st["avg"] = -1 if avg is None else \
+                                _st.unpack("f", _st.pack(
+                                    "f", float(avg)))[0]
+                self.stats_computed = getattr(
+                    self, "stats_computed", set())
+                self.stats_computed.add(skey)
+                self.table_numrows[skey] = nrows
+        except Exception:  # noqa: BLE001
+            pass
         n_parts = 1
         if pcols:
             parts: set = set()
@@ -707,7 +936,7 @@ class Engine:
                 # per-partition row counts (what the reference's
                 # incremental stats persist): one partition-pruned
                 # aggregate over the matched set
-                skey = tbl.split(".")[-1].lower()
+                skey = self._stats_key(tbl)
                 pred = partitions._translate_pred(spec)
                 try:
                     for r in self.spark.sql(
@@ -1166,6 +1395,16 @@ class Engine:
             final.unpersist()
         return self.spark.createDataFrame(
             rows, "__insert_summary__ string")
+
+    def _stats_key(self, name: str) -> str:
+        """Registry key for a table name: last path segment, with the
+        namespace shim's `db__name` mangling stripped so logical and
+        physical spellings share one entry."""
+        base = name.split(".")[-1].lower()
+        for db in getattr(getattr(self, "ns", None), "dbs", {}) or {}:
+            if base.startswith(db.lower() + "__"):
+                return base[len(db) + 2:]
+        return base
 
     def _warehouse_dir(self) -> str:
         return re.sub(r"^file:", "", self.spark.conf.get(

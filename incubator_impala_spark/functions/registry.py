@@ -351,12 +351,27 @@ MACROS = {
     # alias spellings of the variance family (BuiltinsDb.java)
     "variance_samp": lambda a: f"var_samp({a[0]})",
     "variance_pop": lambda a: f"var_pop({a[0]})",
-    "distinctpcsa": lambda a: f"approx_count_distinct({a[0]}, 0.02)",
+    # Impala-exact PCSA (functions/pc.py): 32 JVM bit_or longs carry
+    # the 64x32 Flajolet-Martin bitmap; values match
+    # distinct-estimate.test verbatim
+    "distinctpcsa": lambda a: (
+        "pcsa_est(array(" + ", ".join(
+            f"bit_or(pcsa_long_typed({a[0]}, typeof({a[0]}), {i}))"
+            for i in range(32)) + "))"),
     # zero-arg count() is count(*) in the reference's parser
     "count": lambda a: "count(*)" if not a else _raise_keep_native(),
-    # rsd 0.02 ≈ the reference NDV's documented ~1.9% typical error
-    # (HLL, aggregate-functions-ir.cc)
-    "ndv": lambda a: f"approx_count_distinct({a[0]}, 0.02)",
+    # the reference's NDV exactly: murmur2-64(FNV seed) over typed
+    # bytes → 1024-bucket HLL with HLL++ bias/linear-counting
+    # (functions/hll.py; values match distinct-estimate.test verbatim).
+    # The aggregate itself is a JVM collect_set over ≤56k packed slot
+    # codes — partial-agg friendly, bounded at any scale; only the
+    # per-value hash and the one finalize call are pandas UDFs.
+    # The 2-arg form (ndv(x, scale), precision scale+8) keeps Spark's
+    # HLL++ estimate — only p=10 bias tables are carried.
+    "ndv": lambda a: (
+        f"impala_hll_est(collect_set("
+        f"hll_slot_typed({a[0]}, typeof({a[0]}))))" if len(a) == 1
+        else f"approx_count_distinct({a[0]}, 0.02)"),
     # sampled_ndv(col, sample_perc) SQL form: HLL over the rows given
     # (reference pairs it with TABLESAMPLE — the sample_perc arg only
     # feeds its extrapolation curve-fit). Extrapolation lives in the
@@ -364,7 +379,10 @@ MACROS = {
     # the SQL macro estimates the rows it sees, documented in
     # DIALECT.md as the no-extrapolation form.
     "sampled_ndv": lambda a: f"approx_count_distinct({a[0]}, 0.02)",
-    "distinctpc": lambda a: f"approx_count_distinct({a[0]}, 0.02)",
+    "distinctpc": lambda a: (
+        "pc_est(array(" + ", ".join(
+            f"bit_or(pc_long_typed({a[0]}, typeof({a[0]}), {i}))"
+            for i in range(32)) + "))"),
     # appx_median is the reference's reservoir median: sorted-sample
     # element at n/2 (0-based) — the UPPER median, reproduced exactly
     # (AppxMedianFinalize / ReservoirSampleState::GetMedian). The

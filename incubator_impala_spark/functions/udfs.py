@@ -209,6 +209,68 @@ def register(spark: SparkSession) -> None:
              for v, ty in zip(s, t)], dtype="Int64")
 
     @pandas_udf(IntegerType())
+    def hll_slot_typed(s: pd.Series, t: pd.Series) -> pd.Series:
+        # one value's HLL bucket update, packed idx*256+rank — the
+        # reference's NDV hashing exactly (AnyValUtil::Hash64 =
+        # MurmurHash2_64 over the type's memory layout, seeded with
+        # FNV64_SEED; be/src/exprs/aggregate-functions-ir.cc
+        # HllUpdate). Verified value-exact against distinct-estimate
+        # .test's pinned outputs.
+        from incubator_impala_spark.functions import hll
+
+        seed = 0xCBF29CE484222325
+        return pd.Series(
+            [None if pd.isna(v) else hll.slot_code(
+                _murmur2_64a(_typed_bytes(v, ty), seed))
+             for v, ty in zip(s, t)], dtype="Int32")
+
+    @pandas_udf(LongType())
+    def pc_long_typed(s: pd.Series, t: pd.Series,
+                      i: pd.Series) -> pd.Series:
+        # distinctpc: bitmap rows 2i/2i+1 packed per long (functions/
+        # pc.py — the reference's 64-seed CRC32C probabilistic counter)
+        from incubator_impala_spark.functions import pc
+
+        return pd.Series(
+            [None if pd.isna(v) else pc.pc_long(
+                _typed_bytes(v, ty), iv, ty.startswith("timestamp"))
+             for v, ty, iv in zip(s, t, i)], dtype="Int64")
+
+    @pandas_udf(LongType())
+    def pcsa_long_typed(s: pd.Series, t: pd.Series,
+                        i: pd.Series) -> pd.Series:
+        from incubator_impala_spark.functions import pc
+
+        return pd.Series(
+            [None if pd.isna(v)
+             else pc.pcsa_long(_typed_bytes(v, ty), iv,
+                               ty.startswith("timestamp"))
+             for v, ty, iv in zip(s, t, i)], dtype="Int64")
+
+    @pandas_udf(LongType())
+    def pc_est(longs: pd.Series) -> pd.Series:
+        from incubator_impala_spark.functions import pc
+
+        return pd.Series([pc.estimate(v, False) for v in longs],
+                         dtype="Int64")
+
+    @pandas_udf(LongType())
+    def pcsa_est(longs: pd.Series) -> pd.Series:
+        from incubator_impala_spark.functions import pc
+
+        return pd.Series([pc.estimate(v, True) for v in longs],
+                         dtype="Int64")
+
+    @pandas_udf(LongType())
+    def impala_hll_est(slots: pd.Series) -> pd.Series:
+        # finalize over the collected slot codes (≤ 1024*55 entries,
+        # bounded regardless of input size)
+        from incubator_impala_spark.functions import hll
+
+        return pd.Series(
+            [hll.estimate_from_slots(v) for v in slots], dtype="Int64")
+
+    @pandas_udf(IntegerType())
     def damerau_levenshtein(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series(
             [_damerau_levenshtein(x, y) for x, y in zip(a, b)], dtype="Int32"
@@ -241,6 +303,12 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("murmur_hash", murmur_hash)
     spark.udf.register("fnv_hash_typed", fnv_hash_typed)
     spark.udf.register("murmur_hash_typed", murmur_hash_typed)
+    spark.udf.register("hll_slot_typed", hll_slot_typed)
+    spark.udf.register("impala_hll_est", impala_hll_est)
+    spark.udf.register("pc_long_typed", pc_long_typed)
+    spark.udf.register("pcsa_long_typed", pcsa_long_typed)
+    spark.udf.register("pc_est", pc_est)
+    spark.udf.register("pcsa_est", pcsa_est)
     spark.udf.register("damerau_levenshtein", damerau_levenshtein)
     spark.udf.register("jaro_distance", jaro_distance)
     spark.udf.register("jaro_similarity", jaro_similarity)

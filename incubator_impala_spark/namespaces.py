@@ -521,6 +521,19 @@ class Namespaces:
             self.dbs[sdb].pop(sobj, None)
         if ddb is not None:
             self.register(ddb, dobj, info.get("kind", "table"), new)
+        # column/table stats follow the table through a rename
+        # (the catalog carries them in the reference)
+        okey = engine._stats_key(old)
+        nkey = engine._stats_key(new)
+        for reg_name in ("col_stats", "part_rows", "part_formats"):
+            reg = getattr(engine, reg_name, None)
+            if reg is not None:
+                for (t, c) in list(reg):
+                    if t == okey:
+                        reg[(nkey, c)] = reg.pop((t, c))
+        tn = getattr(engine, "table_numrows", None)
+        if tn is not None and okey in tn:
+            tn[nkey] = tn.pop(okey)
         return spark.createDataFrame(
             [("Renaming was successful.",)], "summary string")
 

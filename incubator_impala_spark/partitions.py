@@ -159,7 +159,8 @@ def show_partitions(engine, tbl: str) -> DataFrame:
     parts = list_partitions(engine, tbl)
     parts.sort(key=lambda kv: [
         (v is not None, str(v)) for v in kv.values()])
-    key = tbl.split(".")[-1].lower()
+    key = getattr(engine, "_stats_key",
+                  lambda n: n.split(".")[-1].lower())(tbl)
     fmts = getattr(engine, "part_formats", {})
     prows = getattr(engine, "part_rows", {})
     rows, tot_files, tot_size = [], 0, 0
@@ -184,6 +185,32 @@ def show_partitions(engine, tbl: str) -> DataFrame:
         "`Bytes Cached` string, `Cache Replication` string, "
         "Format string, `Incremental stats` string, Location string")
     return spark.createDataFrame(rows, schema)
+
+
+def show_table_stats(engine, tbl: str) -> DataFrame:
+    """SHOW TABLE STATS: the partition listing for partitioned tables
+    (identical to SHOW PARTITIONS), one summary row otherwise."""
+    spark = engine.spark
+    try:
+        pcols = [c.name for c in spark.catalog.listColumns(tbl)
+                 if c.isPartition]
+    except Exception:  # noqa: BLE001
+        pcols = []
+    if pcols:
+        return show_partitions(engine, tbl)
+    key = getattr(engine, "_stats_key",
+                  lambda n: n.split(".")[-1].lower())(tbl)
+    files = _files_in(engine._table_location(tbl))
+    size = sum(s for _, s in files)
+    nrows = getattr(engine, "table_numrows", {}).get(key, -1)
+    row = (nrows, len(files), _human(size), "NOT CACHED",
+           "NOT CACHED", "TEXT", "false",
+           _display_location(engine, tbl))
+    return spark.createDataFrame(
+        [row], "`#Rows` bigint, `#Files` bigint, Size string, "
+               "`Bytes Cached` string, `Cache Replication` string, "
+               "Format string, `Incremental stats` string, "
+               "Location string")
 
 
 def show_files(engine, tbl: str, spec: str | None) -> DataFrame:

@@ -459,7 +459,8 @@ def types_compatible(expected: list[str], actual: list[str]) -> bool:
 
 _RUNNABLE = re.compile(
     r"^[\s(]*(select|with|values|describe|explain|"
-    r"show\s+partitions|show\s+files|invalidate\s+metadata|refresh|"
+    r"show\s+partitions|show\s+files|show\s+column\s+stats|"
+    r"invalidate\s+metadata|refresh|"
     r"create\s+(?:external\s+)?table|"
     r"insert\s+(?:into|overwrite)|drop\s+table|"
     r"truncate|alter\s+table|use|"
@@ -560,6 +561,7 @@ def run_blocks(engine, blocks: list[Block], *,
         engine.parquet_resolution = "position"
         engine.explain_level = 1
         engine.parquet_array_res = "two_level_then_three_level"
+        engine.appx_count_distinct = False
         # array_overlays are installed by the per-file SETUP hook
         # (which runs BEFORE run_blocks), so they are not cleared
         # here; each hook replaces its own entries

@@ -428,3 +428,39 @@ def test_grant_to_unknown_role_raises(engine):
 
     with _pytest.raises(ValueError, match="role does not exist"):
         engine.sql("GRANT SELECT ON TABLE lineitem TO ROLE nonexistent_role")
+
+
+# ---------------------------------------------------------------------------
+# SHOW COLUMN STATS + ALTER TABLE SET COLUMN STATS
+# (AlterTableSetColumnStats.java; alter-table-set-column-stats.test)
+# ---------------------------------------------------------------------------
+
+
+def test_set_and_show_column_stats(spark, engine):
+    spark.sql("DROP TABLE IF EXISTS colstats_t")
+    spark.sql("CREATE TABLE colstats_t (i INT, s STRING, b BOOLEAN) "
+              "USING parquet")
+    try:
+        rows = {r["Column"]: r for r in
+                engine.sql("show column stats colstats_t").collect()}
+        # fixed-width sizes come from the type; counts unknown
+        assert rows["i"]["Max Size"] == 4 and rows["i"]["#Distinct Values"] == -1
+        assert rows["s"]["Max Size"] == -1
+        assert rows["b"]["Avg Size"] == 1.0
+        engine.sql("alter table colstats_t set column stats i "
+                   "('numDVs'='100','numNulls'='20')")
+        engine.sql("alter table colstats_t set column stats s "
+                   "('maxSize'='555','avgSize'='60')")
+        rows = {r["Column"]: r for r in
+                engine.sql("show column stats colstats_t").collect()}
+        assert rows["i"]["#Distinct Values"] == 100
+        assert rows["i"]["#Nulls"] == 20
+        assert rows["s"]["Max Size"] == 555 and rows["s"]["Avg Size"] == 60.0
+        # -1 resets to unknown
+        engine.sql("alter table colstats_t set column stats i "
+                   "('numDVs'='-1','numNulls'='-1')")
+        rows = {r["Column"]: r for r in
+                engine.sql("show column stats colstats_t").collect()}
+        assert rows["i"]["#Distinct Values"] == -1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS colstats_t")

@@ -113,10 +113,10 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "union": (61, {}),
     "intersect": (39, {12: "type-coercion", 35: "void-setop"}),
     "except": (55, {}),
-    "distinct": (31, {29: "estimator"}),
-    "distinct-estimate": (2, {0: "estimator", 1: "estimator",
-                              2: "estimator", 3: "estimator",
-                              4: "estimator", 5: "estimator"}),
+    "distinct": (33, {}),
+    # ndv()/distinctpc/distinctpcsa match the reference VERBATIM
+    # (functions/hll.py, functions/pc.py — exact hash + sketch + bias)
+    "distinct-estimate": (8, {}),
     "empty": (13, {}),
     "with-clause": (11, {3: "analyzer"}),
     "grouping-sets": (6, {5: "analyzer", 6: "analyzer", 7: "analyzer",
@@ -126,7 +126,7 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "misc": (11, {}),
     "string-literals": (6, {}),
     "special-strings": (2, {}),
-    "decimal": (28, {10: "estimator", 11: "estimator"}),
+    "decimal": (31, {}),
     "decimal-exprs": (11, {39: "ns-precision"}),
     "alias": (7, {}),
     "chars": (14, {2: "type-coercion", 4: "type-coercion",
@@ -233,11 +233,12 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # r6 scanner/DDL wave 2: raw-text fixture tables from the
     # reference's own data files, COMPUTE STATS summaries, scratch
     # tables shadowing fixture names
-    "compute-stats": (17, {
+    "compute-stats": (34, {
         # backtick-quoted numeric-leading identifiers (`123_table`)
         53: "numeric-identifiers", 54: "numeric-identifiers",
         # 1000-column widetable isn't part of the regenerated fixture
         59: "no-widetable-fixture", 60: "no-widetable-fixture",
+        61: "no-widetable-fixture",
     }),
     "create-table": (27, {
         # avro.schema.url points into the load cluster's warehouse;
@@ -274,9 +275,14 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "hive2-pre-gregorian-date": (2, {}),
     "out-of-range-date": (1, {}),
     "create-table-like-file": (21, {}),
-    "compute-stats-incremental": (12, {}),
-    "compute-stats-date": (2, {}),
-    "compute-stats-decimal": (2, {}),
+    "compute-stats-incremental": (17, {
+        # the reference aggregates table-level column stats from
+        # per-partition incremental sketches, so dropping a partition
+        # shifts #Trues/#Falses; this engine keeps full-compute values
+        18: "incremental-colstats-aggregation",
+    }),
+    "compute-stats-date": (5, {}),
+    "compute-stats-decimal": (4, {}),
     # r6 wave 4: dateless (time-only) timestamps — INT96 Julian day 0
     # and date-less text rows read as NULL (timestamp-value.h range);
     # the abort_on_error=1 CATCH blocks are skipped by the harness
@@ -447,7 +453,11 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
         # deliberately lacks)
         7: "catalog-inventory", 9: "catalog-inventory",
     }),
-    "truncate-table": (4, {}),
+    "truncate-table": (4, {
+        # t1/t2 are created by blocks whose LOCATION DDL the harness
+        # skips; their column-stats listings have nothing to read
+        1: "needs-ddl", 3: "needs-ddl", 5: "needs-ddl", 7: "needs-ddl",
+    }),
     "functions-ddl": (20, {
         # VERIFY_IS_SUBSET probes into Impala's builtin signature
         # inventory (this engine's builtins are Spark's; the
@@ -470,6 +480,9 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # predicate partition specs + Impala SHOW PARTITIONS/FILES
     # listings (partitions.py)
     "partition-ddl-predicates-all-fs": (21, {}),
+    # SHOW COLUMN STATS / ALTER SET COLUMN STATS (engine col_stats
+    # registry; partition-key NDV derived from the key columns)
+    "alter-table-set-column-stats": (6, {}),
     # parquet page-index workload over the reference's own data files
     # (decimals_1_10, alltypes_tiny_pages, nested_decimals, ... —
     # value-skipping is a scanner-internal concern; the row-level
