@@ -119,14 +119,41 @@ def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
 MINHASH_K = 16  # signature length
 LSH_BANDS = 4  # bands of 4 rows each
 
+# Universal-hash family over ONE md5 per shingle (r7 optimization:
+# the previous form computed k=16 md5s per shingle and min-aggregated
+# hex STRINGS; this derives the k hashes from a single digest with
+# 32-bit multiply-add — 16x fewer digests, numeric min aggregation —
+# identical arithmetic in DuckDB, so the oracle stays bit-exact).
+# Constants: Knuth multiplicative seeds, fixed and deterministic;
+# A < 2^31 keeps base32*A + B < 2^63 (no overflow on either engine).
+_MH_P = 4294967291  # largest 32-bit prime
+_MH_AB = [
+    ((2654435761 * (h + 1)) % 2147483647 or 1,
+     (40503 * (h + 7)) % 2147483647)
+    for h in range(MINHASH_K)
+]
+# 15 hex chars of the digest -> 60-bit int, folded to 32 bits; all
+# terms non-negative so plain % matches across engines
+_MH_BASE = ("(cast(conv(substr(md5(sh), 1, 15), 16, 10) as bigint)"
+            " % 4294967296)")
+# DuckDB spelling of the same base (no conv(); 0x-prefixed cast)
+_MH_BASE_DUCK = ("(cast(concat('0x', substr(md5(sh), 1, 15)) as bigint)"
+                 " % 4294967296)")
+
+
+def minhash_sig_exprs(base: str) -> list[str]:
+    """The k min-aggregate expressions over a given base spelling."""
+    return [
+        f"min(({base} * {a} + {b}) % {_MH_P}) AS h{h}"
+        for h, (a, b) in enumerate(_MH_AB)
+    ]
+
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """k md5-derived minhashes per doc. min over lexicographic hex —
-    value-stable everywhere md5 is md5."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("sh")))).alias(f"h{h}")
-        for h in range(MINHASH_K)
-    ]
+    """k minhashes per doc from one md5 per shingle (see _MH_AB).
+    Value-stable everywhere md5 and 64-bit integer arithmetic are
+    standard."""
+    aggs = [F.expr(e) for e in minhash_sig_exprs(_MH_BASE)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 

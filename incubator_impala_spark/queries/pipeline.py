@@ -113,9 +113,7 @@ def pipeline_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _SHINGLES_DUCK
     + """,
     sig AS (SELECT doc_id, """
-    + ", ".join(
-        f"min(md5(concat('{h}|', sh))) AS h{h}" for h in range(MINHASH_K)
-    )
+    + ", ".join(dedup.minhash_sig_exprs(dedup._MH_BASE_DUCK))
     + """ FROM sh GROUP BY doc_id),
     buckets AS ("""
     + " UNION ALL ".join(
