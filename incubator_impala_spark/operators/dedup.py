@@ -233,39 +233,37 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 SIMHASH_BITS = 60  # 15 md5 hex chars * 4 bits — fits a BIGINT exactly
 
 
-def _hexval(dialect: str, tok: str, pos: int) -> str:
-    # value 0..15 of md5 hex char at 1-based position `pos`
-    if dialect == "spark":
-        return f"(instr('0123456789abcdef', substr(md5({tok}), {pos}, 1)) - 1)"
-    return f"(strpos('0123456789abcdef', substr(md5({tok}), {pos}, 1)) - 1)"
-
-
 def simhash60_sql(dialect: str, table: str = "documents",
                   text_col: str = "text", id_col: str = "doc_id") -> str:
     """Generate the simhash-signature SQL for `spark` or `duckdb`.
 
-    Same algorithm text both ways: per-token md5 → 60 bit columns →
+    Same algorithm text both ways: per-token md5 → ONE 60-bit int →
     per-doc majority vote per bit → weave back into one BIGINT.
+
+    r7: the per-token value is one integer conversion of the digest's
+    first 15 hex chars (bit b of the signature reads bit 59-b of that
+    int — the same bit the old 15-column nibble extraction produced,
+    so signatures and the oracle are unchanged), replacing 15
+    substr/instr string ops per token.
     """
     if dialect == "spark":
         tok_src = (
             f"SELECT {id_col} AS doc_id, tok FROM {table} "
             f"LATERAL VIEW explode(split({text_col}, ' ')) t AS tok"
         )
-        shift = "shiftright({v}, {n})"
+        h_expr = "cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)"
+        shift = "shiftright(h, {n})"
     else:
         tok_src = (
             f"SELECT {id_col} AS doc_id, unnest(string_split({text_col}, ' ')) AS tok "
             f"FROM {table}"
         )
-        shift = "({v} >> {n})"
-    hexvals = ", ".join(
-        f"{_hexval(dialect, 'tok', i + 1)} AS v{i}" for i in range(SIMHASH_BITS // 4)
-    )
+        h_expr = ("cast(concat('0x', substr(md5(tok), 1, 15)) as bigint)")
+        shift = "(h >> {n})"
     bit_sums = ", ".join(
         "SUM(CASE WHEN ("
-        + shift.format(v=f"v{b // 4}", n=3 - b % 4)
-        + " & 1) = 1 THEN 1 ELSE -1 END) AS s{b}".format(b=b).replace("{b}", str(b))
+        + shift.format(n=59 - b)
+        + f" & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(SIMHASH_BITS)
     )
     weave = " + ".join(
@@ -274,7 +272,7 @@ def simhash60_sql(dialect: str, table: str = "documents",
     )
     return f"""
     WITH toks AS ({tok_src}),
-    hx AS (SELECT doc_id, {hexvals} FROM toks),
+    hx AS (SELECT doc_id, {h_expr} AS h FROM toks),
     votes AS (SELECT doc_id, {bit_sums} FROM hx GROUP BY doc_id)
     SELECT doc_id, CAST({weave} AS BIGINT) AS simhash FROM votes
     """
