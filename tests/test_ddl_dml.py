@@ -464,3 +464,27 @@ def test_set_and_show_column_stats(spark, engine):
         assert rows["i"]["#Distinct Values"] == -1
     finally:
         spark.sql("DROP TABLE IF EXISTS colstats_t")
+
+
+def test_show_table_stats_and_files(spark, engine):
+    """SHOW TABLE STATS / SHOW FILES (partitions.py): partitioned
+    tables get the Impala partition listing + Total row; unpartitioned
+    tables one summary row; SHOW FILES lists per-partition files."""
+    spark.sql("DROP TABLE IF EXISTS tstats_p")
+    engine.sql("create table tstats_p (i int) partitioned by (p int) "
+               "stored as textfile")
+    try:
+        engine.sql("insert into tstats_p partition (p=1) values (10)")
+        engine.sql("insert into tstats_p partition (p=2) values (20)")
+        rows = engine.sql("show table stats tstats_p").collect()
+        assert [r.p for r in rows] == ["1", "2", "Total"]
+        assert rows[0]["#Files"] == 1 and rows[2]["#Files"] == 2
+        # compute stats records the table row count on the Total row
+        engine.sql("compute incremental stats tstats_p partition (p>0)")
+        rows = engine.sql("show table stats tstats_p").collect()
+        assert rows[2]["#Rows"] == 2
+        files = engine.sql("show files in tstats_p "
+                           "partition (p=1)").collect()
+        assert len(files) == 1 and files[0].Partition == "p=1"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tstats_p")
