@@ -716,3 +716,77 @@ def test_functional_query_file(functional_engine, name):
     assert counts.get("pass", 0) >= min_pass, (
         f"{name}.test pass floor regressed: "
         f"{counts.get('pass', 0)} < {min_pass} ({dict(counts)})")
+
+
+# ---------------------------------------------------------------------------
+# views-compatibility.test — its own section grammar (CREATE_VIEW /
+# CREATE_VIEW_RESULTS / QUERY_IMPALA_VIEW_RESULTS; the reference's
+# tests/metadata/test_views_compatibility.py runner creates each view
+# in Impala AND Hive and records per-engine success). The IMPALA=
+# expectations run here (create through the engine, then EXPLAIN a
+# probe select); HIVE= lines need a live Hive and are out of scope.
+# ---------------------------------------------------------------------------
+
+# Blocks where Spark's (Hive-flavored) grammar accepts what Impala's
+# parser rejects — acceptance-surface deltas, not result divergences
+VIEWS_COMPAT_XFAIL = {
+    # Hive SORT BY in a view body: Impala's parser rejects it, Spark's
+    # Hive-derived grammar accepts it (the view then also queries fine)
+    14: "hive-sort-by-accepted",
+}
+
+
+@pytest.mark.skipif(not os.path.isdir(QT_DIR),
+                    reason="reference workload texts not present")
+def test_views_compatibility(functional_engine):
+    eng = functional_engine
+    content = open(os.path.join(QT_DIR, "views-compatibility.test"),
+                   encoding="utf-8").read()
+    blocks = [b for b in re.split(r"(?m)^====", content)
+              if "---- CREATE_VIEW" in b]
+    problems, n_pass = [], 0
+    for idx, b in enumerate(blocks):
+        subs = {}
+        for sub in re.split(r"(?m)^----", b)[1:]:
+            header, _, body = sub.partition("\n")
+            subs[header.strip()] = body
+        create = "\n".join(
+            ln for ln in subs["CREATE_VIEW"].split("\n")
+            if not ln.lstrip().startswith("#")).strip().rstrip(";")
+        # fixture-variant qualifiers resolve to the flat views (same
+        # rule as the harness's _rewrite_stmt)
+        create = re.sub(r"\bfunctional(_\w+)?\.", "", create)
+        exp = dict(
+            ln.split("=", 1)
+            for ln in subs.get("CREATE_VIEW_RESULTS", "").split("\n")
+            if "=" in ln)
+        if "IMPALA" not in exp:
+            continue
+        eng.sql("drop view if exists test")
+        try:
+            eng.sql(create)
+            got = "SUCCESS"
+        except Exception:  # noqa: BLE001
+            got = "FAILURE"
+        outcomes = [("create", got, exp["IMPALA"])]
+        qexp = dict(
+            ln.split("=", 1)
+            for ln in subs.get("QUERY_IMPALA_VIEW_RESULTS", "").split("\n")
+            if "=" in ln)
+        if got == "SUCCESS" and "IMPALA" in qexp:
+            try:
+                eng.sql("select * from test").collect()
+                qgot = "SUCCESS"
+            except Exception:  # noqa: BLE001
+                qgot = "FAILURE"
+            outcomes.append(("query", qgot, qexp["IMPALA"]))
+        bad = [(o, g, e) for o, g, e in outcomes if g != e.strip()]
+        if bad and idx not in VIEWS_COMPAT_XFAIL:
+            problems.append((idx, bad, " ".join(create.split())[:90]))
+        elif not bad and idx in VIEWS_COMPAT_XFAIL:
+            problems.append((idx, "stale xfail", ""))
+        elif not bad:
+            n_pass += 1
+    eng.sql("drop view if exists test")
+    assert not problems, problems
+    assert n_pass >= 17, n_pass
