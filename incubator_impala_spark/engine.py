@@ -615,13 +615,16 @@ class Engine:
         lm = re.match(
             r"(?is)^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+"
             r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<tbl>[A-Za-z_][\w.]*)\s*"
-            r"(?:\((?P<cols>[\s\S]*?)\)\s*)?STORED\s+AS\s+AVRO\b"
+            r"(?:\((?P<cols>[\s\S]*?)\)\s*)?"
+            r"(?:PARTITIONED\s+BY\s*\((?P<part>[^)]*)\)\s*)?"
+            r"(?:STORED\s+AS\s+AVRO\b|WITH\s+SERDEPROPERTIES\b)"
             r"[\s\S]*?avro\.schema\.literal'\s*=\s*'(?P<lit>[^']*)'"
             r"[\s\S]*$", sql_text)
         if lm and not re.search(r"\bAS\s+SELECT\b", sql_text,
                                 re.IGNORECASE):
             return self.create_avro_from_literal(
-                lm.group("tbl"), lm.group("lit"), lm.group("cols"))
+                lm.group("tbl"), lm.group("lit"), lm.group("cols"),
+                lm.group("part"))
         m = _CREATE_AVRO.match(sql_text)
         if m and not re.search(r"\bAS\s+SELECT\b|avro\.schema",
                                sql_text, re.IGNORECASE):
@@ -1108,7 +1111,8 @@ class Engine:
         return t
 
     def create_avro_from_literal(self, tbl: str, literal: str,
-                                 coldefs: str | None) -> DataFrame:
+                                 coldefs: str | None,
+                                 part: str | None = None) -> DataFrame:
         """CREATE/ALTER with `avro.schema.literal`: the AVRO SCHEMA is
         the table schema (AvroSchemaParser/AvroSchemaUtils — names,
         types, and `doc` comments come from the literal), EXCEPT that
@@ -1145,8 +1149,19 @@ class Engine:
         _sh.rmtree(os.path.join(
             self._warehouse_dir(), tbl.split(".")[-1].lower()),
             ignore_errors=True)
+        pclause = ""
+        if part and part.strip():
+            pnames = []
+            for item in self._split_cols(part):
+                pm2 = re.match(r"\s*`?(\w+)`?\s+(\S+)", item)
+                if pm2:
+                    defs.append(f"`{pm2.group(1)}` {pm2.group(2)}")
+                    pnames.append(pm2.group(1))
+            if pnames:
+                pclause = f" PARTITIONED BY ({', '.join(pnames)})"
         self.spark.sql(
-            f"CREATE TABLE {tbl} ({', '.join(defs)}) USING parquet")
+            f"CREATE TABLE {tbl} ({', '.join(defs)}) "
+            f"USING parquet{pclause}")
         return self.spark.createDataFrame(
             [("Table has been created.",)], "summary string")
 

@@ -77,6 +77,17 @@ FUNCTIONAL_VIEWS = {
 }
 
 
+# avro_schema_resolution-derived views (registered by
+# _register_avro_resolution_tables) — protected from the QueryTest
+# harness's scratch-table pre-clean like the template fixtures
+AVRO_FIXTURE_VIEWS = [
+    "schema_resolution_test", "no_avro_schema", "avro_coldef",
+    "avro_extra_coldef", "avro_alltypes", "alltypes_no_coldef",
+    "alltypes_extra_coldef", "alltypes_missing_coldef",
+    "alltypes_type_mismatch",
+]
+
+
 def fixture_dir() -> str:
     return os.path.join(_REPO_ROOT, "fixtures", "functional")
 
@@ -115,6 +126,11 @@ PARTITIONED_BY = {
     "part_strings_with_quotes": ["p"],
     "date_tbl": ["date_part"],
     "alltypes_date_partition": ["date_col"],
+    "avro_alltypes": ["year", "month"],
+    "alltypes_extra_coldef": ["year", "month"],
+    "alltypes_missing_coldef": ["year", "month"],
+    "alltypes_type_mismatch": ["year", "month"],
+    "no_avro_schema": ["year", "month"],
 }
 
 INSERT_TARGETS = {
@@ -827,6 +843,41 @@ def _register_avro_resolution_tables(spark: SparkSession) -> None:
         "string_col, timestamp_col, cast(null as string) as extra_col, "
         "year, month from avro_coldef"
     ).createOrReplaceTempView("avro_extra_coldef")
+    # alltypes under the AVRO type system (AvroSchemaConverter:
+    # TINYINT/SMALLINT -> INT, TIMESTAMP -> STRING) — the schema the
+    # avro_schema_resolution mismatched-coldef tables all reconcile to
+    # (the avro schema wins; compute-stats-avro.test clones these)
+    avro_typed = (
+        "select id, bool_col, cast(tinyint_col as int) tinyint_col, "
+        "cast(smallint_col as int) smallint_col, int_col, bigint_col, "
+        "float_col, double_col, date_string_col, string_col, "
+        "cast(timestamp_col as string) as timestamp_col, year, month "
+        "from alltypes")
+    # matching coldefs (or none): the avro schema's types win;
+    # MISMATCHED coldef counts/types: the column definitions win
+    # (IMPALA-867/IMPALA-2798 reconciliation)
+    spark.sql(avro_typed).createOrReplaceTempView("avro_alltypes")
+    # alltypes_no_coldef: created WITHOUT a partition clause in
+    # create_table.sql (unlike the *_coldef variants) — 11 avro cols
+    spark.sql(avro_typed).drop("year", "month") \
+        .createOrReplaceTempView("alltypes_no_coldef")
+    spark.sql(
+        "select id, bool_col, tinyint_col, smallint_col, int_col, "
+        "bigint_col, float_col, double_col, date_string_col, "
+        "string_col, timestamp_col, cast(null as string) as extra_col, "
+        "year, month from alltypes"
+    ).createOrReplaceTempView("alltypes_extra_coldef")
+    spark.sql(
+        "select id, bool_col, smallint_col, int_col, bigint_col, "
+        "float_col, double_col, date_string_col, string_col, "
+        "year, month from alltypes"
+    ).createOrReplaceTempView("alltypes_missing_coldef")
+    spark.sql(
+        "select id, bool_col, tinyint_col, smallint_col, int_col, "
+        "cast(bigint_col as string) bigint_col, float_col, "
+        "double_col, date_string_col, string_col, timestamp_col, "
+        "year, month from alltypes"
+    ).createOrReplaceTempView("alltypes_type_mismatch")
 
 
 def _register_out_of_range_timestamp(spark: SparkSession) -> None:

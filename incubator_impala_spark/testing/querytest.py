@@ -654,11 +654,13 @@ def run_blocks(engine, blocks: list[Block], *,
     table_rewrites = dict(table_rewrites or {})
     try:
         from incubator_impala_spark.sources.functional import (
+            AVRO_FIXTURE_VIEWS,
             FUNCTIONAL_TABLES,
             FUNCTIONAL_VIEWS,
         )
 
-        fixture_names = set(FUNCTIONAL_TABLES) | set(FUNCTIONAL_VIEWS)
+        fixture_names = set(FUNCTIONAL_TABLES) | set(FUNCTIONAL_VIEWS) \
+            | set(AVRO_FIXTURE_VIEWS)
         for name in list(created):
             if "." not in name and name.lower() in fixture_names:
                 table_rewrites.setdefault(
