@@ -1118,8 +1118,11 @@ def _strip_parens(text: str) -> str:
     return "".join(out)
 
 
-_IN_SELECT = re.compile(r"\bin\s*\(\s*select\b(?!\s+distinct\b)",
-                        re.IGNORECASE)
+_IN_SELECT = re.compile(
+    # SELECT ALL would become `SELECT DISTINCT ALL` (syntax error);
+    # ALL is the no-op default, so the rewrite simply skips it
+    r"\bin\s*\(\s*select\b(?!\s+(?:distinct|all)\b)",
+    re.IGNORECASE)
 
 
 def rewrite_in_subquery_distinct(sql: str) -> str:
@@ -1732,6 +1735,24 @@ def rewrite_row_format(sql: str) -> str:
         opts.append("escape=" + sql[m.start("esc"):m.end("esc")])
     opt_str = f" options ({', '.join(opts)})" if opts else ""
     rest = sql[:m.start()] + " " + sql[m.end():]
+    # a WITH SERDEPROPERTIES clause alongside ROW FORMAT DELIMITED
+    # carries the same delimiters (Hive stores both); keeping it would
+    # later map to a SECOND options clause (DUPLICATE_CLAUSES) — drop
+    # it, the row-format options already encode the serde
+    shadow2 = _neutralize(rest)
+    wm = re.search(r"\bwith\s+serdeproperties\s*\(", shadow2,
+                   re.IGNORECASE)
+    if wm:
+        depth, j = 0, wm.end() - 1
+        while j < len(shadow2):
+            if shadow2[j] == "(":
+                depth += 1
+            elif shadow2[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        rest = rest[:wm.start()] + " " + rest[j + 1:]
     shadow2 = _neutralize(rest)
     sm = re.search(r"\bstored\s+as\s+textfile\b", shadow2,
                    re.IGNORECASE)
@@ -1822,6 +1843,43 @@ def rewrite_ctas_clause_order(sql: str) -> str:
     return rest[:ins] + " " + part + rest[ins:]
 
 
+def rewrite_create_using_position(sql: str) -> str:
+    """Move a CREATE TABLE's ``USING <provider> [OPTIONS (...)]`` to
+    directly after the column list (or the table name when there is
+    none). Spark's grammar wants the provider BEFORE the order-free
+    clause list, but the STORED AS→USING mapping leaves it wherever
+    STORED AS sat — which breaks when COMMENT/LOCATION/TBLPROPERTIES
+    precede it (e.g. ``(cols) PARTITIONED BY ... COMMENT ... STORED AS
+    TEXTFILE``). LIKE-form creates are untouched."""
+    shadow = _neutralize(sql)
+    hm = re.match(r"\s*create\s+(?:external\s+)?table\s+"
+                  r"(?:if\s+not\s+exists\s+)?`?[\w.]+`?\s*",
+                  shadow, re.IGNORECASE)
+    if not hm or re.search(r"\blike\b", shadow, re.IGNORECASE):
+        return sql
+    um = re.search(r"\busing\s+\w+"
+                   r"(\s+options\s*\((?:[^()]|\([^()]*\))*\))?",
+                   shadow, re.IGNORECASE)
+    if not um:
+        return sql
+    insert_at = hm.end()
+    if insert_at < len(shadow) and shadow[insert_at] == "(":
+        depth = 0
+        for j in range(insert_at, len(shadow)):
+            if shadow[j] == "(":
+                depth += 1
+            elif shadow[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    insert_at = j + 1
+                    break
+    if um.start() <= insert_at:
+        return sql  # already directly after the header
+    using = sql[um.start():um.end()]
+    rest = sql[:um.start()] + " " + sql[um.end():]
+    return (rest[:insert_at] + " " + using + rest[insert_at:])
+
+
 def translate(sql: str, macros: dict | None = None, now=None) -> str:
     """Full Impala→Spark translation pipeline. `now` feeds the FORMAT
     clause's century-inference rules (NOW_STRING query option)."""
@@ -1859,6 +1917,7 @@ def translate(sql: str, macros: dict | None = None, now=None) -> str:
                                   m.group(1).lower(), m.group(1).lower()),
         sql)
     sql = rewrite_ctas_clause_order(sql)
+    sql = rewrite_create_using_position(sql)
     # Impala/Hive allow EXTERNAL without LOCATION (external.table.purge
     # managed-external); Spark requires LOCATION for EXTERNAL — the
     # managed table has identical query-facing semantics

@@ -19,6 +19,7 @@ from incubator_impala_spark import dialect
 from incubator_impala_spark.grants import GrantRegistry
 from incubator_impala_spark.functions.registry import (
     MACROS,
+    MACROS_SCALE,
     QUERY_OPTION_MAP,
     register_all,
 )
@@ -267,6 +268,14 @@ class Engine:
         # STATS / COMPUTE STATS): {(tbl, col): {ndv, nulls, max, avg,
         # trues, falses}}
         self.col_stats: dict[tuple[str, str], dict] = {}
+        # EXACT_NDV session option (this engine's scale escape hatch,
+        # DIALECT.md): False (default) plans ndv()/COMPUTE STATS NDV
+        # on Spark's JVM HLL++ (approx_count_distinct — zero Python in
+        # the scan); True reproduces the reference's precision-10 HLL
+        # bit-for-bit (functions/hll.py) for the parity/test surface.
+        # CBO only needs the estimate's scale, so the JVM path is the
+        # right default for a 100 TB COMPUTE STATS.
+        self.exact_ndv = False
         if sf_dir:
             register_tables(self.spark, sf_dir)
 
@@ -275,7 +284,8 @@ class Engine:
 
     def translate(self, sql_text: str) -> str:
         """Impala SQL → Spark SQL (dialect shim only, no execution)."""
-        return dialect.translate(sql_text, MACROS, now=self.now)
+        macros = MACROS if self.exact_ndv else MACROS_SCALE
+        return dialect.translate(sql_text, macros, now=self.now)
 
     def set_option(self, name: str, value: str) -> bool:
         """Impala SET <option>=<value> (118 options,
@@ -319,6 +329,10 @@ class Engine:
             # reference-exact HLL (functions/hll.py)
             self.appx_count_distinct = str(value).strip() \
                 .strip("'\"").lower() in ("1", "true")
+            return True
+        if key == "exact_ndv":
+            self.exact_ndv = str(value).strip().strip("'\"") \
+                .lower() in ("1", "true")
             return True
         if key == "alter_schema_in_place":
             self.alter_in_place = str(value).strip().strip("'\"") \
@@ -471,6 +485,22 @@ class Engine:
                 ).createOrReplaceTempView(name)
             except Exception:  # noqa: BLE001 — re-resolved next stmt
                 pass
+        # SHOW CREATE TABLE/VIEW renderer + CREATE-time facet
+        # recording (showcreate.py) — runs on the pre-resolution text
+        # so the record keeps the user's logical names and Impala-form
+        # clauses the dialect shim would translate away
+        from incubator_impala_spark import showcreate
+
+        handled = showcreate.handle(self, sql_text)
+        if handled is not None:
+            return handled
+        if re.match(r"(?is)^\s*create\s+(?:external\s+)?"
+                    r"(?:table|view)\b", sql_text):
+            showcreate.record_create(self, sql_text)
+        dv = re.match(r"(?is)^\s*drop\s+(?:table|view)\s+"
+                      r"(?:if\s+exists\s+)?`?([\w.]+)`?", sql_text)
+        if dv:
+            showcreate.forget(self, dv.group(1))
         # namespace shim: engine-owned db references become physical
         # (mangled) names; db-scoped DDL returns its summary rows here
         sql_text = self.ns.resolve(sql_text)
@@ -699,6 +729,8 @@ class Engine:
                 if m2 is None:
                     raise ValueError("keep native count")
                 inner = m2.group(1).strip()
+                if not self.exact_ndv:
+                    return f"approx_count_distinct({inner}, 0.023)"
                 return (f"impala_hll_est(collect_set("
                         f"hll_slot_typed({inner}, typeof({inner}))))")
             translated = dialect.rewrite_macro_calls(
@@ -816,6 +848,39 @@ class Engine:
                   "`Max Size` bigint, `Avg Size` double, "
                   "`#Trues` bigint, `#Falses` bigint")
 
+    def _stats_agg_df(self, tbl: str, wanted: list, types: dict):
+        """The one-scan COMPUTE STATS aggregate (unexecuted).
+
+        NDV expression per EXACT_NDV (DIALECT.md): default = Spark's
+        JVM HLL++ (`approx_count_distinct`) so the whole stats scan
+        stays inside whole-stage codegen — zero Python in the plan at
+        any scale; EXACT_NDV=1 = the reference's precision-10 HLL
+        (functions/hll.py, pandas-UDF hash per value) for the
+        pinned-output parity surface (distinct-estimate /
+        compute-stats .test files). CBO only needs the estimate's
+        scale, so the JVM path is the 100 TB default."""
+        from pyspark.sql import functions as F
+
+        ndv_expr = (
+            (lambda c: f"impala_hll_est(collect_set("
+                       f"hll_slot_typed(`{c}`, typeof(`{c}`))))")
+            if self.exact_ndv else
+            (lambda c: f"approx_count_distinct(`{c}`, 0.023)"))
+        aggs = [F.count(F.lit(1)).alias("__nrows__")]
+        for c in wanted:
+            aggs += [F.expr(ndv_expr(c)).alias(f"ndv_{c}"),
+                     F.count(F.when(F.col(c).isNull(), 1))
+                     .alias(f"nul_{c}")]
+            if types.get(c) == "boolean":
+                aggs += [F.count(F.when(F.col(c), 1))
+                         .alias(f"tru_{c}"),
+                         F.count(F.when(~F.col(c), 1))
+                         .alias(f"fls_{c}")]
+            elif types.get(c) == "string":
+                aggs += [F.max(F.length(c)).alias(f"max_{c}"),
+                         F.avg(F.length(c)).alias(f"avg_{c}")]
+        return self.spark.table(tbl).agg(*aggs)
+
     def _compute_stats(self, m: re.Match) -> DataFrame:
         """COMPUTE STATS veneer: runs Spark's ANALYZE (footer counts +
         per-column min/max/ndv/null stats into the catalog — what the
@@ -857,66 +922,49 @@ class Engine:
         except Exception:  # noqa: BLE001
             pass          # temp-view fixtures: stats are advisory
         # SHOW COLUMN STATS values: one scan with per-column
-        # aggregates (that IS compute stats' cost model). NDV is the
-        # reference-exact HLL (functions/hll.py). A partition-scoped
-        # incremental compute does NOT refresh table-level column
-        # stats (the reference fills those only on full computes).
+        # aggregates (that IS compute stats' cost model); the NDV
+        # expression follows EXACT_NDV — see _stats_agg_df. A
+        # partition-scoped incremental compute does NOT refresh
+        # table-level column stats (the reference fills those only on
+        # full computes).
         try:
             if (m.group("part") or "").strip():
                 raise StopIteration  # skip the column-stats fill
-            from pyspark.sql import functions as F
-
             types = {f.name: f.dataType.simpleString()
                      for f in self.spark.table(tbl).schema.fields}
-            aggs = [F.count(F.lit(1)).alias("__nrows__")]
+            row = self._stats_agg_df(tbl, wanted, types) \
+                .collect()[0]
+            skey = self._stats_key(tbl)
+            nrows = row["__nrows__"]
             for c in wanted:
-                aggs += [F.expr(
-                    f"impala_hll_est(collect_set("
-                    f"hll_slot_typed(`{c}`, typeof(`{c}`))))")
-                    .alias(f"ndv_{c}"),
-                    F.count(F.when(F.col(c).isNull(), 1))
-                    .alias(f"nul_{c}")]
+                st = self.col_stats.setdefault(
+                    (skey, c.lower()), {})
+                # the reference caps the HLL estimate at the row
+                # count (ColumnStats); boolean NDV is the type's
+                # domain size regardless of data
+                st["ndv"] = min(row[f"ndv_{c}"], nrows)
+                st["nulls"] = row[f"nul_{c}"]
                 if types.get(c) == "boolean":
-                    aggs += [F.count(F.when(F.col(c), 1))
-                             .alias(f"tru_{c}"),
-                             F.count(F.when(~F.col(c), 1))
-                             .alias(f"fls_{c}")]
+                    st["ndv"] = 2
+                    st["trues"] = row[f"tru_{c}"]
+                    st["falses"] = row[f"fls_{c}"]
                 elif types.get(c) == "string":
-                    aggs += [F.max(F.length(c)).alias(f"max_{c}"),
-                             F.avg(F.length(c)).alias(f"avg_{c}")]
-            if aggs:
-                row = self.spark.table(tbl).agg(*aggs).collect()[0]
-                skey = self._stats_key(tbl)
-                nrows = row["__nrows__"]
-                for c in wanted:
-                    st = self.col_stats.setdefault(
-                        (skey, c.lower()), {})
-                    # the reference caps the HLL estimate at the row
-                    # count (ColumnStats); boolean NDV is the type's
-                    # domain size regardless of data
-                    st["ndv"] = min(row[f"ndv_{c}"], nrows)
-                    st["nulls"] = row[f"nul_{c}"]
-                    if types.get(c) == "boolean":
-                        st["ndv"] = 2
-                        st["trues"] = row[f"tru_{c}"]
-                        st["falses"] = row[f"fls_{c}"]
-                    elif types.get(c) == "string":
-                        if nrows == 0:
-                            # an empty computed table reports sizes 0
-                            st["max"], st["avg"] = 0, 0.0
-                        else:
-                            st["max"] = row[f"max_{c}"] or -1
-                            # the reference stores avg size as FLOAT
-                            import struct as _st
+                    if nrows == 0:
+                        # an empty computed table reports sizes 0
+                        st["max"], st["avg"] = 0, 0.0
+                    else:
+                        st["max"] = row[f"max_{c}"] or -1
+                        # the reference stores avg size as FLOAT
+                        import struct as _st
 
-                            avg = row[f"avg_{c}"]
-                            st["avg"] = -1 if avg is None else \
-                                _st.unpack("f", _st.pack(
-                                    "f", float(avg)))[0]
-                self.stats_computed = getattr(
-                    self, "stats_computed", set())
-                self.stats_computed.add(skey)
-                self.table_numrows[skey] = nrows
+                        avg = row[f"avg_{c}"]
+                        st["avg"] = -1 if avg is None else \
+                            _st.unpack("f", _st.pack(
+                                "f", float(avg)))[0]
+            self.stats_computed = getattr(
+                self, "stats_computed", set())
+            self.stats_computed.add(skey)
+            self.table_numrows[skey] = nrows
         except Exception:  # noqa: BLE001
             pass
         n_parts = 1

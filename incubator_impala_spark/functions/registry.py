@@ -515,6 +515,21 @@ MACROS = {
     "mask_hash": lambda a: f"lower(sha2({a[0]}, 256))",
 }
 
+# Scale-mode macro table (engine default, SET EXACT_NDV=0): ndv() runs
+# on Spark's JVM HLL++ (approx_count_distinct, whole-stage codegen,
+# zero Python in the plan) instead of the reference-exact pandas-UDF
+# HLL above. The exact table is what the querytest parity harness and
+# distinct-estimate-sensitive paths enable via SET EXACT_NDV=1 — the
+# estimate differs slightly between the two HLLs, never the scale of
+# the answer. rsd 0.023 ≈ the precision-10 HLL's own error bound
+# (1.04/sqrt(1024)), so plans costed from either agree.
+MACROS_SCALE = dict(
+    MACROS,
+    ndv=lambda a: (f"approx_count_distinct({a[0]}, 0.023)"
+                   if len(a) == 1
+                   else f"approx_count_distinct({a[0]}, 0.02)"),
+)
+
 # ---------------------------------------------------------------------------
 # SET <option>=<value>: the reference exposes 118 query options
 # (be/src/service/query-options.h). The handful with Spark-conf

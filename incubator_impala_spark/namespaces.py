@@ -439,7 +439,16 @@ class Namespaces:
             return spark.createDataFrame(
                 [("View already exists.",)], "summary string")
         body = m.group("body").strip().rstrip(";")
-        df = spark.sql(engine.translate(body))
+        # functional fixture qualifiers resolve to the flat views
+        # (same convention as the engine's DESCRIBE path); ns.resolve
+        # already rewrote registered-db qualifiers, so any surviving
+        # functional.* spelling is a fixture reference
+        exec_body = body
+        if "functional" not in self.dbs:
+            exec_body = dialect._shadow_sub(
+                re.compile(r"\bfunctional(_\w+)?\.", re.IGNORECASE),
+                "", body)
+        df = spark.sql(engine.translate(exec_body))
         # explicit column list: rename positionally, carry COMMENTs;
         # otherwise strip inherited metadata (a view does not inherit
         # base-column comments — CreateOrAlterViewStmtBase.java)

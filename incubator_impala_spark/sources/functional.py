@@ -43,6 +43,25 @@ FUNCTIONAL_TABLES = [
 
 # The schema template's views (functional_schema_template.sql, CREATE
 # sections), verbatim modulo the {db_name} qualifier.
+# The reference catalog's STORED view text for the template's SQL
+# views (functional_schema_template.sql CREATE VIEW blocks after
+# Impala's CreateViewStmt column-alias expansion — what its HMS holds
+# and SHOW CREATE VIEW prints). Fixture metadata for the SHOW CREATE
+# surface (showcreate.py); the executable adaptations live in
+# FUNCTIONAL_VIEWS below.
+IMPALA_VIEW_TEXTS = {
+    "alltypes_view": "SELECT * FROM functional.alltypes",
+    "view_view": "SELECT * FROM functional.alltypes_view",
+    "complex_view":
+        "SELECT complex_view.`_c0` abc, complex_view.string_col xyz "
+        "FROM (SELECT count(a.bigint_col), b.string_col "
+        "FROM functional.alltypesagg a "
+        "INNER JOIN functional.alltypestiny b ON a.id = b.id "
+        "WHERE a.bigint_col < 50 GROUP BY b.string_col "
+        "HAVING count(a.bigint_col) > 1 "
+        "ORDER BY b.string_col ASC LIMIT 100) complex_view",
+}
+
 FUNCTIONAL_VIEWS = {
     "alltypes_view": "SELECT * FROM alltypes",
     "alltypes_hive_view": "SELECT * FROM alltypes",

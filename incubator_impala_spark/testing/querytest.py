@@ -562,6 +562,12 @@ def run_blocks(engine, blocks: list[Block], *,
         engine.explain_level = 1
         engine.parquet_array_res = "two_level_then_three_level"
         engine.appx_count_distinct = False
+        # the parity harness runs with the reference-exact HLL so
+        # pinned NDV outputs (distinct-estimate, compute-stats,
+        # SHOW COLUMN STATS) match verbatim; the engine default is
+        # the JVM approx_count_distinct scale path (DIALECT.md
+        # EXACT_NDV)
+        engine.exact_ndv = True
         # array_overlays are installed by the per-file SETUP hook
         # (which runs BEFORE run_blocks), so they are not cleared
         # here; each hook replaces its own entries
@@ -849,6 +855,95 @@ def _query_vars(text: str) -> bool:
     return _VAR.search(stripped) is not None
 
 
+# engine attrs behind each SET-able option (engine.set_option) — what
+# the per-block restore must put back
+_OPT_ATTRS = {
+    "timezone": ["tz"],
+    "use_local_tz_for_unix_timestamp_conversions": ["use_local_tz"],
+    "now_string": ["now"],
+    "parquet_timestamp_type": ["parquet_ts_type"],
+    "appx_count_distinct": ["appx_count_distinct"],
+    "alter_schema_in_place": ["alter_in_place"],
+    "parquet_fallback_schema_resolution": ["parquet_resolution"],
+    "parquet_array_resolution": ["parquet_array_res"],
+    "explain_level": ["explain_level"],
+    "exact_ndv": ["exact_ndv"],
+}
+
+_SET_NAME = re.compile(r"(?i)^\s*set\s+([A-Za-z_][\w.]*)\s*=")
+
+
+def _option_snapshot(engine, names: list) -> dict | None:
+    """Pre-block state of every option the block is about to SET.
+
+    The reference harness restores explicitly-SET query options after
+    EACH query block (tests/common/impala_test_suite.py
+    __exec_in_impala / __restore_query_options) — a SET persists only
+    across the semicolon-separated statements of its own block. This
+    snapshot captures the engine attrs, Spark confs, and SET-ALL
+    display values those names touch so `_option_restore` can undo
+    them. Pre-block state == file defaults + presets (earlier blocks
+    were themselves restored), so restoring the snapshot is the
+    reference's restore-to-defaults."""
+    if not names:
+        return None
+    from incubator_impala_spark.functions.registry import (
+        QUERY_OPTION_MAP,
+    )
+
+    snap: dict = {"attrs": {}, "confs": {}, "display": {}, "tz": None}
+    for raw in names:
+        n = raw.lower()
+        snap["display"].setdefault(
+            n.upper(),
+            getattr(engine, "option_display", {}).get(n.upper()))
+        if n == "timezone":
+            # restored via set_option: changing tz re-registers the
+            # tz-converted scanner views (a side effect raw attr
+            # assignment would miss)
+            snap["tz"] = getattr(engine, "tz", "UTC")
+            continue
+        for a in _OPT_ATTRS.get(n, []):
+            if hasattr(engine, a):
+                snap["attrs"].setdefault(a, getattr(engine, a))
+        conf = None
+        if n in QUERY_OPTION_MAP:
+            mapped = QUERY_OPTION_MAP[n]("1")
+            conf = mapped[0] if mapped else None
+        elif raw.startswith("spark."):
+            conf = raw
+        if conf and conf not in snap["confs"]:
+            snap["confs"][conf] = engine.spark.conf.get(conf, None)
+    return snap
+
+
+def _option_restore(engine, snap: dict | None) -> None:
+    if not snap:
+        return
+    for a, v in snap["attrs"].items():
+        setattr(engine, a, v)
+    for conf, v in snap["confs"].items():
+        try:
+            if v is None:
+                engine.spark.conf.unset(conf)
+            else:
+                engine.spark.conf.set(conf, v)
+        except Exception:  # noqa: BLE001 - non-runtime-settable conf
+            pass
+    if snap["tz"] is not None and hasattr(engine, "set_option"):
+        try:
+            engine.set_option("timezone", snap["tz"])
+        except Exception:  # noqa: BLE001
+            engine.tz = snap["tz"]
+    od = getattr(engine, "option_display", None)
+    if od is not None:
+        for k, v in snap["display"].items():
+            if v is None:
+                od.pop(k, None)
+            else:
+                od[k] = v
+
+
 def _run_one(engine, b: Block, rewrite, table_rewrites) -> BlockResult:
     if b.has_catch:
         return BlockResult(b.index, "skip", "catch-block")
@@ -865,6 +960,9 @@ def _run_one(engine, b: Block, rewrite, table_rewrites) -> BlockResult:
                      for x in _split_statements(b.query)]
             if all(_RUNNABLE.match(s) or s.lower().startswith("set ")
                    for s in stmts):
+                snap = _option_snapshot(
+                    engine, [m.group(1) for s in stmts
+                             if (m := _SET_NAME.match(s))])
                 try:
                     for s in stmts:
                         s = _rewrite_stmt(s, rewrite, table_rewrites)
@@ -877,6 +975,8 @@ def _run_one(engine, b: Block, rewrite, table_rewrites) -> BlockResult:
                     return BlockResult(
                         b.index, "error",
                         f"{type(exc).__name__}: {first}"[:300])
+                finally:
+                    _option_restore(engine, snap)
                 return BlockResult(b.index, "skip", "executed-no-verify")
         return BlockResult(b.index, "skip", "no-results-section")
     if _query_vars(_strip_location_all(b.query)):
@@ -920,6 +1020,9 @@ def _run_one(engine, b: Block, rewrite, table_rewrites) -> BlockResult:
         # that sf1 data; a collection path like
         # tpch_nested_customer.c_orders must not re-trip the skip)
         return BlockResult(b.index, "skip", "other-workload-db")
+    snap = _option_snapshot(
+        engine, [m.group(1) for s in sql_stmts
+                 if (m := _SET_NAME.match(s))])
     try:
         df = None
         for s in sql_stmts:
@@ -935,6 +1038,10 @@ def _run_one(engine, b: Block, rewrite, table_rewrites) -> BlockResult:
         first = next((ln for ln in str(exc).split("\n") if ln.strip()), "")
         msg = f"{type(exc).__name__}: {first}"[:300]
         return BlockResult(b.index, "error", msg)
+    finally:
+        # reference harness contract: a block's SETs do not leak into
+        # the next block (__restore_query_options per query block)
+        _option_restore(engine, snap)
 
     order_matters = (b.verifier == "VERIFY_IS_EQUAL"
                      or (_ORDER_BY.search(sql_stmts[-1]) is not None
