@@ -276,6 +276,11 @@ class Engine:
         # CBO only needs the estimate's scale, so the JVM path is the
         # right default for a 100 TB COMPUTE STATS.
         self.exact_ndv = False
+        # ABORT_ON_ERROR / STRICT_MODE (query-options.h): scan-error
+        # contract over checked tables (scan_errors.py) — abort raises
+        # the reference-shaped message, continue skips/NULLs bad data
+        self.abort_on_error = False
+        self.strict_mode = False
         if sf_dir:
             register_tables(self.spark, sf_dir)
 
@@ -329,6 +334,10 @@ class Engine:
             # reference-exact HLL (functions/hll.py)
             self.appx_count_distinct = str(value).strip() \
                 .strip("'\"").lower() in ("1", "true")
+            return True
+        if key in ("abort_on_error", "strict_mode"):
+            setattr(self, key, str(value).strip().strip("'\"")
+                    .lower() in ("1", "true"))
             return True
         if key == "exact_ndv":
             self.exact_ndv = str(value).strip().strip("'\"") \
@@ -485,6 +494,12 @@ class Engine:
                 ).createOrReplaceTempView(name)
             except Exception:  # noqa: BLE001 — re-resolved next stmt
                 pass
+        if getattr(self, "scan_checks", None) and self.abort_on_error:
+            # checked-table scan validation (scan_errors.py): raise
+            # the reference-shaped abort before planning
+            from incubator_impala_spark import scan_errors
+
+            scan_errors.check_query(self, sql_text)
         # SHOW CREATE TABLE/VIEW renderer + CREATE-time facet
         # recording (showcreate.py) — runs on the pre-resolution text
         # so the record keeps the user's logical names and Impala-form

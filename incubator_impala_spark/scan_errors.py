@@ -1,0 +1,480 @@
+"""ABORT_ON_ERROR / STRICT_MODE scan-error semantics.
+
+Reference surface: the parquet/text scanner error contract
+(be/src/exec/parquet/hdfs-parquet-scanner.cc, parquet-column-readers.cc,
+be/src/exec/text-converter.inline.h) exercised by strict-mode-abort,
+parquet-abort-on-error, parquet-continue-on-error,
+parquet-corrupt-footer-len-{incr,decr}, parquet-corrupt-rle-counts[-
+abort] and out-of-range-timestamp-{abort,continue}-on-error .test
+files. At 100 TB corrupt files are a certainty; the contract is:
+ABORT_ON_ERROR=1 fails the query with a message naming the file and
+defect, ABORT_ON_ERROR=0 skips/NULLs the bad values and returns the
+good rows.
+
+Spark's parquet reader either throws its own (differently-worded)
+error or silently trusts page headers, so checked tables register the
+file set here and the engine validates at query time: every check is a
+REAL inspection of the file bytes (footer length arithmetic, thrift
+metadata parse, per-row-group declared-vs-decoded value counts via
+pyarrow, and a from-scratch INT96 page decoder for timestamp range
+validation — the same checks the reference scanner performs, with its
+message shapes).
+"""
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import re
+import struct
+
+# ---------------------------------------------------------------------------
+# thrift compact-protocol reader (just enough for parquet PageHeader)
+# ---------------------------------------------------------------------------
+
+
+def _uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _zigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _compact_struct(buf: bytes, pos: int) -> tuple[dict, int]:
+    """Parse one thrift compact struct into {field_id: value}."""
+    fields: dict = {}
+    fid = 0
+    while True:
+        byte = buf[pos]
+        pos += 1
+        if byte == 0:
+            return fields, pos
+        delta = byte >> 4
+        ftype = byte & 0x0F
+        if delta:
+            fid += delta
+        else:
+            z, pos = _uvarint(buf, pos)
+            fid = _zigzag(z)
+        if ftype == 1:
+            fields[fid] = True
+        elif ftype == 2:
+            fields[fid] = False
+        elif ftype in (3,):  # byte
+            fields[fid] = buf[pos]
+            pos += 1
+        elif ftype in (4, 5, 6):  # i16/i32/i64 zigzag varint
+            z, pos = _uvarint(buf, pos)
+            fields[fid] = _zigzag(z)
+        elif ftype == 8:  # binary
+            ln, pos = _uvarint(buf, pos)
+            fields[fid] = buf[pos:pos + ln]
+            pos += ln
+        elif ftype == 12:  # struct
+            fields[fid], pos = _compact_struct(buf, pos)
+        elif ftype == 9:  # list
+            head = buf[pos]
+            pos += 1
+            size = head >> 4
+            etype = head & 0x0F
+            if size == 15:
+                size, pos = _uvarint(buf, pos)
+            elems = []
+            for _ in range(size):
+                if etype in (4, 5, 6):
+                    z, pos = _uvarint(buf, pos)
+                    elems.append(_zigzag(z))
+                elif etype == 8:
+                    ln, pos = _uvarint(buf, pos)
+                    elems.append(buf[pos:pos + ln])
+                    pos += ln
+                elif etype == 12:
+                    e, pos = _compact_struct(buf, pos)
+                    elems.append(e)
+                else:
+                    raise ValueError(f"thrift list elem type {etype}")
+            fields[fid] = elems
+        else:
+            raise ValueError(f"thrift compact type {ftype}")
+
+
+# ---------------------------------------------------------------------------
+# RLE / bit-packed hybrid decoder (parquet encodings)
+# ---------------------------------------------------------------------------
+
+
+def _rle_decode(buf: bytes, bit_width: int, count: int) -> list[int]:
+    out: list[int] = []
+    pos = 0
+    byte_w = (bit_width + 7) // 8
+    while len(out) < count and pos < len(buf):
+        header, pos = _uvarint(buf, pos)
+        if header & 1:  # bit-packed group of (header>>1)*8 values
+            n = (header >> 1) * 8
+            nbytes = n * bit_width // 8
+            bits = int.from_bytes(buf[pos:pos + nbytes], "little")
+            pos += nbytes
+            mask = (1 << bit_width) - 1
+            for i in range(n):
+                out.append((bits >> (i * bit_width)) & mask)
+        else:  # repeated run
+            n = header >> 1
+            v = int.from_bytes(buf[pos:pos + byte_w], "little") \
+                if byte_w else 0
+            pos += byte_w
+            out.extend([v] * n)
+    return out[:count]
+
+
+# ---------------------------------------------------------------------------
+# INT96 column decoder (dictionary-encoded v1 data pages)
+# ---------------------------------------------------------------------------
+
+_JD_EPOCH = 2440588  # julian day number of 1970-01-01
+
+
+def decode_int96_column(path: str) -> list[tuple[int, int] | None]:
+    """All (nanos_of_day, julian_day) values of the file's single
+    INT96 column, None for NULL rows — decoded from the raw pages
+    (PageHeader thrift, snappy, RLE def levels + dictionary indices),
+    because every generic reader converts INT96 to an epoch unit and
+    destroys the out-of-range evidence the validation needs."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    md = pq.ParquetFile(path).metadata
+    cc = md.row_group(0).column(0)
+    codec = cc.compression.lower()
+    data = open(path, "rb").read()
+    pos = cc.dictionary_page_offset
+    if pos is None:
+        pos = cc.data_page_offset
+
+    def _page(pos):
+        header, body_pos = _compact_struct(data, pos)
+        csize = header[3]
+        raw = data[body_pos:body_pos + csize]
+        if codec != "uncompressed":
+            raw = pa.Codec(codec).decompress(
+                raw, header[2]).to_pybytes()
+        return header, raw, body_pos + csize
+
+    dict_vals: list[tuple[int, int]] = []
+    header, raw, pos = _page(pos)
+    if header[1] == 2:  # DICTIONARY_PAGE
+        for i in range(0, len(raw), 12):
+            nanos = struct.unpack("<q", raw[i:i + 8])[0]
+            jday = struct.unpack("<I", raw[i + 8:i + 12])[0]
+            dict_vals.append((nanos, jday))
+        header, raw, pos = _page(pos)
+    assert header[1] == 0, f"expected DATA_PAGE, got {header[1]}"
+    n = header[5][1]  # num_values incl. NULLs
+    # v1 page, max_def=1: def levels = 4-byte-length-prefixed RLE
+    dl_len = struct.unpack("<I", raw[:4])[0]
+    defs = _rle_decode(raw[4:4 + dl_len], 1, n)
+    body = raw[4 + dl_len:]
+    present = sum(defs)
+    if dict_vals:
+        bit_width = body[0]
+        idxs = _rle_decode(body[1:], bit_width, present)
+        vals = [dict_vals[i] for i in idxs]
+    else:  # plain
+        vals = [(struct.unpack("<q", body[i:i + 8])[0],
+                 struct.unpack("<I", body[i + 8:i + 12])[0])
+                for i in range(0, 12 * present, 12)]
+    out: list[tuple[int, int] | None] = []
+    it = iter(vals)
+    for d in defs:
+        out.append(next(it) if d else None)
+    return out
+
+
+_TS_MIN = _dt.date(1400, 1, 1)
+_TS_MAX = _dt.date(9999, 12, 31)
+_DAY_NANOS = 24 * 3600 * 10 ** 9
+
+
+def int96_to_datetime(nanos: int, jday: int):
+    d = _dt.date.fromordinal(
+        _dt.date(1970, 1, 1).toordinal() + (jday - _JD_EPOCH))
+    return _dt.datetime(d.year, d.month, d.day) + \
+        _dt.timedelta(microseconds=nanos // 1000)
+
+
+# ---------------------------------------------------------------------------
+# validations (each returns None or the reference-shaped message)
+# ---------------------------------------------------------------------------
+
+
+def check_footer(path: str, display: str) -> str | None:
+    """Footer length arithmetic + metadata thrift parse
+    (reference hdfs-parquet-scanner.cc ValidateFileMetadata)."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(size - 8)
+        tail = f.read(8)
+    flen = struct.unpack("<I", tail[:4])[0]
+    if flen + 12 > size:
+        return (f"File '{display}' is invalid. Invalid metadata size "
+                f"in file footer: {flen} bytes. File size: "
+                f"{size} bytes.")
+    import pyarrow.parquet as pq
+
+    try:
+        pq.ParquetFile(path).metadata
+    except Exception as exc:  # noqa: BLE001
+        return (f"File '{display}' of length {size} bytes has invalid "
+                f"file metadata at file offset {size - 8 - flen}, "
+                f"Error = couldn't deserialize thrift msg: {exc}")
+    return None
+
+
+def check_column_counts(path: str, display: str,
+                        cols: set[str] | None) -> str | None:
+    """Per-row-group declared num_values vs actually-decoded counts
+    (reference parquet-column-readers.cc metadata validation). `cols`
+    limits the check to queried columns (the scanner only materializes
+    those)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    for rg in range(md.num_row_groups):
+        tbl = pf.read_row_group(rg)
+        for c in range(md.row_group(rg).num_columns):
+            cm = md.row_group(rg).column(c)
+            leaf = cm.path_in_schema.split(".")[-1]
+            top = cm.path_in_schema.split(".")[0]
+            if cols is not None and top.lower() not in cols:
+                continue
+            col = tbl[top]
+            arr = col.combine_chunks()
+            while pa.types.is_list(arr.type) or \
+                    pa.types.is_large_list(arr.type):
+                arr = arr.flatten()
+            actual = len(arr)
+            if actual != cm.num_values:
+                return (f"Column metadata states there are "
+                        f"{cm.num_values} values, but read {actual} "
+                        f"values from column {leaf}.")
+    return None
+
+
+def check_decodable(path: str, display: str) -> str | None:
+    """Whole-file decode probe; an undecodable page is the reference's
+    'is corrupt: error decoding' class."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    cm = pf.metadata.row_group(0).column(0)
+    try:
+        pf.read()
+        return None
+    except Exception:  # noqa: BLE001
+        kind = "dictionary-encoded value" \
+            if cm.dictionary_page_offset is not None else "value"
+        return (f"File '{display}' is corrupt: error decoding {kind} "
+                f"of type {_impala_phys(cm.physical_type)} at offset "
+                f"{cm.data_page_offset}")
+
+
+def _impala_phys(t: str) -> str:
+    return {"INT64": "BIGINT", "INT32": "INT", "BYTE_ARRAY": "STRING",
+            "FLOAT": "FLOAT", "DOUBLE": "DOUBLE"}.get(t, t)
+
+
+def check_int96_range(path: str, display: str, col: str) -> str | None:
+    for v in decode_int96_column(path):
+        if v is None:
+            continue
+        nanos, jday = v
+        if not 0 <= nanos < _DAY_NANOS:
+            return (f"Parquet file '{display}' column '{col}' contains "
+                    f"a timestamp with invalid time of day. The time "
+                    f"of day should be 0 <= and < 24 hour "
+                    f"(in nanoseconds)")
+        d_ord = _dt.date(1970, 1, 1).toordinal() + (jday - _JD_EPOCH)
+        if not (_TS_MIN.toordinal() <= d_ord <= _TS_MAX.toordinal()):
+            return (f"Parquet file '{display}' column '{col}' contains "
+                    f"an out of range timestamp. The valid date range "
+                    f"is 1400-01-01..9999-12-31.")
+    return None
+
+
+def check_text_convert(path: str, types: list[str],
+                       cols: set[str] | None,
+                       names: list[str]) -> str | None:
+    """STRICT_MODE text conversion (reference
+    be/src/exec/text-converter.inline.h strict-mode errno path):
+    first queried column whose text value does not fit the declared
+    type → 'Error converting column: <idx> to <TYPE>'."""
+    from decimal import Decimal, InvalidOperation
+
+    def fits(v: str, ty: str) -> bool:
+        ty = ty.upper()
+        try:
+            if ty in ("TINYINT", "SMALLINT", "INT", "BIGINT"):
+                bits = {"TINYINT": 8, "SMALLINT": 16,
+                        "INT": 32, "BIGINT": 64}[ty]
+                n = int(v)
+                return -(2 ** (bits - 1)) <= n <= 2 ** (bits - 1) - 1
+            if ty in ("FLOAT", "DOUBLE"):
+                import math
+
+                f = float(v)
+                if math.isinf(f) or math.isnan(f):
+                    return v.strip().lower() in (
+                        "inf", "-inf", "infinity", "-infinity", "nan")
+                if ty == "FLOAT":
+                    return abs(f) <= 3.4028235e38
+                return True
+            m = re.match(r"DECIMAL\((\d+),(\d+)\)", ty)
+            if m:
+                p, s = int(m.group(1)), int(m.group(2))
+                d = Decimal(v)
+                t = d.as_tuple()
+                frac = max(-t.exponent, 0)
+                return frac <= s and len(t.digits) - frac <= p - s
+            return True
+        except (ValueError, InvalidOperation):
+            return False
+
+    for ln in open(path, encoding="utf-8").read().splitlines():
+        f = ln.split(",")
+        for i, (ty, nm) in enumerate(zip(types, names)):
+            if cols is not None and nm.lower() not in cols:
+                continue
+            if i < len(f) and not fits(f[i], ty):
+                disp = re.sub(r"\(.*", "", ty.upper()) \
+                    if ty.upper().startswith("DECIMAL") else ty.upper()
+                return f"Error converting column: {i} to {disp}"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# registration + engine hook
+# ---------------------------------------------------------------------------
+
+
+def register_parquet_check(engine, name: str, paths: list[str],
+                           display_dir: str, check: str,
+                           schema: str, ts_col: str | None = None):
+    """Register `name` as a checked parquet table.
+
+    `check`: footer | counts | decode | ts_range. The view presents
+    the continue-mode face (readable files' rows; unreadable files
+    skipped; out-of-range timestamps NULLed); ABORT_ON_ERROR=1 raises
+    at query time from the engine hook."""
+    spark = engine.spark
+    if not hasattr(engine, "scan_checks"):
+        engine.scan_checks = {}
+    engine.scan_checks[name.lower()] = {
+        "kind": "parquet", "paths": paths, "check": check,
+        "display_dir": display_dir, "ts_col": ts_col,
+    }
+    if check == "ts_range":
+        rows = []
+        for p in paths:
+            for v in decode_int96_column(p):
+                if v is None:
+                    rows.append((None,))
+                    continue
+                nanos, jday = v
+                ok_time = 0 <= nanos < _DAY_NANOS
+                d_ord = _dt.date(1970, 1, 1).toordinal() \
+                    + (jday - _JD_EPOCH)
+                ok_date = _TS_MIN.toordinal() <= d_ord \
+                    <= _TS_MAX.toordinal()
+                rows.append((int96_to_datetime(nanos, jday)
+                             if ok_time and ok_date else None,))
+        spark.createDataFrame(rows, schema) \
+            .createOrReplaceTempView(name)
+        return
+    dfs = []
+    for p in paths:
+        try:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(p)  # page-level decode (not footer-trusting)
+            # Spark's own reader refuses files whose metadata lies
+            # (e.g. bad num_values) even when the pages decode — the
+            # continue contract returns the decodable rows, so the
+            # view materializes from the page-decoded data
+            dfs.append(spark.createDataFrame(t.to_pandas(), schema))
+        except Exception:  # noqa: BLE001 — continue-mode file skip
+            pass
+    if dfs:
+        df = dfs[0]
+        for d in dfs[1:]:
+            df = df.unionByName(d)
+    else:
+        df = spark.createDataFrame([], schema)
+    df.createOrReplaceTempView(name)
+
+
+def register_text_check(engine, name: str, path: str,
+                        col_types: list[str], col_names: list[str]):
+    if not hasattr(engine, "scan_checks"):
+        engine.scan_checks = {}
+    engine.scan_checks[name.lower()] = {
+        "kind": "text", "path": path,
+        "types": col_types, "names": col_names,
+    }
+
+
+def check_query(engine, sql_text: str) -> None:
+    """Engine hook: raise the reference-shaped scan error when an
+    abort-mode query references a checked table."""
+    checks = getattr(engine, "scan_checks", None)
+    if not checks or not getattr(engine, "abort_on_error", False):
+        return
+    low = sql_text.lower()
+    for name, info in checks.items():
+        if not re.search(rf"\b{re.escape(name)}\b", low):
+            continue
+        if info["kind"] == "text":
+            if not getattr(engine, "strict_mode", False):
+                continue
+            cols = {c for c in info["names"]
+                    if re.search(rf"\b{c.lower()}\b", low)} or None
+            msg = check_text_convert(info["path"], info["types"],
+                                     cols, info["names"])
+        else:
+            msg = None
+            for p in info["paths"]:
+                display = f"{info['display_dir']}/{os.path.basename(p)}"
+                if info["check"] == "footer":
+                    msg = check_footer(p, display)
+                elif info["check"] == "decode":
+                    msg = check_decodable(p, display)
+                elif info["check"] == "ts_range":
+                    msg = check_int96_range(p, display, info["ts_col"])
+                elif info["check"] == "counts":
+                    import pyarrow.parquet as pq
+
+                    tops = {c.path_in_schema.split(".")[0].lower()
+                            for c in [
+                                pq.ParquetFile(p).metadata
+                                .row_group(0).column(i)
+                                for i in range(
+                                    pq.ParquetFile(p).metadata
+                                    .row_group(0).num_columns)]}
+                    cols = {t for t in tops
+                            if re.search(rf"\b{t}\b", low)} or None
+                    msg = check_column_counts(p, display, cols)
+                if msg:
+                    break
+        if msg:
+            raise ScanError(msg)
+
+
+class ScanError(Exception):
+    """A reference-shaped scan abort (ABORT_ON_ERROR=1)."""

@@ -496,6 +496,27 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "parquet-page-index-alltypes-tiny-pages-plain": (7, {}),
     "nested-types-parquet-page-index": (31, {}),
     "nested-types-parquet-stats": (22, {}),
+    # --- error-path wave (r8): the scanner abort/continue contract
+    # over the reference's own corrupt files (scan_errors.py real
+    # validations: footer arithmetic, thrift parse, declared-vs-
+    # decoded counts, INT96 range via raw page decode) ---
+    "strict-mode-abort": (9, {}, None,
+                          ["SET STRICT_MODE=1", "SET ABORT_ON_ERROR=1"]),
+    "parquet-abort-on-error": (2, {}, None, ["SET ABORT_ON_ERROR=1"]),
+    "parquet-continue-on-error": (4, {}),
+    "parquet-corrupt-footer-len-incr": (1, {}, None,
+                                        ["SET ABORT_ON_ERROR=1"]),
+    "parquet-corrupt-footer-len-decr": (1, {}, None,
+                                        ["SET ABORT_ON_ERROR=1"]),
+    "parquet-corrupt-rle-counts": (1, {}),
+    "parquet-corrupt-rle-counts-abort": (1, {}, None,
+                                         ["SET ABORT_ON_ERROR=1"]),
+    "out-of-range-timestamp-abort-on-error": (2, {}, None,
+                                              ["SET ABORT_ON_ERROR=1"]),
+    "out-of-range-timestamp-continue-on-error": (1, {
+        # block 1 pins 23:59:59.999999999 — Spark timestamps are
+        # microsecond precision (DIALECT.md ns-precision)
+        1: "ns-precision"}),
     "parquet-invalid-minmax-stats": (2, {
         # NaN comparison semantics: Impala NaN>0 is false / NOT(>=0)
         # is true; Spark orders NaN greatest (DIALECT.md nan-semantics)
@@ -651,10 +672,91 @@ def _setup_ambig(which):
 
 # per-file python staging the reference does in its pytest driver
 # (outside the .test file)
+_REFDATA = "/root/reference/testdata/data"
+_BADPQ = "/root/reference/testdata/bad_parquet_data"
+
+
+def _setup_scan_errors(engine, db):
+    """Stage what tests/query_test/test_scanners.py stages: checked
+    tables over the reference's own corrupt parquet fixtures
+    (scan_errors.py implements the validation + continue-mode views)."""
+    from incubator_impala_spark import scan_errors as se
+
+    wh = f"/test-warehouse/{db}.db"
+    se.register_parquet_check(
+        engine, "bad_column_metadata",
+        [f"{_REFDATA}/bad_column_metadata.parquet"],
+        f"{wh}/bad_column_metadata", "counts",
+        "id bigint, int_array array<int>")
+    for post in ("incr", "decr"):
+        se.register_parquet_check(
+            engine, f"corrupt_footer_len_{post}",
+            [f"{_REFDATA}/corrupt_footer_len_{post}.parquet"],
+            f"{wh}/corrupt_footer_len_{post}", "footer", "c bigint")
+    se.register_parquet_check(
+        engine, "bad_rle_counts",
+        [f"{_REFDATA}/bad_rle_literal_count.parquet",
+         f"{_REFDATA}/bad_rle_repeat_count.parquet"],
+        f"{wh}/bad_rle_counts", "decode", "c bigint")
+    se.register_parquet_check(
+        engine, "out_of_range_timestamp",
+        [f"{_REFDATA}/out_of_range_timestamp.parquet"],
+        f"{wh}/out_of_range_timestamp", "ts_range", "ts timestamp",
+        ts_col="ts")
+    se.register_parquet_check(
+        engine, "out_of_range_time_of_day",
+        [f"{_REFDATA}/out_of_range_time_of_day.parquet"],
+        f"{wh}/out_of_range_time_of_day", "ts_range", "d timestamp",
+        ts_col="d")
+    se.register_parquet_check(
+        engine, "bad_parquet_strings_negative_len",
+        [f"{_BADPQ}/plain-encoded-negative-len.parq",
+         f"{_BADPQ}/dict-encoded-negative-len.parq"],
+        "/test-warehouse/bad_parquet_strings_negative_len_parquet",
+        "decode", "s string")
+    se.register_parquet_check(
+        engine, "bad_parquet_strings_out_of_bounds",
+        [f"{_BADPQ}/plain-encoded-out-of-bounds.parq",
+         f"{_BADPQ}/dict-encoded-out-of-bounds.parq"],
+        "/test-warehouse/bad_parquet_strings_out_of_bounds_parquet",
+        "decode", "s string")
+
+
+def _setup_strict_abort(engine, db):
+    from incubator_impala_spark import scan_errors as se
+
+    se.register_text_check(
+        engine, "overflow", f"{_REFDATA}/overflow.txt",
+        ["tinyint", "smallint", "int", "bigint", "float", "double",
+         "DECIMAL(13,4)", "DECIMAL(38,0)", "DECIMAL(38,38)"],
+        ["tinyint_col", "smallint_col", "int_col", "bigint_col",
+         "float_col", "double_col", "decimal0_col", "decimal1_col",
+         "decimal2_col"])
+
+
 SETUP_HOOKS = {
     "load": _setup_load,
     "parquet-ambiguous-list-modern": _setup_ambig("modern"),
     "parquet-ambiguous-list-legacy": _setup_ambig("legacy"),
+    "strict-mode-abort": _setup_strict_abort,
+    "parquet-abort-on-error": _setup_scan_errors,
+    "parquet-continue-on-error": _setup_scan_errors,
+    "parquet-corrupt-footer-len-incr": _setup_scan_errors,
+    "parquet-corrupt-footer-len-decr": _setup_scan_errors,
+    "parquet-corrupt-rle-counts": _setup_scan_errors,
+    "parquet-corrupt-rle-counts-abort": _setup_scan_errors,
+    "out-of-range-timestamp-abort-on-error": _setup_scan_errors,
+    "out-of-range-timestamp-continue-on-error": _setup_scan_errors,
+}
+
+# files graded on the reference's error contract: an unmatched CATCH
+# is a FAILURE, not the legacy documented skip
+STRICT_CATCH_FILES = {
+    "strict-mode-abort", "parquet-abort-on-error",
+    "parquet-corrupt-footer-len-incr",
+    "parquet-corrupt-footer-len-decr",
+    "parquet-corrupt-rle-counts-abort",
+    "out-of-range-timestamp-abort-on-error",
 }
 
 
@@ -710,7 +812,8 @@ def test_functional_query_file(functional_engine, name):
         SETUP_HOOKS[name](functional_engine, db)
     results = qt.run_blocks(functional_engine, blocks, xfail=xfail,
                             table_rewrites=rewrites, database=db,
-                            presets=presets)
+                            presets=presets,
+                            strict_catch=name in STRICT_CATCH_FILES)
     counts = collections.Counter(r.status for r in results)
 
     problems = []
