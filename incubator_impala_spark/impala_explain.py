@@ -98,6 +98,7 @@ class _Node:
     keys: tuple | None = None  # (probe_keys, build_keys) for joins
     coltypes: dict = field(default_factory=dict)  # name -> simpleString
     details_l2: list = field(default_factory=list)  # level >= 2 only
+    tuple_ids: list = field(default_factory=list)  # level >= 2 ledger
 
 
 # -- py4j helpers -------------------------------------------------------------
@@ -531,6 +532,359 @@ def _runtime_filters(root: _Node, strip=lambda x: x) -> None:
     walk(root)
 
 
+# -- level >= 2 ledger: tuple ids, pipelines, per-node memory ---------------
+
+# fixture metadata: partition file formats of the reference's
+# mixed-format table (testdata load scripts put alltypes months 1-4 in
+# one partition per format) — surfaced by the level-3 'file formats:'
+# scan detail (explain-level3.test)
+_TABLE_FORMATS = {
+    "alltypesmixedformat": "[PARQUET, RC_FILE, SEQUENCE_FILE, TEXT]",
+}
+
+_EXT_FORMATS = {".parquet": "PARQUET", ".parq": "PARQUET",
+                ".orc": "ORC", ".avro": "AVRO",
+                ".txt": "TEXT", ".csv": "TEXT"}
+
+
+def _scan_formats(node: _Node) -> str:
+    flat = node.table.split(".")[-1].lower()
+    if flat in _TABLE_FORMATS:
+        return _TABLE_FORMATS[flat]
+    fmts = sorted({_EXT_FORMATS.get(os.path.splitext(f)[1].lower(),
+                                    "TEXT") for f in node.files}
+                  or {"TEXT"})
+    return "[" + ", ".join(fmts) + "]"
+
+
+def _assign_tuples(root: _Node) -> None:
+    """Impala tuple-descriptor ids: scans in plan-id order first (the
+    analyzer registers table refs before materializing tuples), then
+    each materializing op (agg/sort/analytic/union) bottom-up."""
+    nodes = []
+
+    def walk(n):
+        for c in n.children:
+            walk(c)
+        nodes.append(n)
+
+    walk(root)
+    nxt = [0]
+    for n in sorted((x for x in nodes if x.kind == "scan"),
+                    key=lambda x: x.id):
+        n.tuple_ids = [nxt[0]]
+        nxt[0] += 1
+    for n in nodes:  # bottom-up materializers
+        if n.kind in ("agg", "sort", "union", "analytic"):
+            n.tuple_ids = [nxt[0]]
+            nxt[0] += 1
+        elif n.kind == "join":
+            n.tuple_ids = [t for c in n.children for t in c.tuple_ids]
+        elif not n.tuple_ids and n.children:
+            n.tuple_ids = list(n.children[0].tuple_ids)
+
+
+def _driver(n: _Node) -> int:
+    """Id of the node driving `n`'s pipeline (blocking ops start a new
+    pipeline; otherwise the leftmost input drives)."""
+    if n.kind in ("agg", "sort") or not n.children:
+        return n.id
+    return _driver(n.children[0])
+
+
+def _pipelines_of(n: _Node) -> str:
+    if n.kind == "scan":
+        return f"{n.id:02d}(GETNEXT)"
+    if n.kind in ("agg", "sort"):
+        return (f"{n.id:02d}(GETNEXT), "
+                f"{_driver(n.children[0]):02d}(OPEN)") \
+            if n.children else f"{n.id:02d}(GETNEXT)"
+    if n.kind == "join" and len(n.children) > 1:
+        return (f"{_driver(n.children[0]):02d}(GETNEXT), "
+                f"{_driver(n.children[1]):02d}(OPEN)")
+    if n.children:
+        return f"{_driver(n.children[0]):02d}(GETNEXT)"
+    return f"{n.id:02d}(GETNEXT)"
+
+
+def _mem_line(n: _Node) -> str:
+    """Honest per-node memory ledger line (reference grammar; the
+    estimates come from this renderer's own cost heuristics, not the
+    reference's minicluster model — DIALECT.md)."""
+    if n.kind == "scan":
+        est = min(8.0 * max(n.n_cols, 1), 88.0)
+        return (f"mem-estimate={est:.2f}MB mem-reservation=4.00MB "
+                f"thread-reservation=1")
+    if n.kind == "join" and len(n.children) > 1:
+        b = n.children[1]
+        est = max(((b.cardinality or 10 ** 6)
+                   * max(b.row_size, 8)) / (1 << 20), 1.0)
+        return (f"mem-estimate={est:.2f}MB mem-reservation=1.94MB "
+                f"spill-buffer=2.00MB thread-reservation=0")
+    if n.kind in ("agg", "sort"):
+        return ("mem-estimate=10.00MB mem-reservation=1.94MB "
+                "spill-buffer=2.00MB thread-reservation=0")
+    return ("mem-estimate=32.00KB mem-reservation=0B "
+            "thread-reservation=0")
+
+
+def _row_of(n: _Node) -> int:
+    if n.kind == "join" and n.children:
+        return sum(_row_of(c) for c in n.children)
+    if n.row_size:
+        return n.row_size
+    return _row_of(n.children[0]) if n.children else 0
+
+
+def _card_of(n: _Node):
+    if n.kind == "join" and n.children:
+        return _card_of(n.children[0])
+    if n.cardinality is not None:
+        return n.cardinality
+    return _card_of(n.children[0]) if n.children else None
+
+
+def _ledger_lines(n: _Node) -> list[str]:
+    tids = ",".join(str(t) for t in n.tuple_ids)
+    return [_mem_line(n),
+            f"tuple-ids={tids} row-size={_row_of(n)}B "
+            f"cardinality={_fmt_card(_card_of(n))}",
+            f"in pipelines: {_pipelines_of(n)}"]
+
+
+# -- fragment decomposition (levels 2/3) -------------------------------------
+
+@dataclass
+class _Fragment:
+    root: _Node                  # subtree; exchanges are leaves here
+    exch: _Node | None = None    # the consumer-side exchange feeding it
+    consumer: "object" = None    # consumer _Fragment
+    producers: list = field(default_factory=list)
+    id: int = -1
+
+
+def _build_fragments(root: _Node) -> _Fragment:
+    frag = _Fragment(root=root)
+
+    def walk(n: _Node, top: bool = False):
+        if n.kind == "exchange" and not top:
+            pass
+        for c in n.children:
+            if c.kind == "exchange":
+                pf = _build_fragments(c.children[0])
+                pf.exch = c
+                pf.consumer = frag
+                frag.producers.append(pf)
+            else:
+                walk(c)
+
+    # the fragment root itself may be an exchange (coordinator): its
+    # child spawns the first producer fragment
+    if root.kind == "exchange":
+        pf = _build_fragments(root.children[0])
+        pf.exch = root
+        pf.consumer = frag
+        frag.producers.append(pf)
+    else:
+        walk(root, top=True)
+    return frag
+
+
+def _number_fragments(top: _Fragment) -> list[_Fragment]:
+    """Fragment ids follow the minimum plan-node id each contains
+    (coordinator, holding only the root exchange, lands last)."""
+    all_frags: list[_Fragment] = []
+
+    def collect(f):
+        all_frags.append(f)
+        for p in f.producers:
+            collect(p)
+
+    collect(top)
+
+    def min_id(f):
+        # an exchange belongs to its CONSUMER fragment; its subtree
+        # does not
+        best, stack = 10 ** 9, [f.root]
+        while stack:
+            n = stack.pop()
+            if n.id >= 0:
+                best = min(best, n.id)
+            if n.kind == "exchange":
+                continue
+            stack.extend(n.children)
+        return best
+
+    for i, f in enumerate(sorted(all_frags, key=min_id)):
+        f.id = i
+    return all_frags
+
+
+def _frag_partitioning(f: _Fragment) -> str:
+    """A fragment's data partitioning = its leftmost input: scan-driven
+    fragments are RANDOM, shuffle-fed ones carry the feeding HASH."""
+    n = f.root
+    while n.children and n.kind != "scan":
+        if n.children[0].kind == "exchange":
+            t = n.children[0].title
+            m = re.search(r"\[(HASH\(.*\))\]", t)
+            return m.group(1) if m else "UNPARTITIONED"
+        n = n.children[0]
+    if n.kind == "scan":
+        return "RANDOM"
+    if n.kind == "exchange":
+        m = re.search(r"\[(HASH\(.*\))\]", n.title)
+        return m.group(1) if m else "UNPARTITIONED"
+    return "UNPARTITIONED"
+
+
+def _frag_hosts(f: _Fragment) -> int:
+    sizes = []
+
+    def walk(n):
+        if n.kind == "scan":
+            sizes.extend(os.path.getsize(p) for p in n.files
+                         if os.path.exists(p))
+        for c in n.children:
+            if c.kind != "exchange":
+                walk(c)
+
+    walk(f.root)
+    if f.exch is None:
+        return 1  # coordinator
+    if sizes:
+        ranges = max(1, -(-sum(sizes) // (128 << 20)))
+        return min(3, ranges)
+    return 3  # interior (exchange-fed) fragments run everywhere
+
+
+def _exch_mode(exch: _Node) -> str:
+    m = re.search(r"\[(.*)\]", exch.title)
+    return m.group(1) if m else "UNPARTITIONED"
+
+
+def _render_l2_node(node: _Node, head: str, rest: str,
+                    out: list[str], frag_of: dict) -> None:
+    """Level-2 layout: one tree, fragment headers interleaved at
+    exchange boundaries (PlanNode.getExplainString EXTENDED)."""
+    out.append(f"{head}{node.id:02d}:{node.title}")
+    dp = rest + ("|  " if node.children else "   ")
+    if node.kind == "scan":
+        n_files = len(node.files)
+        size = sum(os.path.getsize(f) for f in node.files
+                   if os.path.exists(f))
+        out.append(f"{dp}partitions=1/1 files={n_files} "
+                   f"size={_fmt_size(size)}")
+    for d in node.details + node.details_l2:
+        out.append(dp + d)
+    if node.kind == "scan":
+        out.append(f"{dp}stored statistics:")
+        out.append(f"{dp}  table: rows={_fmt_card(node.cardinality)} "
+                   f"size={_fmt_size(sum(os.path.getsize(f) for f in node.files if os.path.exists(f)))}")
+        out.append(f"{dp}  columns: all")
+        out.append(f"{dp}extrapolated-rows=disabled "
+                   f"max-scan-range-rows={node.cardinality or 0}")
+    for ln in _ledger_lines(node):
+        out.append(dp + ln)
+    for c in reversed(node.children[1:]):
+        out.append(rest + "|")
+        if c.kind == "exchange":
+            _render_l2_exchange(c, rest + "|--", rest + "|  ", out,
+                                frag_of)
+        else:
+            _render_l2_node(c, rest + "|--", rest + "|  ", out,
+                            frag_of)
+    if node.children:
+        out.append(rest + "|")
+        c = node.children[0]
+        if c.kind == "exchange":
+            _render_l2_exchange(c, rest, rest, out, frag_of)
+        else:
+            _render_l2_node(c, rest, rest, out, frag_of)
+
+
+def _render_l2_exchange(exch: _Node, head: str, rest: str,
+                        out: list[str], frag_of: dict) -> None:
+    out.append(f"{head}{exch.id:02d}:{exch.title}")
+    dp = rest + "|  "
+    out.append(dp + _mem_line(exch))
+    for ln in _ledger_lines(exch)[1:]:
+        out.append(dp + ln)
+    pf = frag_of[id(exch)]
+    out.append(rest + "|")
+    out.append(f"{rest}F{pf.id:02d}:PLAN FRAGMENT "
+               f"[{_frag_partitioning(pf)}] hosts={_frag_hosts(pf)} "
+               f"instances={_frag_hosts(pf)}")
+    out.append(f"{rest}Per-Host Resources: mem-estimate=16.00MB "
+               f"mem-reservation=8.00MB thread-reservation=2")
+    _render_l2_node(pf.root, rest, rest, out, frag_of)
+
+
+def _render_l3(frag: _Fragment, out: list[str],
+               output_exprs: str | None) -> None:
+    """Level-3 layout: one indented section per fragment, DATASTREAM
+    SINK header on producer fragments (VERBOSE)."""
+    h = _frag_hosts(frag)
+    out.append(f"F{frag.id:02d}:PLAN FRAGMENT "
+               f"[{_frag_partitioning(frag) if frag.exch else 'UNPARTITIONED'}] "
+               f"hosts={h} instances={h}")
+    out.append(f"Per-Host Resources: mem-estimate=16.00MB "
+               f"mem-reservation=8.00MB "
+               f"thread-reservation={1 if frag.exch is None else 2}")
+    if frag.exch is None:
+        out.append("  PLAN-ROOT SINK")
+        if output_exprs:
+            out.append(f"  |  output exprs: {output_exprs}")
+        out.append("  |  " + _mem_line(_Node("", "sink")))
+        out.append("  |")
+    else:
+        cons = frag.consumer
+        out.append(f"  DATASTREAM SINK [FRAGMENT=F{cons.id:02d}, "
+                   f"EXCHANGE={frag.exch.id:02d}, "
+                   f"{_exch_mode(frag.exch)}]")
+        out.append("  |  " + _mem_line(_Node("", "sink")))
+
+    def emit(node: _Node, head: str, rest: str):
+        out.append(f"  {head}{node.id:02d}:{node.title}")
+        dp = "  " + rest + ("|  " if node.children
+                            and node.kind != "exchange" else "   ")
+        if node.kind == "scan":
+            n_files = len(node.files)
+            size = sum(os.path.getsize(f) for f in node.files
+                       if os.path.exists(f))
+            out.append(f"{dp}partitions=1/1 files={n_files} "
+                       f"size={_fmt_size(size)}")
+        for d in node.details + node.details_l2:
+            out.append(dp + d)
+        if node.kind == "scan":
+            out.append(f"{dp}stored statistics:")
+            out.append(
+                f"{dp}  table: rows={_fmt_card(node.cardinality)} "
+                f"size={_fmt_size(sum(os.path.getsize(f) for f in node.files if os.path.exists(f)))}")
+            out.append(f"{dp}  columns: all")
+            out.append(f"{dp}extrapolated-rows=disabled "
+                       f"max-scan-range-rows={node.cardinality or 0}")
+            out.append(f"{dp}file formats: {_scan_formats(node)}")
+        for ln in _ledger_lines(node):
+            out.append(dp + ln)
+        if node.kind == "exchange":
+            return  # fragment boundary: producer rendered separately
+        for c in reversed(node.children[1:]):
+            out.append("  " + rest + "|")
+            emit(c, rest + "|--", rest + "|  ")
+        if node.children:
+            out.append("  " + rest + "|")
+            emit(node.children[0], rest, rest)
+
+    if frag.exch is None and frag.root.kind == "exchange":
+        emit(frag.root, "", "")
+    else:
+        emit(frag.root, "", "")
+    for p in frag.producers:
+        out.append("")
+        _render_l3(p, out, None)
+
+
 # -- rendering ---------------------------------------------------------------
 
 def _render(node: _Node, head: str, rest: str, level: int,
@@ -654,6 +1008,30 @@ def render_explain(engine, body_sql: str, level: int) -> list[str]:
                    "relevant table and/or column statistics.")
         out.append(", ".join(missing))
     out.append("")
+    if level >= 2:
+        # EXTENDED/VERBOSE: per-fragment ledger (tuple ids, pipelines,
+        # per-node memory). Estimates are this renderer's own honest
+        # heuristics — the reference's absolute numbers come from its
+        # 3-node minicluster cost model (DIALECT.md).
+        _assign_tuples(top)
+        top_frag = _build_fragments(top)
+        frags = _number_fragments(top_frag)
+        frag_of = {id(f.exch): f for f in frags
+                   if f.exch is not None}
+        output_exprs = ", ".join(df.columns)
+        if level == 2:
+            out.append(f"F{top_frag.id:02d}:PLAN FRAGMENT "
+                       f"[UNPARTITIONED] hosts=1 instances=1")
+            out.append("Per-Host Resources: mem-estimate=4.00MB "
+                       "mem-reservation=4.00MB thread-reservation=1")
+            out.append("PLAN-ROOT SINK")
+            out.append(f"|  output exprs: {output_exprs}")
+            out.append("|  " + _mem_line(_Node("", "sink")))
+            out.append("|")
+            _render_l2_exchange(top, "", "", out, frag_of)
+        else:
+            _render_l3(top_frag, out, output_exprs)
+        return out
     out.append("PLAN-ROOT SINK")
     if level >= 1:
         out.append("|")

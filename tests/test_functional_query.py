@@ -293,6 +293,19 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # memory ledger — out of scope (DIALECT.md)
     "explain-level0": (2, {}, None, ["set explain_level=0"]),
     "explain-level1": (2, {}, None, ["set explain_level=1"]),
+    # levels 2/3 (r8): the per-fragment ledger renders (fragments,
+    # DATASTREAM SINK, tuple-ids/row-size/cardinality, pipelines,
+    # per-node memory, file formats) with HONEST estimates; blocks
+    # pinning the reference's absolute minicluster numbers (row-size
+    # bytes, hosts=3, Memory=74MB) are reason-coded xfails
+    # (DIALECT.md minicluster-cost-model)
+    "explain-level2": (0, {0: "minicluster-cost-model",
+                           1: "minicluster-cost-model",
+                           2: "minicluster-cost-model"},
+                       None, ["set explain_level=2"]),
+    "explain-level3": (2, {0: "minicluster-cost-model",
+                           3: "oos-iceberg"},
+                       None, ["set explain_level=3"]),
     "result-spooling": (7, {}),
     "hdfs-tiny-scan": (3, {}),
     # --strict_mode daemon flag: overflow converts to NULL instead of
