@@ -511,12 +511,21 @@ def handle(engine, sql_text: str) -> DataFrame | None:
             # metadata-only, so recreate under the new literal
             engine.create_avro_from_literal(tbl, lm.group(1), None)
             return _summary(spark, "Updated table.")
+        # stats-bearing properties: Hive/Impala stats live in
+        # numRows tblproperties; ALTER SET with a (possibly corrupt —
+        # 0 or negative) value feeds SHOW TABLE STATS and the
+        # planner's corrupt-stats warning (corrupt-stats.test,
+        # HdfsScanNode.hasCorruptTableStats)
+        nm = re.search(r"(?i)'numRows'\s*=\s*'(-?\d+)'", rest)
         if re.match(r"^\s*SET\s+TBLPROPERTIES\b", rest, re.IGNORECASE) \
                 and not sm.group("spec"):
             try:  # real property store when Spark supports it
                 spark.sql(f"ALTER TABLE {tbl} {rest}")
             except Exception:  # noqa: BLE001
                 pass
+            if nm:
+                engine.table_numrows[engine._stats_key(tbl)] = \
+                    int(nm.group(1))
         if sm.group("spec"):
             from incubator_impala_spark import partitions
 
@@ -531,6 +540,12 @@ def handle(engine, sql_text: str) -> DataFrame | None:
                     spark, "New location has been set for the "
                            "specified partition." if matched
                     else "New location has been set.")
+            if nm:
+                key = engine._stats_key(tbl)
+                for kv in matched:
+                    engine.part_rows[
+                        (key, partitions.part_suffix(kv))] = \
+                        int(nm.group(1))
             fm = re.search(r"\bSET\s+FILEFORMAT\s+(\w+)", rest,
                            re.IGNORECASE)
             if fm:
@@ -551,9 +566,19 @@ def handle(engine, sql_text: str) -> DataFrame | None:
     if sb:
         # write-layout metadata (IMPALA-4166/IMPALA-10233): recorded
         # for DESCRIBE FORMATTED's sort.columns/sort.order rows; no
-        # effect on stored data
+        # effect on stored data. The analyzer validates the column
+        # list against the CURRENT schema
+        # (AlterTableSortByStmt.analyze) — a dropped column must fail
+        # without touching the recorded layout (alter-table.test
+        # CATCH blocks 154/193)
         cols = [c.strip().strip("`")
                 for c in sb.group("cols").split(",") if c.strip()]
+        have = {f.name.lower() for f in spark.table(tbl).schema.fields}
+        for c in cols:
+            if c.lower() not in have:
+                raise ValueError(
+                    f"AnalysisException: Could not find SORT BY "
+                    f"column '{c}' in table.")
         engine.sort_props[tbl.lower()] = (
             cols, (sb.group("ord") or "LEXICAL").upper())
         return _summary(spark, "Updated table.")

@@ -1880,6 +1880,52 @@ def rewrite_create_using_position(sql: str) -> str:
     return (rest[:insert_at] + " " + using + rest[insert_at:])
 
 
+def rewrite_create_default_text(sql: str) -> str:
+    """Impala's default table format is TEXT (no STORED AS clause ⇒
+    text, fields terminated by \\x01); Spark's is parquet. A plain
+    CREATE TABLE with an explicit scalar-only column list and no
+    format/provider clause gets the text default so file listings
+    (SHOW TABLE STATS sizes, SHOW FILES) match the reference's
+    (corrupt-stats.test pins 24B text partitions). Complex-typed,
+    LIKE-form, and CTAS creates keep Spark's native default — the csv
+    source cannot store collections, and CTAS summaries lean on
+    parquet footer counts."""
+    shadow = _neutralize(sql)
+    hm = re.match(r"\s*create\s+(?:external\s+)?table\s+"
+                  r"(?:if\s+not\s+exists\s+)?`?[\w.]+`?\s*",
+                  shadow, re.IGNORECASE)
+    if not hm or hm.end() >= len(shadow) or shadow[hm.end()] != "(":
+        return sql
+    if re.search(r"\b(like|using|stored\s+as|row\s+format|"
+                  r"serdeproperties|options|as\s+select)\b",
+                 shadow, re.IGNORECASE):
+        return sql
+    depth, j = 0, hm.end()
+    while j < len(shadow):
+        if shadow[j] == "(":
+            depth += 1
+        elif shadow[j] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    cols = sql[hm.end() + 1:j]
+    if re.search(r"(?i)\b(array|map|struct)\s*<", cols) \
+            or "<" in cols:
+        return sql
+    if re.search(r"(?i)\b(date|timestamp)\b", cols):
+        # csv round-trips of DATE/TIMESTAMP hit the legacy-calendar
+        # rebase for pre-Gregorian values; those tables keep the
+        # binary (parquet) default so values stay bit-exact
+        return sql
+    sep = chr(1)  # Impala's text default field terminator \x01
+    return (sql.rstrip().rstrip(";")
+            + f" using csv options (sep='{sep}', "
+              "ignoreLeadingWhiteSpace='false', "
+              "ignoreTrailingWhiteSpace='false', "
+              "nullValue='\\\\N')")
+
+
 def translate(sql: str, macros: dict | None = None, now=None) -> str:
     """Full Impala→Spark translation pipeline. `now` feeds the FORMAT
     clause's century-inference rules (NOW_STRING query option)."""
@@ -1917,6 +1963,7 @@ def translate(sql: str, macros: dict | None = None, now=None) -> str:
                                   m.group(1).lower(), m.group(1).lower()),
         sql)
     sql = rewrite_ctas_clause_order(sql)
+    sql = rewrite_create_default_text(sql)
     sql = rewrite_create_using_position(sql)
     # Impala/Hive allow EXTERNAL without LOCATION (external.table.purge
     # managed-external); Spark requires LOCATION for EXTERNAL — the

@@ -122,12 +122,29 @@ def _attr_names(jexpr_seq) -> list[str]:
             for i in range(jexpr_seq.size())]
 
 
-def _scan_files(jscan) -> list[str]:
+def _scan_files(jscan, pruned: set | None = None) -> list[str]:
+    """Files the scan reads. `pruned` is the query's df.inputFiles()
+    set (post partition-pruning); the scan's own root path selects its
+    share, so the display shows the PRUNED footprint — the full
+    listing is the fallback."""
     try:
-        files = jscan.relation().location().inputFiles()
-        return [f.replace("file:", "") for f in files]
+        files = [f.replace("file:", "")
+                 for f in jscan.relation().location().inputFiles()]
     except Exception:  # noqa: BLE001
         return []
+    if pruned:
+        try:
+            roots = jscan.relation().location().rootPaths()
+            prefixes = tuple(
+                re.sub(r"^file:", "", roots.apply(i).toString())
+                for i in range(roots.size()))
+            mine = [f for f in pruned
+                    if f.replace("file:", "").startswith(prefixes)]
+            if mine or any(f.startswith(prefixes) for f in files):
+                return sorted(f.replace("file:", "") for f in mine)
+        except Exception:  # noqa: BLE001
+            pass
+    return files
 
 
 def _view_leaves(jlogical, out: list[str]) -> None:
@@ -154,8 +171,11 @@ _FROM_RELATION = re.compile(
 class _Condenser:
     """Spark physical plan -> Impala-shaped operator tree."""
 
-    def __init__(self, spark, sql_text: str, jlogical):
+    def __init__(self, spark, sql_text: str, jlogical,
+                 cur_db=None, cur_objs=frozenset()):
         self.spark = spark
+        self.cur_db = cur_db
+        self.cur_objs = cur_objs
         # FROM-clause spellings in order: (display, flat, alias)
         self.relations = []
         for m in _FROM_RELATION.finditer(sql_text):
@@ -205,13 +225,22 @@ class _Condenser:
             for k in range(jscan.output().size()))
         if self.aligned and i < len(self.relations):
             disp, _, alias = self.relations[i]
-            return disp, alias, cols
+            return self._qualify(disp), alias, cols
         if i < len(self.leaf_names) and self.leaf_names[i]:
             flat = self.leaf_names[i]
             disp = next((d for d, f, _ in self.relations if f == flat),
                         flat)
-            return disp, "", cols
+            return self._qualify(disp), "", cols
         return "", "", cols
+
+    def _qualify(self, disp: str) -> str:
+        """Impala prints scan labels db-qualified; an unqualified
+        spelling under a session USE db gets that prefix when the
+        object is registered there (Analyzer table-ref resolution)."""
+        if disp and "." not in disp and self.cur_db \
+                and disp.lower() in self.cur_objs:
+            return f"{self.cur_db}.{disp}"
+        return disp
 
     def condense(self, jplan) -> _Node:
         n = _name(jplan)
@@ -227,6 +256,16 @@ class _Condenser:
                  "LocalTableScanExec", "RowDataSourceScanExec",
                  "InMemoryTableScanExec"):
             disp, alias, cols = self._next_scan_label(jplan)
+            if not disp:
+                # catalog tables are not View leaves: the scan's own
+                # TableIdentifier labels it (then db-qualified like
+                # any other unqualified spelling)
+                try:
+                    opt = jplan.tableIdentifier()
+                    if opt.isDefined():
+                        disp = self._qualify(opt.get().table())
+                except Exception:  # noqa: BLE001
+                    pass
             node = _Node(f"SCAN HDFS [{disp}]" if disp else "SCAN HDFS",
                          "scan", table=disp, alias=alias, columns=cols,
                          n_cols=len(cols))
@@ -234,7 +273,8 @@ class _Condenser:
                 jplan.output().apply(i).name().lower():
                 jplan.output().apply(i).dataType().simpleString()
                 for i in range(jplan.output().size())}
-            node.files = _scan_files(jplan)
+            node.files = _scan_files(
+                jplan, getattr(self, 'pruned_files', None))
             node.row_size = sum(
                 _width(jplan.output().apply(i).dataType().simpleString())
                 for i in range(jplan.output().size()))
@@ -532,6 +572,53 @@ def _runtime_filters(root: _Node, strip=lambda x: x) -> None:
     walk(root)
 
 
+
+def _scan_partition_display(node: _Node) -> str:
+    """Impala's scan footprint line: `HDFS partitions=<pruned>/<total>
+    files=N size=S`. Pruned = distinct partition directories among the
+    files the (already partition-pruned) Spark scan will read; total =
+    the table's registered partition count. Unpartitioned/flat scans
+    print 1/1."""
+    n_files = len(node.files)
+    size = sum(os.path.getsize(f) for f in node.files
+               if os.path.exists(f))
+    if n_files == 0:
+        # every partition pruned: the reference prints the bare form,
+        # no filesystem prefix (HdfsScanNode with 0 selected)
+        return "partitions=0/1 files=0 size=0B"
+    pruned, total = 1, 1
+    dirs = {os.path.dirname(f) for f in node.files}
+    part_dirs = {d for d in dirs if "=" in os.path.basename(d)}
+    if part_dirs:
+        pruned = len(part_dirs)
+        roots = {os.path.dirname(d) for d in part_dirs}
+        total = pruned
+        try:
+            root = next(iter(roots))
+            # multi-level partitioning: climb to the table root
+            while "=" in os.path.basename(root):
+                root = os.path.dirname(root)
+            count = [0]
+
+            def walk(d, depth=0):
+                for e in os.listdir(d):
+                    p2 = os.path.join(d, e)
+                    if os.path.isdir(p2) and "=" in e:
+                        sub = [x for x in os.listdir(p2)
+                               if os.path.isdir(os.path.join(p2, x))
+                               and "=" in x]
+                        if sub:
+                            walk(p2, depth + 1)
+                        else:
+                            count[0] += 1
+            walk(root)
+            total = max(count[0], pruned)
+        except Exception:  # noqa: BLE001
+            total = pruned
+    return (f"HDFS partitions={pruned}/{total} files={n_files} "
+            f"size={_fmt_size(size)}")
+
+
 # -- level >= 2 ledger: tuple ids, pipelines, per-node memory ---------------
 
 # fixture metadata: partition file formats of the reference's
@@ -773,8 +860,7 @@ def _render_l2_node(node: _Node, head: str, rest: str,
         n_files = len(node.files)
         size = sum(os.path.getsize(f) for f in node.files
                    if os.path.exists(f))
-        out.append(f"{dp}partitions=1/1 files={n_files} "
-                   f"size={_fmt_size(size)}")
+        out.append(dp + _scan_partition_display(node))
     for d in node.details + node.details_l2:
         out.append(dp + d)
     if node.kind == "scan":
@@ -852,8 +938,7 @@ def _render_l3(frag: _Fragment, out: list[str],
             n_files = len(node.files)
             size = sum(os.path.getsize(f) for f in node.files
                        if os.path.exists(f))
-            out.append(f"{dp}partitions=1/1 files={n_files} "
-                       f"size={_fmt_size(size)}")
+            out.append(dp + _scan_partition_display(node))
         for d in node.details + node.details_l2:
             out.append(dp + d)
         if node.kind == "scan":
@@ -898,8 +983,7 @@ def _render(node: _Node, head: str, rest: str, level: int,
                        if os.path.exists(f))
             # detail order pinned by the reference renderer:
             # partition/file footprint, predicates, filters, sizes
-            out.append(f"{dp}partitions=1/1 files={n_files} "
-                       f"size={_fmt_size(size)}")
+            out.append(dp + _scan_partition_display(node))
         for d in node.details:
             out.append(dp + d)
         if level >= 2:
@@ -953,7 +1037,19 @@ def render_explain(engine, body_sql: str, level: int) -> list[str]:
     if _name(jplan) == "AdaptiveSparkPlanExec":
         # pre-AQE layout: exchanges present, placement deterministic
         jplan = jplan.initialPlan()
-    cond = _Condenser(engine.spark, body_sql, qe.analyzed())
+    ns = getattr(engine, "ns", None)
+    cur_db = getattr(ns, "current", None)
+    cur_objs = frozenset(
+        getattr(ns, "dbs", {}).get(cur_db, {})) if cur_db else \
+        frozenset()
+    cond = _Condenser(engine.spark, body_sql, qe.analyzed(),
+                      cur_db=cur_db, cur_objs=cur_objs)
+    try:
+        # post-pruning footprint (partition pruning resolved at plan
+        # time; metadata-only — no job runs)
+        cond.pruned_files = set(df.inputFiles())
+    except Exception:  # noqa: BLE001
+        cond.pruned_files = None
     root = cond.condense(jplan)
     if root.kind == "exchange" and root.title.startswith(
             "EXCHANGE [HASH"):
@@ -1007,6 +1103,40 @@ def render_explain(engine, body_sql: str, level: int) -> list[str]:
         out.append("WARNING: The following tables are missing "
                    "relevant table and/or column statistics.")
         out.append(", ".join(missing))
+    # corrupt-stats warning (HdfsScanNode.hasCorruptTableStats): a
+    # stored row count that is negative (other than the -1 'unset'
+    # marker) or zero while the partition holds data bytes
+    corrupt = []
+    cur_db = getattr(getattr(engine, "ns", None), "current", None)
+    for disp, flat, _a in cond.relations:
+        try:
+            key = engine._stats_key(flat)
+            vals = []
+            tv = engine.table_numrows.get(key)
+            if tv is not None:
+                vals.append((tv, 1))
+            from incubator_impala_spark import partitions as _parts
+
+            for (t, suffix), v in engine.part_rows.items():
+                if t == key:
+                    sz = sum(s for _, s in _parts._files_in(
+                        _parts._part_dir(engine, flat, suffix)))
+                    vals.append((v, sz))
+            bad = any(v < -1 or (v == 0 and sz > 0)
+                      for v, sz in vals)
+            if bad:
+                label = disp if "." in disp else (
+                    f"{cur_db}.{flat}" if cur_db else flat)
+                if label not in corrupt:
+                    corrupt.append(label)
+        except Exception:  # noqa: BLE001
+            pass
+    if corrupt:
+        out.append("WARNING: The following tables have potentially "
+                   "corrupt table statistics.")
+        out.append("Drop and re-compute statistics to resolve this "
+                   "problem.")
+        out.append(", ".join(corrupt))
     out.append("")
     if level >= 2:
         # EXTENDED/VERBOSE: per-fragment ledger (tuple ids, pipelines,

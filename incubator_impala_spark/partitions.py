@@ -130,6 +130,32 @@ def _display_location(engine, tbl: str, suffix: str = "") -> str:
     return f"{base}/{suffix}" if suffix else base
 
 
+def _meta_format(engine, tbl: str) -> str | None:
+    """STORED AS spelling recorded at CREATE time (showcreate.py
+    facet registry) — authoritative when the table holds no files."""
+    key = tbl.strip('`').split('.')[-1].lower()
+    for k, meta in getattr(engine, "create_meta", {}).items():
+        if k.split(".")[-1] == key and meta.get("format"):
+            f = meta["format"].upper()
+            return {"TEXTFILE": "TEXT", "SEQUENCEFILE": "SEQUENCE",
+                    "RCFILE": "RC"}.get(f, f)
+    return None
+
+
+def _format_of(files: list) -> str:
+    """Display format from the partition's actual data files (an
+    explicit ALTER SET FILEFORMAT override wins over this)."""
+    for f, _ in files:
+        ext = os.path.splitext(f)[1].lower()
+        if ext in (".parquet", ".parq"):
+            return "PARQUET"
+        if ext == ".orc":
+            return "ORC"
+        if ext == ".avro":
+            return "AVRO"
+    return "TEXT"
+
+
 def _part_dir(engine, tbl: str, suffix: str) -> str:
     return os.path.join(engine._table_location(tbl), suffix)
 
@@ -154,8 +180,8 @@ def _human(n: int) -> str:
 def show_partitions(engine, tbl: str) -> DataFrame:
     """Impala's SHOW PARTITIONS listing + 'Total' row."""
     spark = engine.spark
-    pcols = [c.name for c in spark.catalog.listColumns(tbl)
-             if c.isPartition]
+    pcols = [c.name for c in spark.catalog.listColumns(
+        tbl.strip('`')) if c.isPartition]
     parts = list_partitions(engine, tbl)
     parts.sort(key=lambda kv: [
         (v is not None, str(v)) for v in kv.values()])
@@ -174,7 +200,10 @@ def show_partitions(engine, tbl: str) -> DataFrame:
             tuple("NULL" if v is None else str(v) for v in kv.values())
             + (prows.get((key, suffix), -1), len(files), _human(size),
                "NOT CACHED", "NOT CACHED",
-               fmts.get((key, suffix), "TEXT"), "false",
+               fmts.get((key, suffix),
+                        (_format_of(files) if files
+                         else _meta_format(engine, tbl)) or "TEXT"),
+               "false",
                _display_location(engine, tbl, suffix)))
     nrows = getattr(engine, "table_numrows", {}).get(key, -1)
     rows.append(("Total",) + ("",) * (len(pcols) - 1)
@@ -192,8 +221,8 @@ def show_table_stats(engine, tbl: str) -> DataFrame:
     (identical to SHOW PARTITIONS), one summary row otherwise."""
     spark = engine.spark
     try:
-        pcols = [c.name for c in spark.catalog.listColumns(tbl)
-                 if c.isPartition]
+        pcols = [c.name for c in spark.catalog.listColumns(
+            tbl.strip('`')) if c.isPartition]
     except Exception:  # noqa: BLE001
         pcols = []
     if pcols:
@@ -204,7 +233,9 @@ def show_table_stats(engine, tbl: str) -> DataFrame:
     size = sum(s for _, s in files)
     nrows = getattr(engine, "table_numrows", {}).get(key, -1)
     row = (nrows, len(files), _human(size), "NOT CACHED",
-           "NOT CACHED", "TEXT", "false",
+           "NOT CACHED",
+           (_format_of(files) if files
+            else _meta_format(engine, tbl)) or "TEXT", "false",
            _display_location(engine, tbl))
     return spark.createDataFrame(
         [row], "`#Rows` bigint, `#Files` bigint, Size string, "
@@ -216,8 +247,8 @@ def show_table_stats(engine, tbl: str) -> DataFrame:
 def show_files(engine, tbl: str, spec: str | None) -> DataFrame:
     """SHOW FILES IN t [PARTITION (pred)] — (Path, Size, Partition)."""
     spark = engine.spark
-    pcols = [c.name for c in spark.catalog.listColumns(tbl)
-             if c.isPartition]
+    pcols = [c.name for c in spark.catalog.listColumns(
+        tbl.strip('`')) if c.isPartition]
     rows = []
     if pcols:
         for kv in match_partitions(engine, tbl, spec):

@@ -384,7 +384,12 @@ def _values_equal(exp: str, act: str, col_type: str) -> bool:
 
 def _rows_equal(exp: str, act: str, col_types: list[str]) -> bool:
     if exp.startswith("row_regex:"):
-        return re.match(exp[len("row_regex:"):].strip(), act) is not None
+        # DOTALL: a row can be a multi-line payload (SHOW CREATE TABLE
+        # returns the whole statement as one row) — `.*prop.*` and
+        # `(?!.*prop)` must see past the first line, as the reference
+        # verifier's single-string row data does
+        return re.match(exp[len("row_regex:"):].strip(), act,
+                        re.DOTALL) is not None
     et, at = _tokenize_row(exp), _tokenize_row(act)
     if len(et) != len(at) or len(et) != len(col_types):
         return exp == act
@@ -460,6 +465,7 @@ def types_compatible(expected: list[str], actual: list[str]) -> bool:
 _RUNNABLE = re.compile(
     r"^[\s(]*(select|with|values|describe|explain|"
     r"show\s+partitions|show\s+files|show\s+column\s+stats|"
+    r"show\s+table\s+stats|"
     r"invalidate\s+metadata|refresh|"
     r"create\s+(?:external\s+)?table|"
     r"insert\s+(?:into|overwrite)|drop\s+table|"
@@ -470,7 +476,8 @@ _RUNNABLE = re.compile(
     r"drop\s+(?:database|schema|view)|alter\s+view|"
     r"create\s+(?:aggregate\s+)?function|drop\s+function|"
     r"compute\s+(?:incremental\s+)?stats|"
-    r"drop\s+(?:incremental\s+)?stats|load\s+data)\b",
+    r"drop\s+(?:incremental\s+)?stats|load\s+data|"
+    r"show\s+create\s+(?:table|view))\b",
     re.IGNORECASE)
 _VAR = re.compile(r"\$[A-Z][A-Z0-9_]*")
 
@@ -541,6 +548,14 @@ def run_blocks(engine, blocks: list[Block], *,
                 b.results = [_DB_VAR.sub(_sub, r) for r in b.results]
             if b.hive:
                 b.hive = [_DB_VAR.sub(_sub, h) for h in b.hive]
+        if b.results is not None:
+            # expected-row variables the reference runner substitutes
+            # (__do_replacements): the filesystem display name and the
+            # namenode uri prefix — this engine's warehouse paths
+            # print as file:/test-warehouse/... (_display_location)
+            b.results = [r.replace("$NAMENODE", "file:")
+                          .replace("$FILESYSTEM_NAME", "HDFS")
+                         for r in b.results]
         if b.has_catch:
             tag, body = b.sections["CATCH"]
             if database:
@@ -660,8 +675,14 @@ def run_blocks(engine, blocks: list[Block], *,
             for cm in re.finditer(
                     r"(?is)\bcreate\s+(?:external\s+)?table\s+"
                     r"(?:if\s+not\s+exists\s+)?"
-                    r"([A-Za-z_][\w.]*)", text):
-                created.add(cm.group(1))
+                    r"(`[\w.]+`|[A-Za-z_][\w.]*)", text):
+                created.add(cm.group(1).strip("`"))
+            # RENAME TO targets are file-owned objects too: a leftover
+            # from another file (or an aborted run) must not collide
+            for cm in re.finditer(
+                    r"(?is)\brename\s+to\s+(`[\w.]+`|[A-Za-z_][\w.]*)",
+                    text):
+                created.add(cm.group(1).strip("`"))
     # scratch tables that SHADOW fixture views (the reference file
     # creates `alltypes` in its unique db, distinct from
     # functional.alltypes): rename the scratch table throughout —
@@ -805,7 +826,7 @@ def _preclear_create(engine, s: str) -> None:
     earlier failed run before running it."""
     cm = re.match(
         r"(?is)\s*create\s+(?:external\s+)?table\s+"
-        r"(?!if\s+not\s+exists\b)([A-Za-z_][\w.]*)", s)
+        r"(?!if\s+not\s+exists\b)(`[\w.]+`|[A-Za-z_][\w.]*)", s)
     if not cm:
         return
     name = cm.group(1)
@@ -1011,15 +1032,51 @@ def _run_catch(engine, b: Block, rewrite, table_rewrites) \
 def _run_one(engine, b: Block, rewrite, table_rewrites,
              strict_catch: bool = False) -> BlockResult:
     if b.has_catch:
-        r = _run_catch(engine, b, rewrite, table_rewrites)
-        if r.status == "fail" and not strict_catch:
-            # legacy default: a CATCH whose message shape this engine
-            # does not reproduce stays a documented skip (files wired
-            # for the error contract pass strict_catch=True and grade
-            # these as real failures)
-            return BlockResult(b.index, "skip",
-                               f"catch-unmatched: {r.reason}")
-        return r
+        if not strict_catch:
+            # default: CATCH blocks stay documented skips WITHOUT
+            # executing — a statement the reference expects to FAIL
+            # must not apply its side effects here (a succeeded
+            # "failing" insert would corrupt later blocks). Files
+            # wired for the error contract pass strict_catch=True and
+            # grade catches for real (scan_errors surface).
+            return BlockResult(b.index, "skip", "catch-block")
+        return _run_catch(engine, b, rewrite, table_rewrites)
+    if b.results is None and "RUNTIME_PROFILE" in b.sections:
+        # profile-verified blocks (single-node-joins-with-limits):
+        # the reference asserts the exec summary's RowsProduced — the
+        # observable contract is the result-set size, checked here by
+        # running the query and counting
+        nums = []
+        for ln in b.sections["RUNTIME_PROFILE"][1].splitlines():
+            if "RowsProduced" in ln:
+                g = re.findall(r"(\d+)",
+                               ln.split("RowsProduced", 1)[1])
+                if g:
+                    nums.append(int(g[-1]))
+        stmts = [s for s in _split_statements(b.query)]
+        if nums and re.match(r"(?is)^\s*select\b", stmts[-1]):
+            snap = _option_snapshot(
+                engine, [m.group(1) for s in stmts
+                         if (m := _SET_NAME.match(s))])
+            try:
+                df = None
+                for s in stmts:
+                    s = _rewrite_stmt(s, rewrite, table_rewrites)
+                    df = engine.sql(s)
+                got = df.count()
+            except Exception as exc:  # noqa: BLE001
+                first = next((ln for ln in str(exc).split("\n")
+                              if ln.strip()), "")
+                return BlockResult(b.index, "error",
+                                   f"{type(exc).__name__}: "
+                                   f"{first}"[:300])
+            finally:
+                _option_restore(engine, snap)
+            if got != max(nums):
+                return BlockResult(
+                    b.index, "fail", "rows-produced-mismatch",
+                    [f"expected {max(nums)} rows, got {got}"])
+            return BlockResult(b.index, "pass", "")
     if b.results is None:
         # DDL/DML blocks without a RESULTS section still EXECUTE (the
         # reference harness runs every block; later blocks read the
