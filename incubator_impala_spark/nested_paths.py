@@ -1489,6 +1489,14 @@ def rewrite_collection_refs(spark: SparkSession, sql: str) -> str:
     FROM item (fast pre-filter keeps other queries untouched)."""
     if not _PATH_HINT.search(sql):
         return sql
+    # Impala's lexer allows whitespace/newlines around the dots of a
+    # path (max-nesting-depth.test wraps 100-hop chains across lines);
+    # collapse `x.\n  y` to `x.y` so the path scanner sees one token
+    # (literal-safe: runs on the neutralized shadow's match positions)
+    from incubator_impala_spark import dialect as _d
+
+    sql = _d._shadow_sub(
+        re.compile(r"(?<=[\w`])\.\s+(?=[A-Za-z_`])"), ".", sql)
     root = _Scope(spark, None)
     out = _rewrite_scope(root, sql)
     for marker, (sc, alias, name, original) in root.ctx["markers"].items():

@@ -138,7 +138,16 @@ def _decode(schema, buf: io.BytesIO):
     if t == "double":
         return struct.unpack("<d", buf.read(8))[0]
     if t == "bytes":
-        return _read_bytes(buf)
+        raw = _read_bytes(buf)
+        if isinstance(schema, dict) and \
+                schema.get("logicalType") == "decimal":
+            # avro spec: big-endian two's-complement unscaled int
+            import decimal as _dec
+
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return _dec.Decimal(unscaled).scaleb(
+                -int(schema.get("scale", 0)))
+        return raw
     if t == "string":
         return _read_bytes(buf).decode("utf-8")
     if t == "record":
@@ -146,7 +155,14 @@ def _decode(schema, buf: io.BytesIO):
     if t == "enum":
         return schema["symbols"][_read_long(buf)]
     if t == "fixed":
-        return buf.read(schema["size"])
+        raw = buf.read(schema["size"])
+        if schema.get("logicalType") == "decimal":
+            import decimal as _dec
+
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return _dec.Decimal(unscaled).scaleb(
+                -int(schema.get("scale", 0)))
+        return raw
     if t == "array":
         out = []
         while True:
@@ -467,6 +483,10 @@ def avro_field_spark_type(schema) -> str:
     if isinstance(schema, list):
         non_null = [s for s in schema if _type_name(s) != "null"]
         return avro_field_spark_type(non_null[0]) if non_null else "string"
+    if isinstance(schema, dict) and \
+            schema.get("logicalType") == "decimal":
+        return (f"decimal({schema.get('precision', 38)},"
+                f"{schema.get('scale', 0)})")
     if isinstance(schema, dict) and schema.get("logicalType") in _LOGICAL_TO_SPARK:
         return _LOGICAL_TO_SPARK[schema["logicalType"]]
     t = _type_name(schema)

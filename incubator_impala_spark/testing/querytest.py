@@ -751,6 +751,12 @@ def run_blocks(engine, blocks: list[Block], *,
                 out.append(BlockResult(b.index, "skip",
                                        "hive-staging"))
                 continue
+        if b.index in xfail and str(xfail[b.index]).startswith("skip:"):
+            # hard skip: the block would destabilize the session
+            # (e.g. a 100-deep lateral chain overflows the JVM
+            # thread stack) — recorded as a reason-coded xfail
+            out.append(BlockResult(b.index, "xfail", xfail[b.index]))
+            continue
         r = _run_one(engine, b, rewrite, table_rewrites or {},
                      strict_catch=strict_catch)
         if b.index in xfail:

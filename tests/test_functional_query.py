@@ -324,6 +324,43 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
         # mem-limit CATCH has no analogue (no per-query mem limits)
         0: "dbgen-comment-variant", 1: "no-query-mem-limit"},
         _RTF_REWRITES),
+    # avro decimals over the reference's own container file; the sf1
+    # aggregate block maps tpch_avro_snap onto the dbgen views
+    "decimal_avro": (4, {}, {r"tpch_avro_snap\.": "tpch_ref_"}),
+    # 100-deep complex types (Types.MAX_NESTING_DEPTH) over the
+    # reference's own parquet files
+    "max-nesting-depth": (1, {
+        # absolute FROM-clause paths with ~100 hops: the collection
+        # translator resolves the shallow corpus shapes but not yet
+        # these (DIALECT.md deep-from-path); the struct column-path
+        # block (100-deep SELECT path) passes
+        1: "deep-from-path-translator",
+        3: "deep-from-path-translator",
+        5: "deep-from-path-translator",
+        7: "deep-from-path-translator",
+        # the 100-deep RELATIVE chains (100 nested lateral joins)
+        # overflow the local JVM's thread stack during plan
+        # serialization — hard-skipped to keep the session alive;
+        # the absolute-path blocks scan the same 100-deep files
+        2: "skip:deep-lateral-jvm-stack",
+        4: "skip:deep-lateral-jvm-stack",
+        6: "skip:deep-lateral-jvm-stack",
+        8: "skip:deep-lateral-jvm-stack"},
+        {r"qtest_maxnestingdepth\.": ""}),
+    "date-fileformat-support": (5, {
+        # the orc container's pre-Gregorian day number reads as
+        # 0001-01-01 under Spark's proleptic rebase where the
+        # reference NULLs it (orc-date-rebase); the final block
+        # mounts OTHER tables' directories as mixed-format partitions
+        3: "orc-date-rebase", 6: "mixed-format-partition-adoption"}, {
+        r"qtest_datefileformatsupport\.date_tbl\b": "qscratch_date_tbl",
+        r"qtest_datefileformatsupport\.": ""}),
+    # tz flag must not change scanned timestamps across formats; every
+    # functional_X qualifier resolves to the same flat fixture
+    "file-formats-with-local-tz-conversion": (7, {
+        # the avro dataset types timestamp_col STRING; the flat
+        # fixture is TIMESTAMP (one shared relation for all variants)
+        3: "avro-string-timestamp"}),
     # r8 stats lifecycle edges
     "mt-dop-compute-stats": (1, {}, None, ["SET MT_DOP=4"]),
     # ALTER SET TBLPROPERTIES numRows feeds SHOW TABLE STATS + the
@@ -872,6 +909,62 @@ def _setup_bad_metadata_len(engine, db):
         "c bigint")
 
 
+def _setup_decimal_avro(engine, db):
+    """avro_decimal_tbl over the reference's own container file
+    (testdata/data/avro_decimal_tbl.avro) via the engine's split-aware
+    Avro reader."""
+    from incubator_impala_spark.sources.avro_io import read_avro
+
+    read_avro(engine.spark, f"{_REFDATA}/avro_decimal_tbl.avro") \
+        .createOrReplaceTempView("avro_decimal_tbl")
+
+
+def _setup_max_nesting(engine, db):
+    """tests/query_test/test_nested_types.py::test_max_nesting_depth
+    staging: one table per 100-deep complex-type shape, straight over
+    the reference's own parquet files."""
+    base = "/root/reference/testdata/max_nesting_depth"
+    for tbl in ("struct", "int_array", "struct_array", "int_map",
+                "struct_map"):
+        name = f"{tbl}_tbl"
+        engine.spark.read.parquet(f"{base}/{tbl}/file.parq") \
+            .createOrReplaceTempView(name)
+        try:
+            engine.ns.register(db, name, "view", name)
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def _setup_date_fileformat(engine, db):
+    """tests/query_test/test_date_queries.py::test_fileformat_support
+    staging: date tables over the reference's parquet/avro/orc
+    container files + the partitioned text date_tbl."""
+    import shutil
+
+    from incubator_impala_spark.sources.avro_io import read_avro
+
+    spark = engine.spark
+    spark.read.parquet(f"{_REFDATA}/date_tbl.parquet") \
+        .createOrReplaceTempView("parquet_date_src")
+    wh = engine._warehouse_dir()
+    for t in ("parquet_date_tbl",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    spark.sql("CREATE TABLE parquet_date_tbl (date_col date) "
+              "USING parquet")
+    spark.sql("INSERT INTO parquet_date_tbl "
+              "SELECT * FROM parquet_date_src")
+    read_avro(engine.spark, f"{_REFDATA}/date_tbl.avro") \
+        .createOrReplaceTempView("avro_date_tbl")
+    spark.read.orc(f"{_REFDATA}/date_tbl.orc") \
+        .createOrReplaceTempView("orc_date_tbl")
+    spark.sql("DROP TABLE IF EXISTS qscratch_date_tbl")
+    shutil.rmtree(os.path.join(wh, "qscratch_date_tbl"),
+                  ignore_errors=True)
+    spark.sql("CREATE TABLE qscratch_date_tbl (date_col date) "
+              "USING parquet PARTITIONED BY (date_part date)")
+
+
 def _setup_mt_dop(engine, db):
     """The mt_dop table: an alltypes clone (24 partitions, 11 data
     columns) computed under MT_DOP>0 — the multithreaded-scan path is
@@ -892,6 +985,9 @@ SETUP_HOOKS = {
     "mt-dop-compute-stats": _setup_mt_dop,
     "hidden-files": _setup_hidden_files,
     "mt-dop-parquet": _setup_bad_metadata_len,
+    "decimal_avro": _setup_decimal_avro,
+    "max-nesting-depth": _setup_max_nesting,
+    "date-fileformat-support": _setup_date_fileformat,
     "parquet-ambiguous-list-modern": _setup_ambig("modern"),
     "parquet-ambiguous-list-legacy": _setup_ambig("legacy"),
     "strict-mode-abort": _setup_strict_abort,
