@@ -1923,6 +1923,11 @@ def rewrite_create_default_text(sql: str) -> str:
             + f" using csv options (sep='{sep}', "
               "ignoreLeadingWhiteSpace='false', "
               "ignoreTrailingWhiteSpace='false', "
+              # no emptyValue override: Spark csv's defaults write ''
+              # as quoted "" and read "" back as '' (probed on 4.1),
+              # preserving Impala's ''-vs-\N distinction; an explicit
+              # emptyValue='' would write bare-empty fields that read
+              # back as NULL (ADVICE r8 verified not applicable)
               "nullValue='\\\\N')")
 
 

@@ -511,7 +511,40 @@ class Engine:
             return handled
         if re.match(r"(?is)^\s*create\s+(?:external\s+)?"
                     r"(?:table|view)\b", sql_text):
+            return self._sql_create_recorded(sql_text)
+        return self._sql_stmt(sql_text)
+
+    def _sql_create_recorded(self, sql_text: str) -> DataFrame:
+        """Run a CREATE TABLE/VIEW, committing the SHOW CREATE facet
+        record only when the statement takes effect: a failed CREATE
+        must not clobber the live object's recorded definition, and an
+        IF NOT EXISTS no-op over an existing object keeps the
+        existing record (the reference reflects the actual catalog,
+        ToSqlUtils.getCreateTableSql renders live metadata)."""
+        from incubator_impala_spark import showcreate
+
+        skip = False
+        if re.match(r"(?is)^\s*create\s+(?:external\s+)?"
+                    r"(?:table|view)\s+if\s+not\s+exists\b",
+                    sql_text):
+            try:
+                rm = re.match(
+                    r"(?is)^\s*create\s+(?:external\s+)?"
+                    r"(?:table|view)\s+if\s+not\s+exists\s+"
+                    r"(`?[\w.]+`?)", self.ns.resolve(sql_text))
+                skip = rm is not None and \
+                    self.spark.catalog.tableExists(
+                        rm.group(1).replace("`", ""))
+            except Exception:  # noqa: BLE001 — unresolvable name:
+                skip = False   # record as before (best-effort)
+        out = self._sql_stmt(sql_text)
+        if not skip:
             showcreate.record_create(self, sql_text)
+        return out
+
+    def _sql_stmt(self, sql_text: str) -> DataFrame:
+        from incubator_impala_spark import showcreate
+
         dv = re.match(r"(?is)^\s*drop\s+(?:table|view)\s+"
                       r"(?:if\s+exists\s+)?`?([\w.]+)`?", sql_text)
         if dv:
@@ -959,11 +992,23 @@ class Engine:
             for k in [k for k in self.col_stats if k[0] == skey]:
                 del self.col_stats[k]
             return
+        from urllib.parse import unquote
+
         preds = []
         for suffix in cover:
             kvs = [x.split("=", 1) for x in suffix.split("/")]
-            preds.append("(" + " AND ".join(
-                f"`{k}` = '{v}'" for k, v in kvs) + ")")
+            conj = []
+            for k, v in kvs:
+                # directory spellings are URL-escaped and NULL is
+                # __HIVE_DEFAULT_PARTITION__ — compare against the
+                # real column values (ADVICE r8)
+                v = unquote(v)
+                if v == "__HIVE_DEFAULT_PARTITION__":
+                    conj.append(f"`{k}` IS NULL")
+                else:
+                    esc = v.replace("\\", "\\\\").replace("'", "\\'")
+                    conj.append(f"`{k}` = '{esc}'")
+            preds.append("(" + " AND ".join(conj) + ")")
         where = " OR ".join(preds)
         schema = self.spark.table(tbl).schema
         types = {f.name: f.dataType.simpleString()

@@ -150,49 +150,61 @@ def decode_int96_column(path: str) -> list[tuple[int, int] | None]:
     import pyarrow as pa
 
     md = pq.ParquetFile(path).metadata
-    cc = md.row_group(0).column(0)
-    codec = cc.compression.lower()
     data = open(path, "rb").read()
-    pos = cc.dictionary_page_offset
-    if pos is None:
-        pos = cc.data_page_offset
-
-    def _page(pos):
-        header, body_pos = _compact_struct(data, pos)
-        csize = header[3]
-        raw = data[body_pos:body_pos + csize]
-        if codec != "uncompressed":
-            raw = pa.Codec(codec).decompress(
-                raw, header[2]).to_pybytes()
-        return header, raw, body_pos + csize
-
-    dict_vals: list[tuple[int, int]] = []
-    header, raw, pos = _page(pos)
-    if header[1] == 2:  # DICTIONARY_PAGE
-        for i in range(0, len(raw), 12):
-            nanos = struct.unpack("<q", raw[i:i + 8])[0]
-            jday = struct.unpack("<I", raw[i + 8:i + 12])[0]
-            dict_vals.append((nanos, jday))
-        header, raw, pos = _page(pos)
-    assert header[1] == 0, f"expected DATA_PAGE, got {header[1]}"
-    n = header[5][1]  # num_values incl. NULLs
-    # v1 page, max_def=1: def levels = 4-byte-length-prefixed RLE
-    dl_len = struct.unpack("<I", raw[:4])[0]
-    defs = _rle_decode(raw[4:4 + dl_len], 1, n)
-    body = raw[4 + dl_len:]
-    present = sum(defs)
-    if dict_vals:
-        bit_width = body[0]
-        idxs = _rle_decode(body[1:], bit_width, present)
-        vals = [dict_vals[i] for i in idxs]
-    else:  # plain
-        vals = [(struct.unpack("<q", body[i:i + 8])[0],
-                 struct.unpack("<I", body[i + 8:i + 12])[0])
-                for i in range(0, 12 * present, 12)]
     out: list[tuple[int, int] | None] = []
-    it = iter(vals)
-    for d in defs:
-        out.append(next(it) if d else None)
+    # ADVICE r8: loop every data page of every row group until each
+    # row group's declared num_values are consumed — a single-page
+    # read silently loses rows past page 1 (both in the registered
+    # continue-mode view and in the ts_range validation)
+    for rg in range(md.num_row_groups):
+        cc = md.row_group(rg).column(0)
+        codec = cc.compression.lower()
+        pos = cc.dictionary_page_offset
+        if pos is None:
+            pos = cc.data_page_offset
+
+        def _page(pos, codec=codec):
+            header, body_pos = _compact_struct(data, pos)
+            csize = header[3]
+            raw = data[body_pos:body_pos + csize]
+            if codec != "uncompressed":
+                raw = pa.Codec(codec).decompress(
+                    raw, header[2]).to_pybytes()
+            return header, raw, body_pos + csize
+
+        dict_vals: list[tuple[int, int]] = []
+        header, raw, pos = _page(pos)
+        if header[1] == 2:  # DICTIONARY_PAGE
+            for i in range(0, len(raw), 12):
+                nanos = struct.unpack("<q", raw[i:i + 8])[0]
+                jday = struct.unpack("<I", raw[i + 8:i + 12])[0]
+                dict_vals.append((nanos, jday))
+            header, raw, pos = _page(pos)
+        remaining = cc.num_values
+        while remaining > 0:
+            assert header[1] == 0, \
+                f"expected DATA_PAGE, got {header[1]}"
+            n = header[5][1]  # num_values incl. NULLs, this page
+            # v1 page, max_def=1: def levels = 4-byte-length-prefixed
+            # RLE
+            dl_len = struct.unpack("<I", raw[:4])[0]
+            defs = _rle_decode(raw[4:4 + dl_len], 1, n)
+            body = raw[4 + dl_len:]
+            present = sum(defs)
+            if dict_vals:
+                bit_width = body[0]
+                idxs = _rle_decode(body[1:], bit_width, present)
+                vals = [dict_vals[i] for i in idxs]
+            else:  # plain
+                vals = [(struct.unpack("<q", body[i:i + 8])[0],
+                         struct.unpack("<I", body[i + 8:i + 12])[0])
+                        for i in range(0, 12 * present, 12)]
+            it = iter(vals)
+            for d in defs:
+                out.append(next(it) if d else None)
+            remaining -= n
+            if remaining > 0:
+                header, raw, pos = _page(pos)
     return out
 
 
@@ -436,7 +448,12 @@ def check_query(engine, sql_text: str) -> None:
     checks = getattr(engine, "scan_checks", None)
     if not checks or not getattr(engine, "abort_on_error", False):
         return
-    low = sql_text.lower()
+    # match on the neutralized shadow (string literals and comments
+    # blanked) so a checked-table name inside a literal or comment
+    # doesn't spuriously trigger the abort validation (ADVICE r8)
+    from incubator_impala_spark import dialect
+
+    low = dialect._neutralize(sql_text).lower()
     for name, info in checks.items():
         if not re.search(rf"\b{re.escape(name)}\b", low):
             continue

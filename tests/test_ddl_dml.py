@@ -488,3 +488,45 @@ def test_show_table_stats_and_files(spark, engine):
         assert len(files) == 1 and files[0].Partition == "p=1"
     finally:
         spark.sql("DROP TABLE IF EXISTS tstats_p")
+
+
+def test_default_text_table_empty_string_roundtrip(engine):
+    """ADVICE r8: Impala text semantics keep '' distinct from \\N —
+    the generated csv OPTIONS need emptyValue so Spark's csv reader
+    doesn't fold inserted empty strings to NULL."""
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS txt_empty_rt")
+    eng.sql("CREATE TABLE txt_empty_rt (id INT, s STRING)")
+    eng.sql("INSERT INTO txt_empty_rt VALUES (1, ''), (2, NULL), "
+            "(3, 'x')")
+    rows = {r["id"]: r["s"]
+            for r in eng.sql("SELECT id, s FROM txt_empty_rt")
+            .collect()}
+    assert rows[1] == "", f"empty string became {rows[1]!r}"
+    assert rows[2] is None
+    assert rows[3] == "x"
+    eng.sql("DROP TABLE txt_empty_rt")
+
+
+def test_incremental_colstats_null_partition_cover(engine):
+    """ADVICE r8: the incremental-colstats cover predicate must treat
+    the __HIVE_DEFAULT_PARTITION__ directory as `col IS NULL` (and
+    unescape URL-escaped values) instead of silently dropping those
+    partitions from the merge."""
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS inc_null_part")
+    eng.sql("CREATE TABLE inc_null_part (v INT) PARTITIONED BY "
+            "(p STRING) STORED AS PARQUET")
+    eng.sql("INSERT INTO inc_null_part PARTITION(p='a') VALUES (1)")
+    eng.sql("INSERT INTO inc_null_part PARTITION(p='b c') VALUES (2)")
+    eng.sql("INSERT INTO inc_null_part PARTITION(p) "
+            "SELECT 3, CAST(NULL AS STRING)")
+    eng.sql("COMPUTE INCREMENTAL STATS inc_null_part")
+    # drop one partition's stats: merged colstats recompute over the
+    # remaining cover, which includes the NULL and escaped partitions
+    eng.sql("DROP INCREMENTAL STATS inc_null_part PARTITION (p='a')")
+    stats = {r["Column"]: r for r in
+             eng.sql("SHOW COLUMN STATS inc_null_part").collect()}
+    # v values 2 and 3 remain in the cover -> NDV 2, not 1
+    assert stats["v"]["#Distinct Values"] == 2, dict(stats["v"].asDict())
+    eng.sql("DROP TABLE inc_null_part")

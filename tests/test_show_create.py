@@ -236,3 +236,35 @@ def test_show_create_file(sc_engine, fname, floor):
         f"{fname}: {passed} pass / {skipped} skip\n"
         + "\n".join(problems))
     assert passed >= floor, f"{fname}: pass floor {passed} < {floor}"
+
+
+def test_record_create_commits_only_on_success(sc_engine):
+    """ADVICE r8 (engine.py record_create ordering): a failed CREATE
+    or an IF NOT EXISTS no-op must not overwrite the live object's
+    recorded facets — the reference renders from the actual catalog
+    (ToSqlUtils.getCreateTableSql)."""
+    eng = sc_engine
+    eng.sql(f"CREATE DATABASE IF NOT EXISTS {DB}")
+    eng.sql(f"USE {DB}")
+    eng.sql("DROP TABLE IF EXISTS rc_t")
+    eng.sql("CREATE TABLE rc_t (a INT COMMENT 'first') STORED AS "
+            "PARQUET")
+    orig = "\n".join(
+        r[0] for r in eng.sql("SHOW CREATE TABLE rc_t").collect())
+    assert "first" in orig
+    # IF NOT EXISTS no-op over the existing table: record unchanged
+    eng.sql("CREATE TABLE IF NOT EXISTS rc_t (b STRING "
+            "COMMENT 'second') STORED AS TEXTFILE")
+    after = "\n".join(
+        r[0] for r in eng.sql("SHOW CREATE TABLE rc_t").collect())
+    assert after == orig, "IF NOT EXISTS no-op clobbered the record"
+    # failed CREATE (duplicate, no IF NOT EXISTS): record unchanged
+    try:
+        eng.sql("CREATE TABLE rc_t (c BIGINT COMMENT 'third') "
+                "STORED AS TEXTFILE")
+    except Exception:  # noqa: BLE001 — expected: already exists
+        pass
+    after2 = "\n".join(
+        r[0] for r in eng.sql("SHOW CREATE TABLE rc_t").collect())
+    assert after2 == orig, "failed CREATE clobbered the record"
+    eng.sql("DROP TABLE rc_t")
