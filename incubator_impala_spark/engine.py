@@ -281,6 +281,7 @@ class Engine:
         # the reference-shaped message, continue skips/NULLs bad data
         self.abort_on_error = False
         self.strict_mode = False
+        self.compression_codec = None
         if sf_dir:
             register_tables(self.spark, sf_dir)
 
@@ -334,6 +335,14 @@ class Engine:
             # reference-exact HLL (functions/hll.py)
             self.appx_count_distinct = str(value).strip() \
                 .strip("'\"").lower() in ("1", "true")
+            return True
+        if key == "compression_codec":
+            # THdfsCompression names are all accepted at SET time
+            # (query-options.cc ParseUtil); the parquet writer
+            # validates its subset at INSERT
+            # (hdfs-parquet-table-writer.cc:1019-1027) — mirrored in
+            # _insert. ZSTD:<level> carries a compression level.
+            self.compression_codec = disp.lower().split(":")[0] or None
             return True
         if key in ("abort_on_error", "strict_mode"):
             setattr(self, key, str(value).strip().strip("'\"")
@@ -1672,18 +1681,53 @@ class Engine:
                 final = final.coalesce(1)
         except Exception:  # noqa: BLE001
             pass
+        # COMPRESSION_CODEC: the parquet writer accepts only
+        # NONE/GZIP/SNAPPY/ZSTD/LZ4 (hdfs-parquet-table-writer.cc:
+        # 1019-1027; insert_parquet_invalid_codec.test pins the bzip2
+        # reject); valid codecs flow to the parquet write conf
+        pq_codec = None
+        cc = getattr(self, "compression_codec", None)
+        if cc:
+            pq_map = {"none": "uncompressed", "default": "snappy",
+                      "snappy": "snappy", "gzip": "gzip",
+                      "zstd": "zstd", "lz4": "lz4"}
+            if self._table_provider(tbl) == "parquet":
+                if cc not in pq_map:
+                    raise ValueError(
+                        f"Invalid parquet compression codec {cc}")
+                pq_codec = pq_map[cc]
         prev = self.spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static")
+        prev_codec = self.spark.conf.get(
+            "spark.sql.parquet.compression.codec", "snappy")
         self.spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        if pq_codec:
+            self.spark.conf.set(
+                "spark.sql.parquet.compression.codec", pq_codec)
         try:
             final.write.insertInto(tbl, overwrite=overwrite)
         finally:
             self.spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev)
+            self.spark.conf.set(
+                "spark.sql.parquet.compression.codec", prev_codec)
             final.unpersist()
         return self.spark.createDataFrame(
             rows, "__insert_summary__ string")
+
+    def _table_provider(self, tbl: str) -> str | None:
+        """Catalog provider ('parquet', 'csv', ...) of a persistent
+        table, None for temp views / unknown — one metadata lookup,
+        no job."""
+        try:
+            for r in self.spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {tbl}").collect():
+                if r[0] == "Provider":
+                    return (r[1] or "").strip().lower()
+        except Exception:  # noqa: BLE001 — temp view or missing
+            pass
+        return None
 
     def _stats_key(self, name: str) -> str:
         """Registry key for a table name: last path segment, with the

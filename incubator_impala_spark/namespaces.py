@@ -39,7 +39,14 @@ _CREATE_DB = re.compile(
     r"^\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<bq>`?)(?P<name>[A-Za-z_]\w*)(?P=bq)\s*"
     r"(?:COMMENT\s+(?P<q>['\"])(?P<comment>.*?)(?P=q)\s*)?"
-    r"(?:LOCATION\s+'[^']*'\s*)?;?\s*$",
+    r"(?:LOCATION\s+(?P<lq>['\"])(?P<loc>[^'\"]*)(?P=lq)\s*)?"
+    r"(?:MANAGEDLOCATION\s+(?P<mq>['\"])(?P<mloc>[^'\"]*)(?P=mq)\s*)?"
+    r"(?:WITH\s+DBPROPERTIES\s*\((?P<props>[^)]*)\)\s*)?;?\s*$",
+    re.IGNORECASE)
+_DESCRIBE_DB = re.compile(
+    r"^\s*DESCRIBE\s+(?:DATABASE|SCHEMA)\s+"
+    r"(?P<ext>EXTENDED\s+|FORMATTED\s+)?"
+    r"(?P<bq>`?)(?P<name>[A-Za-z_]\w*)(?P=bq)\s*;?\s*$",
     re.IGNORECASE)
 _DROP_DB = re.compile(
     r"^\s*DROP\s+(?:DATABASE|SCHEMA)\s+(?P<ife>IF\s+EXISTS\s+)?"
@@ -155,6 +162,8 @@ class Namespaces:
         # db -> {obj_name: {"kind": "view"|"table"}}
         self.dbs: dict[str, dict[str, dict]] = {}
         self.comments: dict[str, str] = {}   # db -> db comment
+        self.locations: dict[str, str] = {}  # db -> custom LOCATION
+        self.dbprops: dict[str, dict] = {}   # db -> DBPROPERTIES
         self.current: str | None = None
         # db -> {(name, SIGNATURE): {"ret":, "agg":, "binary":}}
         self.fns: dict[str, dict[tuple, dict]] = {}
@@ -262,6 +271,14 @@ class Namespaces:
                 raise ValueError(f"Database already exists: {name}")
             self.dbs[name] = {}
             self.comments[name] = m.group("comment") or ""
+            if m.group("loc"):
+                self.locations[name] = m.group("loc")
+            if m.group("props"):
+                self.dbprops[name] = dict(re.findall(
+                    r"'([^']*)'\s*=\s*'([^']*)'", m.group("props")))
+            # a MANAGEDLOCATION clause is accepted but not displayed:
+            # Hive ignores it (HIVE-24175) and the reference's
+            # describe-db.test pins the default managed location
             return summary("Database has been created.")
         m = _DROP_DB.match(sql_text)
         if m:
@@ -278,10 +295,15 @@ class Namespaces:
                 self._drop_object(engine, name, obj, info)
             del self.dbs[name]
             self.comments.pop(name, None)
+            self.locations.pop(name, None)
+            self.dbprops.pop(name, None)
             self.fns.pop(name, None)
             if self.current == name:
                 self.current = None
             return summary("Database has been dropped.")
+        m = _DESCRIBE_DB.match(sql_text)
+        if m:
+            return self._describe_db(engine, m)
         m = _SHOW_DBS.match(sql_text)
         if m:
             pat = impala_pattern(m.group("pat")) if m.group("pat") \
@@ -397,6 +419,46 @@ class Namespaces:
             elif self.current and "." not in name:
                 self.register(self.current, obj, "table", name)
         return None
+
+    def _describe_db(self, engine, m: re.Match):
+        """Impala's DESCRIBE DATABASE [EXTENDED|FORMATTED] output
+        (fe/src/main/java/org/apache/impala/analysis/DescribeDbStmt
+        .java; result rows shaped by the frontend's
+        DescribeResultFactory): 3 string columns (name, location,
+        comment); base rows are the db line and the
+        ``managedlocation:`` line; EXTENDED adds the owner rows and
+        any DBPROPERTIES. Locations display in the reference's
+        /test-warehouse notation (partitions._display_location
+        convention); a custom CREATE-time LOCATION displays verbatim;
+        MANAGEDLOCATION always shows the default (Hive ignores the
+        clause — HIVE-24175, pinned by describe-db.test)."""
+        import getpass
+
+        name = m.group("name").lower()
+        known = name in self.dbs or name in STANDING_DBS
+        if not known:
+            raise ValueError(f"Database does not exist: {name}")
+        comment = self.comments.get(name,
+                                    STANDING_DBS.get(name, ""))
+        if name == "default":
+            ext = "file:/test-warehouse"
+            managed = "file:/test-warehouse/managed"
+        else:
+            loc = self.locations.get(name)
+            ext = f"file:{loc}" if loc \
+                else f"file:/test-warehouse/{name}.db"
+            managed = f"file:/test-warehouse/managed/{name}.db"
+        rows = [(name, ext, comment),
+                ("managedlocation:", managed, "")]
+        if m.group("ext"):
+            rows.append(("", getpass.getuser(), "USER"))
+            rows.append(("Owner: ", "", ""))
+            props = self.dbprops.get(name)
+            if props:
+                rows.append(("Parameter: ", "", ""))
+                rows += [("", k, v) for k, v in sorted(props.items())]
+        return engine.spark.createDataFrame(
+            rows, "name string, location string, comment string")
 
     # -- object ops -----------------------------------------------------
 

@@ -248,6 +248,28 @@ def check_footer(path: str, display: str) -> str | None:
     return None
 
 
+def check_codec(path: str, display: str) -> str | None:
+    """Unsupported ColumnMetaData.codec (reference
+    parquet-metadata-utils.cc:283-291: only UNCOMPRESSED/SNAPPY/GZIP/
+    ZSTD/LZ4 scan). pyarrow's metadata veneer masks unknown enum
+    values, so the footer FileMetaData thrift is parsed raw."""
+    data = open(path, "rb").read()
+    flen = struct.unpack("<I", data[-8:-4])[0]
+    md, _ = _compact_struct(data[len(data) - 8 - flen:len(data) - 8],
+                            0)
+    supported = {0, 1, 2, 5, 6}  # UNCOMPRESSED SNAPPY GZIP LZ4 ZSTD
+    for rg in md.get(4, []):          # FileMetaData.row_groups
+        for cc in rg.get(1, []):      # RowGroup.columns
+            cmd = cc.get(3, {})       # ColumnChunk.meta_data
+            codec = cmd.get(4, 0)     # ColumnMetaData.codec
+            if codec not in supported:
+                col = ".".join(
+                    x.decode() for x in cmd.get(3, []))  # path
+                return (f"File '{display}' uses an unsupported "
+                        f"compression: {codec} for column '{col}'.")
+    return None
+
+
 def check_column_counts(path: str, display: str,
                         cols: set[str] | None) -> str | None:
     """Per-row-group declared num_values vs actually-decoded counts
@@ -470,6 +492,8 @@ def check_query(engine, sql_text: str) -> None:
                 display = f"{info['display_dir']}/{os.path.basename(p)}"
                 if info["check"] == "footer":
                     msg = check_footer(p, display)
+                elif info["check"] == "codec":
+                    msg = check_codec(p, display)
                 elif info["check"] == "decode":
                     msg = check_decodable(p, display)
                 elif info["check"] == "ts_range":

@@ -553,8 +553,18 @@ def run_blocks(engine, blocks: list[Block], *,
             # (__do_replacements): the filesystem display name and the
             # namenode uri prefix — this engine's warehouse paths
             # print as file:/test-warehouse/... (_display_location)
+            import getpass
+
+            # $EXTERNAL/$MANAGED_WAREHOUSE_DIR: the reference's
+            # Hive-3 values (tests/common/environ.py:77-80); $USER:
+            # getuser() (impala_test_suite.py __do_replacements)
             b.results = [r.replace("$NAMENODE", "file:")
                           .replace("$FILESYSTEM_NAME", "HDFS")
+                          .replace("$EXTERNAL_WAREHOUSE_DIR",
+                                   "test-warehouse")
+                          .replace("$MANAGED_WAREHOUSE_DIR",
+                                   "test-warehouse/managed")
+                          .replace("$USER", getpass.getuser())
                          for r in b.results]
         if b.has_catch:
             tag, body = b.sections["CATCH"]
@@ -909,6 +919,7 @@ _OPT_ATTRS = {
     "exact_ndv": ["exact_ndv"],
     "abort_on_error": ["abort_on_error"],
     "strict_mode": ["strict_mode"],
+    "compression_codec": ["compression_codec"],
 }
 
 _SET_NAME = re.compile(r"(?i)^\s*set\s+([A-Za-z_][\w.]*)\s*=")

@@ -700,6 +700,18 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
         20: "dbgen-comment-variant",
     }, _RTF_REWRITES),
     "runtime_filters_mt_dop": (21, {}, _RTF_REWRITES),
+    # --- wave 7 (r9) ---
+    # DESCRIBE DATABASE [EXTENDED|FORMATTED] (DescribeDbStmt.java);
+    # dbs staged by _setup_describe_db mirroring the reference's
+    # tests/metadata/test_metadata_query_statements.py test_describe_db
+    "describe-db": (9, {}),
+    "describe-hive-db": (5, {}),
+    # parquet writer/reader codec error surface: unsupported codec in
+    # a scanned file (scan_errors.check_codec raw-footer parse), and
+    # the writer's codec validation (engine._insert pq_map reject)
+    "parquet-bad-codec": (1, {}, None, ["SET ABORT_ON_ERROR=1"]),
+    "insert_parquet_invalid_codec": (1, {}, None,
+                                     ["SET COMPRESSION_CODEC=bzip2"]),
 }
 
 
@@ -842,6 +854,23 @@ def _setup_scan_errors(engine, db):
         "decode", "s string")
 
 
+def _setup_bad_codec(engine, db):
+    """test_scanners.py test_bad_compression_codec staging: the
+    reference's own bad_codec.parquet (codec enum 5000) as a checked
+    table."""
+    from incubator_impala_spark import scan_errors as se
+
+    wh = f"/test-warehouse/{db}.db"
+    se.register_parquet_check(
+        engine, "bad_codec", [f"{_REFDATA}/bad_codec.parquet"],
+        f"{wh}/bad_codec", "codec",
+        "id int, bool_col boolean, tinyint_col tinyint, "
+        "smallint_col smallint, int_col int, bigint_col bigint, "
+        "float_col float, double_col double, date_string_col string, "
+        "string_col string, timestamp_col timestamp, "
+        "year int, month int")
+
+
 def _setup_strict_abort(engine, db):
     from incubator_impala_spark import scan_errors as se
 
@@ -980,8 +1009,40 @@ def _setup_mt_dop(engine, db):
                "select * from alltypes")
 
 
+def _setup_describe_db(engine, db):
+    """Stage the describe-db dbs exactly as the reference runner does
+    (tests/metadata/test_metadata_query_statements.py:178-186)."""
+    for i in range(1, 6):
+        engine.sql(f"DROP DATABASE IF EXISTS impala_test_desc_db{i} "
+                   f"CASCADE")
+    engine.sql("CREATE DATABASE impala_test_desc_db1")
+    engine.sql("CREATE DATABASE impala_test_desc_db2 "
+               "COMMENT 'test comment'")
+    engine.sql("CREATE DATABASE impala_test_desc_db3 "
+               "LOCATION '/testdb'")
+    engine.sql("CREATE DATABASE impala_test_desc_db4 "
+               "COMMENT 'test comment' LOCATION \"/test2.db\"")
+    engine.sql("CREATE DATABASE impala_test_desc_db5 "
+               "COMMENT 'test comment' MANAGEDLOCATION \"/test2.db\"")
+
+
+def _setup_describe_hive_db(engine, db):
+    """The hive-created dbs (run_stmt_in_hive in the reference runner,
+    test_metadata_query_statements.py:188-191) — same DDL grammar."""
+    engine.sql("DROP DATABASE IF EXISTS hive_test_desc_db CASCADE")
+    engine.sql("DROP DATABASE IF EXISTS hive_test_desc_db2 CASCADE")
+    engine.sql("CREATE DATABASE hive_test_desc_db "
+               "COMMENT 'test comment' "
+               "WITH DBPROPERTIES('pi' = '3.14', 'e' = '2.82')")
+    engine.sql("CREATE DATABASE hive_test_desc_db2 "
+               "COMMENT 'test comment' MANAGEDLOCATION '/test2.db'")
+
+
 SETUP_HOOKS = {
     "load": _setup_load,
+    "describe-db": _setup_describe_db,
+    "describe-hive-db": _setup_describe_hive_db,
+    "parquet-bad-codec": _setup_bad_codec,
     "mt-dop-compute-stats": _setup_mt_dop,
     "hidden-files": _setup_hidden_files,
     "mt-dop-parquet": _setup_bad_metadata_len,
@@ -1005,6 +1066,7 @@ SETUP_HOOKS = {
 # is a FAILURE, not the legacy documented skip
 STRICT_CATCH_FILES = {
     "strict-mode-abort", "parquet-abort-on-error", "mt-dop-parquet",
+    "parquet-bad-codec", "insert_parquet_invalid_codec",
     "parquet-corrupt-footer-len-incr",
     "parquet-corrupt-footer-len-decr",
     "parquet-corrupt-rle-counts-abort",
