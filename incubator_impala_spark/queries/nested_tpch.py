@@ -601,6 +601,57 @@ def nested_tpch_q2_min_cost_supplier(
     )
 
 
+def _q9_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q9 nested walk's joined relation (shared with the masked
+    variant). The '%green%' part filter prunes BOTH fact sides before
+    the composite-key join — the reference's runtime filter from the
+    part build reaches the lineitem AND partsupp scans (HdfsScanNode
+    runtime filters); without it AQE broadcast-built the full
+    800k-row exploded partsupp and all of orders, a single-threaded
+    hash build that dominated the sf1 probe (SCALE.md r9:
+    4.76x -> ~2x). orders projects to its two used columns so the
+    build side stays key+date sized at any SF."""
+    supp = _nested_suppliers(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+
+    sp = supp.select(
+        "s_suppkey", "s_nationkey", F.explode("s_partsupps").alias("ps")
+    ).select(
+        "s_suppkey", "s_nationkey",
+        F.col("ps.ps_partkey").alias("ps_partkey"),
+        F.col("ps.ps_supplycost").alias("ps_supplycost"))
+    # ONE broadcast green-key set feeds both joins (identical plan
+    # subtree -> ReusedExchange, one part scan); SHUFFLE_HASH for
+    # orders: its columnar size estimate sits under the broadcast
+    # threshold, but a 1.5M-row broadcast is a single-threaded hash
+    # build (~2s at sf1) — and at 100 TB orders could never
+    # broadcast; per-partition parallel hash builds are the plan
+    # that survives the scale-up
+    green = F.broadcast(
+        part.where(F.col("p_name").like("%green%")).select("p_partkey"))
+    li_f = li.join(green, li["l_partkey"] == green["p_partkey"]) \
+        .drop("p_partkey")
+    sp_f = sp.join(green, F.col("ps_partkey") == green["p_partkey"]) \
+        .drop("p_partkey")
+    # sp_f also takes SHUFFLE_HASH (not an explicit broadcast): the
+    # green-filtered partsupp side is ~150x smaller than lineitem but
+    # grows with SF — a forced broadcast would OOM a 100 TB run,
+    # while AQE still localizes the small side at benched SFs
+    return (
+        li_f.join(sp_f.hint("shuffle_hash"),
+                  (li_f["l_partkey"] == sp_f["ps_partkey"])
+                  & (li_f["l_suppkey"] == sp_f["s_suppkey"]))
+        .join(orders.select("o_orderkey", "o_orderdate")
+              .hint("shuffle_hash"),
+              li_f["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(nation),
+              sp_f["s_nationkey"] == nation["n_nationkey"])
+    )
+
+
 @_register(
     "nested_tpch_q9_profit_by_nation_year",
     f"""
@@ -635,28 +686,8 @@ def nested_tpch_q9_profit_by_nation_year(
     expression carries scale 4 in both engines.
     Reference: testdata/workloads/tpch_nested/queries/tpch_nested-q9.test
     (and the masked variant masked-tpch_nested-q9.test)."""
-    supp = _nested_suppliers(spark, sf_dir)
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    part = load_table(spark, sf_dir, "part")
-    nation = load_table(spark, sf_dir, "nation")
-
-    sp = supp.select(
-        "s_suppkey", "s_nationkey", F.explode("s_partsupps").alias("ps")
-    ).select(
-        "s_suppkey", "s_nationkey",
-        F.col("ps.ps_partkey").alias("ps_partkey"),
-        F.col("ps.ps_supplycost").alias("ps_supplycost"))
     d = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
-    joined = (
-        li.join(sp, (li["l_partkey"] == sp["ps_partkey"])
-                & (li["l_suppkey"] == sp["s_suppkey"]))
-        .join(F.broadcast(part.where(F.col("p_name").like("%green%"))),
-              li["l_partkey"] == F.col("p_partkey"))
-        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(nation),
-              sp["s_nationkey"] == nation["n_nationkey"])
-    )
+    joined = _q9_joined(spark, sf_dir)
     profit = (
         d("l_extendedprice") * (F.lit(1) - d("l_discount"))
         - F.col("ps_supplycost") * d("l_quantity"))
@@ -956,27 +987,8 @@ def nested_tpch_q9_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
     masked-tpch_nested-q9.test."""
     # the mask is applied inside the aggregate (not post-hoc): a mask
     # policy must collapse masked nations into shared groups
-    supp = _nested_suppliers(spark, sf_dir)
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    part = load_table(spark, sf_dir, "part")
-    nation = load_table(spark, sf_dir, "nation")
-    sp = supp.select(
-        "s_suppkey", "s_nationkey", F.explode("s_partsupps").alias("ps")
-    ).select(
-        "s_suppkey", "s_nationkey",
-        F.col("ps.ps_partkey").alias("ps_partkey"),
-        F.col("ps.ps_supplycost").alias("ps_supplycost"))
     d = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
-    joined = (
-        li.join(sp, (li["l_partkey"] == sp["ps_partkey"])
-                & (li["l_suppkey"] == sp["s_suppkey"]))
-        .join(F.broadcast(part.where(F.col("p_name").like("%green%"))),
-              li["l_partkey"] == F.col("p_partkey"))
-        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(nation),
-              sp["s_nationkey"] == nation["n_nationkey"])
-    )
+    joined = _q9_joined(spark, sf_dir)
     masked = F.when(
         F.col("n_name").isin("FRANCE", "GERMANY"), F.col("n_name")
     ).otherwise(F.regexp_replace("n_name", "[A-Z]", "X"))
