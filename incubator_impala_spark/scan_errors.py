@@ -454,6 +454,50 @@ def register_parquet_check(engine, name: str, paths: list[str],
     df.createOrReplaceTempView(name)
 
 
+_DATE_MIN_DAYS = -719162   # 0001-01-01 as proleptic days from epoch
+_DATE_MAX_DAYS = 2932896   # 9999-12-31
+
+
+def register_orc_date_check(engine, name: str, paths: list[str],
+                            display_dir: str, col: str = "d"):
+    """Register `name` as a checked ORC DATE table with the
+    reference's scanner semantics (hdfs-orc-scanner.cc date handling):
+    raw day values read PROLEPTICALLY with no Julian rebase (Impala
+    reads Hive-2-written pre-Gregorian dates 'incorrectly' —
+    hive2-pre-gregorian-date-orc.test pins that), and values outside
+    0001-01-01..9999-12-31 are NULL in continue mode / the
+    out-of-range error under ABORT_ON_ERROR
+    (out-of-range-date-orc.test). pyarrow's ORC reader supplies the
+    raw proleptic day numbers (Spark's own reader rebases by writer
+    version, masking both behaviors)."""
+    import pyarrow.orc as po
+
+    if not hasattr(engine, "scan_checks"):
+        engine.scan_checks = {}
+    rows, msg = [], None
+    for p in paths:
+        t = po.ORCFile(p).read()
+        for v in t.column(0).cast("int32").to_pylist():
+            if v is None:
+                rows.append((None,))
+            elif _DATE_MIN_DAYS <= v <= _DATE_MAX_DAYS:
+                rows.append((_dt.date.fromordinal(v + 719163),))
+            else:
+                rows.append((None,))
+                if msg is None:
+                    display = (f"{display_dir}/"
+                               f"{os.path.basename(p)}")
+                    msg = (f"ORC file '{display}' column '1' contains "
+                           f"an out of range date. The valid date "
+                           f"range is 0001-01-01..9999-12-31.")
+    engine.scan_checks[name.lower()] = {
+        "kind": "parquet", "paths": paths, "check": "orc_date",
+        "display_dir": display_dir, "ts_col": None, "msg": msg,
+    }
+    engine.spark.createDataFrame(rows, f"{col} date") \
+        .createOrReplaceTempView(name)
+
+
 def register_text_check(engine, name: str, path: str,
                         col_types: list[str], col_names: list[str]):
     if not hasattr(engine, "scan_checks"):
@@ -494,6 +538,8 @@ def check_query(engine, sql_text: str) -> None:
                     msg = check_footer(p, display)
                 elif info["check"] == "codec":
                     msg = check_codec(p, display)
+                elif info["check"] == "orc_date":
+                    msg = info.get("msg")
                 elif info["check"] == "decode":
                     msg = check_decodable(p, display)
                 elif info["check"] == "ts_range":

@@ -79,6 +79,19 @@ def _strip_comments(text: str) -> str:
 def parse_test_file(path: str) -> list[Block]:
     with open(path, encoding="utf-8") as f:
         content = f.read()
+    # the reference rejects files whose pre-'====' header starts with
+    # a subsection delimiter — everything before the first '====' is
+    # ignored as header text, so such a file would silently skip its
+    # first test case (test_file_parser.py:168-176,
+    # invalid_header.test meta-contract)
+    m = re.search(r"(?m)^====", content)
+    if m and re.match(r"^----", content[:m.start()]):
+        raise RuntimeError(
+            "Header must not start with '----'. Everything before the "
+            "first line matching '====' is considered header "
+            "information and will be ignored. However a header must "
+            "not start with '----' to prevent test cases from "
+            "accidentally being ignored.")
     blocks: list[Block] = []
     pending_shell: list[str] = []
     pending_hive: list[str] = []
@@ -579,6 +592,9 @@ def run_blocks(engine, blocks: list[Block], *,
         # string (tests/common: FILESYSTEM_PREFIX='' on HDFS)
         b.query = b.query.replace("$FILESYSTEM_PREFIX", "")
         b.query = b.query.replace("$NAMENODE", "")
+        # file:// LOCATIONs into the reference checkout
+        # (local-filesystem.test reads testdata/data/local_tbl)
+        b.query = b.query.replace("$IMPALA_HOME", "/root/reference")
         # runtime-filter workloads parameterize the filter-arrival
         # wait; any value works — the SET is accepted session-side and
         # Spark's DPP/bloom runtime filters need no arrival wait
@@ -810,6 +826,12 @@ def _strip_location(stmt: str) -> str:
         # location naming the source's own warehouse dir means the
         # new table adopts the existing data files (engine
         # _create_like populates the clone to match)
+        return stmt
+    lm = re.search(r"(?i)\blocation\s+'file://(/[^']*)'", stmt)
+    if lm and os.path.exists(lm.group(1)):
+        # a file:// LOCATION that exists on THIS machine is readable
+        # as-is (local-filesystem.test points into the reference
+        # checkout) — keep it
         return stmt
     out = _LOCATION_CLAUSE.sub("", stmt)
     return re.sub(r"(?i)\bcreate\s+external\s+table\b", "create table",

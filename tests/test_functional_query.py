@@ -712,6 +712,13 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "parquet-bad-codec": (1, {}, None, ["SET ABORT_ON_ERROR=1"]),
     "insert_parquet_invalid_codec": (1, {}, None,
                                      ["SET COMPRESSION_CODEC=bzip2"]),
+    # ORC DATE edges: proleptic no-rebase reads (the reference reads
+    # Hive-2 pre-Gregorian dates 'incorrectly' and the test pins it)
+    # + out-of-range -> NULL / abort (scan_errors raw pyarrow decode)
+    "out-of-range-date-orc": (2, {}),
+    "hive2-pre-gregorian-date-orc": (1, {}),
+    # file:// LOCATION over the reference's shipped local_tbl csv
+    "local-filesystem": (3, {}),
 }
 
 
@@ -869,6 +876,26 @@ def _setup_bad_codec(engine, db):
         "float_col float, double_col double, date_string_col string, "
         "string_col string, timestamp_col timestamp, "
         "year int, month int")
+
+
+def _setup_orc_out_of_range_date(engine, db):
+    """test_scanners.py test_date_out_of_range_orc staging."""
+    from incubator_impala_spark import scan_errors as se
+
+    se.register_orc_date_check(
+        engine, "out_of_range_date_orc",
+        [f"{_REFDATA}/out_of_range_date.orc"],
+        f"/test-warehouse/{db}.db/out_of_range_date_orc")
+
+
+def _setup_orc_pre_gregorian(engine, db):
+    """test_scanners.py test_pre_gregorian_date_orc staging."""
+    from incubator_impala_spark import scan_errors as se
+
+    se.register_orc_date_check(
+        engine, "hive2_pre_gregorian_orc",
+        [f"{_REFDATA}/hive2_pre_gregorian.orc"],
+        f"/test-warehouse/{db}.db/hive2_pre_gregorian_orc")
 
 
 def _setup_strict_abort(engine, db):
@@ -1043,6 +1070,8 @@ SETUP_HOOKS = {
     "describe-db": _setup_describe_db,
     "describe-hive-db": _setup_describe_hive_db,
     "parquet-bad-codec": _setup_bad_codec,
+    "out-of-range-date-orc": _setup_orc_out_of_range_date,
+    "hive2-pre-gregorian-date-orc": _setup_orc_pre_gregorian,
     "mt-dop-compute-stats": _setup_mt_dop,
     "hidden-files": _setup_hidden_files,
     "mt-dop-parquet": _setup_bad_metadata_len,
@@ -1067,6 +1096,7 @@ SETUP_HOOKS = {
 STRICT_CATCH_FILES = {
     "strict-mode-abort", "parquet-abort-on-error", "mt-dop-parquet",
     "parquet-bad-codec", "insert_parquet_invalid_codec",
+    "out-of-range-date-orc",
     "parquet-corrupt-footer-len-incr",
     "parquet-corrupt-footer-len-decr",
     "parquet-corrupt-rle-counts-abort",
@@ -1219,3 +1249,14 @@ def test_views_compatibility(functional_engine):
     eng.sql("drop view if exists test")
     assert not problems, problems
     assert n_pass >= 17, n_pass
+
+
+def test_invalid_header_rejected():
+    """invalid_header.test: the reference's meta-contract
+    (tests/query_test/test_invalid_test_header.py) — a .test file
+    whose header starts with '----' must be rejected, not silently
+    partially ignored."""
+    from incubator_impala_spark.testing import querytest as qt
+
+    with pytest.raises(RuntimeError, match="Header must not start"):
+        qt.parse_test_file(os.path.join(QT_DIR, "invalid_header.test"))
