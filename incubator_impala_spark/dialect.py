@@ -955,11 +955,18 @@ def rewrite_values_aliases(sql: str) -> str:
         out.append(sql[pos:m.start()])
         # column labels: the explicit alias, else (as the reference
         # labels unaliased VALUES columns) the first-row expression
-        # text itself — `select min(`0`) from (values (0), (1))` works
+        # text itself — `select min(`0`) from (values (0), (1))` works.
+        # In a CTAS the stored column names for unaliased exprs are
+        # Hive's _c0.._cN (java-udf.test's replace_string_input CTAS
+        # selects `_c0` back).
+        ctas = re.search(r"(?is)\bcreate\s+table\b[\s\S]*\bas\s*$",
+                         _neutralize(sql[:m.start()])) is not None
         labels = []
         for n, (a, ex) in enumerate(zip(aliases, first_exprs)):
             if a:
                 labels.append(a if a.startswith("`") else f"`{a}`")
+            elif ctas:
+                labels.append(f"_c{n}")
             elif "`" not in ex and "\n" not in ex:
                 labels.append(f"`{ex}`")
             else:
