@@ -92,3 +92,25 @@ def test_level2_scan_stored_statistics(lines):
     assert "stored statistics:" in txt
     assert re.search(r"table: rows=[\d.]+[KM]? size=", txt)
     assert "extrapolated-rows=disabled" in txt
+
+
+def test_level2_ledger_deterministic_values(lines, engine):
+    """The deterministic subset of the reference's level-2 ledger
+    (VERDICT r8 #3 / explain-level2 adjudication): row-size derives
+    from the schema's slot widths and scan cardinality from the
+    parquet footers — exact values, not just grammar."""
+    from incubator_impala_spark.sources.tables import parquet_num_rows
+
+    from tests.conftest import SF_SMALL
+
+    out = lines(2, "select o_orderkey, o_totalprice from orders")
+    txt = "\n".join(out)
+    n = parquet_num_rows(SF_SMALL, "orders")
+    # bigint (8) + double/decimal slot (8) = 16B
+    m = re.search(r"tuple-ids=\d+ row-size=(\d+)B cardinality=(\S+)",
+                  txt)
+    assert m, txt
+    assert m.group(1) == "16", txt
+    from incubator_impala_spark.impala_explain import _fmt_card
+
+    assert m.group(2) == _fmt_card(n), (m.group(2), n)

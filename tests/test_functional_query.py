@@ -395,10 +395,15 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # pinning the reference's absolute minicluster numbers (row-size
     # bytes, hosts=3, Memory=74MB) are reason-coded xfails
     # (DIALECT.md minicluster-cost-model)
-    "explain-level2": (0, {0: "minicluster-cost-model",
-                           1: "minicluster-cost-model",
-                           2: "minicluster-cost-model"},
-                       None, ["set explain_level=2"]),
+    # explain-level2 is NOT counted as wired (VERDICT r8 #3): every
+    # one of its 3 blocks pins either host topology (hosts=3/hosts=2
+    # from the minicluster's HDFS block placement) or absolute
+    # cost-model outputs (Memory=74MB / 4.07GB) in PLAIN expected
+    # lines — nothing deterministic is left to verify from the file
+    # itself. The level-2 ledger structure (fragments, DATASTREAM
+    # SINK, tuple-ids/row-size/cardinality, pipelines) is pinned by
+    # tests/test_explain_levels.py instead; adjudication in
+    # COVERAGE.md.
     "explain-level3": (2, {0: "minicluster-cost-model",
                            3: "oos-iceberg"},
                        None, ["set explain_level=3"]),
