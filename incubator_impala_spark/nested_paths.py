@@ -48,6 +48,12 @@ _IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
 _PATH_ITEM = re.compile(
     rf"^\s*({_IDENT}(?:\.{_IDENT})+)(?:\s+(?:as\s+)?({_IDENT}))?\s*$",
     re.IGNORECASE)
+# a joined collection path WITH an ON condition (pair-alias joins:
+# `JOIN c.c_orders o2 ON (o1.pos = o2.pos)`)
+_PATH_ON_ITEM = re.compile(
+    rf"^\s*({_IDENT}(?:\.{_IDENT})+)(?:\s+(?:as\s+)?({_IDENT}))?"
+    rf"\s+on\s+(.+)$",
+    re.IGNORECASE | re.DOTALL)
 _TABLE_ITEM = re.compile(
     rf"^\s*({_IDENT})(?:\s+(?:as\s+)?({_IDENT}))?\s*$", re.IGNORECASE)
 # a joined table with an ON condition: register the alias, leave text
@@ -537,6 +543,23 @@ def _rewrite_item(scope: _Scope, item: str, joiner: str) -> tuple[str, str]:
         if schema is not None:
             scope.env[alias.lower()] = _cols(schema)
             scope.table_items[alias.lower()] = name
+        return item, joiner
+
+    if _PATH_ON_ITEM.match(stripped) and not outer_join:
+        # `JOIN c.c_orders o2 ON (o1.pos = o2.pos)` — a FROM-level
+        # pair join of one collection under two aliases
+        # (nested-types-tpch.test block 11, xfail
+        # subplan-pair-alias). Deliberately NOT translated: probed
+        # r9, a per-alias `JOIN LATERAL ... ON cond` decorrelates
+        # into a domain join hash-partitioned ON THE WHOLE NESTED
+        # ARRAY (Exchange hashpartitioning(pos, coalesce(c_orders,
+        # []), ..)) — it shuffles every byte of the collection and
+        # blew past driver maxResultSize at sf1; the merged
+        # single-lateral variant (both posexplodes inside one
+        # subquery) exhausted the heap the same way. The row-local
+        # translation needs HOF pair enumeration + renaming both
+        # aliases across the enclosing scope — DIALECT.md
+        # subplan-pair-alias documents the blocker.
         return item, joiner
 
     m = _PATH_ITEM.match(stripped)
