@@ -329,6 +329,15 @@ def handle(engine, sql_text: str) -> DataFrame | None:
                 spark, "No new column(s) have been added to the table.")
         if not new and not ine:
             raise ValueError(f"Column already exists: {defs[0][0]}")
+        if engine._stats_key(tbl) in getattr(engine, "avro_tables",
+                                             set()):
+            # avro tables convert added columns through the Avro type
+            # mapping (TINYINT/SMALLINT->INT, TIMESTAMP->STRING) and
+            # default the comment to 'from deserializer'
+            # (avro-schema-changes.test IMPALA-3092 block)
+            new = [(n, engine._avro_type(t),
+                    c if c is not None else "from deserializer")
+                   for n, t, c in new]
         ddl = ", ".join(
             f"`{n}` {t}" + (f" COMMENT '{c}'" if c is not None else "")
             for n, t, c in new)

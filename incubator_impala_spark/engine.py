@@ -10,6 +10,7 @@ registry, table catalog, and session semantics.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 import os
@@ -282,6 +283,10 @@ class Engine:
         self.abort_on_error = False
         self.strict_mode = False
         self.compression_codec = None
+        # engine-created avro-typed tables (type-mapping surface) and
+        # the stale-avro-metadata registry (avro_stale.py)
+        self.avro_tables: set[str] = set()
+        self.avro_stale: dict[str, dict] = {}
         if sf_dir:
             register_tables(self.spark, sf_dir)
 
@@ -544,8 +549,8 @@ class Engine:
                 skip = rm is not None and \
                     self.spark.catalog.tableExists(
                         rm.group(1).replace("`", ""))
-            except Exception:  # noqa: BLE001 — unresolvable name:
-                skip = False   # record as before (best-effort)
+            except AnalysisException:  # unresolvable name: record
+                skip = False           # as before (best-effort)
         out = self._sql_stmt(sql_text)
         if not skip:
             showcreate.record_create(self, sql_text)
@@ -607,6 +612,16 @@ class Engine:
         handled = self.ns.handle(self, sql_text)
         if handled is not None:
             return handled
+        if getattr(self, "avro_stale", None) is not None:
+            # stale-avro-metadata registry (avro_stale.py): its DDL
+            # runs BEFORE altertable (the registered tables exist
+            # only here, not in the Spark catalog)
+            from incubator_impala_spark import avro_stale
+
+            handled = avro_stale.handle(self, sql_text)
+            if handled is not None:
+                return handled
+            avro_stale.check_query(self, sql_text)
         from incubator_impala_spark import altertable
 
         handled = altertable.handle(self, sql_text)
@@ -878,7 +893,7 @@ class Engine:
             pcols = [c.name.lower()
                      for c in self.spark.catalog.listColumns(tbl)
                      if c.isPartition]
-        except Exception:  # noqa: BLE001
+        except AnalysisException:  # temp view / unknown table
             pcols = []
         pstats: dict[str, tuple] = {}
         if pcols:
@@ -1420,6 +1435,7 @@ class Engine:
         self.spark.sql(
             f"CREATE TABLE {tbl} ({', '.join(defs)}) "
             f"USING parquet{pclause}")
+        self.avro_tables.add(self._stats_key(tbl))
         return self.spark.createDataFrame(
             [("Table has been created.",)], "summary string")
 
@@ -1458,6 +1474,21 @@ class Engine:
                 if pnames else "")
         self.spark.sql(f"CREATE TABLE {tbl} ({', '.join(defs)}) "
                        f"USING parquet{part}")
+        self.avro_tables.add(self._stats_key(tbl))
+        # EXTERNAL ... LOCATION over existing avro container files:
+        # adopt the data (avro-schema-changes.test
+        # avro_alter_table_add_new_column over tinytable_avro)
+        lm = re.search(r"(?is)\blocation\s+'([^']+)'",
+                       m.group("tail") or "")
+        if lm and not pnames:
+            import glob as _glob
+
+            loc = self._resolve_fs_path(lm.group(1))
+            if _glob.glob(os.path.join(loc, "*.avro")):
+                from incubator_impala_spark.sources import avro_io
+
+                avro_io.read_avro(self.spark, loc) \
+                    .write.insertInto(tbl)
         return self.spark.createDataFrame(
             [("Table has been created.",)], "summary string")
 
@@ -1494,7 +1525,7 @@ class Engine:
                 # column comments and CHAR/VARCHAR types verbatim
                 self.spark.sql(f"CREATE TABLE {tbl} LIKE {src}")
                 created = True
-        except Exception:  # noqa: BLE001
+        except AnalysisException:  # temp-view source: schema clone
             pass
         if not created:
             df = self.spark.table(src)
@@ -1562,7 +1593,7 @@ class Engine:
             if meta:
                 meta.get("tblproperties", {}).pop(
                     "COLUMN_STATS_ACCURATE", None)
-        except Exception:  # noqa: BLE001
+        except (KeyError, AttributeError):  # malformed facet record
             pass
         overwrite = m.group("mode").upper() == "OVERWRITE"
         # `insert into t()` with no source: one all-default row
@@ -1725,7 +1756,7 @@ class Engine:
                     f"DESCRIBE TABLE EXTENDED {tbl}").collect():
                 if r[0] == "Provider":
                     return (r[1] or "").strip().lower()
-        except Exception:  # noqa: BLE001 — temp view or missing
+        except AnalysisException:  # temp view or missing table
             pass
         return None
 

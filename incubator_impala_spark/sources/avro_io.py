@@ -737,10 +737,13 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
     # logical-type converters: pandas Timestamp/date -> the underlying
     # avro long/int (micros since epoch / days since epoch)
     lts = {}
+    itypes = set()
     for f in schema["fields"]:
         branch = f["type"][1]
         if isinstance(branch, dict):
             lts[f["name"]] = branch.get("logicalType")
+        elif branch in ("int", "long"):
+            itypes.add(f["name"])
 
     def _to_avro(n, v):
         lt = lts.get(n)
@@ -748,6 +751,10 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
             return int(v.value) // 1000  # pd.Timestamp.value is nanos
         if lt == "date":
             return v.toordinal() - 719163  # days since 1970-01-01
+        if n in itypes and isinstance(v, float):
+            # pandas widens nullable int columns to float64; the
+            # declared avro branch stays integral
+            return int(v)
         return v
 
     def _write_part(it):

@@ -592,6 +592,10 @@ def run_blocks(engine, blocks: list[Block], *,
         # string (tests/common: FILESYSTEM_PREFIX='' on HDFS)
         b.query = b.query.replace("$FILESYSTEM_PREFIX", "")
         b.query = b.query.replace("$NAMENODE", "")
+        b.query = b.query.replace("$EXTERNAL_WAREHOUSE_DIR",
+                                  "test-warehouse")
+        b.query = b.query.replace("$MANAGED_WAREHOUSE_DIR",
+                                  "test-warehouse/managed")
         # file:// LOCATIONs into the reference checkout
         # (local-filesystem.test reads testdata/data/local_tbl)
         b.query = b.query.replace("$IMPALA_HOME", "/root/reference")
@@ -620,6 +624,13 @@ def run_blocks(engine, blocks: list[Block], *,
         engine.exact_ndv = True
         engine.abort_on_error = False
         engine.strict_mode = False
+        engine.compression_codec = None
+        # a prior file's stale-avro registry views must not leak into
+        # this file's SHOW TABLES listings (show.test LIKE patterns)
+        for vname in list(getattr(engine, "avro_stale", {})):
+            engine.spark.catalog.dropTempView(vname)
+        if hasattr(engine, "avro_stale"):
+            engine.avro_stale.clear()
         # array_overlays are installed by the per-file SETUP hook
         # (which runs BEFORE run_blocks), so they are not cleared
         # here; each hook replaces its own entries
@@ -801,14 +812,15 @@ _SIDE_EFFECT = re.compile(
     r"drop\s+(?:database|schema|view)|alter\s+view|"
     r"create\s+(?:aggregate\s+)?function|drop\s+function|"
     r"compute\s+(?:incremental\s+)?stats|"
-    r"drop\s+(?:incremental\s+)?stats)\b")
+    r"drop\s+(?:incremental\s+)?stats|"
+    r"invalidate\s+metadata|refresh)\b")
 
 
 _LOCATION_CLAUSE = re.compile(
     r"\s+(?:MANAGED)?LOCATION\s+'[^']*'", re.IGNORECASE)
 
 
-def _strip_location(stmt: str) -> str:
+def _strip_location(stmt: str, engine=None) -> str:
     """CREATE TABLE/DATABASE LOCATION clauses point into the
     reference's HDFS test-warehouse (usually through
     $DATABASE/$FILESYSTEM variables); this engine's equivalent is a
@@ -816,8 +828,11 @@ def _strip_location(stmt: str) -> str:
     Spark ties to LOCATION). Harness-level adaptation only — the
     engine keeps LOCATION."""
     if not re.match(
-            r"\s*create\s+((external\s+)?table|database|schema)\b",
+            r"\s*create\s+(external\s+)?table\b",
             stmt, re.IGNORECASE):
+        # CREATE DATABASE/SCHEMA LOCATION is display-only metadata in
+        # the namespace registry (DESCRIBE DATABASE renders it; no
+        # files are touched) — keep it (create-database.test)
         return stmt
     if re.search(r"\blike\b", stmt, re.IGNORECASE):
         # LIKE PARQUET keeps its LOCATION (the engine resolves the
@@ -833,6 +848,25 @@ def _strip_location(stmt: str) -> str:
         # as-is (local-filesystem.test points into the reference
         # checkout) — keep it
         return stmt
+    if engine is not None:
+        # a LOCATION the engine resolves INTO a hook-staged data
+        # directory (engine.staged_locations — avro snapshots etc.)
+        # is real pre-written data: keep the clause AND the EXTERNAL
+        # keyword. Existence alone is NOT enough — a stale orphan
+        # warehouse dir from an earlier file must not turn a managed
+        # create into an external one (truncate-table.test t1).
+        lm2 = re.search(r"(?i)\blocation\s+'(/?test-warehouse/[^']*|"
+                        r"/[^']*)'", stmt)
+        if lm2:
+            try:
+                resolved = engine._resolve_fs_path(lm2.group(1))
+                staged = getattr(engine, "staged_locations", ())
+                if any(resolved == s
+                       or resolved.startswith(s + os.sep)
+                       for s in staged):
+                    return stmt
+            except Exception:  # noqa: BLE001 — unresolvable: strip
+                pass
     out = _LOCATION_CLAUSE.sub("", stmt)
     return re.sub(r"(?i)\bcreate\s+external\s+table\b", "create table",
                   out)
@@ -1027,7 +1061,8 @@ def _run_catch(engine, b: Block, rewrite, table_rewrites) \
     lines = [ln.strip() for ln in b.sections["CATCH"][1].split("\n")
              if ln.strip() and not ln.lstrip().startswith("#")]
     no_error = any("__NO_ERROR__" in ln for ln in lines)
-    stmts = [_strip_location(x) for x in _split_statements(b.query)]
+    stmts = [_strip_location(x, engine)
+             for x in _split_statements(b.query)]
     if _query_vars(_strip_location_all(b.query)):
         return BlockResult(b.index, "skip", "runner-variable")
     sql_stmts = [_rewrite_stmt(s, rewrite, table_rewrites)
@@ -1125,7 +1160,7 @@ def _run_one(engine, b: Block, rewrite, table_rewrites,
                 and not _query_vars(_strip_location_all(b.query))
                 and not re.search(r"\b(tpch|tpcds)\w*\.", b.query,
                                   re.IGNORECASE)):
-            stmts = [_strip_location(x)
+            stmts = [_strip_location(x, engine)
                      for x in _split_statements(b.query)]
             if all(_RUNNABLE.match(s) or s.lower().startswith("set ")
                    for s in stmts):
@@ -1155,7 +1190,8 @@ def _run_one(engine, b: Block, rewrite, table_rewrites,
             return BlockResult(b.index, "skip", "runner-variable")
         if row.startswith("aggregation("):
             return BlockResult(b.index, "skip", "profile-aggregation")
-    stmts = [_strip_location(x) for x in _split_statements(b.query)]
+    stmts = [_strip_location(x, engine)
+             for x in _split_statements(b.query)]
     if not all(_RUNNABLE.match(s) or s.lower().startswith("set ")
                for s in stmts):
         return BlockResult(b.index, "skip", "non-query-statement")

@@ -564,7 +564,7 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "utc-timestamp-functions": (7, {}),
     # r6 namespace-shim wave: db-scoped DDL (namespaces.py)
     "views-ddl": (43, {}),
-    "create-database": (17, {}),
+    "create-database": (29, {}),  # +12 r9: describe-database blocks verify
     "use": (2, {}),
     "show": (24, {
         # full-inventory listings assume the reference's exact loaded
@@ -724,6 +724,9 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "hive2-pre-gregorian-date-orc": (1, {}),
     # file:// LOCATION over the reference's shipped local_tbl csv
     "local-filesystem": (3, {}),
+    # stale-avro-metadata contract (avro_stale.py), IMPALA-3092 avro
+    # ADD COLUMNS NULL-fill, avro.schema.literal schema replacement
+    "avro-schema-changes": (9, {}),
 }
 
 
@@ -881,6 +884,56 @@ def _setup_bad_codec(engine, db):
         "float_col float, double_col double, date_string_col string, "
         "string_col string, timestamp_col timestamp, "
         "year int, month int")
+
+
+def _setup_avro_schema_changes(engine, db):
+    """Stage what the reference's load scripts stage for
+    avro-schema-changes.test: the alltypesaggmultifilesnopart avro
+    snapshot (11000 rows, regenerated from the functional alltypesagg
+    fixture via this repo's own avro writer), its schema json under
+    avro_schemas/, and the 3-row tinytable avro data."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from incubator_impala_spark.sources import avro_io
+
+    engine.avro_stale.clear()
+    wh = engine._warehouse_dir()
+    snap = os.path.join(wh, "alltypesaggmultifilesnopart_avro_snap")
+    schema_dir = os.path.join(wh, "avro_schemas", "functional")
+    tiny = os.path.join(wh, "tinytable_avro")
+    # staged data dirs: the harness keeps LOCATION clauses that
+    # resolve into these (querytest._strip_location)
+    if not hasattr(engine, "staged_locations"):
+        engine.staged_locations = set()
+    engine.staged_locations.update({snap, tiny})
+    spark = engine.spark
+    if not os.path.exists(os.path.join(
+            schema_dir, "alltypesaggmultifilesnopart.json")):
+        os.makedirs(schema_dir, exist_ok=True)
+        # the avro table's column types (TINYINT/SMALLINT->int,
+        # TIMESTAMP->string — the reference's avro conversion)
+        df = spark.table("alltypesagg").select(
+            F.col("id").cast("int"),
+            F.col("bool_col"),
+            F.col("tinyint_col").cast("int").alias("tinyint_col"),
+            F.col("smallint_col").cast("int").alias("smallint_col"),
+            F.col("int_col"), F.col("bigint_col"),
+            F.col("float_col"), F.col("double_col"),
+            F.col("date_string_col"), F.col("string_col"),
+            F.col("timestamp_col").cast("string")
+            .alias("timestamp_col"))
+        avro_io.write_avro(df.coalesce(4), snap)
+        with open(os.path.join(
+                schema_dir, "alltypesaggmultifilesnopart.json"),
+                "w") as f:
+            json.dump(avro_io.avro_schema_for_df(df), f)
+    if not os.path.exists(tiny):
+        tdf = spark.createDataFrame(
+            [("aaaaaaa", "bbbbbbb"), ("ccccc", "dddd"),
+             ("eeeeeeee", "f")], "a string, b string")
+        avro_io.write_avro(tdf.coalesce(1), tiny)
 
 
 def _setup_orc_out_of_range_date(engine, db):
@@ -1075,6 +1128,7 @@ SETUP_HOOKS = {
     "describe-db": _setup_describe_db,
     "describe-hive-db": _setup_describe_hive_db,
     "parquet-bad-codec": _setup_bad_codec,
+    "avro-schema-changes": _setup_avro_schema_changes,
     "out-of-range-date-orc": _setup_orc_out_of_range_date,
     "hive2-pre-gregorian-date-orc": _setup_orc_pre_gregorian,
     "mt-dop-compute-stats": _setup_mt_dop,
@@ -1101,7 +1155,7 @@ SETUP_HOOKS = {
 STRICT_CATCH_FILES = {
     "strict-mode-abort", "parquet-abort-on-error", "mt-dop-parquet",
     "parquet-bad-codec", "insert_parquet_invalid_codec",
-    "out-of-range-date-orc",
+    "out-of-range-date-orc", "avro-schema-changes",
     "parquet-corrupt-footer-len-incr",
     "parquet-corrupt-footer-len-decr",
     "parquet-corrupt-rle-counts-abort",
