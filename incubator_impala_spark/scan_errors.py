@@ -270,6 +270,75 @@ def check_codec(path: str, display: str) -> str | None:
     return None
 
 
+def check_def_levels(path: str, display: str) -> str | None:
+    """Declared-vs-decodable definition levels per data page
+    (reference parquet-column-readers.cc ReadDefLevel: 'Could not
+    read definition level, even though metadata states there are N
+    values remaining in data page.'). Decodes the def-level RLE run
+    and compares against the page header's num_values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    for rg in range(md.num_row_groups):
+        cc = md.row_group(rg).column(0)
+        codec = cc.compression.lower()
+        data = open(path, "rb").read()
+        pos = cc.dictionary_page_offset
+        if pos is None:
+            pos = cc.data_page_offset
+        remaining = cc.num_values
+        while remaining > 0:
+            header, body_pos = _compact_struct(data, int(pos))
+            raw = data[body_pos:body_pos + header[3]]
+            if codec != "uncompressed":
+                raw = pa.Codec(codec).decompress(
+                    raw, header[2]).to_pybytes()
+            pos = body_pos + header[3]
+            if header[1] == 2:      # dictionary page
+                continue
+            n = header[5][1]        # declared num_values
+            dl_len = struct.unpack("<I", raw[:4])[0]
+            defs = _rle_decode(raw[4:4 + dl_len], 1, n)
+            if len(defs) < n:
+                # PARQUET_DEF_LEVEL_ERROR (generate_error_codes.py:43)
+                return (f"Could not read definition level, even "
+                        f"though metadata states there are "
+                        f"{n - len(defs)} values remaining in data "
+                        f"page. file={display}")
+            remaining -= n
+    return None
+
+
+def check_dict_page(path: str, display: str) -> str | None:
+    """Dictionary-page decompressability (reference
+    parquet-column-readers.cc InitDictionary via Codec: a zero/short
+    compressed_page_size fails 'Snappy: GetUncompressedLength
+    failed')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    cc = md.row_group(0).column(0)
+    if cc.dictionary_page_offset is None:
+        return None
+    codec = cc.compression.lower()
+    data = open(path, "rb").read()
+    header, body_pos = _compact_struct(
+        data, int(cc.dictionary_page_offset))
+    raw = data[body_pos:body_pos + header[3]]
+    if codec == "uncompressed":
+        return None
+    try:
+        pa.Codec(codec).decompress(raw, header[2])
+    except Exception:  # noqa: BLE001 — the defect under test
+        # SNAPPY_DECOMPRESS_UNCOMPRESSED_LENGTH_FAILED
+        # (generate_error_codes.py:23)
+        label = {"snappy": "Snappy"}.get(codec, codec)
+        return label + ": GetUncompressedLength failed"
+    return None
+
+
 def check_column_counts(path: str, display: str,
                         cols: set[str] | None) -> str | None:
     """Per-row-group declared num_values vs actually-decoded counts
@@ -540,6 +609,10 @@ def check_query(engine, sql_text: str) -> None:
                     msg = check_codec(p, display)
                 elif info["check"] == "orc_date":
                     msg = info.get("msg")
+                elif info["check"] == "def_levels":
+                    msg = check_def_levels(p, display)
+                elif info["check"] == "dict_page":
+                    msg = check_dict_page(p, display)
                 elif info["check"] == "decode":
                     msg = check_decodable(p, display)
                 elif info["check"] == "ts_range":

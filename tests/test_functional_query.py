@@ -727,6 +727,13 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # stale-avro-metadata contract (avro_stale.py), IMPALA-3092 avro
     # ADD COLUMNS NULL-fill, avro.schema.literal schema replacement
     "avro-schema-changes": (9, {}),
+    # two more corrupt-parquet contracts (scan_errors raw byte
+    # validations): declared-vs-decodable def levels per page, and an
+    # undecompressable dictionary page
+    "parquet-num-values-def-levels-mismatch": (
+        1, {}, None, ["SET ABORT_ON_ERROR=1"]),
+    "parquet-bad-compressed-dict-page-size": (
+        1, {}, None, ["SET ABORT_ON_ERROR=1"]),
 }
 
 
@@ -884,6 +891,28 @@ def _setup_bad_codec(engine, db):
         "float_col float, double_col double, date_string_col string, "
         "string_col string, timestamp_col timestamp, "
         "year int, month int")
+
+
+def _setup_def_levels_mismatch(engine, db):
+    """test_scanners.py test_num_values_def_levels_mismatch staging."""
+    from incubator_impala_spark import scan_errors as se
+
+    se.register_parquet_check(
+        engine, "num_values_def_levels_mismatch",
+        [f"{_REFDATA}/num_values_def_levels_mismatch.parquet"],
+        f"/test-warehouse/{db}.db/num_values_def_levels_mismatch",
+        "def_levels", "_c0 boolean")
+
+
+def _setup_bad_dict_page(engine, db):
+    """test_scanners.py bad_compressed_dict_page_size staging."""
+    from incubator_impala_spark import scan_errors as se
+
+    se.register_parquet_check(
+        engine, "bad_compressed_dict_page_size",
+        [f"{_REFDATA}/bad_compressed_dict_page_size.parquet"],
+        f"/test-warehouse/{db}.db/bad_compressed_dict_page_size",
+        "dict_page", "col string")
 
 
 def _setup_avro_schema_changes(engine, db):
@@ -1129,6 +1158,8 @@ SETUP_HOOKS = {
     "describe-hive-db": _setup_describe_hive_db,
     "parquet-bad-codec": _setup_bad_codec,
     "avro-schema-changes": _setup_avro_schema_changes,
+    "parquet-num-values-def-levels-mismatch": _setup_def_levels_mismatch,
+    "parquet-bad-compressed-dict-page-size": _setup_bad_dict_page,
     "out-of-range-date-orc": _setup_orc_out_of_range_date,
     "hive2-pre-gregorian-date-orc": _setup_orc_pre_gregorian,
     "mt-dop-compute-stats": _setup_mt_dop,
@@ -1156,6 +1187,8 @@ STRICT_CATCH_FILES = {
     "strict-mode-abort", "parquet-abort-on-error", "mt-dop-parquet",
     "parquet-bad-codec", "insert_parquet_invalid_codec",
     "out-of-range-date-orc", "avro-schema-changes",
+    "parquet-num-values-def-levels-mismatch",
+    "parquet-bad-compressed-dict-page-size",
     "parquet-corrupt-footer-len-incr",
     "parquet-corrupt-footer-len-decr",
     "parquet-corrupt-rle-counts-abort",
