@@ -508,9 +508,14 @@ class Engine:
                 ).createOrReplaceTempView(name)
             except Exception:  # noqa: BLE001 — re-resolved next stmt
                 pass
-        if getattr(self, "scan_checks", None) and self.abort_on_error:
+        if getattr(self, "scan_checks", None) and (
+                self.abort_on_error
+                or any(c.get("always")
+                       for c in self.scan_checks.values())):
             # checked-table scan validation (scan_errors.py): raise
-            # the reference-shaped abort before planning
+            # the reference-shaped abort before planning; "always"
+            # checks model unmaskable metadata errors (bad footer
+            # magic, disabled scanner plugins)
             from incubator_impala_spark import scan_errors
 
             scan_errors.check_query(self, sql_text)

@@ -339,6 +339,28 @@ def check_dict_page(path: str, display: str) -> str | None:
     return None
 
 
+def check_magic(path: str, display: str, table: str) -> str | None:
+    """Footer magic-number validation (reference
+    parquet-metadata-utils.cc ValidateFileVersion via
+    generate_error_codes.py:195 PARQUET_BAD_VERSION_NUMBER): the last
+    4 bytes of the file must read PAR1; anything else is a fatal
+    metadata error regardless of ABORT_ON_ERROR (the file cannot be
+    processed at all — IMPALA-7662's race fix pins that the error
+    propagates even when a valid file completes first)."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(max(0, size - 4))
+        magic = f.read(4)
+    if magic != b"PAR1":
+        return (f"File '{display}' has an invalid Parquet version "
+                f"number: {magic.decode('ascii', 'replace')}.\n"
+                "Please check that it is a valid Parquet file. This "
+                "error can also occur due to stale metadata. If you "
+                "believe this is a valid Parquet file, try running "
+                f'"refresh {table}".')
+    return None
+
+
 def check_column_counts(path: str, display: str,
                         cols: set[str] | None) -> str | None:
     """Per-row-group declared num_values vs actually-decoded counts
@@ -567,6 +589,61 @@ def register_orc_date_check(engine, name: str, paths: list[str],
         .createOrReplaceTempView(name)
 
 
+def register_magic_dir_check(engine, name: str, dir_path: str,
+                             display_dir: str):
+    """Register `name` as a directory-backed checked parquet table:
+    every data file in the table directory must carry the PAR1 footer
+    magic. Unlike the path-list checks, this one re-walks the
+    directory per query (the error-propagation-race test INSERTs a
+    valid file next to the corrupt one — the scan must still fail),
+    and it fires regardless of ABORT_ON_ERROR (metadata errors are
+    not maskable in the reference, hdfs-parquet-scanner.cc
+    ProcessFooter)."""
+    if not hasattr(engine, "scan_checks"):
+        engine.scan_checks = {}
+    engine.scan_checks[name.lower()] = {
+        "kind": "magic_dir", "dir": dir_path,
+        "display_dir": display_dir, "always": True,
+    }
+
+
+def register_partition_plugin_check(engine, name: str,
+                                    bad_parts: list[tuple[dict, str]]):
+    """Register `name` as a partitioned text table some of whose
+    partitions hold files with an unsupported compression-plugin
+    suffix (reference hdfs-plugin-text-scanner.cc:108
+    CheckPluginEnabled: LZ4/LZO text scanning is plugin-gated and no
+    plugins are enabled in the default build). The error fires at
+    planning time for any query whose partition pruning does NOT
+    exclude the bad partition — pruned scans succeed, which is the
+    contract unsupported-compression-partitions.test pins.
+
+    `bad_parts`: [(partition-key values, plugin name)], e.g.
+    [({"year": 2009, "month": 3}, "LZ4")]."""
+    if not hasattr(engine, "scan_checks"):
+        engine.scan_checks = {}
+    engine.scan_checks[name.lower()] = {
+        "kind": "plugin_text", "bad_parts": bad_parts, "always": True,
+    }
+
+
+def _partition_survives(spark, values: dict, where: str | None) -> bool:
+    """Would partition pruning keep this partition under `where`?
+    Evaluated the way a planner does: the predicate applied to the
+    partition-key tuple (non-key references fail analysis and keep
+    the partition — the scanner would have to read it to decide)."""
+    if not where or not where.strip():
+        return True
+    df = spark.createDataFrame(
+        [tuple(values.values())],
+        ", ".join(f"{k} int" if isinstance(v, int) else f"{k} string"
+                  for k, v in values.items()))
+    try:
+        return df.where(where).count() > 0
+    except Exception:  # noqa: BLE001 — predicate needs non-key cols
+        return True
+
+
 def register_text_check(engine, name: str, path: str,
                         col_types: list[str], col_names: list[str]):
     if not hasattr(engine, "scan_checks"):
@@ -581,16 +658,45 @@ def check_query(engine, sql_text: str) -> None:
     """Engine hook: raise the reference-shaped scan error when an
     abort-mode query references a checked table."""
     checks = getattr(engine, "scan_checks", None)
-    if not checks or not getattr(engine, "abort_on_error", False):
+    if not checks:
+        return
+    abort = getattr(engine, "abort_on_error", False)
+    if not abort and not any(c.get("always") for c in checks.values()):
         return
     # match on the neutralized shadow (string literals and comments
     # blanked) so a checked-table name inside a literal or comment
-    # doesn't spuriously trigger the abort validation (ADVICE r8)
+    # doesn't spuriously trigger the abort validation (ADVICE r8);
+    # an INSERT's target clause is a sink, not a scan — strip it so
+    # INSERT INTO <checked> SELECT ... doesn't trigger the validation
     from incubator_impala_spark import dialect
 
     low = dialect._neutralize(sql_text).lower()
+    low = re.sub(r"^\s*insert\s+(?:into|overwrite)\s+(?:table\s+)?"
+                 r"[`\w.]+", " ", low)
     for name, info in checks.items():
+        if not (abort or info.get("always")):
+            continue
         if not re.search(rf"\b{re.escape(name)}\b", low):
+            continue
+        if info["kind"] == "magic_dir":
+            for fn in sorted(os.listdir(info["dir"])):
+                if fn.startswith((".", "_")) or fn.endswith(".crc"):
+                    continue
+                msg = check_magic(os.path.join(info["dir"], fn),
+                                  f"{info['display_dir']}/{fn}", name)
+                if msg:
+                    raise ScanError(msg)
+            continue
+        if info["kind"] == "plugin_text":
+            mw = re.search(r"(?is)\bwhere\b(.+?)"
+                           r"(?:\bgroup\s+by\b|\border\s+by\b|"
+                           r"\blimit\b|$)", sql_text)
+            where = mw.group(1) if mw else None
+            for values, plugin in info["bad_parts"]:
+                if _partition_survives(engine.spark, values, where):
+                    raise ScanError(
+                        f"Scanner plugin '{plugin}' is not one of "
+                        f"the enabled plugins: ''")
             continue
         if info["kind"] == "text":
             if not getattr(engine, "strict_mode", False):

@@ -734,6 +734,23 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
         1, {}, None, ["SET ABORT_ON_ERROR=1"]),
     "parquet-bad-compressed-dict-page-size": (
         1, {}, None, ["SET ABORT_ON_ERROR=1"]),
+    # --- wave 8 (r9 continuation) ---
+    # plain-RESULTS join blocks (the RUNTIME_PROFILE codegen counters
+    # they additionally pin are impalad introspection, same
+    # adjudication as the runtime-filter family)
+    "datastream-sender-codegen": (3, {}),
+    # predicate partition specs against parquet/avro format targets
+    # (the all-fs twin is wired above; this file is the HDFS-only
+    # remainder of the same partition-DDL surface)
+    "partition-ddl-predicates-hdfs-only": (3, {}),
+    # IMPALA-7662 error-propagation race: corrupt-magic file + a
+    # freshly INSERTed valid file in one table — the scan still fails
+    # (scan_errors.check_magic, unmaskable metadata error)
+    "parquet-error-propagation-race": (2, {}),
+    # LZ4/LZO plugin-gated text partitions: pruned scans succeed,
+    # unpruned ones raise CheckPluginEnabled's error; unknown suffix
+    # reads as uncompressed text whose garbage row drops
+    "unsupported-compression-partitions": (4, {}),
 }
 
 
@@ -965,6 +982,84 @@ def _setup_avro_schema_changes(engine, db):
         avro_io.write_avro(tdf.coalesce(1), tiny)
 
 
+def _setup_bad_magic(engine, db):
+    """test_scanners.py::test_error_propagation_race staging
+    (IMPALA-7662): a real parquet table whose directory holds the
+    reference's bad_magic_number.parquet; the .test then INSERTs a
+    valid file next to it and the scan must still fail."""
+    import shutil
+
+    from incubator_impala_spark import scan_errors as se
+
+    spark = engine.spark
+    spark.sql("DROP TABLE IF EXISTS bad_magic_number")
+    loc = os.path.join(engine._warehouse_dir(), "bad_magic_number")
+    shutil.rmtree(loc, ignore_errors=True)
+    os.makedirs(loc, exist_ok=True)
+    shutil.copyfile(f"{_REFDATA}/bad_magic_number.parquet",
+                    os.path.join(loc, "bad_magic_number.parquet"))
+    spark.sql(f"CREATE TABLE bad_magic_number (s string) "
+              f"USING parquet LOCATION '{loc}'")
+    se.register_magic_dir_check(
+        engine, "bad_magic_number", loc,
+        f"/test-warehouse/{db}.db/bad_magic_number")
+
+
+def _setup_multi_text_compression(engine, db):
+    """tests/metadata/test_partition_metadata.py::
+    test_unsupported_text_compression staging: a partitioned text
+    table — 2009/1 plain text (310 alltypes rows), 2009/2 gzip text
+    (280 rows), 2009/3 a fake .lz4 file, 2009/4 an unknown suffix
+    (read as uncompressed text: its one garbage line drops in
+    continue mode), 2009/5 a fake .lzo file."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from incubator_impala_spark import scan_errors as se
+
+    spark = engine.spark
+    wh = engine._warehouse_dir()
+    loc = os.path.join(wh, "multi_text_compression")
+    base = spark.table("alltypes").drop("year", "month")
+    if not os.path.isdir(os.path.join(loc, "year=2009", "month=5")):
+        shutil.rmtree(loc, ignore_errors=True)
+        for month, codec in ((1, None), (2, "gzip")):
+            d = os.path.join(loc, "year=2009", f"month={month}")
+            w = spark.table("alltypes") \
+                .where(f"year=2009 and month={month}") \
+                .drop("year", "month").coalesce(1).write \
+                .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+            if codec:
+                w = w.option("compression", codec)
+            w.csv(d)
+        for month, fn, text in (
+                (3, "fake.lz4", "some test data"),
+                (4, "fake.fake_comp", "fake compression"),
+                (5, "fake.lzo", "some test data")):
+            d = os.path.join(loc, "year=2009", f"month={month}")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, fn), "w") as f:
+                f.write(text)
+    parts = []
+    for month in (1, 2, 4):
+        d = os.path.join(loc, "year=2009", f"month={month}")
+        parts.append(
+            spark.read.schema(base.schema)
+            .option("mode", "DROPMALFORMED")
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(d)
+            .withColumn("year", F.lit(2009))
+            .withColumn("month", F.lit(month)))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.createOrReplaceTempView("multi_text_compression")
+    se.register_partition_plugin_check(
+        engine, "multi_text_compression",
+        [({"year": 2009, "month": 3}, "LZ4"),
+         ({"year": 2009, "month": 5}, "LZO")])
+
+
 def _setup_orc_out_of_range_date(engine, db):
     """test_scanners.py test_date_out_of_range_orc staging."""
     from incubator_impala_spark import scan_errors as se
@@ -1154,6 +1249,8 @@ def _setup_describe_hive_db(engine, db):
 
 SETUP_HOOKS = {
     "load": _setup_load,
+    "parquet-error-propagation-race": _setup_bad_magic,
+    "unsupported-compression-partitions": _setup_multi_text_compression,
     "describe-db": _setup_describe_db,
     "describe-hive-db": _setup_describe_hive_db,
     "parquet-bad-codec": _setup_bad_codec,
@@ -1191,6 +1288,8 @@ STRICT_CATCH_FILES = {
     "parquet-bad-compressed-dict-page-size",
     "parquet-corrupt-footer-len-incr",
     "parquet-corrupt-footer-len-decr",
+    "parquet-error-propagation-race",
+    "unsupported-compression-partitions",
     "parquet-corrupt-rle-counts-abort",
     "out-of-range-timestamp-abort-on-error",
 }
