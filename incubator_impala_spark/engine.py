@@ -319,6 +319,11 @@ class Engine:
                     functional._REGISTERED_KEY, None) == "1":
                 functional.register_tz_parquet_tables(
                     self.spark, self.tz)
+            # tz-converted checked views (scan_errors
+            # register_hive211_tz_check) also follow the session tz
+            for build in getattr(self, "tz_check_views",
+                                 {}).values():
+                build(self.tz)
             return True
         if key == "use_local_tz_for_unix_timestamp_conversions":
             self.use_local_tz = str(value).strip().lower() in (

@@ -140,9 +140,10 @@ def _rle_decode(buf: bytes, bit_width: int, count: int) -> list[int]:
 _JD_EPOCH = 2440588  # julian day number of 1970-01-01
 
 
-def decode_int96_column(path: str) -> list[tuple[int, int] | None]:
-    """All (nanos_of_day, julian_day) values of the file's single
-    INT96 column, None for NULL rows — decoded from the raw pages
+def decode_int96_column(path: str, col_idx: int = 0,
+                        ) -> list[tuple[int, int] | None]:
+    """All (nanos_of_day, julian_day) values of the file's INT96
+    column at `col_idx`, None for NULL rows — decoded from the raw pages
     (PageHeader thrift, snappy, RLE def levels + dictionary indices),
     because every generic reader converts INT96 to an epoch unit and
     destroys the out-of-range evidence the validation needs."""
@@ -157,7 +158,7 @@ def decode_int96_column(path: str) -> list[tuple[int, int] | None]:
     # read silently loses rows past page 1 (both in the registered
     # continue-mode view and in the ts_range validation)
     for rg in range(md.num_row_groups):
-        cc = md.row_group(rg).column(0)
+        cc = md.row_group(rg).column(col_idx)
         codec = cc.compression.lower()
         pos = cc.dictionary_page_offset
         if pos is None:
@@ -416,8 +417,9 @@ def _impala_phys(t: str) -> str:
             "FLOAT": "FLOAT", "DOUBLE": "DOUBLE"}.get(t, t)
 
 
-def check_int96_range(path: str, display: str, col: str) -> str | None:
-    for v in decode_int96_column(path):
+def check_int96_range(path: str, display: str, col: str,
+                      col_idx: int = 0) -> str | None:
+    for v in decode_int96_column(path, col_idx):
         if v is None:
             continue
         nanos, jday = v
@@ -589,6 +591,65 @@ def register_orc_date_check(engine, name: str, paths: list[str],
         .createOrReplaceTempView(name)
 
 
+def register_hive211_tz_check(engine, name: str, path: str,
+                              display_dir: str):
+    """Register `name` as an (id, timestamp_col) view over a
+    Hive-written INT96 parquet file under
+    convert_legacy_hive_parquet_utc_timestamps=true semantics
+    (reference hdfs-parquet-scanner timestamp conversion +
+    timestamp-value.h range validation): legacy Hive wrote wall-clock
+    UTC, so valid values convert UTC -> the session TIMEZONE; values
+    outside 1400-01-01..9999-12-31 read NULL in continue mode and
+    raise under ABORT_ON_ERROR. The view face follows SET TIMEZONE
+    (engine.set_option re-invokes the builder)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    col_idx = next(
+        i for i in range(pf.metadata.num_columns)
+        if pf.metadata.row_group(0).column(i).physical_type == "INT96")
+    ids = pq.read_table(path, columns=["id"]).column(0).to_pylist()
+    raw = decode_int96_column(path, col_idx)
+
+    def _build(tz_name: str):
+        from zoneinfo import ZoneInfo
+
+        tz = ZoneInfo(tz_name or "UTC")
+        utc = ZoneInfo("UTC")
+        rows = []
+        for rid, v in zip(ids, raw):
+            if v is None:
+                rows.append((rid, None))
+                continue
+            nanos, jday = v
+            ok_time = 0 <= nanos < _DAY_NANOS
+            d_ord = _dt.date(1970, 1, 1).toordinal() \
+                + (jday - _JD_EPOCH)
+            ok_date = _TS_MIN.toordinal() <= d_ord \
+                <= _TS_MAX.toordinal()
+            if not (ok_time and ok_date):
+                rows.append((rid, None))
+                continue
+            ts = int96_to_datetime(nanos, jday)
+            rows.append((rid, ts.replace(tzinfo=utc).astimezone(tz)
+                         .replace(tzinfo=None)))
+        engine.spark.createDataFrame(
+            rows, "id int, timestamp_col timestamp") \
+            .createOrReplaceTempView(name)
+
+    if not hasattr(engine, "tz_check_views"):
+        engine.tz_check_views = {}
+    engine.tz_check_views[name] = _build
+    _build(getattr(engine, "tz", "UTC"))
+    if not hasattr(engine, "scan_checks"):
+        engine.scan_checks = {}
+    engine.scan_checks[name.lower()] = {
+        "kind": "parquet", "paths": [path], "check": "ts_range",
+        "display_dir": display_dir, "ts_col": "timestamp_col",
+        "col_idx": col_idx,
+    }
+
+
 def register_magic_dir_check(engine, name: str, dir_path: str,
                              display_dir: str):
     """Register `name` as a directory-backed checked parquet table:
@@ -722,7 +783,9 @@ def check_query(engine, sql_text: str) -> None:
                 elif info["check"] == "decode":
                     msg = check_decodable(p, display)
                 elif info["check"] == "ts_range":
-                    msg = check_int96_range(p, display, info["ts_col"])
+                    msg = check_int96_range(p, display,
+                                            info["ts_col"],
+                                            info.get("col_idx", 0))
                 elif info["check"] == "counts":
                     import pyarrow.parquet as pq
 

@@ -751,6 +751,10 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # unpruned ones raise CheckPluginEnabled's error; unknown suffix
     # reads as uncompressed text whose garbage row drops
     "unsupported-compression-partitions": (4, {}),
+    # legacy-Hive INT96 UTC->session-tz conversion + range validation
+    # over the reference's own Hive-2.1.1 files (scan_errors
+    # register_hive211_tz_check; the view follows SET TIMEZONE)
+    "out-of-range-timestamp-local-tz-conversion": (4, {}),
 }
 
 
@@ -1060,6 +1064,20 @@ def _setup_multi_text_compression(engine, db):
          ({"year": 2009, "month": 5}, "LZO")])
 
 
+def _setup_hive211_tz(engine, db):
+    """test_hive_parquet_timestamp_conversion.py::
+    _test_conversion_with_validation staging: the reference's own
+    Hive-2.1.1-written INT96 files as tz-converted checked tables
+    (convert_legacy_hive_parquet_utc_timestamps=true cluster flag)."""
+    from incubator_impala_spark import scan_errors as se
+
+    for t in ("out_of_range_timestamp_hive_211",
+              "out_of_range_timestamp2_hive_211"):
+        se.register_hive211_tz_check(
+            engine, t, f"{_REFDATA}/{t}.parquet",
+            f"/test-warehouse/{db}.db/{t}")
+
+
 def _setup_orc_out_of_range_date(engine, db):
     """test_scanners.py test_date_out_of_range_orc staging."""
     from incubator_impala_spark import scan_errors as se
@@ -1250,6 +1268,7 @@ def _setup_describe_hive_db(engine, db):
 SETUP_HOOKS = {
     "load": _setup_load,
     "parquet-error-propagation-race": _setup_bad_magic,
+    "out-of-range-timestamp-local-tz-conversion": _setup_hive211_tz,
     "unsupported-compression-partitions": _setup_multi_text_compression,
     "describe-db": _setup_describe_db,
     "describe-hive-db": _setup_describe_hive_db,
@@ -1290,6 +1309,7 @@ STRICT_CATCH_FILES = {
     "parquet-corrupt-footer-len-decr",
     "parquet-error-propagation-race",
     "unsupported-compression-partitions",
+    "out-of-range-timestamp-local-tz-conversion",
     "parquet-corrupt-rle-counts-abort",
     "out-of-range-timestamp-abort-on-error",
 }
