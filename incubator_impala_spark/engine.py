@@ -241,6 +241,10 @@ class Engine:
         # partitions already covered by COMPUTE INCREMENTAL STATS, per
         # table — incremental runs count only partitions not yet seen
         self.stats_seen: dict[str, set] = {}
+        # partitions whose stats came from COMPUTE INCREMENTAL STATS
+        # (the SHOW TABLE STATS 'Incremental stats' column; a full
+        # COMPUTE STATS replaces incremental stats — ComputeStatsStmt)
+        self.inc_parts: dict[str, set] = {}
         # EXPLAIN_LEVEL query option (0=minimal .. 3=verbose; the
         # reference's default is STANDARD — TExplainLevel)
         self.explain_level = 1
@@ -745,11 +749,15 @@ class Engine:
             seen = self.stats_seen.get(m.group("tbl").lower())
             if seen is not None:
                 if spec:
-                    seen.difference_update({
+                    dropped = {
                         p for p in set(seen)
                         if all(dict(x.split("=", 1)
                                     for x in p.split("/")).get(k) == v
-                               for k, v in spec.items())})
+                               for k, v in spec.items())}
+                    seen.difference_update(dropped)
+                    self.inc_parts.get(
+                        m.group("tbl").lower(), set()) \
+                        .difference_update(dropped)
                     # the reference derives table-level column stats
                     # by merging per-partition incremental sketches,
                     # so shrinking the cover shifts them (DIALECT.md
@@ -764,6 +772,7 @@ class Engine:
                         pass
                 else:
                     seen.clear()
+                    self.inc_parts.pop(m.group("tbl").lower(), None)
             return self.spark.createDataFrame(
                 [("Stats have been dropped.",)], "summary string")
         lm = re.match(
@@ -820,6 +829,7 @@ class Engine:
                     del reg[k]
             self.table_numrows.pop(skey, None)
             self.stats_seen.pop(tbl.lower(), None)
+            self.inc_parts.pop(tbl.lower(), None)
             getattr(self, "stats_computed", set()).discard(skey)
             return self.spark.createDataFrame(
                 [("Table has been truncated.",)], "summary string")
@@ -1209,6 +1219,8 @@ class Engine:
                 hit = {partitions.part_suffix(kv) for kv in matched}
                 n_parts = len(hit)
                 self.stats_seen.setdefault(key, set()).update(hit)
+                if m.group("inc"):
+                    self.inc_parts.setdefault(key, set()).update(hit)
                 # per-partition row counts (what the reference's
                 # incremental stats persist): one partition-pruned
                 # aggregate over the matched set
@@ -1237,6 +1249,7 @@ class Engine:
                 new = parts - self.stats_seen[key]
                 n_parts = len(new)
                 self.stats_seen[key] = parts
+                self.inc_parts.setdefault(key, set()).update(new)
                 self._fill_part_rows(tbl, pcols)
                 if n_parts == 0:
                     return self.spark.createDataFrame(
@@ -1245,6 +1258,10 @@ class Engine:
             else:
                 n_parts = len(parts)
                 self.stats_seen[key] = parts
+                # incremental compute marks every partition's cover;
+                # a full compute REPLACES incremental stats (flag off)
+                self.inc_parts[key] = \
+                    set(parts) if m.group("inc") else set()
                 # a full compute persists per-partition row counts
                 # too (the reference's table stats carry #ROWS per
                 # partition after COMPUTE STATS — corrupt-stats.test)

@@ -189,6 +189,8 @@ def show_partitions(engine, tbl: str) -> DataFrame:
                   lambda n: n.split(".")[-1].lower())(tbl)
     fmts = getattr(engine, "part_formats", {})
     prows = getattr(engine, "part_rows", {})
+    inc = getattr(engine, "inc_parts", {}).get(
+        tbl.strip("`").lower(), set())
     rows, tot_files, tot_size = [], 0, 0
     for kv in parts:
         suffix = part_suffix(kv)
@@ -203,7 +205,7 @@ def show_partitions(engine, tbl: str) -> DataFrame:
                fmts.get((key, suffix),
                         (_format_of(files) if files
                          else _meta_format(engine, tbl)) or "TEXT"),
-               "false",
+               "true" if suffix in inc else "false",
                _display_location(engine, tbl, suffix)))
     nrows = getattr(engine, "table_numrows", {}).get(key, -1)
     rows.append(("Total",) + ("",) * (len(pcols) - 1)

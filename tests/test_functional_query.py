@@ -298,10 +298,12 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # engine._refresh_incremental_colstats), closing the
     # incremental-colstats-aggregation xfail; the listing blocks pin
     # the reference's canonical TEXT byte sizes (parquet here)
-    "compute-stats-incremental": (20, dict(
+    # r9: the 'Incremental stats' column now renders the per-partition
+    # cover (engine.inc_parts), which was the REAL blocker for 6 of
+    # the listing blocks previously xfailed as default-format-bytes
+    "compute-stats-incremental": (26, dict(
         [(i, "default-format-bytes")
-         for i in (2, 5, 7, 11, 14, 17, 21, 23, 25, 27, 28, 29,
-                   30, 31, 32, 33)])),
+         for i in (2, 5, 7, 17, 21, 23, 28, 29, 30, 32)])),
     # --- r8 functional wave 6 ---
     # footer-corrupt parquet under MT_DOP (scan_errors footer check)
     "mt-dop-parquet": (1, {}, None,
@@ -755,6 +757,10 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # over the reference's own Hive-2.1.1 files (scan_errors
     # register_hive211_tz_check; the view follows SET TIMEZONE)
     "out-of-range-timestamp-local-tz-conversion": (4, {}),
+    # the stats lifecycle at 1234 partitions (full compute, listing,
+    # drop stats, incremental compute, listing) — real 2-byte text
+    # files so the pinned '2B' sizes verify exactly
+    "compute-stats-many-partitions": (4, {}),
 }
 
 
@@ -1064,6 +1070,36 @@ def _setup_multi_text_compression(engine, db):
          ({"year": 2009, "month": 5}, "LZO")])
 
 
+def _setup_many_partitions(engine, db):
+    """testdata/bin/create-table-many-blocks.sh -p 1234 -b 1 staging:
+    scale_db.num_partitions_1234_blocks_per_partition_1 — (i int)
+    partitioned by (j int), one 2-byte text file ('1\\n') per
+    partition. The test's surface is the stats lifecycle at four-digit
+    partition counts (the reference updates partitions in 500-row HMS
+    RPC batches; here the cost model is one listing + one group-by)."""
+    import shutil
+
+    spark = engine.spark
+    tbl = "scale_db.num_partitions_1234_blocks_per_partition_1"
+    loc = os.path.join(engine._warehouse_dir(),
+                       "many_blocks_num_blocks_per_partition_1")
+    engine.sql("create database if not exists scale_db")
+    phys = engine.ns.phys("scale_db",
+                          "num_partitions_1234_blocks_per_partition_1")
+    if not spark.catalog.tableExists(phys):
+        shutil.rmtree(loc, ignore_errors=True)
+        for j in range(1, 1235):
+            d = os.path.join(loc, f"j={j}")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "impala_1.data"), "w") as f:
+                f.write("1\n")
+        engine.sql(f"create external table {tbl} (i int) "
+                   f"partitioned by (j int) location '{loc}'")
+        spark.sql(f"MSCK REPAIR TABLE {phys}")
+    # re-runs start from the no-stats face
+    engine.sql(f"drop stats {tbl}")
+
+
 def _setup_hive211_tz(engine, db):
     """test_hive_parquet_timestamp_conversion.py::
     _test_conversion_with_validation staging: the reference's own
@@ -1269,6 +1305,7 @@ SETUP_HOOKS = {
     "load": _setup_load,
     "parquet-error-propagation-race": _setup_bad_magic,
     "out-of-range-timestamp-local-tz-conversion": _setup_hive211_tz,
+    "compute-stats-many-partitions": _setup_many_partitions,
     "unsupported-compression-partitions": _setup_multi_text_compression,
     "describe-db": _setup_describe_db,
     "describe-hive-db": _setup_describe_hive_db,
