@@ -746,6 +746,10 @@ class Engine:
                 for k in [k for k in self.col_stats if k[0] == skey]:
                     del self.col_stats[k]
                 self.table_numrows.pop(skey, None)
+                getattr(self, "stats_size", {}).pop(skey, None)
+                getattr(self, "stats_computed", set()).discard(skey)
+                for k in [k for k in self.part_rows if k[0] == skey]:
+                    del self.part_rows[k]
             seen = self.stats_seen.get(m.group("tbl").lower())
             if seen is not None:
                 if spec:
@@ -1116,6 +1120,40 @@ class Engine:
         base = df if df is not None else self.spark.table(tbl)
         return base.agg(*aggs)
 
+    def _extrapolation_enabled(self, tbl: str) -> bool:
+        """FeFsTable.Utils.isStatsExtrapolationEnabled: the
+        impala.enable.stats.extrapolation table property (the startup
+        flag variant is oos — property-driven like the reference's own
+        stats-extrapolation test)."""
+        try:
+            rows = self.spark.sql(
+                f"SHOW TBLPROPERTIES {tbl}").collect()
+            return any(
+                r[0] == "impala.enable.stats.extrapolation"
+                and str(r[1]).strip().lower() == "true" for r in rows)
+        except Exception:  # noqa: BLE001 — temp views have no props
+            return False
+
+    def _table_bytes(self, tbl: str) -> int | None:
+        """Total visible data bytes under the table location (the
+        totalSize stat COMPUTE STATS records alongside numRows)."""
+        import os as _os
+
+        try:
+            loc = self._table_location(tbl)
+        except Exception:  # noqa: BLE001
+            return None
+        if not loc or not _os.path.isdir(loc):
+            return None
+        total = 0
+        for root, dirs, files in _os.walk(loc):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            for f in files:
+                if not f.startswith((".", "_")) \
+                        and not f.endswith(".crc"):
+                    total += _os.path.getsize(_os.path.join(root, f))
+        return total
+
     def _compute_stats(self, m: re.Match) -> DataFrame:
         """COMPUTE STATS veneer: runs Spark's ANALYZE (footer counts +
         per-column min/max/ndv/null stats into the catalog — what the
@@ -1200,6 +1238,12 @@ class Engine:
                 self, "stats_computed", set())
             self.stats_computed.add(skey)
             self.table_numrows[skey] = nrows
+            # totalSize at compute time — the extrapolation base
+            # (extrapolated rows = numRows * bytes_now / bytes_then)
+            self.stats_size = getattr(self, "stats_size", {})
+            sz = self._table_bytes(tbl)
+            if sz is not None:
+                self.stats_size[skey] = sz
         except Exception:  # noqa: BLE001
             pass
         n_parts = 1
@@ -1234,6 +1278,11 @@ class Engine:
                         kv = {c: r[c] for c in pcols}
                         self.part_rows[
                             (skey, partitions.part_suffix(kv))] = r["c"]
+                    # IMPALA-2199: a matched-but-empty partition gets
+                    # rows=0 recorded, not left unset
+                    for kv in matched:
+                        self.part_rows.setdefault(
+                            (skey, partitions.part_suffix(kv)), 0)
                     self.table_numrows[skey] = sum(
                         v for (t, _), v in self.part_rows.items()
                         if t == skey)
@@ -1255,6 +1304,17 @@ class Engine:
                     return self.spark.createDataFrame(
                         [("No partitions selected for incremental "
                           "stats update.",)], "summary string")
+            elif self._extrapolation_enabled(tbl):
+                # extrapolation tables store ONLY the table-level row
+                # count (ComputeStatsStmt: "Updated 1 partition(s)"),
+                # never per-partition counts — SHOW TABLE STATS
+                # extrapolates them from file sizes instead
+                n_parts = 1
+                self.stats_seen[key] = parts
+                self.inc_parts[key] = set()
+                skey = self._stats_key(tbl)
+                for k in [k for k in self.part_rows if k[0] == skey]:
+                    del self.part_rows[k]
             else:
                 n_parts = len(parts)
                 self.stats_seen[key] = parts

@@ -245,8 +245,24 @@ class _Condenser:
     def condense(self, jplan) -> _Node:
         n = _name(jplan)
         ch = _children(jplan)
+        if n == "ProjectExec":
+            # transparent, but its output marks which partition
+            # columns survive pruning (row-size counts materialized
+            # slots only — reference TupleDescriptor byte size)
+            prev = getattr(self, "_proj_cols", None)
+            try:
+                self._proj_cols = {
+                    jplan.output().apply(i).name().lower()
+                    for i in range(jplan.output().size())}
+            except Exception:  # noqa: BLE001
+                self._proj_cols = prev
+            try:
+                return self.condense(ch[0]) if ch \
+                    else _Node("", "other")
+            finally:
+                self._proj_cols = prev
         if n in ("WholeStageCodegenExec", "InputAdapter",
-                 "ProjectExec", "ColumnarToRowExec", "SortExec",
+                 "ColumnarToRowExec", "SortExec",
                  "CollectMetricsExec", "SubqueryBroadcastExec",
                  "ReusedExchangeExec", "AdaptiveSparkPlanExec"):
             # transparent wrappers (SortExec under an SMJ is part of
@@ -275,9 +291,27 @@ class _Condenser:
                 for i in range(jplan.output().size())}
             node.files = _scan_files(
                 jplan, getattr(self, 'pruned_files', None))
+            # row-size = materialized slots (the scan's requiredSchema
+            # data columns) + partition columns that survive the
+            # nearest Project; Spark's scan output always carries
+            # partition cols (free path metadata), the reference's
+            # TupleDescriptor only materialized ones
+            out_cols = [(jplan.output().apply(i).name().lower(),
+                         jplan.output().apply(i).dataType()
+                         .simpleString())
+                        for i in range(jplan.output().size())]
+            req = None
+            try:
+                rs = jplan.requiredSchema()
+                req = {rs.apply(i).name().lower()
+                       for i in range(rs.size())}
+            except Exception:  # noqa: BLE001
+                pass
+            proj = getattr(self, "_proj_cols", None)
             node.row_size = sum(
-                _width(jplan.output().apply(i).dataType().simpleString())
-                for i in range(jplan.output().size()))
+                _width(ty) for c, ty in out_cols
+                if req is None or c in req
+                or proj is None or c in proj)
             return node
         if n == "FilterExec":
             child = self.condense(ch[0])
@@ -497,16 +531,148 @@ def _estimate(node: _Node) -> None:
                 node.cardinality = None
 
 
+def _annotate_catalog_stats(engine, root: _Node, relations) -> None:
+    """Attach the CATALOG's stored statistics to catalog-table scans
+    (ScanNode.getStatsExplainString renders stats, not file truth):
+    numRows/totalSize from the engine's stats registries, the
+    per-partition row-count cover, column-stats presence, and the
+    extrapolation state (FeFsTable.Utils.getExtrapolatedNumRows).
+    Fixture temp views keep the footer-derived face (their load
+    pipeline computed stats, like the reference's loaded warehouse)."""
+    spark = engine.spark
+    flat_of = {disp: flat for disp, flat, _a in relations}
+    disable_est = getattr(engine, "option_display", {}).get(
+        "DISABLE_HDFS_NUM_ROWS_ESTIMATE") == "1"
+
+    def walk(n: _Node) -> None:
+        for c in n.children:
+            walk(c)
+        if n.kind != "scan" or not n.table:
+            return
+        flat = flat_of.get(n.table)
+        if flat is None:
+            flat = n.table
+            ns = getattr(engine, "ns", None)
+            if ns is not None:
+                try:
+                    db, obj = ns.split(n.table)
+                    if db:
+                        flat = ns.phys(db, obj)
+                except Exception:  # noqa: BLE001
+                    pass
+        try:
+            t = spark.catalog.getTable(flat)
+            if (t.tableType or "").upper() not in (
+                    "MANAGED", "EXTERNAL"):
+                return
+            pcols = [c.name for c in spark.catalog.listColumns(flat)
+                     if c.isPartition]
+        except Exception:  # noqa: BLE001 — not a catalog table
+            return
+        key = engine._stats_key(flat)
+        rows = getattr(engine, "table_numrows", {}).get(key)
+        size = getattr(engine, "stats_size", {}).get(key)
+        colstats = any(k[0] == key
+                       for k in getattr(engine, "col_stats", {}))
+        si: dict = {"rows": rows, "size": size, "colstats": colstats,
+                    "partitioned": bool(pcols)}
+        sel_bytes = sum(os.path.getsize(f) for f in n.files
+                        if os.path.exists(f))
+        if pcols:
+            # selected partition dirs from the (pruned) file list
+            sel = set()
+            for f in n.files:
+                comps = [c for c in f.split(os.sep) if "=" in c]
+                if comps:
+                    sel.add("/".join(comps))
+            part_rows = getattr(engine, "part_rows", {})
+            covered = {s: part_rows[(key, s)] for s in sel
+                       if (key, s) in part_rows}
+            si["n_sel"] = len(sel)
+            si["n_with_rows"] = len(covered)
+            if sel and len(covered) == len(sel):
+                si["part_rows_sum"] = sum(covered.values())
+            elif disable_est:
+                si["part_rows_sum"] = None
+            else:
+                si["part_rows_sum"] = n.cardinality
+        extrap: str | int = "disabled"
+        try:
+            if engine._extrapolation_enabled(flat):
+                if rows is None or not size:
+                    extrap = "unavailable"
+                else:
+                    extrap = 0 if sel_bytes == 0 else max(
+                        1, round(sel_bytes * rows / size))
+        except Exception:  # noqa: BLE001
+            pass
+        si["extrap"] = extrap
+        n.stats_info = si
+        # displayed cardinality follows the catalog (stats-first,
+        # estimate fallback, unavailable under
+        # DISABLE_HDFS_NUM_ROWS_ESTIMATE — HdfsScanNode cardinality)
+        if isinstance(extrap, int):
+            n.cardinality = extrap
+        elif pcols and si.get("n_with_rows") and \
+                si["n_with_rows"] == si["n_sel"]:
+            n.cardinality = si["part_rows_sum"]
+        elif rows is not None and not pcols:
+            n.cardinality = rows
+        elif n.cardinality is None or (
+                disable_est and rows is None):
+            n.cardinality = None
+
+    walk(root)
+
+
+def _stored_stats_lines(node: _Node, dp: str,
+                        formats: bool = False) -> list[str]:
+    """ScanNode.getStatsExplainString +
+    HdfsScanNode.getTableStatsExplainString rendering."""
+    out = [f"{dp}stored statistics:"]
+    si = getattr(node, "stats_info", None)
+    if si is None:
+        # fixture face: the registered relation's load-time stats
+        size_now = sum(os.path.getsize(f) for f in node.files
+                       if os.path.exists(f))
+        out.append(f"{dp}  table: rows={_fmt_card(node.cardinality)} "
+                   f"size={_fmt_size(size_now)}")
+        out.append(f"{dp}  columns: all")
+        out.append(f"{dp}extrapolated-rows=disabled "
+                   f"max-scan-range-rows={node.cardinality or 0}")
+    else:
+        sz = ("unavailable" if si.get("size") is None
+              else _fmt_size(si["size"]))
+        out.append(f"{dp}  table: rows={_fmt_card(si.get('rows'))} "
+                   f"size={sz}")
+        if si.get("partitioned"):
+            out.append(f"{dp}  partitions: {si.get('n_with_rows', 0)}/"
+                       f"{si.get('n_sel', 0)} "
+                       f"rows={_fmt_card(si.get('part_rows_sum'))}")
+        out.append(f"{dp}  columns: "
+                   + ("all" if si.get("colstats") else "unavailable"))
+        ex = si.get("extrap", "disabled")
+        out.append(f"{dp}extrapolated-rows="
+                   f"{ex if isinstance(ex, str) else _fmt_card(ex)} "
+                   f"max-scan-range-rows={_fmt_card(node.cardinality)}")
+    if formats:
+        out.append(f"{dp}file formats: {_scan_formats(node)}")
+    return out
+
+
 def _fmt_card(n: int | None) -> str:
-    """Reference cardinality printer (PrintUtils.java printCardinality:
-    two-decimal K/M/B suffixes)."""
+    """Reference cardinality printer (PrintUtils.java printMetric via
+    printEstCardinality: power-of-1000 units, two decimals, G for
+    billions)."""
     if n is None:
         return "unavailable"
+    if n >= 10 ** 12:
+        return f"{n / 10 ** 12:.2f}T"
     if n >= 10 ** 9:
-        return f"{n / 10 ** 9:.2f}B"
+        return f"{n / 10 ** 9:.2f}G"
     if n >= 10 ** 6:
         return f"{n / 10 ** 6:.2f}M"
-    if n >= 10 ** 4:
+    if n >= 10 ** 3:
         return f"{n / 10 ** 3:.2f}K"
     return str(n)
 
@@ -864,12 +1030,7 @@ def _render_l2_node(node: _Node, head: str, rest: str,
     for d in node.details + node.details_l2:
         out.append(dp + d)
     if node.kind == "scan":
-        out.append(f"{dp}stored statistics:")
-        out.append(f"{dp}  table: rows={_fmt_card(node.cardinality)} "
-                   f"size={_fmt_size(sum(os.path.getsize(f) for f in node.files if os.path.exists(f)))}")
-        out.append(f"{dp}  columns: all")
-        out.append(f"{dp}extrapolated-rows=disabled "
-                   f"max-scan-range-rows={node.cardinality or 0}")
+        out.extend(_stored_stats_lines(node, dp))
     for ln in _ledger_lines(node):
         out.append(dp + ln)
     for c in reversed(node.children[1:]):
@@ -942,14 +1103,7 @@ def _render_l3(frag: _Fragment, out: list[str],
         for d in node.details + node.details_l2:
             out.append(dp + d)
         if node.kind == "scan":
-            out.append(f"{dp}stored statistics:")
-            out.append(
-                f"{dp}  table: rows={_fmt_card(node.cardinality)} "
-                f"size={_fmt_size(sum(os.path.getsize(f) for f in node.files if os.path.exists(f)))}")
-            out.append(f"{dp}  columns: all")
-            out.append(f"{dp}extrapolated-rows=disabled "
-                       f"max-scan-range-rows={node.cardinality or 0}")
-            out.append(f"{dp}file formats: {_scan_formats(node)}")
+            out.extend(_stored_stats_lines(node, dp, formats=True))
         for ln in _ledger_lines(node):
             out.append(dp + ln)
         if node.kind == "exchange":
@@ -1061,6 +1215,7 @@ def render_explain(engine, body_sql: str, level: int) -> list[str]:
     top.children = [root]
     _assign_ids(top)
     _estimate(top)
+    _annotate_catalog_stats(engine, top, cond.relations)
     _runtime_filters(top, cond.strip_qual)
 
     def _propagate(n: _Node):

@@ -126,7 +126,13 @@ def drop_spec(kv: dict) -> str:
 def _display_location(engine, tbl: str, suffix: str = "") -> str:
     db = getattr(getattr(engine, "ns", None), "current", None) \
         or "default"
-    base = f"file:/test-warehouse/{db}.db/{tbl.split('.')[-1].lower()}"
+    name = tbl.split(".")[-1].lower()
+    # the qscratch_ prefix is harness plumbing (a file-created table
+    # shadowing a fixture name) — the displayed location carries the
+    # table's logical name, like the reference warehouse
+    if name.startswith("qscratch_"):
+        name = name[len("qscratch_"):]
+    base = f"file:/test-warehouse/{db}.db/{name}"
     return f"{base}/{suffix}" if suffix else base
 
 
@@ -191,6 +197,23 @@ def show_partitions(engine, tbl: str) -> DataFrame:
     prows = getattr(engine, "part_rows", {})
     inc = getattr(engine, "inc_parts", {}).get(
         tbl.strip("`").lower(), set())
+    # stats-extrapolation tables carry an extra EXTRAP #ROWS column
+    # (FeFsTable.Utils.getExtrapolatedNumRows: bytes * rows/totalSize)
+    extrap_on = False
+    try:
+        extrap_on = engine._extrapolation_enabled(tbl)
+    except Exception:  # noqa: BLE001
+        pass
+    nrows_stat = getattr(engine, "table_numrows", {}).get(key)
+    stat_bytes = getattr(engine, "stats_size", {}).get(key)
+
+    def _extrap(nbytes: int) -> int:
+        if nbytes == 0:
+            return 0
+        if nrows_stat is None or not stat_bytes:
+            return -1
+        return max(1, round(nbytes * nrows_stat / stat_bytes))
+
     rows, tot_files, tot_size = [], 0, 0
     for kv in parts:
         suffix = part_suffix(kv)
@@ -200,7 +223,9 @@ def show_partitions(engine, tbl: str) -> DataFrame:
         tot_size += size
         rows.append(
             tuple("NULL" if v is None else str(v) for v in kv.values())
-            + (prows.get((key, suffix), -1), len(files), _human(size),
+            + (prows.get((key, suffix), -1),)
+            + ((_extrap(size),) if extrap_on else ())
+            + (len(files), _human(size),
                "NOT CACHED", "NOT CACHED",
                fmts.get((key, suffix),
                         (_format_of(files) if files
@@ -209,10 +234,15 @@ def show_partitions(engine, tbl: str) -> DataFrame:
                _display_location(engine, tbl, suffix)))
     nrows = getattr(engine, "table_numrows", {}).get(key, -1)
     rows.append(("Total",) + ("",) * (len(pcols) - 1)
-                + (nrows, tot_files, _human(tot_size), "0B",
+                + (nrows,)
+                + ((nrows if nrows is not None else -1,)
+                   if extrap_on else ())
+                + (tot_files, _human(tot_size), "0B",
                    "", "", "", ""))
     schema = ", ".join(f"`{c}` string" for c in pcols) + (
-        ", `#Rows` bigint, `#Files` bigint, Size string, "
+        ", `#Rows` bigint, "
+        + ("`Extrap #Rows` bigint, " if extrap_on else "")
+        + "`#Files` bigint, Size string, "
         "`Bytes Cached` string, `Cache Replication` string, "
         "Format string, `Incremental stats` string, Location string")
     return spark.createDataFrame(rows, schema)

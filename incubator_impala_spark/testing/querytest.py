@@ -932,7 +932,33 @@ def _rewrite_stmt(s: str, rewrite, table_rewrites: dict | None) -> str:
     if re.match(r"(?i)\s*explain\b", s):
         # EXPLAIN keeps its original qualified spellings: the renderer
         # resolves standing-db qualifiers itself and uses them for
-        # scan labels and the missing-stats header (impala_explain.py)
+        # scan labels and the missing-stats header (impala_explain.py).
+        # Per-file table rewrites still apply — a file-created scratch
+        # table shadowing a fixture name (qscratch_*) must be the one
+        # the explain plans — with qualified fixture spellings
+        # protected-and-restored, never stripped
+        if table_rewrites:
+            keep: list[str] = []
+
+            def _protect(m: re.Match) -> str:
+                keep.append(m.group(0))
+                return f"__kq{len(keep) - 1}q__"
+
+            shadow = None
+            from incubator_impala_spark import dialect
+
+            shadow = dialect._neutralize(s)
+            out, pos = [], 0
+            for m in re.finditer(r"\bfunctional(_\w+)?\.", shadow):
+                out.append(s[pos:m.start()])
+                out.append(_protect(m))
+                pos = m.end()
+            out.append(s[pos:])
+            s = "".join(out)
+            for old, new in table_rewrites.items():
+                s = _shadow_sub(rf"\b{old}\b", new, s)
+            for i, orig in enumerate(keep):
+                s = s.replace(f"__kq{i}q__", orig)
         return s
     # qualified fixture references are PROTECTED with a marker while
     # table rewrites run: a file-created scratch `alltypes` renames to

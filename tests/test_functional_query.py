@@ -761,6 +761,25 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # drop stats, incremental compute, listing) — real 2-byte text
     # files so the pinned '2B' sizes verify exactly
     "compute-stats-many-partitions": (4, {}),
+    # stats extrapolation (impala.enable.stats.extrapolation):
+    # table-level-only stats, EXTRAP #ROWS listing (bytes*rows/
+    # totalSize — values match the reference exactly on our own
+    # parquet layout), extrapolated-rows in EXPLAIN, unavailable
+    # cardinality under DISABLE_HDFS_NUM_ROWS_ESTIMATE. xfails:
+    #   hdfs-size-estimate      the reference estimates missing row
+    #                           counts from ITS files' bytes/row-width
+    #                           (5.97K/17.91K); this engine's honest
+    #                           estimate is the parquet footer count
+    #   single-node-explain     VERIFY_IS_EQUAL full explains pin the
+    #                           num_nodes=1 layout, 'Codegen disabled
+    #                           by planner' header and Impala's
+    #                           analyzed-query CAST grammar
+    "stats-extrapolation": (4, {
+        1: "hdfs-size-estimate",
+        5: "single-node-explain", 6: "single-node-explain",
+        7: "single-node-explain", 8: "single-node-explain",
+        9: "single-node-explain", 10: "hdfs-size-estimate",
+    }, None, ["SET EXPLAIN_LEVEL=2"]),
 }
 
 
