@@ -11,6 +11,12 @@ registry, table catalog, and session semantics.
 from __future__ import annotations
 
 from pyspark.errors import AnalysisException
+from py4j.protocol import Py4JJavaError
+
+# expected Spark failure surface for best-effort veneers: analysis
+# errors (temp views, missing objects) and JVM execution errors —
+# Python-side bugs (KeyError/TypeError/AttributeError) propagate
+_SPARK_ERR = (AnalysisException, Py4JJavaError)
 from pyspark.sql import DataFrame, SparkSession
 
 import os
@@ -593,7 +599,7 @@ class Engine:
                 self.spark.sql(self.ns.resolve(
                     f"ANALYZE TABLE {tbl} COMPUTE STATISTICS "
                     f"FOR ALL COLUMNS"))
-            except Exception:  # noqa: BLE001
+            except _SPARK_ERR:
                 pass
             from incubator_impala_spark import showcreate
 
@@ -929,7 +935,7 @@ class Engine:
 
             try:
                 plist = _parts.list_partitions(self, tbl)
-            except Exception:  # noqa: BLE001
+            except (*_SPARK_ERR, OSError):
                 plist = []
             if plist:
                 for c0 in plist[0]:
@@ -1014,7 +1020,7 @@ class Engine:
                 kv = {c: r[c] for c in pcols}
                 self.part_rows[
                     (skey, partitions.part_suffix(kv))] = r["c"]
-        except Exception:  # noqa: BLE001
+        except _SPARK_ERR:
             pass
 
     def _refresh_incremental_colstats(self, tbl: str,
@@ -1141,7 +1147,7 @@ class Engine:
 
         try:
             loc = self._table_location(tbl)
-        except Exception:  # noqa: BLE001
+        except _SPARK_ERR:
             return None
         if not loc or not _os.path.isdir(loc):
             return None
@@ -1168,7 +1174,7 @@ class Engine:
             pcols = [c.name
                      for c in self.spark.catalog.listColumns(tbl)
                      if c.isPartition]
-        except Exception:  # noqa: BLE001
+        except _SPARK_ERR:
             pass
         from pyspark.sql.types import ArrayType, MapType, StructType
 
@@ -1192,7 +1198,7 @@ class Engine:
             else:
                 self.spark.sql(
                     f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
-        except Exception:  # noqa: BLE001
+        except _SPARK_ERR:
             pass          # temp-view fixtures: stats are advisory
         # SHOW COLUMN STATS values: one scan with per-column
         # aggregates (that IS compute stats' cost model); the NDV

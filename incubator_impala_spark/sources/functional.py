@@ -24,7 +24,19 @@ import os
 import re
 
 import duckdb
+from py4j.protocol import Py4JJavaError
+from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession
+
+try:
+    from pyarrow.lib import ArrowException
+except ImportError:  # pragma: no cover
+    ArrowException = OSError
+
+# expected failure surface for best-effort fixture registration:
+# Spark analysis/execution errors and unreadable reference files —
+# Python-side bugs propagate instead of silently dropping fixtures
+_REG_ERR = (AnalysisException, Py4JJavaError, OSError)
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -183,7 +195,7 @@ def register_functional(spark: SparkSession) -> None:
         try:
             if "timestamp_col" in spark.table("alltypes").columns:
                 return
-        except Exception:
+        except AnalysisException:
             pass
     for t in FUNCTIONAL_TABLES:
         df = spark.read.parquet(table_path(t))
@@ -365,7 +377,7 @@ def _register_raw_text_tables(spark: SparkSession) -> None:
         spark.table("alltypes") \
             .where("year = 2009 AND month IN (1, 2, 3, 4)") \
             .createOrReplaceTempView("alltypesmixedformat")
-    except Exception:  # noqa: BLE001
+    except _REG_ERR:
         pass
     _register_raw_parquet_tables(spark)
 
@@ -448,7 +460,7 @@ def _register_raw_parquet_tables(spark: SparkSession) -> None:
                 if all(_pq.ParquetFile(p).metadata.num_rows == 0
                        for p in paths):
                     df = df.limit(0)
-            except Exception:  # noqa: BLE001
+            except (OSError, ArrowException):
                 pass
             if name in ("decimal_encodings", "alltypes_empty_pages"):
                 # binary-backed DECIMAL (NPE) and empty data pages
@@ -477,7 +489,7 @@ def _register_raw_parquet_tables(spark: SparkSession) -> None:
                     else F.col(f.name)
                     for f in df.schema.fields])
             df.createOrReplaceTempView(name)
-        except Exception:  # noqa: BLE001
+        except (*_REG_ERR, ArrowException):
             continue
     _register_dateless_timestamp_tables(spark)
     _register_overflow_table(spark)
@@ -676,7 +688,7 @@ def _register_bad_parquet_table(spark: SparkSession) -> None:
                      for v in col]
         spark.createDataFrame(rows, "field string") \
             .createOrReplaceTempView("bad_parquet")
-    except Exception:  # noqa: BLE001
+    except (*_REG_ERR, ArrowException):
         pass
 
 
@@ -938,7 +950,7 @@ def _register_dateless_timestamp_tables(spark: SparkSession) -> None:
                 if isinstance(f.dataType, TimestampType)
                 else F.col(f.name) for f in df.schema.fields]) \
                 .createOrReplaceTempView("timestamp_table")
-        except Exception:  # noqa: BLE001
+        except (*_REG_ERR, ArrowException):
             pass
     txt = os.path.join(_REF_DATA, "dateless_timestamps.txt")
     if os.path.exists(txt):
@@ -955,7 +967,7 @@ def _register_dateless_timestamp_tables(spark: SparkSession) -> None:
                     F.col("t").rlike(r"^\d{4}-\d{1,2}-\d{1,2}"),
                     F.col("t").cast("timestamp")).alias("t")) \
                 .createOrReplaceTempView("timestamp_text_table")
-        except Exception:  # noqa: BLE001
+        except _REG_ERR:
             pass
 
 
