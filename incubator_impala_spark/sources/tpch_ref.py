@@ -183,9 +183,18 @@ def register_tpch_ref(spark: SparkSession) -> None:
     tpch_parquet. -> tpch_ref_)."""
     flat = ensure_flat()
     nested = ensure_nested(spark)
+    from pyspark.sql.types import DateType
+
     for t in FLAT_TABLES:
-        spark.read.parquet(f"{flat}/{t}.parquet") \
-            .createOrReplaceTempView(f"tpch_ref_{t}")
+        df = spark.read.parquet(f"{flat}/{t}.parquet")
+        # the reference's TPC-H schema types all date columns STRING
+        # (tpch_schema_template.sql: O_ORDERDATE STRING, ...); the
+        # recorded workload results quote them accordingly
+        df = df.select(*[
+            F.col(f.name).cast("string").alias(f.name)
+            if isinstance(f.dataType, DateType) else F.col(f.name)
+            for f in df.schema.fields])
+        df.createOrReplaceTempView(f"tpch_ref_{t}")
     for t in ["customer", "region", "supplier"]:
         spark.read.parquet(f"{nested}/{t}") \
             .createOrReplaceTempView(f"tpch_nested_{t}")

@@ -1,0 +1,97 @@
+"""The reference's TPC-H workload corpus — queries AND recorded sf1
+answers — against this engine on the dbgen sf1 fixture.
+
+Direct reference parity with no oracle in between: the .test files
+under testdata/workloads/tpch/queries/ carry the reference engine's
+recorded results over its dbgen-loaded TPC-H sf1 database, which
+sources/tpch_ref.py regenerates (DuckDB's dbgen — keys, dates and
+prices bit-identical; RNG text columns differ, see xfails). Date
+columns register as STRING, the reference's own TPC-H schema typing
+(tpch_schema_template.sql).
+
+xfail reason codes:
+  dbgen-text-variant  the pinned rows/counts depend on dbgen's RNG
+                      text streams (s_address/s_comment in q2/q15/
+                      q20, c_address/c_comment in q10, o_comment
+                      filters/joins in q13/outer-joins,
+                      count(distinct p_comment)); every other column
+                      of those rows matches (DIALECT.md
+                      dbgen-comment-variant)
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+
+import pytest
+
+TPCH_DIR = "/root/reference/testdata/workloads/tpch/queries"
+
+# file -> (min_pass floor, {block index: reason})
+FILES: dict[str, tuple[int, dict[int, str]]] = {
+    **{f"tpch-q{i}": (1, {}) for i in (1, 3, 4, 5, 6, 7, 8, 9, 11,
+                                       12, 14, 16, 17, 18, 19, 21,
+                                       22)},
+    "tpch-q2": (0, {0: "dbgen-text-variant"}),
+    "tpch-q10": (0, {0: "dbgen-text-variant"}),
+    "tpch-q13": (0, {0: "dbgen-text-variant"}),
+    "tpch-q15": (0, {0: "dbgen-text-variant"}),
+    "tpch-q20": (0, {0: "dbgen-text-variant"}),
+    "tpch-aggregations": (1, {}),
+    "tpch-passthrough-aggregations": (1, {2: "dbgen-text-variant"}),
+    "tpch-outer-joins": (2, {3: "dbgen-text-variant"}),
+    "min-multiple-distinct-aggs": (1, {}),
+    # block 3 groups the functional fixture's alltypes
+    "limit-pushdown-analytic": (4, {}),
+}
+
+
+@pytest.fixture(scope="module")
+def tpch_engine(engine):
+    from incubator_impala_spark.sources.functional import (
+        register_functional,
+    )
+
+    register_functional(engine.spark)
+    try:
+        from incubator_impala_spark.sources.tpch_ref import (
+            register_tpch_ref,
+        )
+
+        register_tpch_ref(engine.spark)
+    except Exception as exc:  # noqa: BLE001 — extension absent
+        pytest.skip(f"tpch_ref sf1 fixture unavailable: {exc}")
+    return engine
+
+
+@pytest.mark.skipif(not os.path.isdir(TPCH_DIR),
+                    reason="reference workload texts not present")
+@pytest.mark.parametrize("name", sorted(FILES), ids=str)
+def test_tpch_workload_file(tpch_engine, name):
+    from incubator_impala_spark.sources.tpch_ref import FLAT_TABLES
+    from incubator_impala_spark.testing import querytest as qt
+
+    min_pass, xfail = FILES[name]
+    rewrites = {t: f"tpch_ref_{t}" for t in FLAT_TABLES}
+    blocks = qt.parse_test_file(os.path.join(TPCH_DIR,
+                                             f"{name}.test"))
+    results = qt.run_blocks(tpch_engine, blocks, xfail=xfail,
+                            table_rewrites=rewrites,
+                            database="qtest_tpch_workload")
+    counts = collections.Counter(r.status for r in results)
+    problems = []
+    for r in results:
+        if r.status in ("fail", "error"):
+            q = " ".join(blocks[r.index].query.split())[:140]
+            problems.append(
+                f"[{r.index}] {r.status}: {r.reason}\n    Q: {q}\n    "
+                + "\n    ".join(str(d) for d in r.diffs[:3]))
+        elif r.status == "xpass":
+            problems.append(f"[{r.index}] xpass — remove stale xfail "
+                            f"({r.reason})")
+    assert not problems, (
+        f"{name}.test: {dict(counts)}\n" + "\n".join(problems))
+    assert counts.get("pass", 0) >= min_pass, (
+        f"{name}.test pass floor regressed: "
+        f"{counts.get('pass', 0)} < {min_pass} ({dict(counts)})")
