@@ -1624,7 +1624,10 @@ def rewrite_decimal_avg(sql: str, schema_of) -> str:
     for k, (arg, over, _alias) in sites:
         probe_items[k] = (f"first({arg})"
                           + (f" over ({over})" if over else ""))
-    probe = sql[:sel_start] + " " + ", ".join(probe_items) + sql[list_end:]
+    # the joined items carry no trailing whitespace, and sql[list_end:]
+    # begins directly with the FROM token — keep them separated
+    probe = (sql[:sel_start] + " " + ", ".join(probe_items) + " "
+             + sql[list_end:])
     try:
         fields = schema_of(probe)
     except Exception:  # noqa: BLE001 — fail-open, keep Spark typing
@@ -1652,7 +1655,8 @@ def rewrite_decimal_avg(sql: str, schema_of) -> str:
         changed = True
     if not changed:
         return sql
-    return sql[:sel_start] + " " + ", ".join(new_items) + sql[list_end:]
+    return (sql[:sel_start] + " " + ", ".join(new_items) + " "
+            + sql[list_end:])
 
 
 _CREATE_TABLE_HEAD = re.compile(
@@ -1945,6 +1949,21 @@ def translate(sql: str, macros: dict | None = None, now=None) -> str:
     if stmt is not None:
         return stmt
     sql = strip_plan_hints(sql)
+    # Impala's grammar accepts a STRING LITERAL as a column alias
+    # (select_list_item ::= expr [AS] (IDENT | STRING_LITERAL) —
+    # sql-parser.cup; the TPC-DS texts use `as "order count"`); Spark
+    # wants a backticked identifier. Positions found on the shadow
+    # (so `as "..."` INSIDE a single-quoted literal is data), text
+    # taken from the original.
+    _alias_shadow = _neutralize(sql)
+    _alias_out, _alias_pos = [], 0
+    for _am in re.finditer(r'(?is)\bas\s+"[^"]*"', _alias_shadow):
+        _alias_out.append(sql[_alias_pos:_am.start()])
+        _orig = sql[_am.start():_am.end()]
+        _alias_out.append("as `" + _orig[_orig.index('"') + 1:-1] + "`")
+        _alias_pos = _am.end()
+    _alias_out.append(sql[_alias_pos:])
+    sql = "".join(_alias_out)
     sql = rewrite_in_subquery_distinct(sql)
     sql = rewrite_setop_operand_limits(sql)
     sql = rewrite_setop_precedence(sql)

@@ -1,0 +1,135 @@
+"""The reference's TPC-DS workload corpus against the dsdgen sf1
+fixture — three verification tiers, because DuckDB's dsdgen is
+NEARLY but not bit-identical to the official dsdgen the reference
+loaded:
+
+- sales facts and every dimension are bit-identical (count.test:
+  store_sales 2880404, catalog_sales 1441548, catalog_returns 144067,
+  all dims — verified here), but the RETURNS row streams differ
+  slightly (store_returns 287867 vs the reference's 287514,
+  web_returns 71654 vs 71763) and per-row pricing amounts diverge —
+  so most recorded RESULTS are not reproducible bit-for-bit
+  (dsdgen-returns/pricing-variant, the TPC-DS analogue of DIALECT.md
+  dbgen-comment-variant).
+
+Tiers:
+1. count.test — 22/24 table counts verified verbatim (returns tables
+   xfailed with the observed deltas).
+2. VALUE_FILES — recorded RESULTS reproduce exactly (inventory/item/
+   dim-driven queries); verified through the querytest harness.
+3. every other tpcds-decimal_v2-q*.test — execution contract: the
+   reference's query text parses through the dialect, plans, runs,
+   and respects its LIMIT. This tier caught two real dialect bugs
+   when first wired (string-literal column aliases; the decimal-avg
+   rewrite gluing the last alias to FROM).
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import os
+import re
+
+import pytest
+
+TPCDS_DIR = "/root/reference/testdata/workloads/tpcds/queries"
+
+# recorded sf1 RESULTS reproduce bit-for-bit on DuckDB's dsdgen
+VALUE_FILES = [
+    "tpcds-decimal_v2-q22", "tpcds-decimal_v2-q22a",
+    "tpcds-decimal_v2-q38", "tpcds-decimal_v2-q39-1",
+    "tpcds-decimal_v2-q39-2", "tpcds-decimal_v2-q41",
+    "tpcds-decimal_v2-q58", "tpcds-decimal_v2-q87",
+]
+
+_EXEC_FILES = sorted(
+    os.path.basename(p)[:-5]
+    for p in glob.glob(f"{TPCDS_DIR}/tpcds-decimal_v2-*.test")
+    if os.path.basename(p)[:-5] not in VALUE_FILES)
+
+
+@pytest.fixture(scope="module")
+def tpcds_engine(engine):
+    try:
+        from incubator_impala_spark.sources.tpcds_ref import (
+            register_tpcds_ref,
+        )
+
+        register_tpcds_ref(engine.spark)
+    except Exception as exc:  # noqa: BLE001 — extension absent
+        pytest.skip(f"tpcds_ref sf1 fixture unavailable: {exc}")
+    return engine
+
+
+def _rewrites():
+    from incubator_impala_spark.sources.tpcds_ref import TABLES
+
+    return {t: f"tpcds_ref_{t}" for t in TABLES}
+
+
+@pytest.mark.skipif(not os.path.isdir(TPCDS_DIR),
+                    reason="reference workload texts not present")
+def test_tpcds_table_counts(tpcds_engine):
+    """count.test: the dsdgen fixture is the reference's dataset —
+    every sales/dimension count verbatim; the two returns tables pin
+    the official dsdgen's slightly different returns stream."""
+    from incubator_impala_spark.testing import querytest as qt
+
+    xfail = {}
+    blocks = qt.parse_test_file(os.path.join(TPCDS_DIR, "count.test"))
+    for i, b in enumerate(blocks):
+        if re.search(r"\b(store_returns|web_returns)\b", b.query):
+            xfail[i] = "dsdgen-returns-variant"
+    results = qt.run_blocks(tpcds_engine, blocks, xfail=xfail,
+                            table_rewrites=_rewrites(),
+                            database="qtest_tpcds_counts")
+    counts = collections.Counter(r.status for r in results)
+    bad = [f"[{r.index}] {r.status}: {r.reason}" for r in results
+           if r.status in ("fail", "error", "xpass")]
+    assert not bad, f"{dict(counts)}\n" + "\n".join(bad)
+    assert counts.get("pass", 0) >= 22, dict(counts)
+
+
+@pytest.mark.skipif(not os.path.isdir(TPCDS_DIR),
+                    reason="reference workload texts not present")
+@pytest.mark.parametrize("name", VALUE_FILES, ids=str)
+def test_tpcds_recorded_results(tpcds_engine, name):
+    from incubator_impala_spark.testing import querytest as qt
+
+    blocks = qt.parse_test_file(os.path.join(TPCDS_DIR,
+                                             f"{name}.test"))
+    results = qt.run_blocks(tpcds_engine, blocks, xfail={},
+                            table_rewrites=_rewrites(),
+                            database="qtest_tpcds_vals")
+    bad = [f"[{r.index}] {r.status}: {r.reason}\n    "
+           + "\n    ".join(str(d) for d in r.diffs[:3])
+           for r in results if r.status in ("fail", "error")]
+    assert not bad, "\n".join(bad)
+    assert sum(r.status == "pass" for r in results) >= 1
+
+
+@pytest.mark.skipif(not os.path.isdir(TPCDS_DIR),
+                    reason="reference workload texts not present")
+@pytest.mark.parametrize("name", _EXEC_FILES, ids=str)
+def test_tpcds_query_executes(tpcds_engine, name):
+    """Execution contract for the value-divergent files: the
+    reference's exact query text runs through the dialect and the
+    sf1 data, and honors its LIMIT."""
+    from incubator_impala_spark.testing import querytest as qt
+
+    blocks = qt.parse_test_file(os.path.join(TPCDS_DIR,
+                                             f"{name}.test"))
+    ran = 0
+    for b in blocks:
+        sql = b.query
+        if not re.match(r"(?is)\s*(select|with)\b", sql):
+            continue
+        for old, new in _rewrites().items():
+            sql = re.sub(rf"\b{old}\b", new, sql)
+        rows = tpcds_engine.sql(sql).collect()
+        lm = re.search(r"(?is)\blimit\s+(\d+)\s*;?\s*$", sql)
+        if lm:
+            assert len(rows) <= int(lm.group(1)), (name, len(rows))
+        ran += 1
+    assert ran >= 1, f"{name}: no runnable blocks"
