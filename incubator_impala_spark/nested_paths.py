@@ -480,9 +480,58 @@ def _rewrite_subselects(scope: _Scope, text: str) -> str:
 
 def _rewrite_from_list(scope: _Scope, text: str) -> str:
     items = _split_from_items(text)
-    out = []
+    parts = []
     for joiner, item in items:
         rewritten, joiner_out = _rewrite_item(scope, item, joiner)
+        parts.append((joiner_out, rewritten, item))
+    # Join-order aid for pure comma lists that mix correlated lateral
+    # chains with standalone base tables (tpch_nested q21: `supplier
+    # s, customer c, c.c_orders o, o.o_lineitems l1, ...`): Spark's
+    # ReorderJoin cannot move a plain relation past a LateralJoin, so
+    # a standalone table BEFORE the chain becomes a real cartesian
+    # (supplier x customer before the WHERE's equi key even exists).
+    # Emitting owner chains first and standalone tables last keeps
+    # semantics (comma = inner) and lets the filter collapse the top
+    # cross joins into equi joins.
+    if len(parts) > 2 \
+            and any(r.lstrip().startswith("LATERAL")
+                    for _, r, _ in parts) \
+            and all(j.strip() in ("", ",") for j, _, _ in parts):
+        heads = set()
+        for _, _, orig in parts:
+            pm = _PATH_ITEM.match(orig.strip())
+            if pm:
+                heads.add(pm.group(1).split(".")[0].lower())
+        lateral_text = " ".join(
+            r for _, r, _ in parts
+            if r.lstrip().startswith("LATERAL")).lower()
+
+        def standalone(t) -> bool:
+            _, r, orig = t
+            if r.lstrip().startswith("LATERAL") or not r.strip():
+                return False
+            tm = _TABLE_ITEM.match(orig.strip())
+            if not tm:
+                return False
+            a = (tm.group(2) or tm.group(1)).lower()
+            # an owner alias, or one referenced inside any lateral
+            # item (subplan subqueries over t.<collection>), must
+            # stay ahead of its dependents
+            return a not in heads and not re.search(
+                rf"(?<![\w.`]){re.escape(a)}\s*\.", lateral_text)
+
+        tail = [t for t in parts if standalone(t)]
+        chain = [t for t in parts if not standalone(t)]
+        if tail and chain and len(tail) < len(parts):
+            # moved items lose their original surrounding whitespace;
+            # pad explicitly so the clause after the FROM list stays
+            # separated
+            reordered = chain + tail
+            parts = [("", reordered[0][1] + " ",
+                      reordered[0][2])] + [
+                (" , ", r + " ", o) for _, r, o in reordered[1:]]
+    out = []
+    for joiner_out, rewritten, _orig in parts:
         out.append(joiner_out)
         out.append(rewritten)
     return "".join(out)
@@ -545,7 +594,77 @@ def _rewrite_item(scope: _Scope, item: str, joiner: str) -> tuple[str, str]:
             scope.table_items[alias.lower()] = name
         return item, joiner
 
-    if _PATH_ON_ITEM.match(stripped) and not outer_join:
+    pm = _PATH_ON_ITEM.match(stripped)
+    if pm:
+        # `[LEFT OUTER] JOIN c.c_orders [o] ON (row-local pred)` —
+        # when the ON condition references only the collection
+        # element's fields, the reference plans a per-row SubplanNode:
+        # the join IS a filter over the row's own array (tpch_nested
+        # q13: `customer c left outer join c.c_orders on (o_comment
+        # not like ...)`). Translate to an explode of the filtered
+        # array — padded for OUTER (keep the customer with a NULL
+        # order), plain for INNER. Non-row-local conditions fall
+        # through to the pair-alias guard below.
+        path, alias, cond = pm.group(1), pm.group(2), pm.group(3)
+        segs = path.split(".")
+        entry, from_outer = scope.lookup(segs[0])
+        if entry is not None and len(segs) == 2:
+            steps, final_t = _collect_steps(segs[0], entry, segs[1:])
+            if final_t is not None and len(steps) == 1 \
+                    and isinstance(final_t, ArrayType) \
+                    and isinstance(final_t.elementType, StructType):
+                fields = [f.name for f in final_t.elementType.fields]
+                cond_text = cond.strip()
+                if cond_text.startswith("(") and cond_text.endswith(")"):
+                    cond_text = cond_text[1:-1]
+                # row-local iff every identifier resolves to an
+                # element field (alias-qualified or bare) or is a
+                # keyword/function — probed by _elem_refs leaving no
+                # other dotted/base refs behind
+                a = alias or segs[-1]
+                var = scope.fresh("__jv")
+                pred = _elem_refs(cond_text, a, fields, var)
+                # a dotted ref to anything but the lambda variable
+                # (another exploded alias, e.g. o1.pos) is not
+                # row-local — keep the pair-alias guard for those
+                other_refs = False
+                if pred is not None:
+                    from incubator_impala_spark import dialect as _d
+
+                    shadow_p = re.sub(
+                        rf"(?i)(?<![\w.`]){re.escape(var)}\.\w+",
+                        "", _d._neutralize(pred))
+                    other_refs = bool(re.search(
+                        r"(?i)(?<![\w.`'])[A-Za-z_]\w*\s*\.\s*"
+                        r"[A-Za-z_]", shadow_p))
+                if pred is not None and not other_refs:
+                    arr = steps[0][1]
+                    arr_f = (f"filter({arr}, {var} -> "
+                             f"coalesce({pred}, false))")
+                    if from_outer:
+                        scope.used_outer = True
+                    scope.env[a.lower()] = _lv_cols(final_t)
+                    el_ddl = final_t.elementType.simpleString()
+                    sel = ["pos", "item"]
+                    sel += [f"item.{f} as {f}" for f in fields
+                            if f.lower() not in ("pos", "item")]
+                    if outer_join:
+                        empty = (f"({arr_f} is null or "
+                                 f"size({arr_f}) = 0)")
+                        sel[0] = (f"case when {empty} then "
+                                  f"cast(null as int) else pos end "
+                                  f"as pos")
+                        rel = (f"(select {', '.join(sel)} from "
+                               f"(select posexplode(if({empty}, "
+                               f"array(cast(null as {el_ddl})), "
+                               f"{arr_f})) as (pos, item))) {a}")
+                    else:
+                        rel = (f"(select {', '.join(sel)} from "
+                               f"(select posexplode({arr_f}) as "
+                               f"(pos, item))) {a}")
+                    return f" LATERAL {rel} ", " , "
+
+    if pm and not outer_join:
         # `JOIN c.c_orders o2 ON (o1.pos = o2.pos)` — a FROM-level
         # pair join of one collection under two aliases
         # (nested-types-tpch.test block 11, xfail
