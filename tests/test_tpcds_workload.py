@@ -36,17 +36,43 @@ import pytest
 TPCDS_DIR = "/root/reference/testdata/workloads/tpcds/queries"
 
 # recorded sf1 RESULTS reproduce bit-for-bit on DuckDB's dsdgen
+UNMOD_DIR = ("/root/reference/testdata/workloads/"
+             "tpcds-unmodified/queries")
+
+# recorded sf1 RESULTS reproduce bit-for-bit on DuckDB's dsdgen:
+# (directory, file) — decimal_v2 files from tpcds/queries, official
+# texts from tpcds-unmodified/queries
 VALUE_FILES = [
-    "tpcds-decimal_v2-q22", "tpcds-decimal_v2-q22a",
-    "tpcds-decimal_v2-q38", "tpcds-decimal_v2-q39-1",
-    "tpcds-decimal_v2-q39-2", "tpcds-decimal_v2-q41",
-    "tpcds-decimal_v2-q58", "tpcds-decimal_v2-q87",
+    (TPCDS_DIR, "tpcds-decimal_v2-q22"),
+    (TPCDS_DIR, "tpcds-decimal_v2-q22a"),
+    (TPCDS_DIR, "tpcds-decimal_v2-q38"),
+    (TPCDS_DIR, "tpcds-decimal_v2-q39-1"),
+    (TPCDS_DIR, "tpcds-decimal_v2-q39-2"),
+    (TPCDS_DIR, "tpcds-decimal_v2-q41"),
+    (TPCDS_DIR, "tpcds-decimal_v2-q58"),
+    (TPCDS_DIR, "tpcds-decimal_v2-q87"),
+    (UNMOD_DIR, "tpcds-q1"), (UNMOD_DIR, "tpcds-q10"),
+    (UNMOD_DIR, "tpcds-q17"), (UNMOD_DIR, "tpcds-q23"),
+    (UNMOD_DIR, "tpcds-q29"), (UNMOD_DIR, "tpcds-q34"),
+    (UNMOD_DIR, "tpcds-q37"), (UNMOD_DIR, "tpcds-q44"),
+    (UNMOD_DIR, "tpcds-q46"), (UNMOD_DIR, "tpcds-q54"),
+    (UNMOD_DIR, "tpcds-q58"), (UNMOD_DIR, "tpcds-q68"),
+    (UNMOD_DIR, "tpcds-q73"),
 ]
 
+_VALUE_SET = {(d, n) for d, n in VALUE_FILES}
+
+# execution tier: the full decimal_v2 corpus + the official
+# (unmodified) texts. The legacy-decimal tpcds-q*.test twins under
+# tpcds/queries are the same statements as decimal_v2 modulo DECIMAL
+# V1 result typing — running them would double the tier for no new
+# surface.
 _EXEC_FILES = sorted(
-    os.path.basename(p)[:-5]
-    for p in glob.glob(f"{TPCDS_DIR}/tpcds-decimal_v2-*.test")
-    if os.path.basename(p)[:-5] not in VALUE_FILES)
+    {(TPCDS_DIR, os.path.basename(p)[:-5])
+     for p in glob.glob(f"{TPCDS_DIR}/tpcds-decimal_v2-*.test")}
+    | {(UNMOD_DIR, os.path.basename(p)[:-5])
+       for p in glob.glob(f"{UNMOD_DIR}/tpcds-q*.test")}
+    - _VALUE_SET)
 
 
 @pytest.fixture(scope="module")
@@ -93,12 +119,13 @@ def test_tpcds_table_counts(tpcds_engine):
 
 @pytest.mark.skipif(not os.path.isdir(TPCDS_DIR),
                     reason="reference workload texts not present")
-@pytest.mark.parametrize("name", VALUE_FILES, ids=str)
-def test_tpcds_recorded_results(tpcds_engine, name):
+@pytest.mark.parametrize("dirname", VALUE_FILES,
+                         ids=lambda t: t[1])
+def test_tpcds_recorded_results(tpcds_engine, dirname):
+    d, name = dirname
     from incubator_impala_spark.testing import querytest as qt
 
-    blocks = qt.parse_test_file(os.path.join(TPCDS_DIR,
-                                             f"{name}.test"))
+    blocks = qt.parse_test_file(os.path.join(d, f"{name}.test"))
     results = qt.run_blocks(tpcds_engine, blocks, xfail={},
                             table_rewrites=_rewrites(),
                             database="qtest_tpcds_vals")
@@ -111,15 +138,16 @@ def test_tpcds_recorded_results(tpcds_engine, name):
 
 @pytest.mark.skipif(not os.path.isdir(TPCDS_DIR),
                     reason="reference workload texts not present")
-@pytest.mark.parametrize("name", _EXEC_FILES, ids=str)
-def test_tpcds_query_executes(tpcds_engine, name):
+@pytest.mark.parametrize("dirname", _EXEC_FILES,
+                         ids=lambda t: t[1] + ("" if t[0].endswith("tpcds/queries") else "-unmod"))
+def test_tpcds_query_executes(tpcds_engine, dirname):
+    d, name = dirname
     """Execution contract for the value-divergent files: the
     reference's exact query text runs through the dialect and the
     sf1 data, and honors its LIMIT."""
     from incubator_impala_spark.testing import querytest as qt
 
-    blocks = qt.parse_test_file(os.path.join(TPCDS_DIR,
-                                             f"{name}.test"))
+    blocks = qt.parse_test_file(os.path.join(d, f"{name}.test"))
     ran = 0
     for b in blocks:
         sql = b.query
