@@ -39,6 +39,12 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     "tpch-q15": (0, {0: "dbgen-text-variant"}),
     "tpch-q20": (0, {0: "dbgen-text-variant"}),
     "tpch-aggregations": (1, {}),
+    # lineitem self-join multi-distinct, wide-tuple count distinct,
+    # low-cardinality two-phase distinct — all value-deterministic
+    "tpch-stress-aggregations": (3, {}),
+    # count/sum verbatim; the l_comment murmur checksum pins the
+    # official dbgen's comment bytes
+    "tpch-scan-range-lengths": (2, {2: "dbgen-text-variant"}),
     "tpch-passthrough-aggregations": (1, {2: "dbgen-text-variant"}),
     "tpch-outer-joins": (2, {3: "dbgen-text-variant"}),
     "min-multiple-distinct-aggs": (1, {}),
