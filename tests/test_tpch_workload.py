@@ -45,6 +45,10 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # count/sum verbatim; the l_comment murmur checksum pins the
     # official dbgen's comment bytes
     "tpch-scan-range-lengths": (2, {2: "dbgen-text-variant"}),
+    # 1.5M-row INSERT OVERWRITE + value verification, IMPALA-1705
+    # >64KB string values round-trip, IMPALA-8257 multi-page empty
+    # strings; the o_comment distinct-count pins comment text
+    "insert_parquet": (8, {6: "dbgen-text-variant"}),
     "tpch-passthrough-aggregations": (1, {2: "dbgen-text-variant"}),
     "tpch-outer-joins": (2, {3: "dbgen-text-variant"}),
     "min-multiple-distinct-aggs": (1, {}),
@@ -112,8 +116,11 @@ def test_tpch_workload_file(tpch_engine, name):
 
     nested = name in NESTED_FILES
     min_pass, xfail = (NESTED_FILES if nested else FILES)[name]
+    # qualifier spellings first (tpch./tpch_parquet. are format
+    # variants of the same sf1 dataset), then plain names
     rewrites = _NESTED_REWRITES if nested \
-        else {t: f"tpch_ref_{t}" for t in FLAT_TABLES}
+        else {r"tpch(_parquet)?\.": "tpch_ref_",
+              **{t: f"tpch_ref_{t}" for t in FLAT_TABLES}}
     blocks = qt.parse_test_file(os.path.join(
         NESTED_DIR if nested else TPCH_DIR, f"{name}.test"))
     results = qt.run_blocks(tpch_engine, blocks, xfail=xfail,
