@@ -68,10 +68,10 @@ _VALUE_SET = {(d, n) for d, n in VALUE_FILES}
 # V1 result typing — running them would double the tier for no new
 # surface.
 _EXEC_FILES = sorted(
-    {(TPCDS_DIR, os.path.basename(p)[:-5])
-     for p in glob.glob(f"{TPCDS_DIR}/tpcds-decimal_v2-*.test")}
-    | {(UNMOD_DIR, os.path.basename(p)[:-5])
-       for p in glob.glob(f"{UNMOD_DIR}/tpcds-q*.test")}
+    ({(TPCDS_DIR, os.path.basename(p)[:-5])
+      for p in glob.glob(f"{TPCDS_DIR}/tpcds-decimal_v2-*.test")}
+     | {(UNMOD_DIR, os.path.basename(p)[:-5])
+        for p in glob.glob(f"{UNMOD_DIR}/tpcds-q*.test")})
     - _VALUE_SET)
 
 
