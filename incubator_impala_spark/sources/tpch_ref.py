@@ -201,3 +201,41 @@ def register_tpch_ref(spark: SparkSession) -> None:
     # the nested db's `part` is the flat part table (load_nested.py:287)
     spark.read.parquet(f"{flat}/part.parquet") \
         .createOrReplaceTempView("tpch_nested_part")
+    _register_masked_views(spark)
+
+
+def _register_masked_views(spark: SparkSession) -> None:
+    """The Ranger-masked faces of the nested tables — the reference's
+    column-masking policies (tests/authorization/test_ranger.py
+    test_tpch_nested_column_masking): name/address/p_name get MASK
+    (uppercase -> X, lowercase -> x, digits -> n, other characters
+    kept), phones MASK_SHOW_FIRST_4 (the country code Q22 needs);
+    masked-tpch_nested-*.test runs against these."""
+    def mask(col):
+        return F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(col, "[A-Z]", "X"), "[a-z]", "x"),
+            "[0-9]", "n")
+
+    def mask_show4(name):
+        c = F.col(name)
+        return F.concat(F.substring(c, 1, 4),
+                        mask(F.expr(f"substring({name}, 5)")))
+
+    cust = spark.table("tpch_nested_customer")
+    cust.select(*[
+        mask(F.col(f)).alias(f) if f in ("c_name", "c_address")
+        else mask_show4(f).alias(f) if f == "c_phone"
+        else F.col(f) for f in cust.columns]) \
+        .createOrReplaceTempView("tpch_masked_customer")
+    supp = spark.table("tpch_nested_supplier")
+    supp.select(*[
+        mask(F.col(f)).alias(f) if f in ("s_name", "s_address")
+        else mask_show4(f).alias(f) if f == "s_phone"
+        else F.col(f) for f in supp.columns]) \
+        .createOrReplaceTempView("tpch_masked_supplier")
+    part = spark.table("tpch_nested_part")
+    part.select(*[
+        mask(F.col(f)).alias(f) if f == "p_name" else F.col(f)
+        for f in part.columns]) \
+        .createOrReplaceTempView("tpch_masked_part")

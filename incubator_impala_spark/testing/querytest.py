@@ -1238,7 +1238,7 @@ def _run_one(engine, b: Block, rewrite, table_rewrites,
         engine.now = None
     sql_stmts = [_rewrite_stmt(s, rewrite, table_rewrites)
                  for s in stmts]
-    if re.search(r"\b(?!tpch_ref_|tpcds_ref_|tpch_nested_"
+    if re.search(r"\b(?!tpch_ref_|tpcds_ref_|tpch_(?:nested|masked)_"
                  r"(?:customer|region|supplier|part)\b)"
                  r"(tpch|tpcds)\w*\.", " ".join(sql_stmts),
                  re.IGNORECASE) \

@@ -82,9 +82,9 @@ NESTED_DIR = "/root/reference/testdata/workloads/tpch_nested/queries"
 # supplier.s_partsupps, region.r_nations — load_nested.py), with
 # recorded sf1 answers. q21 exercises the correlated-EXISTS-over-
 # sibling-collection HOF translation end-to-end; q13 the row-local
-# collection-ON filter. The 7 masked-* variants need a Ranger-masked
-# session; their semantics run as registry entries
-# (nested_tpch_q9_masked, ... — queries/nested_tpch.py).
+# collection-ON filter. The 7 masked-* variants run against the
+# tpch_masked_* views (the reference's Ranger column-masking policies
+# re-expressed — sources/tpch_ref._register_masked_views).
 NESTED_FILES: dict[str, tuple[int, dict[int, str]]] = {
     **{f"tpch_nested-q{i}": (1, {}) for i in (1, 3, 4, 5, 6, 7, 8, 9,
                                               11, 12, 14, 16, 17, 18,
@@ -96,6 +96,26 @@ NESTED_FILES: dict[str, tuple[int, dict[int, str]]] = {
     "tpch_nested-q13": (0, {0: "dbgen-text-variant"}),
     "tpch_nested-q15": (0, {0: "dbgen-text-variant"}),
     "tpch_nested-q20": (0, {0: "dbgen-text-variant"}),
+    # the Ranger-masked variants (PII columns masked via
+    # tpch_masked_* views — sources/tpch_ref._register_masked_views):
+    # q9 returns no rows (p_name masked kills the %green% filter),
+    # q18/q20/q21 collapse to the masked-name groups — deterministic;
+    # q2/q10/q15 print masked ADDRESSES, whose per-character
+    # class pattern still tracks dbgen's RNG address bytes
+    "masked-tpch_nested-q9": (1, {}),
+    "masked-tpch_nested-q18": (1, {}),
+    "masked-tpch_nested-q21": (1, {}),
+    "masked-tpch_nested-q20": (1, {}),
+    "masked-tpch_nested-q2": (0, {0: "dbgen-text-variant"}),
+    "masked-tpch_nested-q10": (0, {0: "dbgen-text-variant"}),
+    "masked-tpch_nested-q15": (0, {0: "dbgen-text-variant"}),
+}
+
+_MASKED_REWRITES = {
+    "customer": "tpch_masked_customer",
+    "region": "tpch_nested_region",
+    "supplier": "tpch_masked_supplier",
+    "part": "tpch_masked_part",
 }
 
 _NESTED_REWRITES = {
@@ -118,9 +138,13 @@ def test_tpch_workload_file(tpch_engine, name):
     min_pass, xfail = (NESTED_FILES if nested else FILES)[name]
     # qualifier spellings first (tpch./tpch_parquet. are format
     # variants of the same sf1 dataset), then plain names
-    rewrites = _NESTED_REWRITES if nested \
-        else {r"tpch(_parquet)?\.": "tpch_ref_",
-              **{t: f"tpch_ref_{t}" for t in FLAT_TABLES}}
+    if name.startswith("masked-"):
+        rewrites = _MASKED_REWRITES
+    elif nested:
+        rewrites = _NESTED_REWRITES
+    else:
+        rewrites = {r"tpch(_parquet)?\.": "tpch_ref_",
+                    **{t: f"tpch_ref_{t}" for t in FLAT_TABLES}}
     blocks = qt.parse_test_file(os.path.join(
         NESTED_DIR if nested else TPCH_DIR, f"{name}.test"))
     results = qt.run_blocks(tpch_engine, blocks, xfail=xfail,
