@@ -1960,7 +1960,12 @@ def translate(sql: str, macros: dict | None = None, now=None) -> str:
     for _am in re.finditer(r'(?is)\bas\s+"[^"]*"', _alias_shadow):
         _alias_out.append(sql[_alias_pos:_am.start()])
         _orig = sql[_am.start():_am.end()]
-        _alias_out.append("as `" + _orig[_orig.index('"') + 1:-1] + "`")
+        # Impala escapes a double quote inside the literal by
+        # doubling it ("a""b" is a"b) — unescape before backticking
+        _alias_out.append(
+            "as `"
+            + _orig[_orig.index('"') + 1:-1].replace('""', '"')
+            + "`")
         _alias_pos = _am.end()
     _alias_out.append(sql[_alias_pos:])
     sql = "".join(_alias_out)

@@ -308,10 +308,15 @@ class _Condenser:
             except Exception:  # noqa: BLE001
                 pass
             proj = getattr(self, "_proj_cols", None)
+            # a column is materialized if it is a data column the scan
+            # reads (requiredSchema), or a partition column (not in
+            # requiredSchema) that survives the nearest Project; with
+            # no Project ancestor, requiredSchema alone decides —
+            # explicit grouping, not a flat OR chain (ADVICE r9)
             node.row_size = sum(
                 _width(ty) for c, ty in out_cols
-                if req is None or c in req
-                or proj is None or c in proj)
+                if (req is None or c in req)
+                or (proj is not None and c in proj))
             return node
         if n == "FilterExec":
             child = self.condense(ch[0])
@@ -599,7 +604,9 @@ def _annotate_catalog_stats(engine, root: _Node, relations) -> None:
         extrap: str | int = "disabled"
         try:
             if engine._extrapolation_enabled(flat):
-                if rows is None or not size:
+                # rows==0 with bytes to scan is "unavailable" in
+                # FeFsTable.getExtrapolatedNumRows (ADVICE r9)
+                if rows is None or not size or (rows == 0 and sel_bytes):
                     extrap = "unavailable"
                 else:
                     extrap = 0 if sel_bytes == 0 else max(

@@ -210,7 +210,9 @@ def show_partitions(engine, tbl: str) -> DataFrame:
     def _extrap(nbytes: int) -> int:
         if nbytes == 0:
             return 0
-        if nrows_stat is None or not stat_bytes:
+        # stored rows==0 with non-empty files is "unavailable" (-1)
+        # in FeFsTable.getExtrapolatedNumRows, not 1 (ADVICE r9)
+        if nrows_stat is None or not stat_bytes or nrows_stat == 0:
             return -1
         return max(1, round(nbytes * nrows_stat / stat_bytes))
 

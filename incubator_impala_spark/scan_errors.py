@@ -688,13 +688,57 @@ def register_partition_plugin_check(engine, name: str,
     }
 
 
+def _top_level_wheres(sql_text: str) -> list[str]:
+    """Extract every paren-depth-0 WHERE clause from `sql_text`
+    (one per UNION branch), sliced from the ORIGINAL text using the
+    literal/comment-blind shadow for keyword positions — a literal
+    containing 'where' or a subquery WHERE can't mis-scope the probe
+    (ADVICE r9)."""
+    from incubator_impala_spark import dialect
+
+    shadow = dialect._neutralize(sql_text)
+    ends = (r"[()]|\b(?:group\s+by|order\s+by|limit|having|"
+            r"union|intersect|except)\b|;")
+    out = []
+    depth = 0
+    for m in re.finditer(r"[()]|\bwhere\b", shadow, re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            # clause runs to the next depth-0 terminator keyword
+            end = len(sql_text)
+            d2 = 0
+            for m2 in re.finditer(ends, shadow[m.end():],
+                                  re.I | re.S):
+                if m2.group(0) == "(":
+                    d2 += 1
+                elif m2.group(0) == ")":
+                    if d2 == 0:
+                        end = m.end() + m2.start()
+                        break
+                    d2 -= 1
+                elif d2 == 0:
+                    end = m.end() + m2.start()
+                    break
+            out.append(sql_text[m.end():end])
+    return out
+
+
 def _partition_survives(spark, values: dict, where: str | None) -> bool:
     """Would partition pruning keep this partition under `where`?
     Evaluated the way a planner does: the predicate applied to the
     partition-key tuple (non-key references fail analysis and keep
-    the partition — the scanner would have to read it to decide)."""
+    the partition — the scanner would have to read it to decide).
+    Alias qualifiers on partition-key columns (`m.month = 1`) are
+    stripped first so an aliased scan still prunes (ADVICE r9)."""
     if not where or not where.strip():
         return True
+    for k in values:
+        where = re.sub(rf"(?i)\b\w+\s*\.\s*(?={re.escape(k)}\b)", "",
+                       where)
     df = spark.createDataFrame(
         [tuple(values.values())],
         ", ".join(f"{k} int" if isinstance(v, int) else f"{k} string"
@@ -749,12 +793,10 @@ def check_query(engine, sql_text: str) -> None:
                     raise ScanError(msg)
             continue
         if info["kind"] == "plugin_text":
-            mw = re.search(r"(?is)\bwhere\b(.+?)"
-                           r"(?:\bgroup\s+by\b|\border\s+by\b|"
-                           r"\blimit\b|$)", sql_text)
-            where = mw.group(1) if mw else None
+            wheres = _top_level_wheres(sql_text) or [None]
             for values, plugin in info["bad_parts"]:
-                if _partition_survives(engine.spark, values, where):
+                if any(_partition_survives(engine.spark, values, w)
+                       for w in wheres):
                     raise ScanError(
                         f"Scanner plugin '{plugin}' is not one of "
                         f"the enabled plugins: ''")

@@ -167,3 +167,18 @@ def test_in_subquery_distinct_semantics(spark):
     a = spark.sql(q).collect()[0][0]
     b = spark.sql(rewrite_in_subquery_distinct(q)).collect()[0][0]
     assert a == b
+
+
+def test_string_literal_alias_doubled_quote():
+    """Impala string-literal aliases escape an inner double quote by
+    doubling it (as "a""b" is identifier a"b) — the backtick rewrite
+    must unescape (ADVICE r9)."""
+    from incubator_impala_spark.dialect import translate
+
+    out = translate('select 1 as "a""b" from t')
+    assert 'as `a"b`' in out, out
+    out = translate('select 1 as "order count" from t')
+    assert "as `order count`" in out, out
+    # `as "..."` inside a single-quoted literal is data, not an alias
+    sql = "select 'x as \"y\"' from t"
+    assert translate(sql) == sql

@@ -73,6 +73,14 @@ def test_extrapolation_formula_bounds(eng):
             eng.sql("show table stats xtst_extrap2").collect()}
     assert rows["1"] == 0          # empty partition: 0, not -1
     assert rows["2"] >= 1          # max(1, ...) floor
+    # stored rows==0 with non-empty files: FeFsTable returns -1
+    # ("unavailable"), not max(1, 0) == 1 (ADVICE r9)
+    key = eng._stats_key("xtst_extrap2")
+    eng.table_numrows[key] = 0
+    rows0 = {r["j"]: r["Extrap #Rows"] for r in
+             eng.sql("show table stats xtst_extrap2").collect()}
+    assert rows0["2"] == -1, rows0
+    assert rows0["1"] == 0         # empty partition still 0
     eng.sql("drop table xtst_extrap2")
 
 
@@ -139,4 +147,17 @@ def test_plugin_partition_pruning(eng):
     # no WHERE at all: every partition is live
     with pytest.raises(se.ScanError, match="LZ4"):
         eng.sql("select count(*) from xtst_plug")
+    # alias-qualified partition predicate still prunes (ADVICE r9)
+    assert eng.sql(
+        "select count(*) c from xtst_plug m where m.month <= 2"
+    ).collect()[0][0] == 1
+    # a literal containing 'where' doesn't mis-scope the probe, and
+    # a subquery WHERE isn't mistaken for the top-level clause
+    assert eng.sql(
+        "select count(*) c from (select * from xtst_plug "
+        "where i = 1) t where t.month <= 2"
+    ).collect()[0][0] == 1
+    with pytest.raises(se.ScanError, match="LZ4"):
+        eng.sql("select count(*), 'where month <= 2' "
+                "from xtst_plug where month >= 3")
     eng.scan_checks.pop("xtst_plug", None)
