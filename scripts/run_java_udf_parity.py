@@ -64,13 +64,10 @@ SYMBOL_MAP = {
 }
 
 # blocks whose contract this engine documents as divergent
-XFAIL = {
-    # Impala converts a throwing UDF to NULL + warning
-    # (hive-udf-call.cc error handling); Spark propagates the
-    # exception and fails the query (DIALECT.md udf-exception-null)
-    12: "udf-exception-null",
-    13: "udf-exception-null",
-}
+# (r10: the udf-exception-null xfails are gone — the bridge jar's
+# NullOnThrowUdf base implements hive-udf-call.cc's NULL-on-throw
+# at the UDF call boundary)
+XFAIL: dict[int, str] = {}
 
 
 def main() -> int:
