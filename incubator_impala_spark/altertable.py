@@ -540,8 +540,27 @@ def handle(engine, sql_text: str) -> DataFrame | None:
 
             matched = partitions.match_partitions(
                 engine, tbl, engine.translate(sm.group("spec")))
-            if re.match(r"^\s*PARTITION\s*\([^)]*(?:\([^)]*\)[^)]*)*\)"
-                        r"\s+SET\s+LOCATION\b", rest, re.IGNORECASE):
+            lp = re.match(r"^\s*PARTITION\s*\([^)]*(?:\([^)]*\)[^)]*)*\)"
+                          r"\s+SET\s+LOCATION\s+'(?P<loc>[^']*)'",
+                          rest, re.IGNORECASE)
+            if lp:
+                # per-partition location override: recorded for the
+                # mixed-format scan dispatch (HdfsStorageDescriptor
+                # keeps location per partition) and resolved against
+                # the warehouse root like LOAD DATA paths
+                from incubator_impala_spark import mixedformat
+                from incubator_impala_spark import partitions as _pt
+
+                key = engine._stats_key(tbl)
+                if not hasattr(engine, "part_locations"):
+                    engine.part_locations = {}
+                for kv in matched:
+                    engine.part_locations[
+                        (key, _pt.part_suffix(kv))] = \
+                        engine._resolve_fs_path(lp.group("loc"))
+                if matched:
+                    mixedformat.maybe_activate(
+                        engine, tbl.strip("`").split(".")[-1].lower())
                 # partition found → the reference's per-partition
                 # message; an empty match is a no-op with the
                 # table-level message (partition-ddl-predicates)
@@ -565,6 +584,11 @@ def handle(engine, sql_text: str) -> DataFrame | None:
                 for kv in matched:
                     engine.part_formats[
                         (key, partitions.part_suffix(kv))] = disp
+                if matched:
+                    from incubator_impala_spark import mixedformat
+
+                    mixedformat.maybe_activate(
+                        engine, tbl.strip("`").split(".")[-1].lower())
             return _summary(spark,
                             f"Updated {len(matched)} partition(s).")
         return _summary(spark, "Updated table.")

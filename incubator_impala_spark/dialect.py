@@ -1063,6 +1063,92 @@ def rewrite_char_casts(sql: str) -> str:
         pos = j + 1
 
 
+_INT_CAST_TAIL = re.compile(
+    r"\s+as\s+(tinyint|smallint|int|integer|bigint)\s*$", re.IGNORECASE)
+
+
+def _has_top_level_div(expr: str) -> bool:
+    expr = expr.strip()
+    # unwrap fully-enclosing parens: cast((a/b) as int) is the idiom
+    while expr.startswith("(") and expr.endswith(")"):
+        depth = 0
+        for i, c in enumerate(expr):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i < len(expr) - 1:
+                    break
+        else:
+            expr = expr[1:-1].strip()
+            continue
+        break
+    depth, i, n = 0, 0, len(expr)
+    while i < n:
+        c = expr[i]
+        if c == "'":
+            i += 1
+            while i < n and expr[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "/" and depth == 0:
+            return True
+        i += 1
+    return False
+
+
+def rewrite_decimal_int_casts(sql: str) -> str:
+    """DECIMAL_V2 cast-to-integer ROUNDS (half away from zero) where
+    Spark truncates (reference be/src/exprs/decimal-operators-ir.cc
+    CAST_DECIMAL_TO_INT: `is_decimal_v2 ? ROUND : TRUNCATE`; DOUBLE
+    casts truncate in both systems). The argument's runtime type picks
+    the behavior, so the rewrite emits a typeof()-guarded CASE —
+    round() for a decimal argument, the plain (truncating) cast
+    otherwise. Applied only when the cast argument contains a
+    top-level `/` (the decimal-division idiom, guaranteed numeric so
+    round() always analyzes); a bare decimal column cast keeps
+    Spark's truncation — documented narrowing, DIALECT.md."""
+    out, pos = [], 0
+    while True:
+        m = _CAST_OPEN.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        depth, j = 0, m.end() - 1
+        while j < len(sql):
+            c = sql[j]
+            if c == "'":
+                j += 1
+                while j < len(sql) and sql[j] != "'":
+                    j += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        inner = sql[m.end():j]
+        tail = _INT_CAST_TAIL.search(inner)
+        if tail is None or not _has_top_level_div(inner[:tail.start()]):
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        expr = rewrite_decimal_int_casts(inner[:tail.start()])
+        ty = tail.group(1).lower()
+        ty = "int" if ty == "integer" else ty
+        out.append(sql[pos:m.start()])
+        # lower(): the function registry maps typeof -> upper(typeof)
+        # for Impala's uppercase TYPEOF rendering
+        out.append(
+            f"cast(case when lower(typeof({expr})) like 'decimal%' "
+            f"then round({expr}) else ({expr}) end as {ty})")
+        pos = j + 1
+
+
 _HUGE_OFFSET = re.compile(r"(\b(?:offset|limit)\s+)(\d{10,})\b",
                           re.IGNORECASE)
 
@@ -1976,6 +2062,7 @@ def translate(sql: str, macros: dict | None = None, now=None) -> str:
     sql = rewrite_values_aliases(sql)
     sql = rewrite_interval_expr(sql)
     sql = rewrite_char_casts(sql)
+    sql = rewrite_decimal_int_casts(sql)
     sql = clamp_offset(sql)
     sql = rewrite_postfix_factorial(sql)
     sql = rewrite_posix_classes(sql)
@@ -1992,10 +2079,16 @@ def translate(sql: str, macros: dict | None = None, now=None) -> str:
     # catalog in a plain session); textfile maps to the csv source,
     # whose \x01 defaults the formats module applies elsewhere
     sql = _shadow_sub(
-        re.compile(r"\bstored\s+as\s+(parquet|orc|avro|textfile|"
-                   r"rcfile|sequencefile)\b", re.IGNORECASE),
+        re.compile(r"\bstored\s+as\s+(parquetfile|parquet|orcfile|orc|"
+                   r"avrofile|avro|textfile|rcfile|sequencefile)\b",
+                   re.IGNORECASE),
         lambda m: "using " + {"textfile": "csv", "rcfile": "csv",
-                              "sequencefile": "csv"}.get(
+                              "sequencefile": "csv",
+                              # Impala's legacy long spellings
+                              # (sql-parser.cup file_format_val)
+                              "parquetfile": "parquet",
+                              "orcfile": "orc",
+                              "avrofile": "avro"}.get(
                                   m.group(1).lower(), m.group(1).lower()),
         sql)
     sql = rewrite_ctas_clause_order(sql)

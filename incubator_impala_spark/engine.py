@@ -273,6 +273,9 @@ class Engine:
         # partition surface (partitions.py): per-partition fileformat
         # overrides, incremental-stats row counts, table numRows
         self.part_formats: dict[tuple[str, str], str] = {}
+        # per-partition location overrides (ALTER ... PARTITION ...
+        # SET LOCATION) — consumed by mixedformat dispatch views
+        self.part_locations: dict[tuple[str, str], str] = {}
         self.part_rows: dict[tuple[str, str], int] = {}
         self.table_numrows: dict[str, int] = {}
         # per-column stats (SHOW COLUMN STATS / ALTER SET COLUMN
@@ -523,6 +526,14 @@ class Engine:
                 ).createOrReplaceTempView(name)
             except Exception:  # noqa: BLE001 — re-resolved next stmt
                 pass
+        if getattr(self, "mixed_tables", None):
+            # per-partition mixed-format tables: SELECTs read through
+            # a freshly-built dispatch view, DDL/DML drops the shadow
+            # (mixedformat.refresh_views); must run before the scan
+            # checks so avro-reconciliation errors are registered
+            from incubator_impala_spark import mixedformat
+
+            mixedformat.refresh_views(self, sql_text)
         if getattr(self, "scan_checks", None) and (
                 self.abort_on_error
                 or any(c.get("always")
@@ -624,7 +635,7 @@ class Engine:
             # BEFORE ns.handle, which serves registered-object drops
             skey = self._stats_key(dm.group(1))
             for reg in (self.col_stats, self.part_rows,
-                        self.part_formats):
+                        self.part_formats, self.part_locations):
                 for k in [k for k in reg if k[0] == skey]:
                     del reg[k]
             self.table_numrows.pop(skey, None)

@@ -801,6 +801,21 @@ def check_query(engine, sql_text: str) -> None:
                         f"Scanner plugin '{plugin}' is not one of "
                         f"the enabled plugins: ''")
             continue
+        if info["kind"] == "format_partition":
+            # mixed-format partition with an unresolvable schema
+            # (mixedformat._avro_reconcile): error iff the statement
+            # actually scans (DDL like DROP/ALTER names the table
+            # without reading it) and pruning keeps the partition,
+            # same contract as plugin_text
+            if not re.match(r"(?is)\s*(select|with|values|insert)\b",
+                            sql_text):
+                continue
+            wheres = _top_level_wheres(sql_text) or [None]
+            for values, msg in info["bad_parts"]:
+                if any(_partition_survives(engine.spark, values, w)
+                       for w in wheres):
+                    raise ScanError(msg)
+            continue
         if info["kind"] == "text":
             if not getattr(engine, "strict_mode", False):
                 continue

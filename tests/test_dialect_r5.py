@@ -182,3 +182,23 @@ def test_string_literal_alias_doubled_quote():
     # `as "..."` inside a single-quoted literal is data, not an alias
     sql = "select 'x as \"y\"' from t"
     assert translate(sql) == sql
+
+
+def test_decimal_v2_int_cast_rounds(spark):
+    """DECIMAL_V2 cast-to-integer rounds half away from zero where
+    Spark truncates (decimal-operators-ir.cc CAST_DECIMAL_TO_INT);
+    DOUBLE casts keep truncating in both systems. The rewrite fires
+    on the division idiom (r10, found by the TPC-DS q54 oracle)."""
+    from incubator_impala_spark.dialect import translate
+
+    q = translate(
+        "select cast((cast(0.98 as decimal(5,2))/1) as int) a, "
+        "cast((cast(-0.98 as decimal(5,2))/1) as int) b, "
+        "cast((cast(2.5 as decimal(5,2))/1) as int) c, "
+        "cast((3/2) as int) d")
+    row = spark.sql(q).collect()[0]
+    assert (row.a, row.b, row.c, row.d) == (1, -1, 3, 1)
+    # non-division casts keep Spark's plain cast (documented
+    # narrowing) and never break analysis
+    assert translate("select cast(x as int) from t") \
+        == "select cast(x as int) from t"

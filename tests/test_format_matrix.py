@@ -98,3 +98,79 @@ def test_lineitem_shipdate_survives_both_formats(spark, fmt_sf_dir):
         .select("l_orderkey", "l_linenumber", "l_shipdate") \
         .orderBy("l_orderkey", "l_linenumber").collect()
     assert a == b, f"shipdate drift through {fmt}"
+
+
+# ---------------------------------------------------------------------------
+# Per-partition mixed-format dispatch (mixedformat.py): the
+# reference's incompatible_avro_partition.test — a non-avro table
+# gains an avro partition; queries keep the declared types, reading
+# the bad partition raises AvroSchemaUtils.reconcileSchemas' error,
+# and a pruned scan still succeeds
+# (tests/metadata/test_partition_metadata.py parametrizes
+# $MAIN_TABLE_FORMAT over parquetfile/textfile; the reference xfails
+# its parquetfile variant on IMPALA-7309 — a catalog-implementation
+# bug this engine does not share, so both variants run green here).
+# ---------------------------------------------------------------------------
+
+_INCOMPAT_QT = ("/root/reference/testdata/workloads/functional-query/"
+                "queries/QueryTest/incompatible_avro_partition.test")
+
+
+def _stage_alltypes_avro(engine):
+    """Stage what the reference's load carries at
+    /test-warehouse/alltypes_avro/year=2009/month=1: an avro
+    container with the alltypes avro schema (tinyint/smallint as
+    avro int — avro has no 8/16-bit types)."""
+    import os
+
+    from incubator_impala_spark.sources import avro_io
+
+    d = engine._resolve_fs_path("/test-warehouse/alltypes_avro/"
+                                "year=2009/month=1")
+    os.makedirs(d, exist_ok=True)
+    schema = {"type": "record", "name": "a", "fields": [
+        {"name": n, "type": ["null", t]} for n, t in [
+            ("id", "int"), ("bool_col", "boolean"),
+            ("tinyint_col", "int"), ("smallint_col", "int"),
+            ("int_col", "int"), ("bigint_col", "long"),
+            ("float_col", "float"), ("double_col", "double"),
+            ("date_string_col", "string"), ("string_col", "string"),
+            ("timestamp_col", "string")]]}
+    rec = {"id": 0, "bool_col": True, "tinyint_col": 1,
+           "smallint_col": 1, "int_col": 1, "bigint_col": 10,
+           "float_col": 1.0, "double_col": 10.0,
+           "date_string_col": "01/01/09", "string_col": "0",
+           "timestamp_col": "2009-01-01 00:00:00"}
+    with open(os.path.join(d, "alltypes.avro"), "wb") as fh:
+        fh.write(avro_io.write_container(schema, [rec]))
+    return d
+
+
+@pytest.mark.parametrize("main_fmt", ["parquetfile", "textfile"])
+def test_incompatible_avro_partition(engine, main_fmt):
+    import collections
+    import os
+
+    from incubator_impala_spark.testing import querytest as qt
+
+    if not os.path.exists(_INCOMPAT_QT):
+        pytest.skip("reference workload texts not present")
+    _stage_alltypes_avro(engine)
+    engine.sql("drop table if exists mixed")
+    blocks = qt.parse_test_file(_INCOMPAT_QT)
+    for b in blocks:
+        # the reference's pytest driver substitutes test_file_vars
+        # before the harness sees the text — do the same
+        b.query = b.query.replace("$MAIN_TABLE_FORMAT", main_fmt)
+    results = qt.run_blocks(
+        engine, blocks, database=f"qtest_incompat_{main_fmt}",
+        strict_catch=True)
+    counts = collections.Counter(r.status for r in results)
+    bad = [f"[{r.index}] {r.status}: {r.reason}\n    "
+           + "\n    ".join(str(d) for d in r.diffs[:3])
+           for r in results if r.status in ("fail", "error")]
+    engine.sql("drop table if exists mixed")
+    assert not bad, f"{dict(counts)}\n" + "\n".join(bad)
+    # the 3 typed SELECTs + the reconciliation-error CATCH verify;
+    # the DDL/DML staging blocks have no RESULTS sections
+    assert counts.get("pass", 0) >= 4, dict(counts)
