@@ -17,11 +17,16 @@ Tiers:
    xfailed with the observed deltas).
 2. VALUE_FILES — recorded RESULTS reproduce exactly (inventory/item/
    dim-driven queries); verified through the querytest harness.
-3. every other tpcds-decimal_v2-q*.test — execution contract: the
-   reference's query text parses through the dialect, plans, runs,
-   and respects its LIMIT. This tier caught two real dialect bugs
-   when first wired (string-literal column aliases; the decimal-avg
-   rewrite gluing the last alias to FROM).
+3. every other file (188: decimal_v2 + unmodified) — DuckDB ORACLE
+   tier (r10, upgraded from the r9 execution contract): both engines
+   read the SAME dsdgen parquet, so the returns/pricing variant
+   disappears and every file value-verifies positionally
+   (testing/tpcds_oracle.py; 209/209 green at r10). First wiring of
+   the oracle caught two real engine bugs: DECIMAL_V2 cast-to-int
+   rounds where Spark truncates (q54; dialect
+   rewrite_decimal_int_casts), and earlier the execution tier caught
+   string-literal column aliases + the decimal-avg rewrite gluing
+   the last alias to FROM.
 """
 
 from __future__ import annotations
@@ -136,16 +141,31 @@ def test_tpcds_recorded_results(tpcds_engine, dirname):
     assert sum(r.status == "pass" for r in results) >= 1
 
 
+@pytest.fixture(scope="module")
+def tpcds_duck():
+    from incubator_impala_spark.testing import tpcds_oracle
+
+    con = tpcds_oracle.duckdb_tpcds()
+    yield con
+    con.close()
+
+
 @pytest.mark.skipif(not os.path.isdir(TPCDS_DIR),
                     reason="reference workload texts not present")
 @pytest.mark.parametrize("dirname", _EXEC_FILES,
                          ids=lambda t: t[1] + ("" if t[0].endswith("tpcds/queries") else "-unmod"))
-def test_tpcds_query_executes(tpcds_engine, dirname):
+def test_tpcds_query_oracle(tpcds_engine, tpcds_duck, dirname):
     d, name = dirname
-    """Execution contract for the value-divergent files: the
-    reference's exact query text runs through the dialect and the
-    sf1 data, and honors its LIMIT."""
+    """Oracle tier for the recorded-result-divergent files (r10,
+    upgraded from the r9 execution-contract tier): the recorded sf1
+    RESULTS don't reproduce on DuckDB's dsdgen returns/pricing
+    stream, but running the reference's query text through this
+    engine AND through DuckDB on the SAME parquet value-verifies
+    every file anyway (testing/tpcds_oracle.py — 209/209 at r10).
+    Table-name rewrites are shadow-protected so a literal containing
+    'item' or 'store' is never rewritten (r9 ADVICE)."""
     from incubator_impala_spark.testing import querytest as qt
+    from incubator_impala_spark.testing import tpcds_oracle
 
     blocks = qt.parse_test_file(os.path.join(d, f"{name}.test"))
     ran = 0
@@ -154,10 +174,14 @@ def test_tpcds_query_executes(tpcds_engine, dirname):
         if not re.match(r"(?is)\s*(select|with)\b", sql):
             continue
         for old, new in _rewrites().items():
-            sql = re.sub(rf"\b{old}\b", new, sql)
-        rows = tpcds_engine.sql(sql).collect()
+            sql = qt._shadow_sub(rf"\b{old}\b", new, sql)
+        spdf = tpcds_engine.sql(sql).toPandas()
         lm = re.search(r"(?is)\blimit\s+(\d+)\s*;?\s*$", sql)
         if lm:
-            assert len(rows) <= int(lm.group(1)), (name, len(rows))
+            assert len(spdf) <= int(lm.group(1)), (name, len(spdf))
+        dkdf = tpcds_duck.execute(
+            tpcds_oracle.oracle_text(name, b.query)).df()
+        probs = tpcds_oracle.compare_positional(spdf, dkdf)
+        assert not probs, f"{name}: {probs}"
         ran += 1
     assert ran >= 1, f"{name}: no runnable blocks"
