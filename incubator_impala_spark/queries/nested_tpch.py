@@ -603,7 +603,13 @@ def nested_tpch_q2_min_cost_supplier(
 
 def _q9_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q9 nested walk's joined relation (shared with the masked
-    variant). The '%green%' part filter prunes BOTH fact sides before
+    variant). TPC-H Q9's COLOR parameter is '%blue%' here: the
+    validation default 'green' matches ZERO parts in the synthetic
+    driver corpus, so the benched sf0.1 legs measured a
+    filtered-empty pipeline (r9 verdict); 'blue' is a dbgen color
+    word present in BOTH corpora, and the recorded-answer corpus
+    still runs the reference's green text through the dialect. The
+    part filter prunes BOTH fact sides before
     the composite-key join — the reference's runtime filter from the
     part build reaches the lineitem AND partsupp scans (HdfsScanNode
     runtime filters); without it AQE broadcast-built the full
@@ -631,7 +637,7 @@ def _q9_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast; per-partition parallel hash builds are the plan
     # that survives the scale-up
     green = F.broadcast(
-        part.where(F.col("p_name").like("%green%")).select("p_partkey"))
+        part.where(F.col("p_name").like("%blue%")).select("p_partkey"))
     li_f = li.join(green, li["l_partkey"] == green["p_partkey"]) \
         .drop("p_partkey")
     sp_f = sp.join(green, F.col("ps_partkey") == green["p_partkey"]) \
@@ -669,7 +675,7 @@ def _q9_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AND ps.ps_suppkey = l.l_suppkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE p.p_name LIKE '%green%'
+    WHERE p.p_name LIKE '%blue%'
     GROUP BY n.n_name, year(CAST(o.o_orderdate AS DATE))
     ORDER BY nation, o_year DESC
     """,
@@ -955,7 +961,7 @@ def nested_tpch_q13_order_count_distribution(
     WITH {_PS_FLAT_CTE}
     SELECT
       CASE WHEN n.n_name IN ('FRANCE', 'GERMANY') THEN n.n_name
-           ELSE regexp_replace(n.n_name, '[A-Z]', 'X') END AS nation,
+           ELSE regexp_replace(n.n_name, '[A-Z]', 'X', 'g') END AS nation,
       year(CAST(o.o_orderdate AS DATE)) AS o_year,
       CAST(SUM(
         CAST(l.l_extendedprice AS DECIMAL(12,2))
@@ -969,7 +975,7 @@ def nested_tpch_q13_order_count_distribution(
                     AND ps.ps_suppkey = l.l_suppkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE p.p_name LIKE '%green%'
+    WHERE p.p_name LIKE '%blue%'
     GROUP BY 1, 2
     ORDER BY nation, o_year DESC
     """,
