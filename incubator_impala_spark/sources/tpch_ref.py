@@ -218,9 +218,15 @@ def _register_masked_views(spark: SparkSession) -> None:
             "[0-9]", "n")
 
     def mask_show4(name):
+        # Ranger's MASK_SHOW_FIRST_4 template is
+        # mask_show_first_n(col, 4, 'x', 'x', 'x', ...) — ALL char
+        # classes mask to 'x', unlike plain MASK's X/x/n (verified
+        # against the recorded masked-q2/q10/q15 phone rows)
         c = F.col(name)
-        return F.concat(F.substring(c, 1, 4),
-                        mask(F.expr(f"substring({name}, 5)")))
+        return F.concat(
+            F.substring(c, 1, 4),
+            F.regexp_replace(
+                F.expr(f"substring({name}, 5)"), "[A-Za-z0-9]", "x"))
 
     cust = spark.table("tpch_nested_customer")
     cust.select(*[
