@@ -112,6 +112,10 @@ class _Scope:
         # DecorrelateInnerQuery rejects struct-typed outer refs)
         self.table_items: dict = {}
         self.hoists: dict = {}
+        # exploded-collection aliases -> source path text (lowered);
+        # lets the pair-alias translation prove two aliases explode
+        # the SAME in-row array
+        self.path_items: dict = {}
         self.ctx = outer.ctx if outer is not None else {
             "markers": {}, "n": 0}
 
@@ -644,6 +648,7 @@ def _rewrite_item(scope: _Scope, item: str, joiner: str) -> tuple[str, str]:
                     if from_outer:
                         scope.used_outer = True
                     scope.env[a.lower()] = _lv_cols(final_t)
+                    scope.path_items[a.lower()] = path.lower()
                     el_ddl = final_t.elementType.simpleString()
                     sel = ["pos", "item"]
                     sel += [f"item.{f} as {f}" for f in fields
@@ -666,9 +671,32 @@ def _rewrite_item(scope: _Scope, item: str, joiner: str) -> tuple[str, str]:
 
     if pm and not outer_join:
         # `JOIN c.c_orders o2 ON (o1.pos = o2.pos)` — a FROM-level
-        # pair join of one collection under two aliases
-        # (nested-types-tpch.test block 11, xfail
-        # subplan-pair-alias). Deliberately NOT translated: probed
+        # pair join of one collection under two aliases.
+        # (r10) The pos-EQUALITY pair over the SAME collection is
+        # translated: both aliases explode the identical in-row
+        # array, so matching positions means the second alias is a
+        # row-local 1:1 projection of the first — a FROM-less
+        # LATERAL subquery over the sibling alias, zero shuffle,
+        # zero decorrelation (nested-types-tpch.test block 11).
+        path2, alias2, cond2 = pm.group(1), pm.group(2), pm.group(3)
+        a2 = (alias2 or path2.split(".")[-1]).lower()
+        ct = cond2.strip()
+        while ct.startswith("(") and ct.endswith(")"):
+            ct = ct[1:-1].strip()
+        em = re.match(
+            rf"^({_IDENT})\s*\.\s*pos\s*=\s*({_IDENT})\s*\.\s*pos$",
+            ct, re.IGNORECASE)
+        if em:
+            x, y = em.group(1).lower(), em.group(2).lower()
+            other = y if x == a2 else (x if y == a2 else None)
+            if other and other in scope.env \
+                    and scope.path_items.get(other) == path2.lower():
+                cols = scope.env[other]
+                sel = ", ".join(f"{other}.{c} as {c}" for c in cols)
+                scope.env[a2] = dict(cols)
+                scope.path_items[a2] = path2.lower()
+                return f" LATERAL (select {sel}) {a2} ", " JOIN "
+        # GENERAL pair conditions stay the documented blocker: probed
         # r9, a per-alias `JOIN LATERAL ... ON cond` decorrelates
         # into a domain join hash-partitioned ON THE WHOLE NESTED
         # ARRAY (Exchange hashpartitioning(pos, coalesce(c_orders,
@@ -720,6 +748,7 @@ def _rewrite_item(scope: _Scope, item: str, joiner: str) -> tuple[str, str]:
                 steps[0] = (d0, f"{head}.{hname}")
         rels = _build_lateral_chain(scope, steps, final_t, alias)
         scope.env[alias.lower()] = _lv_cols(final_t)
+        scope.path_items[alias.lower()] = path.lower()
         # an alias-rooted relation is correlated -> Spark LATERAL;
         # LEFT/OUTER joins keep collection-less rows (subplan OUTER)
         if outer_join:
@@ -773,6 +802,7 @@ def _rewrite_item(scope: _Scope, item: str, joiner: str) -> tuple[str, str]:
         return item, joiner
     rel = _build_relation(scope, steps, final_t, alias, head)
     scope.env[alias.lower()] = _lv_cols(final_t)
+    scope.path_items[alias.lower()] = path.lower()
     if outer_join:
         return f" {rel} ON true ", " LEFT OUTER JOIN "
     return f" {rel} ", joiner

@@ -486,13 +486,9 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     # real dsdgen sf1 item table (sources/tpcds_ref.py)
     "analytic-fns-tpcds": (8, {}, {"item": "tpcds_ref_item",
                                "customer": "tpcds_ref_customer"}),
-    "nested-types-tpch": (11, {
-        # FROM-level self-join of a collection under two aliases
-        # (`customer c JOIN c.c_orders o1 JOIN c.c_orders o2 ON ..`):
-        # the merged-lateral alias rename isn't implemented; the
-        # subquery-level pair joins in nested-types-subplan are.
-        11: "subplan-pair-alias",
-    }, {
+    # r10: the pos-equality pair-alias join (block 11) translates to
+    # a row-local sibling projection — xfail deleted
+    "nested-types-tpch": (12, {}, {
         r"tpch_nested_parquet\.": "tpch_nested_",
         r"tpch_parquet\.": "tpch_ref_",
         "customer": "tpch_nested_customer",
