@@ -433,7 +433,7 @@ class Engine:
         try:
             schema = self.spark.sql(self.translate(
                 f"SELECT * FROM ({body}) __pqt_probe__")).schema
-        except Exception:  # noqa: BLE001
+        except (AnalysisException, ValueError):  # probe-only
             return None
         if not any(isinstance(f.dataType, TimestampType)
                    for f in schema.fields):
@@ -476,7 +476,7 @@ class Engine:
                     self.spark, ov["location"], ov["logical"],
                     self.parquet_resolution)
                 df.createOrReplaceTempView(tbl)
-            except Exception:  # noqa: BLE001
+            except (AnalysisException, ValueError, OSError):
                 # an unresolvable logical/file pairing under the
                 # CURRENT mode must not abort an unrelated statement;
                 # the next mode change re-resolves
@@ -524,7 +524,7 @@ class Engine:
                     ov["elem_fields"], self.parquet_resolution,
                     self.parquet_array_res,
                 ).createOrReplaceTempView(name)
-            except Exception:  # noqa: BLE001 — re-resolved next stmt
+            except (AnalysisException, ValueError, OSError):  # re-resolved next stmt
                 pass
         if getattr(self, "mixed_tables", None):
             # per-partition mixed-format tables: SELECTs read through
@@ -1148,7 +1148,7 @@ class Engine:
             return any(
                 r[0] == "impala.enable.stats.extrapolation"
                 and str(r[1]).strip().lower() == "true" for r in rows)
-        except Exception:  # noqa: BLE001 — temp views have no props
+        except AnalysisException:  # temp views have no props
             return False
 
     def _table_bytes(self, tbl: str) -> int | None:
@@ -1269,7 +1269,7 @@ class Engine:
             try:
                 parts = {r[0] for r in self.spark.sql(
                     f"SHOW PARTITIONS {tbl}").collect()}
-            except Exception:  # noqa: BLE001
+            except AnalysisException:  # unpartitioned table
                 pass
             spec = (m.group("part") or "").strip()
             key = tbl.lower()
@@ -1638,7 +1638,7 @@ class Engine:
                 pcols = [c.name
                          for c in self.spark.catalog.listColumns(src)
                          if c.isPartition]
-            except Exception:  # noqa: BLE001 - temp views carry none
+            except AnalysisException:  # temp views carry none
                 pass
             if not pcols:
                 from incubator_impala_spark.sources.functional import (
@@ -1969,7 +1969,7 @@ class Engine:
             try:
                 self.spark.sql(f"ALTER TABLE {table} ADD IF NOT EXISTS "
                                f"PARTITION ({partition})")
-            except Exception:  # noqa: BLE001 — path-discovered tables
+            except AnalysisException:  # path-discovered tables
                 pass
         try:
             self.spark.catalog.refreshTable(table)

@@ -51,6 +51,14 @@ import os
 import re
 from dataclasses import dataclass, field
 
+from py4j.protocol import Py4JError
+
+# JVM-reflection probes walk py4j objects whose classes vary by plan
+# node — an absent method raises Py4JError/AttributeError, never
+# engine state corruption; this narrowed tuple replaces bare
+# `except Exception` on those paths (r9 verdict #5)
+_JVM_ERRS = (Py4JError, AttributeError, TypeError, IndexError)
+
 
 # -- Impala display vocabulary ------------------------------------------------
 
@@ -130,7 +138,7 @@ def _scan_files(jscan, pruned: set | None = None) -> list[str]:
     try:
         files = [f.replace("file:", "")
                  for f in jscan.relation().location().inputFiles()]
-    except Exception:  # noqa: BLE001
+    except _JVM_ERRS:
         return []
     if pruned:
         try:
@@ -142,7 +150,7 @@ def _scan_files(jscan, pruned: set | None = None) -> list[str]:
                     if f.replace("file:", "").startswith(prefixes)]
             if mine or any(f.startswith(prefixes) for f in files):
                 return sorted(f.replace("file:", "") for f in mine)
-        except Exception:  # noqa: BLE001
+        except _JVM_ERRS:
             pass
     return files
 
@@ -153,7 +161,7 @@ def _view_leaves(jlogical, out: list[str]) -> None:
     if _name(jlogical) == "View":
         try:
             out.append(jlogical.desc().identifier().table().lower())
-        except Exception:  # noqa: BLE001
+        except _JVM_ERRS:
             out.append("")
         return
     for c in _children(jlogical):
@@ -189,7 +197,7 @@ class _Condenser:
         leaves: list[str] = []
         try:
             _view_leaves(jlogical, leaves)
-        except Exception:  # noqa: BLE001
+        except _JVM_ERRS:
             leaves = []
         self.leaf_names = leaves
         self.aligned = (len(leaves) == len(self.relations) and all(
@@ -197,12 +205,16 @@ class _Condenser:
         self.scan_idx = 0
         # bare column name -> number of distinct relations carrying it
         self.col_owners: dict[str, int] = {}
+        from pyspark.errors import AnalysisException
+
         for flat in {fl for _, fl, _ in self.relations} or set(leaves):
             try:
                 for c in spark.table(flat).columns:
                     self.col_owners[c.lower()] = \
                         self.col_owners.get(c.lower(), 0) + 1
-            except Exception:  # noqa: BLE001
+            except (AnalysisException, *_JVM_ERRS):
+                # the FROM regex over-matches non-relation tokens
+                # (e.g. an expression word) — probe-only lookup
                 pass
 
     def strip_qual(self, expr: str) -> str:
@@ -254,7 +266,7 @@ class _Condenser:
                 self._proj_cols = {
                     jplan.output().apply(i).name().lower()
                     for i in range(jplan.output().size())}
-            except Exception:  # noqa: BLE001
+            except _JVM_ERRS:
                 self._proj_cols = prev
             try:
                 return self.condense(ch[0]) if ch \
@@ -280,7 +292,7 @@ class _Condenser:
                     opt = jplan.tableIdentifier()
                     if opt.isDefined():
                         disp = self._qualify(opt.get().table())
-                except Exception:  # noqa: BLE001
+                except _JVM_ERRS:
                     pass
             node = _Node(f"SCAN HDFS [{disp}]" if disp else "SCAN HDFS",
                          "scan", table=disp, alias=alias, columns=cols,
@@ -305,7 +317,7 @@ class _Condenser:
                 rs = jplan.requiredSchema()
                 req = {rs.apply(i).name().lower()
                        for i in range(rs.size())}
-            except Exception:  # noqa: BLE001
+            except _JVM_ERRS:
                 pass
             proj = getattr(self, "_proj_cols", None)
             # a column is materialized if it is a data column the scan
@@ -563,7 +575,7 @@ def _annotate_catalog_stats(engine, root: _Node, relations) -> None:
                     db, obj = ns.split(n.table)
                     if db:
                         flat = ns.phys(db, obj)
-                except Exception:  # noqa: BLE001
+                except _JVM_ERRS:
                     pass
         try:
             t = spark.catalog.getTable(flat)
@@ -786,7 +798,7 @@ def _scan_partition_display(node: _Node) -> str:
                             count[0] += 1
             walk(root)
             total = max(count[0], pruned)
-        except Exception:  # noqa: BLE001
+        except _JVM_ERRS:
             total = pruned
     return (f"HDFS partitions={pruned}/{total} files={n_files} "
             f"size={_fmt_size(size)}")

@@ -94,10 +94,8 @@ def maybe_activate(engine, phys: str) -> None:
 
 def deactivate(engine, phys: str) -> None:
     if getattr(engine, "mixed_tables", {}).pop(phys.lower(), None):
-        try:
-            engine.spark.catalog.dropTempView(phys.lower())
-        except Exception:  # noqa: BLE001 — view already gone
-            pass
+        # dropTempView returns False when absent, no exception
+        engine.spark.catalog.dropTempView(phys.lower())
 
 
 _DML = re.compile(r"(?is)^\s*(insert|alter|drop|create|truncate|"
@@ -119,10 +117,7 @@ def refresh_views(engine, sql_text: str) -> None:
         if not re.search(rf"\b{re.escape(phys)}\b", low):
             continue
         if _DML.match(sql_text):
-            try:
-                engine.spark.catalog.dropTempView(phys)
-            except Exception:  # noqa: BLE001 — no shadow yet
-                pass
+            engine.spark.catalog.dropTempView(phys)
             if re.match(rf"(?is)^\s*drop\s+table\s+(if\s+exists\s+)?"
                         rf"`?{re.escape(phys)}`?\b", sql_text):
                 mixed.pop(phys, None)
@@ -149,16 +144,15 @@ def _effective(engine, phys: str, kv: dict) -> tuple[str, str]:
 
 
 def build_view(engine, phys: str) -> None:
+    from pyspark.errors import AnalysisException
+
     spark = engine.spark
-    try:
-        spark.catalog.dropTempView(phys)
-    except Exception:  # noqa: BLE001 — no shadow yet
-        pass
+    spark.catalog.dropTempView(phys)
     try:
         full = spark.table(phys)
         pcols = [c.name for c in spark.catalog.listColumns(phys)
                  if c.isPartition]
-    except Exception:  # noqa: BLE001 — table dropped
+    except AnalysisException:  # table dropped out from under us
         getattr(engine, "mixed_tables", {}).pop(phys, None)
         return
     data_fields = [f for f in full.schema.fields
