@@ -185,3 +185,106 @@ def test_tpcds_query_oracle(tpcds_engine, tpcds_duck, dirname):
         assert not probs, f"{name}: {probs}"
         ran += 1
     assert ran >= 1, f"{name}: no runnable blocks"
+
+
+TPCDS_INSERT_DIR = ("/root/reference/testdata/workloads/"
+                    "tpcds-insert/queries")
+
+
+@pytest.mark.skipif(not os.path.isdir(TPCDS_INSERT_DIR),
+                    reason="reference workload texts not present")
+def test_tpcds_insert_expr(tpcds_engine):
+    """tpcds-insert/expr-insert (r10): 2.88M-row INSERT SELECT with
+    the recorded row-count summary + verification SELECT."""
+    from incubator_impala_spark.testing import querytest as qt
+
+    blocks = qt.parse_test_file(
+        os.path.join(TPCDS_INSERT_DIR, "expr-insert.test"))
+    results = qt.run_blocks(tpcds_engine, blocks, xfail={},
+                            table_rewrites=_rewrites(),
+                            database="qtest_tpcds_insert")
+    counts = collections.Counter(r.status for r in results)
+    bad = [f"[{r.index}] {r.status}: {r.reason}\n    "
+           + "\n    ".join(str(d) for d in r.diffs[:3])
+           for r in results if r.status in ("fail", "error", "xpass")]
+    assert not bad, f"{dict(counts)}\n" + "\n".join(bad)
+    assert counts.get("pass", 0) >= 2, dict(counts)
+
+
+@pytest.mark.skipif(not os.path.isdir(TPCDS_INSERT_DIR),
+                    reason="reference workload texts not present")
+def test_tpcds_insert_partitioned(tpcds_engine, tpcds_duck):
+    """tpcds-insert/partitioned-insert (r10), oracle-verified: the
+    recorded per-partition row maps pin the OFFICIAL dsdgen's per-day
+    date_sk distribution, which the DuckDB dsdgen stream doesn't
+    reproduce (2451239 has 852 rows here vs the reference's 847 —
+    same returns/pricing-variant as the query corpora), so each
+    INSERT OVERWRITE's partition summary is verified against DuckDB
+    group-by counts over the SAME parquet instead, plus the final
+    overwrite-semantics count. The reference's CREATE LIKE clones a
+    PARTITIONED table; the fixture face is a temp view, so the clone
+    declares the partition key explicitly."""
+    from incubator_impala_spark.testing import querytest as qt
+
+    import shutil
+
+    eng = tpcds_engine
+    eng.sql("drop table if exists store_sales_insert")
+    # a stale warehouse dir from an interrupted earlier run blocks a
+    # managed CREATE (the catalog is in-memory, the dir is not)
+    shutil.rmtree(os.path.join(eng._warehouse_dir(),
+                               "store_sales_insert"),
+                  ignore_errors=True)
+    cols = eng.spark.table("tpcds_ref_store_sales").schema.fields
+    data = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                     for f in cols if f.name != "ss_sold_date_sk")
+    eng.sql(f"create table store_sales_insert ({data}) "
+            f"partitioned by (ss_sold_date_sk int) stored as parquet")
+    # Impala's partitioned store_sales lists the partition column
+    # LAST in SELECT * (partition cols trail the schema); the dsdgen
+    # view has it first — present the reference's ordering so the
+    # positional dynamic-partition INSERT maps columns correctly
+    names = ([f.name for f in cols if f.name != "ss_sold_date_sk"]
+             + ["ss_sold_date_sk"])
+    eng.spark.table("tpcds_ref_store_sales").select(*names) \
+        .createOrReplaceTempView("tpcds_ref_store_sales_partorder")
+    blocks = qt.parse_test_file(
+        os.path.join(TPCDS_INSERT_DIR, "partitioned-insert.test"))
+    n_inserts = 0
+    for b in blocks:
+        m = re.match(r"(?is)\s*insert\s+overwrite.*?(where\s+.+)$",
+                     b.query, re.DOTALL)
+        if not m:
+            continue
+        where = m.group(1).strip()
+        sql = b.query
+        rw = dict(_rewrites(),
+                  store_sales="tpcds_ref_store_sales_partorder")
+        for old, new in rw.items():
+            sql = qt._shadow_sub(rf"\b{old}\b", new, sql)
+        got = {}
+        for row in eng.sql(sql).collect():
+            pm = re.match(r"ss_sold_date_sk=(\d+)/: (\d+)", row[0])
+            if pm:
+                got[int(pm.group(1))] = int(pm.group(2))
+        exp = dict(tpcds_duck.execute(
+            f"select ss_sold_date_sk, count(*) from store_sales "
+            f"{where} group by 1").fetchall())
+        assert got == exp, (
+            f"partition map mismatch for {where!r}: "
+            f"{len(got)} vs {len(exp)} partitions")
+        n_inserts += 1
+    assert n_inserts == 4
+    # overwrite semantics: the final table is the UNION of the last
+    # writes per partition — the year range overwrote the others
+    final = eng.sql(
+        "select count(*) c from store_sales_insert").collect()[0][0]
+    exp_final = tpcds_duck.execute(
+        "select count(*) from store_sales where "
+        "(ss_sold_date_sk = 2451239) or "
+        "(ss_sold_date_sk >= 2451270 and ss_sold_date_sk <= 2451299) or "
+        "(ss_sold_date_sk >= 2451423 and ss_sold_date_sk <= 2451544) or "
+        "(ss_sold_date_sk >= 2451545 and ss_sold_date_sk <= 2451910)"
+    ).fetchone()[0]
+    assert final == exp_final, (final, exp_final)
+    eng.sql("drop table store_sales_insert")
