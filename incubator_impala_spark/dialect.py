@@ -748,6 +748,12 @@ _SIMPLE_STMTS: list[tuple[re.Pattern, str]] = [
         ),
         "REFRESH TABLE {0}",
     ),
+    # the global form (ResetMetadataStmt with no table): flushes the
+    # whole catalog cache; Spark's whole-cache analogue
+    (
+        re.compile(r"^\s*INVALIDATE\s+METADATA\s*;?\s*$", re.IGNORECASE),
+        "CLEAR CACHE",
+    ),
     (
         re.compile(r"^\s*REFRESH\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.IGNORECASE),
         "REFRESH TABLE {0}",

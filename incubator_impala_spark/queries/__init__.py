@@ -108,6 +108,7 @@ from incubator_impala_spark.queries import (
     relational,
     sql_surface,
     streaming_batch,
+    targeted_perf,
     tpcds_adapted,
     tpcds_real,
     tpcds_round3,
@@ -119,7 +120,7 @@ from incubator_impala_spark.queries import (
 _MODULES = [
     tpch, relational, pipeline, streaming_batch, functions_sweep, nested,
     nested_tpch, sql_surface, tpcds_adapted, tpcds_round3, tpcds_round4,
-    tpcds_real, tpch_real, functional_query,
+    tpcds_real, tpch_real, functional_query, targeted_perf,
 ]
 
 QUERIES = {}

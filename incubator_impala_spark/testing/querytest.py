@@ -44,6 +44,13 @@ import re
 import shutil
 from dataclasses import dataclass, field
 
+from py4j.protocol import Py4JJavaError
+from pyspark.errors import AnalysisException
+
+# catalog/DDL probe guard: Spark analysis errors + JVM-side failures
+# surfacing through the py4j bridge
+_SPARK_ERR = (AnalysisException, Py4JJavaError)
+
 __all__ = ["parse_test_file", "run_blocks", "Block", "BlockResult"]
 
 
@@ -232,7 +239,7 @@ def _emulate_shell(engine, text: str, database: str | None) -> bool:
     for phys in set(_SHELL_TOUCHED):
         try:
             engine.spark.catalog.refreshTable(phys)
-        except Exception:  # noqa: BLE001
+        except _SPARK_ERR:  # not (yet) a catalog table
             pass
     _SHELL_TOUCHED.clear()
     return True
@@ -659,7 +666,7 @@ def run_blocks(engine, blocks: list[Block], *,
         for tbl in list(getattr(engine, "schema_overlays", {})):
             try:
                 engine.spark.catalog.dropTempView(tbl)
-            except Exception:  # noqa: BLE001
+            except _SPARK_ERR:  # overlay view already gone
                 pass
             del engine.schema_overlays[tbl]
     if hasattr(engine, "stats_seen"):
@@ -688,7 +695,7 @@ def run_blocks(engine, blocks: list[Block], *,
             if name == database or (name.startswith(database)
                                     and name[len(database):].isdigit()):
                 engine.sql(f"create database {name}")
-        except Exception:  # noqa: BLE001
+        except _SPARK_ERR:  # pre-existing from an earlier file
             pass
     if database and hasattr(engine, "ns") \
             and database in engine.ns.dbs:
@@ -718,7 +725,7 @@ def run_blocks(engine, blocks: list[Block], *,
             try:
                 if engine.spark.catalog.tableExists(name):
                     engine.ns.register(database, name, "view", name)
-            except Exception:  # noqa: BLE001
+            except _SPARK_ERR:  # probe only
                 pass
     # hermetic re-runs: the session catalog is in-memory but the
     # warehouse directory persists across pytest runs, so every table
@@ -761,7 +768,7 @@ def run_blocks(engine, blocks: list[Block], *,
                     name.lower(), f"qscratch_{name.lower()}")
                 created.discard(name)
                 created.add(f"qscratch_{name.lower()}")
-    except Exception:  # noqa: BLE001
+    except ImportError:  # functional fixture module absent
         pass
     try:
         from incubator_impala_spark.sources.functional import (
@@ -773,7 +780,7 @@ def run_blocks(engine, blocks: list[Block], *,
         # $ORIGINAL_DB.x` blocks skip, so dropping them here would
         # orphan every insert that follows
         created -= set(INSERT_TARGETS)
-    except Exception:  # noqa: BLE001
+    except ImportError:  # functional fixture module absent
         pass
     for name in created:
         try:
@@ -784,7 +791,7 @@ def run_blocks(engine, blocks: list[Block], *,
                 os.path.join(re.sub(r"^file:", "", wh),
                              name.split(".")[-1].lower()),
                 ignore_errors=True)
-        except Exception:  # noqa: BLE001
+        except (*_SPARK_ERR, OSError):  # unresolvable stale name
             pass
     out: list[BlockResult] = []
     for b in blocks:
@@ -885,7 +892,7 @@ def _strip_location(stmt: str, engine=None) -> str:
                        or resolved.startswith(s + os.sep)
                        for s in staged):
                     return stmt
-            except Exception:  # noqa: BLE001 — unresolvable: strip
+            except (OSError, ValueError, KeyError):  # unresolvable: strip
                 pass
     out = _LOCATION_CLAUSE.sub("", stmt)
     return re.sub(r"(?i)\bcreate\s+external\s+table\b", "create table",
@@ -933,7 +940,7 @@ def _preclear_create(engine, s: str) -> None:
         name = engine.ns.resolve(name)
     try:
         engine.spark.sql(f"DROP TABLE IF EXISTS {name}")
-    except Exception:  # noqa: BLE001
+    except _SPARK_ERR:  # e.g. a temp view shadows the name
         pass
     wh = engine.spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse")
@@ -1082,12 +1089,12 @@ def _option_restore(engine, snap: dict | None) -> None:
                 engine.spark.conf.unset(conf)
             else:
                 engine.spark.conf.set(conf, v)
-        except Exception:  # noqa: BLE001 - non-runtime-settable conf
+        except _SPARK_ERR:  # non-runtime-settable conf
             pass
     if snap["tz"] is not None and hasattr(engine, "set_option"):
         try:
             engine.set_option("timezone", snap["tz"])
-        except Exception:  # noqa: BLE001
+        except (*_SPARK_ERR, ValueError, OSError):
             engine.tz = snap["tz"]
     od = getattr(engine, "option_display", None)
     if od is not None:
