@@ -379,6 +379,24 @@ class Engine:
             self.alter_in_place = str(value).strip().strip("'\"") \
                 in ("1", "true", "TRUE", "True")
             return True
+        if key == "debug_action":
+            # the two sink-abort actions the ACID corpus injects
+            # (acid-insert-fail.test); consumed by acid._insert_acid
+            self.debug_action = str(value).strip().strip("'\"") \
+                or None
+            return True
+        if key == "default_transactional_type":
+            # CREATE TABLE defaults to an insert-only ACID table
+            # under this option (query-options.h, CreateTableStmt);
+            # value validation matches ParseUtil (set.test)
+            v = str(value).strip().strip("'\"").lower()
+            if v not in ("none", "0", "insert_only", "1", ""):
+                raise ValueError(
+                    f"Invalid default transactional type: '{v}'. "
+                    "Valid values are NONE(0), INSERT_ONLY(1).")
+            self.default_transactional_type = \
+                "insert_only" if v in ("insert_only", "1") else None
+            return True
         if key == "parquet_fallback_schema_resolution":
             v = str(value).strip().strip("'\"").lower()
             self.parquet_resolution = \
@@ -495,6 +513,16 @@ class Engine:
         return self.spark.createDataFrame(
             rows, "option string, value string, level string")
 
+    def hive_sql(self, sql_text: str) -> DataFrame:
+        """Execute a statement as the minicluster's HIVE side would
+        (the .test corpora's HIVE_QUERY staging): transactional DML
+        allocates write ids without advancing this engine's cached
+        ValidWriteIdList — invisible until REFRESH / INVALIDATE
+        METADATA (acid.py). Non-ACID statements run normally."""
+        from incubator_impala_spark import acid
+
+        return acid.hive_sql(self, sql_text)
+
     def sql(self, sql_text: str) -> DataFrame:
         if _SET_ALL_STMT.match(sql_text):
             return self._set_all()
@@ -526,6 +554,13 @@ class Engine:
                 ).createOrReplaceTempView(name)
             except (AnalysisException, ValueError, OSError):  # re-resolved next stmt
                 pass
+        if getattr(self, "acid_tables", None) \
+                or getattr(self, "acid_shadows", None):
+            # ACID snapshot views rebuild before the statement plans;
+            # row__id references swap to the shadow views (acid.py)
+            from incubator_impala_spark import acid
+
+            sql_text = acid.prepare(self, sql_text)
         if getattr(self, "mixed_tables", None):
             # per-partition mixed-format tables: SELECTs read through
             # a freshly-built dispatch view, DDL/DML drops the shadow
@@ -640,6 +675,20 @@ class Engine:
                     del reg[k]
             self.table_numrows.pop(skey, None)
             getattr(self, "stats_computed", set()).discard(skey)
+            # SORT BY layout metadata dies with the table too — a
+            # recreate without SORT BY must not inherit it
+            # (_CREATE_SORT re-records when the new DDL has one)
+            self.sort_props.pop(dm.group(1).lower(), None)
+        if getattr(self, "acid_tables", None) is not None \
+                or "transactional" in sql_text.lower() \
+                or getattr(self, "default_transactional_type", None):
+            # ACID statement surface (acid.py): transactional CREATEs
+            # and every statement touching a registered ACID table
+            from incubator_impala_spark import acid
+
+            handled = acid.handle(self, sql_text)
+            if handled is not None:
+                return handled
         handled = self.ns.handle(self, sql_text)
         if handled is not None:
             return handled
@@ -729,6 +778,18 @@ class Engine:
         if m:
             from incubator_impala_spark.describe import describe_df
 
+            if re.match(r"(?i)^(?:functional_orc_def\.)?\w+"
+                        r"\.row__id$", m.group(1)):
+                # the synthetic transactional struct on a full-ACID
+                # table (describe-path.test; Path.java ROW__ID
+                # registration — fixed five-field shape)
+                return self.spark.createDataFrame(
+                    [("operation", "int", ""),
+                     ("originaltransaction", "bigint", ""),
+                     ("bucket", "int", ""),
+                     ("rowid", "bigint", ""),
+                     ("currenttransaction", "bigint", "")],
+                    "name string, type string, comment string")
             # db-qualifier conventions match the query path: functional
             # variants resolve to the flat fixture views
             path = re.sub(r"^functional(_\w+)?\.", "", m.group(1))

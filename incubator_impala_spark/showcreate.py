@@ -432,7 +432,17 @@ def _render_table(engine, display: str, meta: dict | None) -> str:
     out.append(f"STORED AS {fmt}")
     out.append(f"LOCATION '{_location_of(engine, phys)}'")
     props = dict(meta.get("tblproperties") or {})
-    if not fixture:
+    transactional = str(props.get(
+        "transactional", "")).lower() == "true"
+    if transactional:
+        # ACID tables are MANAGED (no EXTERNAL keyword, no purge
+        # property) and Hive normalizes an absent
+        # transactional_properties to 'default'
+        # (show-create-table-full-acid.test RESULTS-HIVE-3)
+        out[0] = out[0].replace("CREATE EXTERNAL TABLE ",
+                                "CREATE TABLE ")
+        props.setdefault("transactional_properties", "default")
+    elif not fixture:
         # Hive-3 translated-external managed table (RESULTS-HIVE-3)
         props.setdefault("external.table.purge", "TRUE")
     if props:

@@ -657,6 +657,14 @@ def run_blocks(engine, blocks: list[Block], *,
             engine.spark.catalog.dropTempView(vname)
         if hasattr(engine, "avro_stale"):
             engine.avro_stale.clear()
+        if getattr(engine, "acid_tables", None):
+            # a prior file's ACID tables must not leak (registry +
+            # temp views + managed dirs); fixtures stay
+            from incubator_impala_spark import acid
+
+            acid.reset(engine)
+        engine.debug_action = None
+        engine.default_transactional_type = None
         # array_overlays are installed by the per-file SETUP hook
         # (which runs BEFORE run_blocks), so they are not cleared
         # here; each hook replaces its own entries
@@ -804,12 +812,13 @@ def run_blocks(engine, blocks: list[Block], *,
             # corpus' HIVE_QUERY DDL is the shared SQL subset; an
             # unstageable section skips the dependent block
             try:
+                hive_exec = getattr(engine, "hive_sql", engine.sql)
                 for htext in b.hive:
                     for s in _split_statements(htext):
                         s = _rewrite_stmt(s, rewrite,
                                           table_rewrites or {})
                         if s.strip():
-                            engine.sql(s)
+                            hive_exec(s)
             except Exception:  # noqa: BLE001
                 out.append(BlockResult(b.index, "skip",
                                        "hive-staging"))
@@ -1029,6 +1038,8 @@ _OPT_ATTRS = {
     "abort_on_error": ["abort_on_error"],
     "strict_mode": ["strict_mode"],
     "compression_codec": ["compression_codec"],
+    "debug_action": ["debug_action"],
+    "default_transactional_type": ["default_transactional_type"],
 }
 
 _SET_NAME = re.compile(r"(?i)^\s*set\s+([A-Za-z_][\w.]*)\s*=")

@@ -51,8 +51,9 @@ divergences"):
                     global aggregate over an empty relation (JVM
                     aggregates return the 1-row default); hits the
                     ds_kll_* pandas UDAFs on `emptytable`
-  acid-synthetic    Hive-ACID synthetic column (row__id) — no ACID
-                    storage layer in this engine
+
+(the former acid-synthetic code retired r10: the ACID model in
+incubator_impala_spark/acid.py implements row__id — tests/test_acid.py)
 """
 
 from __future__ import annotations
@@ -164,7 +165,9 @@ FILES: dict[str, tuple[int, dict[int, str]]] = {
     #   dateless_timestamp_{text,parquet}.test — every block uses the
     #     $DATABASE runner variable + per-run HDFS file loads; nothing
     #     runnable remains after the runner-variable skip.
-    "describe-path": (13, {14: "acid-synthetic"}),
+    # block 14 (describe <tbl>.row__id) implemented r10 with the ACID
+    # model (acid.py; the fixed five-field synthetic struct)
+    "describe-path": (14, {}),
     "hdfs-partitions": (19, {}),
     "insert": (62, {42: "double-str-cast"}),
     "insert_permutation": (40, {}, {r"insert_permutation_test\.": ""}),

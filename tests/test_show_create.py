@@ -211,6 +211,9 @@ def _file_cases(fname: str):
 @pytest.mark.parametrize("fname,floor", [
     ("show-create-table", 20),
     ("show-create-table-zorder", 2),
+    # full-ACID renderings: managed CREATE TABLE (no EXTERNAL/purge),
+    # transactional_properties normalized to 'default' (acid.py)
+    ("show-create-table-full-acid", 3),
 ])
 def test_show_create_file(sc_engine, fname, floor):
     cases = _file_cases(f"{fname}")
