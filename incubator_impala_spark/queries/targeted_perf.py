@@ -1,8 +1,9 @@
 """Driver-gate entries for the targeted-perf corpus shapes (r10).
 
 The reference's single-operator perf primitives
-(testdata/workloads/targeted-perf/queries/) run corpus-verbatim
-against the dbgen sf1 fixture in tests/test_targeted_perf.py; the
+(testdata/workloads/targeted-perf/queries/) run against the dbgen
+sf1 fixture in tests/test_targeted_perf.py (recorded answers
+verbatim, perf-only blocks via a dual-engine fingerprint); the
 entries here re-express four representative shapes on the driver's
 tables so the operator classes they pin — decimal arithmetic
 (primitive_decimal_arithmetic), large IN lists
