@@ -24,6 +24,9 @@ from __future__ import annotations
 
 import re
 
+from pyspark.errors.exceptions.base import (
+    PySparkException as _PYSPARK_ERR,
+)
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_impala_spark import dialect
@@ -134,7 +137,7 @@ def _partition_cols(spark, tbl: str) -> list[str]:
     try:
         return [c.name for c in spark.catalog.listColumns(tbl)
                 if c.isPartition]
-    except Exception:  # noqa: BLE001
+    except _PYSPARK_ERR:  # not a catalog table
         return []
 
 
@@ -229,7 +232,7 @@ def _recreate(engine, tbl: str, exprs: list) -> None:
     spark.sql(f"ALTER TABLE {tbl} RENAME TO {old}")
     try:
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {tbl}")
-    except Exception:
+    except _PYSPARK_ERR:
         spark.sql(f"ALTER TABLE {old} RENAME TO {tbl}")
         raise
     spark.sql(f"DROP TABLE {old}")
@@ -391,7 +394,7 @@ def handle(engine, sql_text: str) -> DataFrame | None:
                 e = F.col(f"`{f.name}`").cast(typ)
                 try:
                     df0.select(e)     # analysis-only validity probe
-                except Exception:  # noqa: BLE001
+                except _PYSPARK_ERR:  # uncastable column type
                     # uncastable retype reads as NULL (what a parquet
                     # re-read under the new schema yields)
                     e = F.lit(None).cast(typ)
@@ -450,7 +453,7 @@ def handle(engine, sql_text: str) -> DataFrame | None:
                     cast_e = F.col(f"`{fields[i].name}`").cast(t)
                     df0.select(cast_e)   # analysis-only validity probe
                     e = cast_e
-                except Exception:  # noqa: BLE001
+                except _PYSPARK_ERR:  # uncastable column type
                     pass
             exprs.append(e.alias(n, metadata=meta))
         exprs += [F.col(f"`{p}`") for p in pcols]
@@ -530,7 +533,7 @@ def handle(engine, sql_text: str) -> DataFrame | None:
                 and not sm.group("spec"):
             try:  # real property store when Spark supports it
                 spark.sql(f"ALTER TABLE {tbl} {rest}")
-            except Exception:  # noqa: BLE001
+            except _PYSPARK_ERR:  # view / non-catalog relation
                 pass
             if nm:
                 engine.table_numrows[engine._stats_key(tbl)] = \

@@ -21,6 +21,9 @@ comments print as '' exactly as the reference does.
 
 from __future__ import annotations
 
+from pyspark.errors.exceptions.base import (
+    PySparkException as _PYSPARK_ERR,
+)
 from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 
 
@@ -49,7 +52,7 @@ def impala_type_str(dt: DataType, indent: int = 0) -> str:
 def _comment(field) -> str:
     try:
         return field.metadata.get("comment", "") or ""
-    except Exception:  # noqa: BLE001
+    except (AttributeError, TypeError):  # metadata absent
         return ""
 
 
@@ -67,7 +70,7 @@ def describe_rows(spark, path: str) -> list[tuple[str, str, str]]:
             df = spark.table(name)
             rest = segs[k:]
             break
-        except Exception:  # noqa: BLE001
+        except _PYSPARK_ERR:  # not this prefix — try shorter
             continue
     if df is None:
         raise ValueError(f"Could not resolve path: {path}")
@@ -80,7 +83,7 @@ def describe_rows(spark, path: str) -> list[tuple[str, str, str]]:
             raw = f.metadata.get("__CHAR_VARCHAR_TYPE_STRING")
             if raw:
                 return raw.lower()
-        except Exception:  # noqa: BLE001
+        except (AttributeError, TypeError):  # metadata absent
             pass
         return impala_type_str(f.dataType)
 

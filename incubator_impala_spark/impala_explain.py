@@ -52,6 +52,9 @@ import re
 from dataclasses import dataclass, field
 
 from py4j.protocol import Py4JError
+from pyspark.errors.exceptions.base import (
+    PySparkException as _PYSPARK_ERR,
+)
 
 # JVM-reflection probes walk py4j objects whose classes vary by plan
 # node — an absent method raises Py4JError/AttributeError, never
@@ -539,12 +542,14 @@ def _estimate(node: _Node) -> None:
         if pfiles and len(pfiles) <= 64 and all(
                 os.path.exists(f) for f in pfiles):
             try:
+                import pyarrow as pa
                 import pyarrow.parquet as pq
 
                 node.cardinality = sum(
                     pq.ParquetFile(f).metadata.num_rows
                     for f in pfiles)
-            except Exception:  # noqa: BLE001
+            except (OSError, ValueError,
+                    pa.lib.ArrowException):  # unreadable footer
                 node.cardinality = None
 
 
@@ -584,7 +589,7 @@ def _annotate_catalog_stats(engine, root: _Node, relations) -> None:
                 return
             pcols = [c.name for c in spark.catalog.listColumns(flat)
                      if c.isPartition]
-        except Exception:  # noqa: BLE001 — not a catalog table
+        except (_PYSPARK_ERR, *_JVM_ERRS):  # not a catalog table
             return
         key = engine._stats_key(flat)
         rows = getattr(engine, "table_numrows", {}).get(key)
@@ -623,7 +628,8 @@ def _annotate_catalog_stats(engine, root: _Node, relations) -> None:
                 else:
                     extrap = 0 if sel_bytes == 0 else max(
                         1, round(sel_bytes * rows / size))
-        except Exception:  # noqa: BLE001
+        except (TypeError, ZeroDivisionError, AttributeError,
+                KeyError):  # stats registry holds no usable numbers
             pass
         si["extrap"] = extrap
         n.stats_info = si
@@ -1221,7 +1227,7 @@ def render_explain(engine, body_sql: str, level: int) -> list[str]:
         # post-pruning footprint (partition pruning resolved at plan
         # time; metadata-only — no job runs)
         cond.pruned_files = set(df.inputFiles())
-    except Exception:  # noqa: BLE001
+    except (_PYSPARK_ERR, *_JVM_ERRS):  # unresolvable footprint
         cond.pruned_files = None
     root = cond.condense(jplan)
     if root.kind == "exchange" and root.title.startswith(
@@ -1303,7 +1309,8 @@ def render_explain(engine, body_sql: str, level: int) -> list[str]:
                     f"{cur_db}.{flat}" if cur_db else flat)
                 if label not in corrupt:
                     corrupt.append(label)
-        except Exception:  # noqa: BLE001
+        except (OSError, TypeError, KeyError,
+                AttributeError, *_JVM_ERRS):  # unreadable part dirs
             pass
     if corrupt:
         out.append("WARNING: The following tables have potentially "

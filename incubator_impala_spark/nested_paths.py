@@ -40,6 +40,9 @@ from __future__ import annotations
 
 import re
 
+from pyspark.errors.exceptions.base import (
+    PySparkException as _PYSPARK_ERR,
+)
 from pyspark.sql import SparkSession
 from pyspark.sql.types import (ArrayType, DataType, DecimalType, MapType,
                                StructType)
@@ -150,7 +153,7 @@ class _Scope:
     def table_schema(self, name: str):
         try:
             return self.spark.table(name).schema
-        except Exception:
+        except _PYSPARK_ERR:
             return None
 
     def fresh(self, prefix: str) -> str:
@@ -959,7 +962,7 @@ def _probe_elem_type(scope: "_Scope", head: str, expr: str):
         dt = scope.spark.table(tbl).alias(head) \
             .selectExpr(f"{expr} as __p").schema[0].dataType
         return dt.elementType if isinstance(dt, ArrayType) else dt
-    except Exception:  # noqa: BLE001
+    except _PYSPARK_ERR:  # unresolvable path probe
         return None
 
 

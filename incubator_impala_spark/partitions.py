@@ -30,6 +30,9 @@ import os
 import re
 import urllib.parse
 
+from pyspark.errors.exceptions.base import (
+    PySparkException as _PYSPARK_ERR,
+)
 from pyspark.sql import DataFrame
 
 _NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
@@ -202,7 +205,7 @@ def show_partitions(engine, tbl: str) -> DataFrame:
     extrap_on = False
     try:
         extrap_on = engine._extrapolation_enabled(tbl)
-    except Exception:  # noqa: BLE001
+    except (AttributeError, KeyError, _PYSPARK_ERR):  # no registry
         pass
     nrows_stat = getattr(engine, "table_numrows", {}).get(key)
     stat_bytes = getattr(engine, "stats_size", {}).get(key)
@@ -257,7 +260,7 @@ def show_table_stats(engine, tbl: str) -> DataFrame:
     try:
         pcols = [c.name for c in spark.catalog.listColumns(
             tbl.strip('`')) if c.isPartition]
-    except Exception:  # noqa: BLE001
+    except _PYSPARK_ERR:  # not a catalog table
         pcols = []
     if pcols:
         return show_partitions(engine, tbl)

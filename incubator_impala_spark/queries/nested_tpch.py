@@ -30,6 +30,9 @@ DECIMAL(18,2) is exact and order-free.
 
 from __future__ import annotations
 
+from pyspark.errors.exceptions.base import (
+    PySparkException as _PYSPARK_ERR,
+)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -63,13 +66,13 @@ def _materialized(spark: SparkSession, sf_dir: str, tag: str,
     if os.path.exists(marker):
         try:
             return spark.read.parquet(path)
-        except Exception:  # noqa: BLE001
+        except (_PYSPARK_ERR, OSError):  # stale/corrupt cache
             pass
     df = build()
     try:
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
-    except Exception:  # noqa: BLE001
+    except (_PYSPARK_ERR, OSError):  # unwritable cache dir
         return df
 
 QUERIES: dict = {}

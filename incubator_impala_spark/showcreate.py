@@ -26,6 +26,10 @@ from __future__ import annotations
 
 import re
 
+from pyspark.errors.exceptions.base import (
+    PySparkException as _PYSPARK_ERR,
+)
+
 from incubator_impala_spark import dialect
 
 # minimal reserved set that forces quoting in rendered identifiers —
@@ -276,7 +280,7 @@ def _location_of(engine, phys: str) -> str:
                 f"DESCRIBE TABLE EXTENDED {phys}").collect():
             if r.col_name == "Location":
                 return r.data_type
-    except Exception:  # noqa: BLE001
+    except _PYSPARK_ERR:  # non-catalog relation
         pass
     wh = engine.spark.conf.get("spark.sql.warehouse.dir",
                                "spark-warehouse")

@@ -140,7 +140,10 @@ def test_full_acid_original_file(acid_engine):
     eng.hive_sql("alter table alltypes_promoted_nopart set "
                  "tblproperties('EXTERNAL'='FALSE',"
                  "'transactional'='true')")
-    counts = _run_staged_file(eng, "full-acid-original-file", db)
+    try:
+        counts = _run_staged_file(eng, "full-acid-original-file", db)
+    finally:
+        eng.ns.current = None   # staged-db USE must not leak
     assert counts.get("pass", 0) >= 14, dict(counts)
 
 
@@ -212,8 +215,11 @@ def test_acid_row_validation(acid_engine):
         assert not fails, fails
         assert len(blocks) >= floor
 
-    run("0", 2)
-    acid.commit_writeid(eng, "streaming")
-    run("1", 2)
-    acid.commit_writeid(eng, "streaming")
-    run("2", 2)
+    try:
+        run("0", 2)
+        acid.commit_writeid(eng, "streaming")
+        run("1", 2)
+        acid.commit_writeid(eng, "streaming")
+        run("2", 2)
+    finally:
+        eng.ns.current = None   # staged-db USE must not leak
