@@ -1609,7 +1609,10 @@ def prepare(engine, sql_text: str) -> str:
             expand_cols = getattr(engine, "acid_fixture_cols",
                                   {}).get(phys)
     if expand_cols:
-        sql_text = re.sub(r"(?<![\w.`(])\*(?!\w)",
+        # a bare select-list star only (next token is a comma or the
+        # FROM keyword) — never `count(*)` (preceded by a paren) or a
+        # multiplication operator (followed by an operand)
+        sql_text = re.sub(r"(?is)(?<![\w.`(])\*(?=\s*(?:,|from\b))",
                           ", ".join(expand_cols), sql_text)
     return sql_text
 

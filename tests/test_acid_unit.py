@@ -6,6 +6,7 @@ org.apache.hadoop.hive.ql.io.BucketCodec."""
 from __future__ import annotations
 
 import os
+import re
 
 import pytest
 
@@ -111,3 +112,26 @@ def test_compacted_base_dir_grammar(tmp_path):
     data, _, _ = _select_files(t, str(tmp_path))
     assert [r for r, _, _ in data] == \
         ["base_0000003_v0001003/000000_0"]
+
+
+def test_rowid_star_expansion_is_select_list_only():
+    """prepare()'s bare-star expansion must rewrite only select-list
+    stars (Impala's * never expands the hidden row__id), and must not
+    touch count(*) or a multiplication operator."""
+
+    class _Eng:
+        acid_tables = {}
+        acid_shadows = {"streaming": "streaming__acidrowid__"}
+        acid_fixture_quals = {}
+        acid_fixture_cols = {"streaming": ["a", "b"]}
+
+    from incubator_impala_spark import acid
+
+    eng = _Eng()
+    out = acid.prepare(eng, "select row__id.*, * from streaming")
+    assert "streaming__acidrowid__" in out
+    assert re.search(r"row__id\.\*,\s*a, b\s+from", out)
+    out = acid.prepare(
+        eng, "select count(*), row__id.rowid * 2 from streaming")
+    assert "count(*)" in out          # argument star untouched
+    assert "rowid * 2" in out         # operator star untouched
