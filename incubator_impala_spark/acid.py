@@ -206,11 +206,14 @@ def _leaf_dirs(t: AcidTable) -> list:
 
 
 def _select_files(t: AcidTable, leaf: str, hw: int | None = None,
-                  exc: set | None = None):
+                  exc: set | None = None, cap: int | None = None):
     """AcidUtils.filterFilesForAcidState: pick the newest visible
     base, then visible deltas above it, plus originals when no base
     covers them.  Returns (data_files, delete_files, orig_files) as
-    (relpath, writeid_lo, writeid_hi) triples."""
+    (relpath, writeid_lo, writeid_hi) triples.  ``cap`` (compaction
+    only) excludes any delta/delete dir whose range reaches above it —
+    Hive's compactor never consumes a directory that may still hold
+    an open write id."""
     data, deletes, originals = [], [], []
     if not os.path.isdir(leaf):
         return data, deletes, originals
@@ -230,7 +233,7 @@ def _select_files(t: AcidTable, leaf: str, hw: int | None = None,
         m = _DELTA_RE.match(e)
         if m:
             lo, hi = int(m.group(1)), int(m.group(2))
-            if hi > best_w and any(
+            if hi > best_w and (cap is None or hi <= cap) and any(
                     t.visible(w, hw, exc)
                     for w in range(lo, hi + 1)):
                 for f in sorted(os.listdir(p)):
@@ -240,7 +243,7 @@ def _select_files(t: AcidTable, leaf: str, hw: int | None = None,
         m = _DELETE_RE.match(e)
         if m:
             lo, hi = int(m.group(1)), int(m.group(2))
-            if hi > best_w and any(
+            if hi > best_w and (cap is None or hi <= cap) and any(
                     t.visible(w, hw, exc)
                     for w in range(lo, hi + 1)):
                 for f in sorted(os.listdir(p)):
@@ -329,82 +332,114 @@ def _is_wrapped_acid(path: str) -> bool:
 
 def _read_wrapped_acid(engine, t: AcidTable, files: list):
     """Genuine Hive ACID ORC files (wrapper schema) -> the flat
-    column layout.  Spark's ORC reader cannot prune/project the
-    wrapper pattern, so these read via pyarrow — acceptable because
-    such files only enter through externally-staged fixtures (Hive
-    Streaming side-files); every file this engine writes is flat."""
-    import pandas as pd
+    column layout, read DISTRIBUTED: the driver plans one (path) row
+    per file and each executor task decodes its file with pyarrow
+    inside an Arrow-batched ``mapInPandas`` (the `sources/avro_io.py`
+    split pattern) — file bytes never touch the driver.  Spark's ORC
+    reader cannot prune/project the wrapper pattern (OrcUtils
+    column-id mapping), hence the pyarrow decode; the reference runs
+    the same per-row work inside each scanner
+    (be/src/exec/orc/hdfs-orc-scanner.cc row validation)."""
+    cols = list(t.cols)
+    out_schema = _schema_ddl(_ACID_FLAT + cols)
 
-    from pyarrow import orc as pa_orc
+    def _decode(it):
+        import pandas as pd
+        from pyarrow import orc as pa_orc
 
-    frames = []
-    for path in files:
-        pdf = pa_orc.ORCFile(path).read().to_pandas()
-        out = pd.DataFrame({
-            "_acid_operation": pdf["operation"].astype("int32"),
-            "_acid_original_txn": pdf["originalTransaction"],
-            "_acid_bucket": pdf["bucket"].astype("int32"),
-            "_acid_rowid": pdf["rowId"],
-            "_acid_current_txn": pdf["currentTransaction"],
-        })
-        for cname, _ in t.cols:
-            out[cname] = [r.get(cname) if isinstance(r, dict)
-                          else getattr(r, cname, None)
-                          for r in pdf["row"]]
-        frames.append(out)
-    pdf = pd.concat(frames, ignore_index=True)
-    return engine.spark.createDataFrame(
-        pdf, _schema_ddl(_ACID_FLAT + t.cols))
+        for pdf_in in it:
+            for path in pdf_in["path"]:
+                tbl = pa_orc.ORCFile(path).read()
+                grab = {n.lower(): n for n in tbl.column_names}
+                data = {
+                    "_acid_operation":
+                        tbl.column(grab["operation"]).to_pandas(),
+                    "_acid_original_txn":
+                        tbl.column(grab["originaltransaction"])
+                        .to_pandas(),
+                    "_acid_bucket":
+                        tbl.column(grab["bucket"]).to_pandas(),
+                    "_acid_rowid":
+                        tbl.column(grab["rowid"]).to_pandas(),
+                    "_acid_current_txn":
+                        tbl.column(grab["currenttransaction"])
+                        .to_pandas(),
+                }
+                row = tbl.column(grab["row"]).combine_chunks()
+                fields = {row.type.field(i).name.lower(): row.field(i)
+                          for i in range(row.type.num_fields)}
+                for cname, _ in cols:
+                    data[cname] = (fields[cname].to_pandas()
+                                   if cname in fields
+                                   else pd.Series([None] * len(tbl)))
+                yield pd.DataFrame(data)
+
+    paths = engine.spark.createDataFrame(
+        [(p,) for p in files], "path string").repartition(len(files))
+    return paths.mapInPandas(_decode, schema=out_schema)
 
 
 def _read_original_acid(engine, t: AcidTable, leaf: str,
                         origs: list):
     """Original files of a promoted full-ACID table: synthesize the
     ACID columns.  rowId is the row's ordinal within its file — a
-    scanner-side offset in the reference, a per-file ordered read
-    here (original files are bounded: one per pre-upgrade write and
-    folded into a base by the first compaction)."""
-    import pandas as pd
-
-    spark = engine.spark
-    frames = []
+    scanner-side offset in the reference, synthesized here inside the
+    executor task that decodes the file (driver plans one row per
+    file; the per-file ordinal is a range over that task's own read,
+    so a freshly-promoted warehouse scans distributed, one task per
+    pre-upgrade file).  Filename validation stays on the driver so
+    the reference's error surfaces before any job is launched."""
+    paths = []
     for rel, _, _ in origs:
         base = os.path.basename(rel)
-        m = _ORIG_NAME.match(base)
-        if not m:
+        if not _ORIG_NAME.match(base):
             raise ValueError(
                 f"Found original file with unexpected name: "
                 f"{os.path.join(leaf, rel)}")
-        bkt = bucket_code(int(m.group(1)))
-        path = os.path.join(leaf, rel)
-        if t.fmt == "orc" or path.endswith(".orc") or _is_orc(path):
-            from pyarrow import orc as pa_orc
+        paths.append(os.path.join(leaf, rel))
+    cols = list(t.cols)
+    out_schema = _schema_ddl(_ACID_FLAT + cols)
 
-            tbl = pa_orc.ORCFile(path).read()
-        else:
-            import pyarrow.parquet as pq
+    def _decode(it):
+        import pandas as pd
 
-            tbl = pq.read_table(path)
-        pdf = tbl.to_pandas()
-        pdf.columns = [c.lower() for c in pdf.columns]
-        pdf.insert(0, "_acid_current_txn", 0)
-        pdf.insert(0, "_acid_rowid", range(len(pdf)))
-        pdf.insert(0, "_acid_bucket", bkt)
-        pdf.insert(0, "_acid_original_txn", 0)
-        pdf.insert(0, "_acid_operation", 0)
-        frames.append(pdf)
-    pdf = pd.concat(frames, ignore_index=True)
-    return spark.createDataFrame(
-        pdf, _schema_ddl(_ACID_FLAT + t.cols))
+        for pdf_in in it:
+            for path in pdf_in["path"]:
+                with open(path, "rb") as fh:
+                    magic = fh.read(4)
+                if magic[:3] == b"ORC":
+                    from pyarrow import orc as pa_orc
 
+                    tbl = pa_orc.ORCFile(path).read()
+                else:
+                    import pyarrow.parquet as pq
 
-def _is_orc(path: str) -> bool:
-    try:
-        with open(path, "rb") as f:
-            head = f.read(3)
-        return head == b"ORC"
-    except OSError:
-        return False
+                    tbl = pq.read_table(path)
+                grab = {n.lower(): n for n in tbl.column_names}
+                bkt = bucket_code(
+                    int(os.path.basename(path).split("_")[0]))
+                n = len(tbl)
+                data = {
+                    "_acid_operation": pd.Series([0] * n,
+                                                 dtype="int32"),
+                    "_acid_original_txn": pd.Series([0] * n,
+                                                    dtype="int64"),
+                    "_acid_bucket": pd.Series([bkt] * n,
+                                              dtype="int32"),
+                    "_acid_rowid": pd.Series(range(n),
+                                             dtype="int64"),
+                    "_acid_current_txn": pd.Series([0] * n,
+                                                   dtype="int64"),
+                }
+                for cname, _ in cols:
+                    data[cname] = (tbl.column(grab[cname]).to_pandas()
+                                   if cname in grab
+                                   else pd.Series([None] * n))
+                yield pd.DataFrame(data)
+
+    df = engine.spark.createDataFrame(
+        [(p,) for p in paths], "path string").repartition(len(paths))
+    return df.mapInPandas(_decode, schema=out_schema)
 
 
 def _visible_pred(t: AcidTable, col, hw: int, exc: set):
@@ -416,11 +451,12 @@ def _visible_pred(t: AcidTable, col, hw: int, exc: set):
 
 
 def _read_leaf(engine, t: AcidTable, suffix: str, leaf: str,
-               hw: int, exc: set, with_rowid: bool):
+               hw: int, exc: set, with_rowid: bool,
+               cap: int | None = None):
     """One partition leaf -> DataFrame of visible rows (data cols,
     plus row__id first when requested), or None when empty."""
     spark = engine.spark
-    data, deletes, origs = _select_files(t, leaf, hw, exc)
+    data, deletes, origs = _select_files(t, leaf, hw, exc, cap)
     dfs = []
     if t.insert_only:
         files = [os.path.join(leaf, rel) for rel, _, _ in data] + \
@@ -639,8 +675,18 @@ def compact(engine, t: AcidTable, suffix: str | None) -> None:
     """Hive ``ALTER TABLE ... COMPACT 'major' AND WAIT``: merge the
     Hive-visible rows of each (selected) partition into
     base_<zero-padded hw>_v<visibility txn>/ and drop the replaced
-    dirs (the compactor + cleaner in one step)."""
-    hw, exc = t.highwater, set(t.aborted) | set(t.open_txns)
+    dirs (the compactor + cleaner in one step).  Like Hive's
+    compactor, the covered range is capped at min(open write id) - 1:
+    directories whose range reaches an open transaction are neither
+    consumed nor cleaned, so staged-but-uncommitted rows survive and
+    become visible at their later commit."""
+    open_ids = set(t.open_txns)
+    cap = min(open_ids) - 1 if open_ids else t.highwater
+    if open_ids and cap < 1:
+        # every write id is still open — nothing is compactable
+        t.dirty = True
+        return
+    hw, exc = cap, {a for a in t.aborted if a <= cap}
     vtxn = 1000 + t.highwater
     leaves = [(s, d) for s, d in _leaf_dirs(t)
               if suffix is None or s == suffix]
@@ -648,7 +694,7 @@ def compact(engine, t: AcidTable, suffix: str | None) -> None:
         if not os.path.isdir(leaf):
             continue
         df = _read_leaf(engine, t, s, leaf, hw, exc,
-                        with_rowid=not t.insert_only)
+                        with_rowid=not t.insert_only, cap=cap)
         ddir = f"base_{hw:07d}_v{vtxn:07d}"
         dest = os.path.join(leaf, ddir)
         tmp = os.path.join(leaf, "_tmp_compact")
@@ -672,15 +718,23 @@ def compact(engine, t: AcidTable, suffix: str | None) -> None:
             _move_leaf_files(tmp, dest)
             shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(dest, exist_ok=True)
-        # the cleaner: drop every replaced base/delta/original
+        # the cleaner: drop only REPLACED dirs (range wholly <= cap);
+        # dirs holding open write ids stay on disk
         for e in list(os.listdir(leaf)):
             p = os.path.join(leaf, e)
             if e == ddir:
                 continue
-            if _DELTA_RE.match(e) or _DELETE_RE.match(e) \
-                    or _BASE_RE.match(e):
-                shutil.rmtree(p, ignore_errors=True)
-            elif os.path.isfile(p) and not e.startswith((".", "_")):
+            m = _DELTA_RE.match(e) or _DELETE_RE.match(e)
+            if m:
+                if int(m.group(2)) <= cap:
+                    shutil.rmtree(p, ignore_errors=True)
+                continue
+            m = _BASE_RE.match(e)
+            if m:
+                if int(m.group(1)) <= cap:
+                    shutil.rmtree(p, ignore_errors=True)
+                continue
+            if os.path.isfile(p) and not e.startswith((".", "_")):
                 os.remove(p)
     t.has_originals = False
     t.dirty = True
@@ -981,6 +1035,13 @@ def _create(engine, sql_text: str, insert_only: bool, hive: bool):
     fmt = fmt or "text"    # Impala's default table format
     ctas_body = m.group("ctas")
     if ctas_body is not None:
+        if not insert_only and not hive:
+            # CTAS is an INSERT under analysis; the reference rejects
+            # it on full-ACID targets before creating the table
+            # (InsertStmt.ensureTableNotFullAcid)
+            raise ValueError(
+                "AnalysisException: INSERT not supported on full "
+                f"transactional (ACID) table: {display}")
         body = re.sub(r"(?is)^\s*AS\b", "", ctas_body).strip()
         df = engine.spark.sql(engine.translate(body))
         pnames = [p.strip().strip("`").lower()
@@ -1001,7 +1062,8 @@ def _create(engine, sql_text: str, insert_only: bool, hive: bool):
             _engine_commit(t, w)
         n = df.count()
         write_rows(engine, t, df.select(
-            *[c for c, _ in cols + pcols]), w, overwrite=False)
+            *[c for c, _ in cols + pcols]), w, overwrite=False,
+            acid_cols=not t.insert_only)
         refresh_views(engine)
         return _summary(engine, f"Inserted {n} row(s)")
     cols = _parse_cols(m.group("cols"))
@@ -1359,7 +1421,7 @@ def hive_sql(engine, stmt: str):
         # (0000NN_0, _copy_M on collision) straight into the table
         # directory — the original-file layout a later ACID upgrade
         # inherits (acid-negative's test_promotion_fail shape)
-        return _hive_plain_insert(engine, m)
+        return _hive_plain_insert(engine, m, stmt)
     return engine.sql(stmt)
 
 
@@ -1458,16 +1520,17 @@ def _hive_update(engine, t: AcidTable, sets: str,
     return _summary(engine, "Updated rows.")
 
 
-def _hive_plain_insert(engine, m: re.Match):
+def _hive_plain_insert(engine, m: re.Match, stmt: str):
     """Hive INSERT into a non-ACID table: write Hive-named files
     (0000NN_0 / _copy_M) into the table's directory so a later ACID
     upgrade sees them as original files."""
     spark = engine.spark
     tbl = m.group("tbl")
     if not spark.catalog.tableExists(tbl):
-        return engine.sql(
-            f"insert {m.group('mode').lower()} {tbl} "
-            f"{m.group('body') or ''}")
+        # non-catalog target (temp-view-backed): hand the ORIGINAL
+        # statement to engine.sql verbatim — reassembling it from
+        # match groups would drop PARTITION clauses / column lists
+        return engine.sql(stmt)
     from incubator_impala_spark import dialect
 
     body = m.group("body") or "select 1"
@@ -1569,6 +1632,81 @@ def _promote(engine, raw: str, props: dict):
 # ---------------------------------------------------------------------
 
 _ROWID_REF = re.compile(r"(?i)\brow__id\b")
+_LIT_RE = re.compile(r"'(?:[^']|'')*'|--[^\n]*")
+_BARE_STAR = re.compile(r"(?is)(?<![\w.`(])\*(?=\s*(?:,|from\b))")
+_CLAUSE_KW = ("where", "group", "having", "order", "limit",
+              "union", "intersect", "except")
+
+
+def _mask_literals(sql: str):
+    """Swap string literals / -- comments for placeholders so the
+    relation-name substitution and star expansion never rewrite text
+    inside them."""
+    lits: list = []
+
+    def rep(m):
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    return _LIT_RE.sub(rep, sql), lits
+
+
+def _unmask(sql: str, lits: list) -> str:
+    return re.sub(r"\x00(\d+)\x00",
+                  lambda m: lits[int(m.group(1))], sql)
+
+
+def _from_region(sql: str, pos: int) -> str:
+    """The FROM-clause region governing the select-list position
+    ``pos``: scan forward at the star's paren depth to its FROM
+    keyword, then capture until the enclosing scope closes or a
+    top-level clause keyword starts."""
+    depth, i, n = 0, pos, len(sql)
+    start = None
+    while i < n:
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return sql[start:i] if start is not None else ""
+        elif depth == 0 and c.isalpha():
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            word = sql[i:j].lower()
+            boundary = i == 0 or not (sql[i - 1].isalnum()
+                                      or sql[i - 1] in "_.`")
+            if boundary and start is None and word == "from":
+                start = j
+            elif boundary and start is not None \
+                    and word in _CLAUSE_KW:
+                return sql[start:i]
+            i = j
+            continue
+        i += 1
+    return sql[start:] if start is not None else ""
+
+
+def _expand_stars(sql: str, swapped: list) -> str:
+    """Expand each bare select-list star (next token a comma or FROM
+    — never ``count(*)`` or a multiplication operator) whose OWN
+    from-clause references exactly one swapped shadow relation, using
+    that relation's data columns; any other star is left alone
+    (Impala's ``*`` never expands the hidden row__id)."""
+    out, last = [], 0
+    for m in _BARE_STAR.finditer(sql):
+        region = _from_region(sql, m.end())
+        hits = [cols for shadow, cols in swapped
+                if cols and re.search(
+                    rf"(?i)(?<![\w.`]){re.escape(shadow)}(?![\w.])",
+                    region)]
+        out.append(sql[last:m.start()])
+        out.append(", ".join(hits[0]) if len(hits) == 1 else "*")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 def prepare(engine, sql_text: str) -> str:
@@ -1576,45 +1714,45 @@ def prepare(engine, sql_text: str) -> str:
     statement references the synthetic ``row__id`` column, swap each
     full-ACID relation for its row__id-bearing shadow view (Impala
     exposes row__id as a hidden virtual column — ``*`` never expands
-    it, so bare stars are expanded to the data columns here)."""
+    it, so bare stars over a swapped relation are expanded to the
+    data columns here).  String literals and comments are masked for
+    the whole pass, and star expansion is scoped to the select list
+    whose FROM clause actually references a swapped relation."""
     if any(t.dirty for t in registry(engine).values()):
         refresh_views(engine)
-    if not _ROWID_REF.search(sql_text):
+    masked, lits = _mask_literals(sql_text)
+    if not _ROWID_REF.search(masked):
         return sql_text
     shmap = shadows(engine)
     if not shmap:
         return sql_text
-    expand_cols = None
+    swapped = []
     for phys, shadow in shmap.items():
         t = registry(engine).get(phys)
         spellings = [phys]
         if t is not None:
             spellings.append(t.display)
-            base = t.display.split(".")[-1]
-            spellings.append(base)
-            for q in getattr(engine, "acid_fixture_quals",
-                             {}).get(phys, []):
-                spellings.append(q)
-        new = None
+            spellings.append(t.display.split(".")[-1])
+        for q in getattr(engine, "acid_fixture_quals",
+                         {}).get(phys, []):
+            spellings.append(q)
+        hit = False
         for sp in sorted(set(spellings), key=len, reverse=True):
             pat = re.compile(
                 rf"(?i)(?<![\w.`]){re.escape(sp)}(?![\w.])")
-            new_text = pat.sub(shadow, sql_text)
-            if new_text != sql_text:
-                sql_text = new_text
-                new = shadow
-        if new is not None and t is not None:
-            expand_cols = [c for c, _ in t.cols + t.pcols]
-        elif new is not None:
-            expand_cols = getattr(engine, "acid_fixture_cols",
-                                  {}).get(phys)
-    if expand_cols:
-        # a bare select-list star only (next token is a comma or the
-        # FROM keyword) — never `count(*)` (preceded by a paren) or a
-        # multiplication operator (followed by an operand)
-        sql_text = re.sub(r"(?is)(?<![\w.`(])\*(?=\s*(?:,|from\b))",
-                          ", ".join(expand_cols), sql_text)
-    return sql_text
+            new_text = pat.sub(shadow, masked)
+            if new_text != masked:
+                masked = new_text
+                hit = True
+        if hit:
+            cols = ([c for c, _ in t.cols + t.pcols]
+                    if t is not None
+                    else getattr(engine, "acid_fixture_cols",
+                                 {}).get(phys))
+            swapped.append((shadow, cols))
+    if swapped:
+        masked = _expand_stars(masked, swapped)
+    return _unmask(masked, lits)
 
 
 # ---------------------------------------------------------------------

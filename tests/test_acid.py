@@ -175,6 +175,160 @@ def _run_staged_file(eng, name: str, db: str) -> dict:
     return counts
 
 
+def test_compaction_preserves_open_write_ids(acid_engine):
+    """Hive compaction only covers committed write ids below the
+    minimum OPEN id: a staged streaming delta with an open txn must
+    survive the compactor's cleaner and become visible at commit."""
+    from incubator_impala_spark import acid
+
+    eng = acid_engine
+    db = "qacid_compactopen"
+    eng.sql(f"drop database if exists {db} cascade")
+    eng.sql(f"create database {db}")
+    eng.ns.current = db
+    try:
+        eng.sql("create table opencomp (i int) stored as orc "
+                "tblproperties('transactional'='true')")
+        eng.hive_sql("insert into opencomp values (1)")  # wid 1
+        eng.sql("refresh opencomp")
+        t = acid.lookup(eng, "opencomp")
+        # stage an engine-format delta for wid 2 and leave it OPEN
+        w = acid._alloc(t)
+        assert w == 2
+        acid.write_rows(eng, t, eng.spark.sql("select 2 as i"), w,
+                        overwrite=False, acid_cols=True)
+        t.open_txns.add(w)
+        t.dirty = True
+        eng.hive_sql("alter table opencomp compact 'major' and wait")
+        entries = sorted(os.listdir(t.location))
+        # base caps at wid 1; the open wid-2 delta is NOT cleaned
+        assert any(e.startswith("base_0000001") for e in entries), \
+            entries
+        assert any(e.startswith("delta_2_2") for e in entries), \
+            entries
+        acid.commit_writeid(eng, "opencomp")
+        eng.sql("refresh opencomp")
+        got = sorted(r["i"] for r in
+                     eng.sql("select i from opencomp").collect())
+        assert got == [1, 2]
+    finally:
+        eng.sql(f"drop database if exists {db} cascade")
+        eng.ns.current = None
+
+
+def test_full_acid_ctas_rejected_engine_side(acid_engine):
+    """CTAS into a full-ACID table is an INSERT under analysis; the
+    reference rejects it (InsertStmt.ensureTableNotFullAcid) and no
+    table is created.  A Hive-side full-ACID CTAS works and its rows
+    carry real (non-null) row__id values."""
+    from incubator_impala_spark import acid
+
+    eng = acid_engine
+    db = "qacid_ctasfull"
+    eng.sql(f"drop database if exists {db} cascade")
+    eng.sql(f"create database {db}")
+    eng.ns.current = db
+    try:
+        with pytest.raises(ValueError, match="full transactional"):
+            eng.sql("create table ctasfull stored as orc "
+                    "tblproperties('transactional'='true') "
+                    "as select 1 as i")
+        assert acid.lookup(eng, "ctasfull") is None
+        eng.hive_sql("create table ctashive stored as orc "
+                     "tblproperties('transactional'='true') "
+                     "as select 7 as i")
+        eng.sql("refresh ctashive")
+        rows = eng.sql("select row__id.currenttransaction as ct, i "
+                       "from ctashive").collect()
+        assert [(r["ct"], r["i"]) for r in rows] == [(1, 7)]
+    finally:
+        eng.sql(f"drop database if exists {db} cascade")
+        eng.ns.current = None
+
+
+def test_distributed_acid_scan_no_driver_pandas(acid_engine,
+                                                monkeypatch,
+                                                tmp_path):
+    """The genuine-Hive read paths (promoted original files, Hive
+    Streaming wrapper side-files) must scan DISTRIBUTED: 50 original
+    files + 2 wrapper-schema side-files, with the driver's
+    ``createDataFrame`` spied to reject any pandas DataFrame — the
+    scan plans path rows only, and every file decodes inside a
+    ``MapInPandas`` executor task (the reference decodes per scanner:
+    be/src/exec/orc/hdfs-orc-scanner.cc)."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    from incubator_impala_spark import acid
+
+    eng = acid_engine
+    loc = str(tmp_path / "bigstage")
+    os.makedirs(loc, exist_ok=True)
+    n_orig, per_file = 50, 10
+    for i in range(n_orig):
+        ids = list(range(i * per_file, (i + 1) * per_file))
+        pa_orc.write_table(
+            pa.table({"id": pa.array(ids, pa.int32()),
+                      "v": pa.array([f"v{x}" for x in ids])}),
+            os.path.join(loc, f"{i:06d}_0"))
+    base = n_orig * per_file
+    for k, wid in enumerate((51, 52)):
+        ids = list(range(base + k * per_file,
+                         base + (k + 1) * per_file))
+        row = pa.StructArray.from_arrays(
+            [pa.array(ids, pa.int32()),
+             pa.array([f"v{x}" for x in ids])], names=["id", "v"])
+        d = os.path.join(loc, f"delta_{wid}_{wid}")
+        os.makedirs(d, exist_ok=True)
+        pa_orc.write_table(
+            pa.table({"operation": pa.array([0] * per_file,
+                                            pa.int32()),
+                      "originalTransaction": pa.array(
+                          [wid] * per_file, pa.int64()),
+                      "bucket": pa.array([536870912] * per_file,
+                                         pa.int32()),
+                      "rowId": pa.array(range(per_file), pa.int64()),
+                      "currentTransaction": pa.array(
+                          [wid] * per_file, pa.int64()),
+                      "row": row}),
+            os.path.join(d, "streaming.orc"))
+    t = acid._register(eng, "bigstage", "bigstage", None,
+                       [("id", "int"), ("v", "string")], [],
+                       insert_only=False, fmt="orc", location=loc)
+    t.has_originals = True
+    t.highwater = 52
+    acid._refresh_snapshot(t)
+
+    real = eng.spark.createDataFrame
+
+    def spy(data, *a, **kw):
+        assert not isinstance(data, pd.DataFrame), (
+            "pandas DataFrame funneled through the driver on the "
+            "ACID scan path")
+        return real(data, *a, **kw)
+
+    monkeypatch.setattr(eng.spark, "createDataFrame", spy,
+                        raising=False)
+    try:
+        acid.refresh_views(eng)
+        df = eng.spark.table("bigstage")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        assert df.count() == n_orig * per_file + 2 * per_file
+        rid = acid.build_view(eng, t, with_rowid=True)
+        r = rid.filter("id = 123").collect()[0]
+        # file 12, ordinal 3, original write id 0
+        assert r["row__id"]["bucket"] == acid.bucket_code(12)
+        assert r["row__id"]["rowid"] == 3
+        assert r["row__id"]["originaltransaction"] == 0
+        s = rid.filter(f"id = {base + 1}").collect()[0]
+        assert s["row__id"]["currenttransaction"] == 51
+    finally:
+        monkeypatch.undo()
+        acid._drop(eng, t)
+
+
 @pytest.mark.skipif(not os.path.isdir(QT_DIR),
                     reason="reference workload texts not present")
 def test_acid_row_validation(acid_engine):

@@ -114,6 +114,68 @@ def test_compacted_base_dir_grammar(tmp_path):
         ["base_0000003_v0001003/000000_0"]
 
 
+class _PrepEng:
+    def __init__(self, shadows_map, cols_map):
+        self.acid_tables = {}
+        self.acid_shadows = shadows_map
+        self.acid_fixture_quals = {}
+        self.acid_fixture_cols = cols_map
+
+
+def test_rowid_swap_masks_string_literals():
+    """Relation-name substitution and the row__id trigger must not
+    fire inside string literals or -- comments."""
+    from incubator_impala_spark import acid
+
+    eng = _PrepEng({"streaming": "streaming__acidrowid__"},
+                   {"streaming": ["a", "b"]})
+    out = acid.prepare(
+        eng, "select row__id.rowid, 'streaming is a word' "
+             "from streaming")
+    assert "'streaming is a word'" in out
+    assert "from streaming__acidrowid__" in out
+    # row__id only inside a literal: statement untouched
+    sql = "select 'row__id' from streaming"
+    assert acid.prepare(eng, sql) == sql
+    # table spelling only inside a comment: no swap
+    sql = "select row__id.rowid from other_tbl -- streaming"
+    assert acid.prepare(eng, sql) == sql
+
+
+def test_rowid_star_expansion_scoped_to_acid_from_clause():
+    """A bare star whose OWN from clause does not reference the
+    swapped relation (subquery / union branch over another table)
+    must stay a star; stars over the swapped relation expand to that
+    relation's data columns."""
+    from incubator_impala_spark import acid
+
+    eng = _PrepEng({"streaming": "streaming__acidrowid__"},
+                   {"streaming": ["a", "b"]})
+    out = acid.prepare(
+        eng, "select row__id.rowid from streaming where a in "
+             "(select * from other_rel)")
+    assert "select * from other_rel" in out
+    out = acid.prepare(
+        eng, "select * from other_rel union all "
+             "select row__id.rowid, * from streaming")
+    assert "select * from other_rel" in out
+    assert re.search(r"row__id\.rowid,\s*a, b\s+from", out)
+
+
+def test_rowid_star_expansion_per_relation():
+    """Two swapped ACID relations in one statement: each star expands
+    with ITS relation's columns (not last-match-wins)."""
+    from incubator_impala_spark import acid
+
+    eng = _PrepEng({"t1": "t1__acidrowid__", "t2": "t2__acidrowid__"},
+                   {"t1": ["x"], "t2": ["y", "z"]})
+    out = acid.prepare(
+        eng, "select *, row__id.rowid from t1 union all "
+             "select *, row__id.rowid from t2 order by 1")
+    assert re.search(r"x,\s*row__id\.rowid\s+from t1__", out)
+    assert re.search(r"y, z,\s*row__id\.rowid\s+from t2__", out)
+
+
 def test_rowid_star_expansion_is_select_list_only():
     """prepare()'s bare-star expansion must rewrite only select-list
     stars (Impala's * never expands the hidden row__id), and must not
