@@ -2034,9 +2034,15 @@ def rewrite_create_default_text(sql: str) -> str:
               "nullValue='\\\\N')")
 
 
-def translate(sql: str, macros: dict | None = None, now=None) -> str:
+def translate(sql: str, macros: dict | None = None, now=None,
+              decimal_v2: bool = True) -> str:
     """Full Impala→Spark translation pipeline. `now` feeds the FORMAT
-    clause's century-inference rules (NOW_STRING query option)."""
+    clause's century-inference rules (NOW_STRING query option).
+    ``decimal_v2=False`` selects the reference's legacy DECIMAL V1
+    cast semantics: decimal→integer casts TRUNCATE
+    (decimal-operators-ir.cc CAST_DECIMAL_TO_INT `is_decimal_v2 ?
+    ROUND : TRUNCATE`) — Spark's native behavior, so the rounding
+    rewrite is simply skipped."""
     stmt = translate_statement(sql)
     if stmt is not None:
         return stmt
@@ -2068,7 +2074,8 @@ def translate(sql: str, macros: dict | None = None, now=None) -> str:
     sql = rewrite_values_aliases(sql)
     sql = rewrite_interval_expr(sql)
     sql = rewrite_char_casts(sql)
-    sql = rewrite_decimal_int_casts(sql)
+    if decimal_v2:
+        sql = rewrite_decimal_int_casts(sql)
     sql = clamp_offset(sql)
     sql = rewrite_postfix_factorial(sql)
     sql = rewrite_posix_classes(sql)

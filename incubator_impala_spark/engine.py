@@ -290,6 +290,14 @@ class Engine:
         # CBO only needs the estimate's scale, so the JVM path is the
         # right default for a 100 TB COMPUTE STATS.
         self.exact_ndv = False
+        # DECIMAL_V2 (query-options.h, default true): False selects
+        # the legacy V1 CAST semantics — decimal→int truncates
+        # (Spark native) instead of the V2 rounding rewrite. V1's
+        # division/avg RESULT TYPING (smaller scale, last-digit
+        # truncation) is not emulated — documented DIALECT.md
+        # narrowing; the tpcds legacy corpus value-verifies against
+        # a V1-cast-adjusted DuckDB oracle regardless.
+        self.decimal_v2 = True
         # ABORT_ON_ERROR / STRICT_MODE (query-options.h): scan-error
         # contract over checked tables (scan_errors.py) — abort raises
         # the reference-shaped message, continue skips/NULLs bad data
@@ -309,7 +317,8 @@ class Engine:
     def translate(self, sql_text: str) -> str:
         """Impala SQL → Spark SQL (dialect shim only, no execution)."""
         macros = MACROS if self.exact_ndv else MACROS_SCALE
-        return dialect.translate(sql_text, macros, now=self.now)
+        return dialect.translate(sql_text, macros, now=self.now,
+                                 decimal_v2=self.decimal_v2)
 
     def set_option(self, name: str, value: str) -> bool:
         """Impala SET <option>=<value> (118 options,
@@ -373,6 +382,10 @@ class Engine:
             return True
         if key == "exact_ndv":
             self.exact_ndv = str(value).strip().strip("'\"") \
+                .lower() in ("1", "true")
+            return True
+        if key == "decimal_v2":
+            self.decimal_v2 = str(value).strip().strip("'\"") \
                 .lower() in ("1", "true")
             return True
         if key == "alter_schema_in_place":

@@ -45,7 +45,7 @@ from pyspark.errors.exceptions.base import (
 )
 from pyspark.sql import SparkSession
 from pyspark.sql.types import (ArrayType, DataType, DecimalType, MapType,
-                               StructType)
+                               StructField, StructType)
 
 _IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
 _PATH_ITEM = re.compile(
@@ -945,6 +945,13 @@ def _resolve_rel_array(scope: "_Scope", path: str):
     steps, final_t = _collect_steps(head, entry, segs[1:])
     if final_t is None or len(steps) != 1:
         return None
+    if isinstance(final_t, MapType):
+        # a relative MAP collection enters the HOF machinery as its
+        # entry array (key/value struct elements) — Spark rejects a
+        # correlated MAP-type reference outright
+        # (UNSUPPORTED_CORRELATED_REFERENCE_DATA_TYPE), but the
+        # row-local map_entries array needs no decorrelation at all
+        return head, f"map_entries({steps[0][1]})", ["key", "value"]
     if not isinstance(final_t, ArrayType) \
             or not isinstance(final_t.elementType, StructType):
         return None
@@ -1170,6 +1177,11 @@ def _resolve_rel_array2(scope: "_Scope", path: str):
     steps, final_t = _collect_steps(head, entry, segs[1:])
     if final_t is None or len(steps) != 1:
         return None
+    if isinstance(final_t, MapType):
+        # see _resolve_rel_array: MAP collection -> entry array
+        et = StructType([StructField("key", final_t.keyType, False),
+                         StructField("value", final_t.valueType)])
+        return head, f"map_entries({steps[0][1]})", ["key", "value"], et
     if not isinstance(final_t, ArrayType) \
             or not isinstance(final_t.elementType, StructType):
         return None
@@ -1227,6 +1239,14 @@ def _lambda_refs(text: str, amap: dict) -> str | None:
 _OVER_RE = re.compile(
     r"(?is)^\s*(count|sum|avg|min|max)\s*\((.*?)\)\s*over\s*"
     r"\(\s*(?:partition\s+by\s+(.+?))?\s*\)\s*$")
+
+# row_number() over an ORDER BY of the collection's own fields — a
+# row-local ranking: sort the tuple array by the spec, then number by
+# the index-aware transform lambda (no partition clause: the window
+# spans the one row's collection)
+_RN_OVER_RE = re.compile(
+    r"(?is)^\s*row_number\s*\(\s*\)\s*over\s*"
+    r"\(\s*order\s+by\s+(.+?)\s*\)\s*$")
 
 
 def _sel_items(sel: str) -> list[tuple[str, str | None]]:
@@ -1340,12 +1360,31 @@ def _single_tuple_array(scope: "_Scope", cl: dict,
         return None
 
     var = scope.fresh("__sv")
+    idx = None
+    rn_specs = {m.group(1).strip().lower()
+                for m in (_RN_OVER_RE.match(e) for e, _ in items) if m}
+    if rn_specs:
+        if len(rn_specs) != 1:
+            return None
+        va, vb = scope.fresh("__sa"), scope.fresh("__sb")
+        cmp_ = _order_comparator(next(iter(rn_specs)), alias, fields,
+                                 va, vb)
+        if cmp_ is None:
+            return None
+        arr_f = f"array_sort({arr_f}, ({va}, {vb}) -> {cmp_})"
+        idx = scope.fresh("__sx")
     pairs, names = [], []
     for k, (expr, oname) in enumerate(items):
         if expr.strip() == "*":
             for f in fields:
                 pairs.append(f"'{f}', {var}.{f}")
                 names.append(f)
+            continue
+        rm = _RN_OVER_RE.match(expr)
+        if rm:
+            name = oname or f"__c{k}"
+            pairs.append(f"'{name}', cast({idx} + 1 as bigint)")
+            names.append(name)
             continue
         om = _OVER_RE.match(expr)
         if om:
@@ -1375,7 +1414,8 @@ def _single_tuple_array(scope: "_Scope", cl: dict,
                          else f"__c{k}")
         pairs.append(f"'{name}', {ex}")
         names.append(name)
-    out = f"transform({arr_f}, {var} -> named_struct({', '.join(pairs)}))"
+    lam = (f"({var}, {idx}) ->" if idx is not None else f"{var} ->")
+    out = f"transform({arr_f}, {lam} named_struct({', '.join(pairs)}))"
     if cl["distinct"]:
         out = f"array_distinct({out})"
     if cl["limit"]:

@@ -1035,6 +1035,7 @@ _OPT_ATTRS = {
     "parquet_array_resolution": ["parquet_array_res"],
     "explain_level": ["explain_level"],
     "exact_ndv": ["exact_ndv"],
+    "decimal_v2": ["decimal_v2"],
     "abort_on_error": ["abort_on_error"],
     "strict_mode": ["strict_mode"],
     "compression_codec": ["compression_codec"],
@@ -1262,8 +1263,11 @@ def _run_one(engine, b: Block, rewrite, table_rewrites,
         return BlockResult(b.index, "skip", "non-query-statement")
     if any(re.match(r"(?i)set\s+decimal_v2\s*=\s*(false|0)", s)
            for s in stmts):
-        # DECIMAL V1 is the reference's deprecated legacy mode; this
-        # engine implements V2 semantics only (DIALECT.md)
+        # DECIMAL V1 is the reference's deprecated legacy mode; the
+        # engine's V1 mode covers CAST truncation (SET DECIMAL_V2=0,
+        # tpcds legacy-corpus oracle tier), but these functional
+        # blocks pin V1's division/avg RESULT TYPING (smaller scales,
+        # last-digit truncation) which stays out of scope (DIALECT.md)
         return BlockResult(b.index, "skip", "decimal-v1-legacy")
     if re.search(r"\b(pid|coordinator|current_session|sleep)\s*\(",
                  b.query, re.IGNORECASE):

@@ -55,6 +55,10 @@ ORACLE_REWRITES = {
         (r",b_street_number desc", ",cs1.b_street_number desc"),
         (r",b_street_name desc", ",cs1.b_street_name desc"),
         (r",b_zip desc", ",cs1.b_zip desc")],
+    "tpcds-q64": [
+        (r",b_street_number desc", ",cs1.b_street_number desc"),
+        (r",b_street_name desc", ",cs1.b_street_name desc"),
+        (r",b_zip desc", ",cs1.b_zip desc")],
     "tpcds-decimal_v2-q72": [
         (r"w_warehouse_name, d_week_seq",
          "w_warehouse_name, d1.d_week_seq")],
@@ -217,11 +221,67 @@ def rewrite_between_compound(sql: str) -> str:
             return sql
 
 
-def oracle_text(name: str, sql: str) -> str:
-    """The reference query text adapted to DuckDB (module doc)."""
+def rewrite_int_casts_trunc(sql: str) -> str:
+    """DECIMAL V1 oracle adaptation: Impala V1 TRUNCATES decimal→int
+    casts (decimal-operators-ir.cc CAST_DECIMAL_TO_INT with
+    is_decimal_v2=false) while DuckDB's cast ROUNDS — so for the
+    legacy (non-decimal_v2) tpcds corpus the oracle wraps the cast
+    argument in trunc().  Same detection as the engine's V2 rewrite
+    (dialect.rewrite_decimal_int_casts): a cast-to-integer whose
+    argument holds a top-level `/` (the decimal-division idiom)."""
+    from incubator_impala_spark.dialect import (
+        _CAST_OPEN,
+        _INT_CAST_TAIL,
+        _has_top_level_div,
+    )
+
+    out, pos = [], 0
+    while True:
+        m = _CAST_OPEN.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        depth, j = 0, m.end() - 1
+        while j < len(sql):
+            c = sql[j]
+            if c == "'":
+                j += 1
+                while j < len(sql) and sql[j] != "'":
+                    j += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        inner = sql[m.end():j]
+        tail = _INT_CAST_TAIL.search(inner)
+        if tail is None or not _has_top_level_div(inner[:tail.start()]):
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        expr = rewrite_int_casts_trunc(inner[:tail.start()])
+        ty = tail.group(1).lower()
+        ty = "int" if ty == "integer" else ty
+        out.append(sql[pos:m.start()])
+        out.append(f"cast(trunc({expr}) as {ty})")
+        pos = j + 1
+
+
+def oracle_text(name: str, sql: str, decimal_v2: bool = True) -> str:
+    """The reference query text adapted to DuckDB (module doc).
+    ``decimal_v2=False`` additionally applies the V1 cast-truncation
+    adaptation (rewrite_int_casts_trunc)."""
     sql = re.sub(r"`([^`]*)`", r'"\1"', sql)
+    # Impala spells semi joins LEFT/RIGHT SEMI; DuckDB's grammar is
+    # the bare SEMI/ANTI join (tpcds-q8's unofficial semi variant)
+    sql = re.sub(r"(?i)\bleft\s+(semi|anti)\s+join\b", r"\1 join",
+                 sql)
     for pat, rep in ORACLE_REWRITES.get(name, []):
         sql = re.sub(pat, rep, sql)
+    if not decimal_v2:
+        sql = rewrite_int_casts_trunc(sql)
     return rewrite_between_compound(sql)
 
 

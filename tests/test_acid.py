@@ -55,10 +55,11 @@ FILES: dict[str, tuple] = {
     "acid-profile": (1, {}),
     "full-acid-scans": (12, {}),
     "full-acid-rowid": (15, {}),
-    # block 14: relative map ref inside a correlated inline view with
-    # a window fn — Spark's analyzer rejects correlated MAP-type
-    # column references (UNSUPPORTED_CORRELATED_REFERENCE_DATA_TYPE)
-    "full-acid-complex-type-scans": (14, {14: "analyzer"}),
+    # block 14 (r11): the correlated MAP ref translates row-locally —
+    # map_entries + array_sort + index-aware transform (Spark's
+    # analyzer would reject the decorrelated MAP reference, but the
+    # HOF form never decorrelates)
+    "full-acid-complex-type-scans": (15, {}),
 }
 
 STRICT_CATCH = {"acid-negative", "acid-insert-fail"}

@@ -202,3 +202,27 @@ def test_decimal_v2_int_cast_rounds(spark):
     # narrowing) and never break analysis
     assert translate("select cast(x as int) from t") \
         == "select cast(x as int) from t"
+
+
+def test_decimal_v1_int_cast_truncates(spark):
+    """DECIMAL_V2=0 (legacy V1): decimal→int casts TRUNCATE
+    (decimal-operators-ir.cc `is_decimal_v2 ? ROUND : TRUNCATE`) —
+    translate skips the rounding rewrite so Spark's native truncation
+    applies; the DuckDB oracle side gets the matching trunc()
+    adaptation (tpcds legacy corpus, r11)."""
+    import duckdb
+
+    from incubator_impala_spark.dialect import translate
+    from incubator_impala_spark.testing.tpcds_oracle import (
+        rewrite_int_casts_trunc,
+    )
+
+    src = ("select cast((cast(0.98 as decimal(5,2))/1) as int) a, "
+           "cast((cast(-0.98 as decimal(5,2))/1) as int) b, "
+           "cast((cast(2.5 as decimal(5,2))/1) as int) c")
+    q = translate(src, decimal_v2=False)
+    assert "round(" not in q.lower()
+    row = spark.sql(q).collect()[0]
+    assert (row.a, row.b, row.c) == (0, 0, 2)
+    drow = duckdb.sql(rewrite_int_casts_trunc(src)).fetchone()
+    assert drow == (0, 0, 2)

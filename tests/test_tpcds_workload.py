@@ -68,16 +68,27 @@ VALUE_FILES = [
 _VALUE_SET = {(d, n) for d, n in VALUE_FILES}
 
 # execution tier: the full decimal_v2 corpus + the official
-# (unmodified) texts. The legacy-decimal tpcds-q*.test twins under
-# tpcds/queries are the same statements as decimal_v2 modulo DECIMAL
-# V1 result typing — running them would double the tier for no new
-# surface.
+# (unmodified) texts.
 _EXEC_FILES = sorted(
     ({(TPCDS_DIR, os.path.basename(p)[:-5])
       for p in glob.glob(f"{TPCDS_DIR}/tpcds-decimal_v2-*.test")}
      | {(UNMOD_DIR, os.path.basename(p)[:-5])
         for p in glob.glob(f"{UNMOD_DIR}/tpcds-q*.test")})
     - _VALUE_SET)
+
+# legacy-decimal tier (r11): the tpcds-q*.test twins under
+# tpcds/queries — the reference runs these with DECIMAL_V2=0. The
+# query statements match the decimal_v2 twins; the recorded RESULTS
+# differ in V1 result typing (division/avg display scale, and
+# TRUNCATING decimal→int casts where V2 rounds). Oracle-verified
+# with the engine in V1 mode (SET DECIMAL_V2=0 — the V2 cast-rounding
+# rewrite is skipped, so Spark's native truncation IS V1) against a
+# V1-adjusted DuckDB oracle (rewrite_int_casts_trunc; DuckDB's own
+# cast rounds). V1 division/avg display-scale truncation is invisible
+# to the float-tolerant compare and not emulated (DIALECT.md).
+_LEGACY_FILES = sorted(
+    os.path.basename(p)[:-5]
+    for p in glob.glob(f"{TPCDS_DIR}/tpcds-q*.test"))
 
 
 @pytest.fixture(scope="module")
@@ -185,6 +196,41 @@ def test_tpcds_query_oracle(tpcds_engine, tpcds_duck, dirname):
         assert not probs, f"{name}: {probs}"
         ran += 1
     assert ran >= 1, f"{name}: no runnable blocks"
+
+
+@pytest.mark.skipif(not os.path.isdir(TPCDS_DIR),
+                    reason="reference workload texts not present")
+@pytest.mark.parametrize("name", _LEGACY_FILES, ids=str)
+def test_tpcds_query_oracle_decimal_v1(tpcds_engine, tpcds_duck,
+                                       name):
+    """Legacy-decimal (DECIMAL_V2=0) tier — see _LEGACY_FILES note.
+    The engine runs the reference text in V1 mode; the oracle gets
+    the V1 cast-truncation adaptation.  tpcds-q54 is the live
+    boundary: cast((revenue/50) as int) truncates in V1 where the
+    decimal_v2 twin rounds."""
+    from incubator_impala_spark.testing import querytest as qt
+    from incubator_impala_spark.testing import tpcds_oracle
+
+    blocks = qt.parse_test_file(os.path.join(TPCDS_DIR,
+                                             f"{name}.test"))
+    tpcds_engine.set_option("decimal_v2", "0")
+    try:
+        ran = 0
+        for b in blocks:
+            sql = b.query
+            if not re.match(r"(?is)\s*(select|with)\b", sql):
+                continue
+            for old, new in _rewrites().items():
+                sql = qt._shadow_sub(rf"\b{old}\b", new, sql)
+            spdf = tpcds_engine.sql(sql).toPandas()
+            dkdf = tpcds_duck.execute(tpcds_oracle.oracle_text(
+                name, b.query, decimal_v2=False)).df()
+            probs = tpcds_oracle.compare_positional(spdf, dkdf)
+            assert not probs, f"{name}: {probs}"
+            ran += 1
+        assert ran >= 1, f"{name}: no runnable blocks"
+    finally:
+        tpcds_engine.set_option("decimal_v2", "1")
 
 
 TPCDS_INSERT_DIR = ("/root/reference/testdata/workloads/"
