@@ -699,17 +699,66 @@ def _rewrite_item(scope: _Scope, item: str, joiner: str) -> tuple[str, str]:
                 scope.env[a2] = dict(cols)
                 scope.path_items[a2] = path2.lower()
                 return f" LATERAL (select {sel}) {a2} ", " JOIN "
-        # GENERAL pair conditions stay the documented blocker: probed
-        # r9, a per-alias `JOIN LATERAL ... ON cond` decorrelates
-        # into a domain join hash-partitioned ON THE WHOLE NESTED
-        # ARRAY (Exchange hashpartitioning(pos, coalesce(c_orders,
-        # []), ..)) — it shuffles every byte of the collection and
-        # blew past driver maxResultSize at sf1; the merged
-        # single-lateral variant (both posexplodes inside one
-        # subquery) exhausted the heap the same way. The row-local
-        # translation needs HOF pair enumeration + renaming both
-        # aliases across the enclosing scope — DIALECT.md
-        # subplan-pair-alias documents the blocker.
+        # (r11) GENERAL pair conditions (`o1.pos < o2.pos`, element
+        # field comparisons) over the SAME collection path: row-local
+        # HOF pair enumeration. The second alias explodes the in-row
+        # index set FILTERED by the pair condition, with every
+        # correlated reference (the array, the sibling alias's
+        # columns) kept INSIDE the one generator argument — the r9
+        # probes that decorrelated into an array-keyed domain join
+        # (Exchange hashpartitioning on the whole nested array) all
+        # had the condition OUTSIDE the generator, as a lateral
+        # ON / WHERE. Zero shuffle, zero decorrelation; the first
+        # alias's relation is untouched.
+        quals = {q.lower() for q in re.findall(rf"({_IDENT})\s*\.",
+                                               ct)}
+        other = next((q for q in sorted(quals)
+                      if q != a2 and scope.path_items.get(q)
+                      == path2.lower()), None)
+        if other and quals <= {a2, other}:
+            segs2 = path2.split(".")
+            entry2, _fo = scope.lookup(segs2[0])
+            if entry2 is not None:
+                steps2, final2 = _collect_steps(segs2[0], entry2,
+                                                segs2[1:])
+                if final2 is not None and len(steps2) == 1 \
+                        and isinstance(final2, ArrayType):
+                    arr2 = steps2[0][1]
+                    fields2 = ([f.name
+                                for f in final2.elementType.fields]
+                               if isinstance(final2.elementType,
+                                             StructType) else [])
+                    vj = scope.fresh("__pj")
+                    ai = f"{arr2}[{vj}]"
+                    a2p = re.escape(a2)
+                    c2 = re.sub(rf"(?i)(?<![\w.`]){a2p}\s*\.\s*"
+                                rf"pos\b", vj, ct)
+                    c2 = re.sub(rf"(?i)(?<![\w.`]){a2p}\s*\.\s*"
+                                rf"item\s*\.\s*(\w+)",
+                                lambda mm: f"{ai}.{mm.group(1)}", c2)
+                    c2 = re.sub(rf"(?i)(?<![\w.`]){a2p}\s*\.\s*"
+                                rf"item\b", lambda mm: ai, c2)
+                    c2 = re.sub(rf"(?i)(?<![\w.`]){a2p}\s*\.\s*"
+                                rf"(\w+)",
+                                lambda mm: f"{ai}.{mm.group(1)}", c2)
+                    ve, vz = scope.fresh("__pe"), scope.fresh("__pz")
+                    idxs = f"transform({arr2}, ({ve}, {vj}) -> {vj})"
+                    pairs = (f"transform(filter({idxs}, {vj} -> "
+                             f"coalesce({c2}, false)), {vz} -> "
+                             f"named_struct('pos', {vz}, 'item', "
+                             f"{arr2}[{vz}]))")
+                    vv = scope.fresh("__pv")
+                    sel2 = [f"{vv}.pos as pos", f"{vv}.item as item"]
+                    sel2 += [f"{vv}.item.{f} as {f}" for f in fields2
+                             if f.lower() not in ("pos", "item")]
+                    scope.env[a2] = _lv_cols(final2)
+                    scope.path_items[a2] = path2.lower()
+                    rel = (f"(select {', '.join(sel2)} from "
+                           f"(select explode({pairs}) as {vv})) {a2}")
+                    return f" LATERAL {rel} ", " JOIN "
+        # Remaining shapes (bare-field refs, a third alias in the
+        # condition, different collection paths) stay the documented
+        # blocker — DIALECT.md subplan-pair-alias.
         return item, joiner
 
     m = _PATH_ITEM.match(stripped)

@@ -226,3 +226,84 @@ def test_decimal_v1_int_cast_truncates(spark):
     assert (row.a, row.b, row.c) == (0, 0, 2)
     drow = duckdb.sql(rewrite_int_casts_trunc(src)).fetchone()
     assert drow == (0, 0, 2)
+
+
+def test_general_pair_alias_collection_join(spark):
+    """(r11) FROM-level pair join of one collection under two aliases
+    with a GENERAL condition (pos inequality / element-field
+    comparison) — the former DIALECT.md subplan-pair-alias blocker.
+    Translation: row-local HOF pair enumeration with every correlated
+    ref inside the one generator argument, so the plan carries no
+    hash exchange and no domain join (the r9 probe shapes shuffled
+    the whole nested array). Oracle: itertools over the collected
+    raw arrays — an independent, non-dialect computation."""
+    import itertools
+
+    from incubator_impala_spark.engine import Engine
+    from incubator_impala_spark.sources.functional import (
+        register_functional,
+    )
+
+    register_functional(spark)
+    eng = Engine(spark, sf_dir=None)
+    rows = spark.table("complextypestbl") \
+        .select("id", "int_array").collect()
+    exp_pos, exp_item = [], []
+    for r in rows:
+        arr = list(r.int_array or [])
+        for i, j in itertools.combinations(range(len(arr)), 2):
+            exp_pos.append((r.id, i, j))
+            if arr[i] is not None and arr[j] is not None \
+                    and arr[i] < arr[j]:
+                exp_item.append((r.id, arr[i], arr[j]))
+    q_pos = ("select id, a1.pos p1, a2.pos p2 from complextypestbl t "
+             "join t.int_array a1 join t.int_array a2 "
+             "on (a1.pos < a2.pos)")
+    got = sorted(tuple(r) for r in eng.sql(q_pos).collect())
+    assert got == sorted(exp_pos)
+    got2 = sorted(tuple(r) for r in eng.sql(
+        "select id, a1.item i1, a2.item i2 from complextypestbl t "
+        "join t.int_array a1 join t.int_array a2 "
+        "on (a1.item < a2.item)").collect())
+    assert got2 == sorted(exp_item)
+    plan = eng.sql(q_pos)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "DomainJoin" not in plan
+
+
+def test_general_pair_alias_struct_fields_sf1(spark):
+    """Struct-element pair condition (o1.o_orderkey < o2.o_orderkey)
+    on the sf1 nested-TPC-H fixture, verified against a python
+    enumeration of the same customers' order arrays."""
+    import itertools
+
+    import pytest as _pytest
+
+    from incubator_impala_spark.engine import Engine
+
+    try:
+        from incubator_impala_spark.sources.tpch_ref import (
+            register_tpch_ref,
+        )
+
+        register_tpch_ref(spark)
+    except Exception as exc:  # noqa: BLE001 — fixture absent
+        _pytest.skip(f"tpch_nested sf1 fixture unavailable: {exc}")
+    eng = Engine(spark, sf_dir=None)
+    got = eng.sql(
+        "select c_custkey, o1.o_orderkey k1, o2.o_orderkey k2 "
+        "from tpch_nested_customer c join c.c_orders o1 "
+        "join c.c_orders o2 on (o1.o_orderkey < o2.o_orderkey) "
+        "where c_custkey <= 200").collect()
+    exp = []
+    for r in spark.table("tpch_nested_customer") \
+            .filter("c_custkey <= 200") \
+            .selectExpr("c_custkey",
+                        "transform(c_orders, o -> o.o_orderkey) ks") \
+            .collect():
+        ks = list(r.ks or [])
+        for a, b in itertools.permutations(ks, 2):
+            if a < b:
+                exp.append((r.c_custkey, a, b))
+    assert sorted(tuple(r) for r in got) == sorted(exp)
