@@ -65,10 +65,56 @@ BENCH_QUERIES = [
 ]
 
 
+def _nested_cache_state() -> dict:
+    """Pre-run state of the nested-fixture parquet cache
+    (queries/nested_tpch._materialized): a COLD cache makes the first
+    nested_tpch_* run pay a one-off materialization, which round-over-
+    round comparison must see (r10 verdict 'What's wrong #2')."""
+    root = "/tmp/spark_graft_nested"
+    try:
+        entries = sorted(os.listdir(root))
+    except OSError:
+        entries = []
+    return {"warm": bool(entries), "entries": entries}
+
+
+def _prev_samples(here: str, rnd: int):
+    """(round, parsed json) of the newest earlier samples file."""
+    best = None
+    for f in os.listdir(here):
+        m = re.match(r"BENCH_SAMPLES_r(\d+)\.json$", f)
+        if m and int(m.group(1)) < rnd:
+            if best is None or int(m.group(1)) > best[0]:
+                best = (int(m.group(1)), f)
+    if best is None:
+        return None, None
+    try:
+        with open(os.path.join(here, best[1])) as fh:
+            return best[0], json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None, None
+
+
+def _calibration(stats: dict) -> float | None:
+    """Per-run machine-speed constant: the summed medians of tpch_q1
+    and tpch_q6 — byte-identical code since r5, scan-bound, so their
+    drift measures the ENVIRONMENT (load, page cache), not the
+    engine. Normalized per-query numbers (median / calibration) are
+    comparable across differently-loaded runs; absolute numbers are
+    not (r10: three runs of one HEAD read 31.9/43.4/~37 s)."""
+    try:
+        return round(stats["tpch_q1"]["median"]
+                     + stats["tpch_q6"]["median"], 4)
+    except (KeyError, TypeError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    load_start = os.getloadavg()
+    cache_state = _nested_cache_state()
 
     from incubator_impala_spark.queries import QUERIES
     from incubator_impala_spark.session import get_spark
@@ -131,9 +177,43 @@ def main() -> None:
             "spread": round(max(r) - min(r), 4)}
         for n, r in samples.items()
     }
+    # Cross-run comparability (r10 verdict 'What's wrong #2'): a
+    # calibration constant + normalized per-query values + a
+    # mechanical round-over-round verdict, so a driver rerun and a
+    # builder run of the same HEAD agree on regressed/flat/faster
+    # per query without forensics.
+    cal = _calibration(stats)
+    normalized = ({n: round(s["median"] / cal, 4)
+                   for n, s in stats.items()} if cal else {})
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_rnd, prev = _prev_samples(here, rnd)
+    vs_prev = {}
+    if prev and prev.get("sf") != sf:
+        prev = None     # cross-SF medians are not comparable
+    if prev and cal:
+        pstats = prev.get("stats", {})
+        pcal = prev.get("calibration") or _calibration(pstats)
+        if pcal:
+            for n, s in stats.items():
+                if n not in pstats:
+                    vs_prev[n] = {"call": "new"}
+                    continue
+                ratio = (s["median"] / cal) / \
+                    (pstats[n]["median"] / pcal)
+                call = ("faster" if ratio < 0.85
+                        else "regressed" if ratio > 1.18 else "flat")
+                vs_prev[n] = {"ratio_norm": round(ratio, 3),
+                              "call": call}
     with open(samples_path, "w") as fh:
         json.dump({"samples": samples, "stats": stats,
-                   "iters": iters, "sf": sf}, fh, indent=1)
+                   "iters": iters, "sf": sf,
+                   "calibration": cal,
+                   "normalized": normalized,
+                   "loadavg_start": list(load_start),
+                   "loadavg_end": list(os.getloadavg()),
+                   "nested_cache": cache_state,
+                   "vs_prev_round": prev_rnd,
+                   "vs_prev": vs_prev}, fh, indent=1)
 
     print(
         json.dumps(
@@ -143,6 +223,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in per_query.items()},
                 "sf": sf,
+                "calibration": cal,
             }
         )
     )

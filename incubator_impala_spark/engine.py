@@ -10,13 +10,15 @@ registry, table catalog, and session semantics.
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
+from pyspark.errors import AnalysisException, PySparkException
 from py4j.protocol import Py4JJavaError
 
 # expected Spark failure surface for best-effort veneers: analysis
 # errors (temp views, missing objects) and JVM execution errors —
 # Python-side bugs (KeyError/TypeError/AttributeError) propagate
 _SPARK_ERR = (AnalysisException, Py4JJavaError)
+# analysis OR runtime Spark failure (collect()-driven stat probes)
+_SPARK_ANY = (PySparkException, Py4JJavaError)
 from pyspark.sql import DataFrame, SparkSession
 
 import os
@@ -863,8 +865,8 @@ class Engine:
                                      m.group("tbl")) if c.isPartition]
                         self._refresh_incremental_colstats(
                             m.group("tbl"), pcols)
-                    except Exception:  # noqa: BLE001
-                        pass
+                    except (*_SPARK_ANY, KeyError):
+                        pass  # table dropped / cover emptied
                 else:
                     seen.clear()
                     self.inc_parts.pop(m.group("tbl").lower(), None)
@@ -1052,7 +1054,7 @@ class Engine:
                         # (-1), matching the reference's unloaded clone
                         if row[f"d_{c}"] or row[f"n_{c}"]:
                             pstats[c] = (row[f"d_{c}"], row[f"n_{c}"])
-                except Exception:  # noqa: BLE001
+                except _SPARK_ANY:  # source unresolvable mid-clone
                     pass
         rows = []
         for f in self.spark.table(tbl).schema.fields:
@@ -1335,7 +1337,7 @@ class Engine:
             sz = self._table_bytes(tbl)
             if sz is not None:
                 self.stats_size[skey] = sz
-        except Exception:  # noqa: BLE001
+        except _SPARK_ANY:  # stats probe on an unloadable table
             pass
         n_parts = 1
         if pcols:
@@ -1377,13 +1379,13 @@ class Engine:
                     self.table_numrows[skey] = sum(
                         v for (t, _), v in self.part_rows.items()
                         if t == skey)
-                except Exception:  # noqa: BLE001
+                except _SPARK_ANY:  # per-partition scan failed
                     pass
                 if m.group("inc"):
                     try:
                         self._refresh_incremental_colstats(tbl, pcols)
-                    except Exception:  # noqa: BLE001
-                        pass
+                    except (*_SPARK_ANY, KeyError):
+                        pass  # sketch cover incomplete
             elif m.group("inc") and key in self.stats_seen:
                 # incremental re-run: only partitions not yet covered
                 new = parts - self.stats_seen[key]
@@ -1512,7 +1514,7 @@ class Engine:
                     .alias(tf.name)
                     for sf, tf in zip(src.schema.fields, tfields)
                 ]).write.insertInto(tbl)
-            except Exception:  # noqa: BLE001
+            except _SPARK_ANY:  # no staged data at the location
                 pass
         return self.spark.createDataFrame(
             [("Table has been created.",)], "summary string")
@@ -1888,8 +1890,8 @@ class Engine:
                 else int(rows[0][0][2:])
             if total <= 1000:
                 final = final.coalesce(1)
-        except Exception:  # noqa: BLE001
-            pass
+        except (ValueError, KeyError, IndexError, TypeError):
+            pass  # summary row not in the ': N' shape
         # COMPRESSION_CODEC: the parquet writer accepts only
         # NONE/GZIP/SNAPPY/ZSTD/LZ4 (hdfs-parquet-table-writer.cc:
         # 1019-1027; insert_parquet_invalid_codec.test pins the bzip2
@@ -2047,7 +2049,7 @@ class Engine:
                 pass
         try:
             self.spark.catalog.refreshTable(table)
-        except Exception:  # noqa: BLE001 — temp-view-backed tables
+        except _SPARK_ANY:  # temp-view-backed tables
             pass
         msg = (f"Loaded {len(files)} file(s). "
                f"Total files in destination location: {total}")

@@ -27,6 +27,15 @@ import os
 import re
 import struct
 
+from py4j.protocol import Py4JJavaError
+from pyarrow.lib import ArrowException
+from pyspark.errors import PySparkException
+
+# the typed failure surfaces of a corrupt-file probe: pyarrow decode
+# errors (ArrowInvalid/ArrowIOError subclass ArrowException) and
+# filesystem errors
+_DECODE_ERR = (ArrowException, OSError)
+
 # ---------------------------------------------------------------------------
 # thrift compact-protocol reader (just enough for parquet PageHeader)
 # ---------------------------------------------------------------------------
@@ -242,7 +251,7 @@ def check_footer(path: str, display: str) -> str | None:
 
     try:
         pq.ParquetFile(path).metadata
-    except Exception as exc:  # noqa: BLE001
+    except _DECODE_ERR as exc:
         return (f"File '{display}' of length {size} bytes has invalid "
                 f"file metadata at file offset {size - 8 - flen}, "
                 f"Error = couldn't deserialize thrift msg: {exc}")
@@ -404,7 +413,7 @@ def check_decodable(path: str, display: str) -> str | None:
     try:
         pf.read()
         return None
-    except Exception:  # noqa: BLE001
+    except _DECODE_ERR:
         kind = "dictionary-encoded value" \
             if cm.dictionary_page_offset is not None else "value"
         return (f"File '{display}' is corrupt: error decoding {kind} "
@@ -536,8 +545,9 @@ def register_parquet_check(engine, name: str, paths: list[str],
             # continue contract returns the decodable rows, so the
             # view materializes from the page-decoded data
             dfs.append(spark.createDataFrame(t.to_pandas(), schema))
-        except Exception:  # noqa: BLE001 — continue-mode file skip
-            pass
+        except (*_DECODE_ERR, ValueError, TypeError,
+                PySparkException, Py4JJavaError):
+            pass  # continue-mode file skip
     if dfs:
         df = dfs[0]
         for d in dfs[1:]:
@@ -745,8 +755,8 @@ def _partition_survives(spark, values: dict, where: str | None) -> bool:
                   for k, v in values.items()))
     try:
         return df.where(where).count() > 0
-    except Exception:  # noqa: BLE001 — predicate needs non-key cols
-        return True
+    except (PySparkException, Py4JJavaError):
+        return True  # predicate needs non-key cols: cannot prune
 
 
 def register_text_check(engine, name: str, path: str,

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import PySparkException
 from pyspark.sql import SparkSession
 
 # Confs that are safe (and required) to (re)apply at runtime on an
@@ -84,7 +85,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
+        except PySparkException:
             # Unknown/static conf on this Spark build — skip; none of
             # these are correctness-critical except the two timestamp
             # confs, which are runtime-settable on Spark 3.4+/4.x.

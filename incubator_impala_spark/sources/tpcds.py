@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import re
 
+from pyspark.errors import PySparkException
 from pyspark.sql import SparkSession
 
 from incubator_impala_spark.sources.tpcds_schema import TPCDS_TABLES
@@ -50,7 +51,7 @@ def register_tpcds(spark: SparkSession) -> None:
         try:
             if "c_customer_id" in spark.table("customer").columns:
                 return
-        except Exception:  # view dropped — fall through and re-register
+        except PySparkException:  # view dropped — re-register below
             pass
     for t in TPCDS_TABLES:
         spark.read.parquet(table_path(t)).createOrReplaceTempView(t)

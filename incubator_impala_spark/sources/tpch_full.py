@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 import re
 
+from pyspark.errors import PySparkException
 from pyspark.sql import SparkSession
 
 TPCH_TABLES = ["region", "nation", "supplier", "customer", "part",
@@ -48,7 +49,7 @@ def register_tpch_full(spark: SparkSession) -> None:
             if ("l_commitdate" in spark.table("lineitem").columns
                     and "c_phone" in spark.table("customer").columns):
                 return
-        except Exception:  # view dropped — fall through and re-register
+        except PySparkException:  # view dropped — re-register below
             pass
     for t in TPCH_TABLES:
         spark.read.parquet(table_path(t)).createOrReplaceTempView(t)

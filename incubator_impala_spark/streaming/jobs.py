@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import uuid
 
+from pyspark.errors import PySparkException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -55,7 +56,7 @@ def read_events_stream(spark: SparkSession, events_dir: str,
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         schema = spark.read.parquet(events_dir).schema
-    except Exception:
+    except PySparkException:
         # Standard file-stream startup pattern: the directory may be
         # empty (or not yet created) when the stream starts and files
         # arrive later — fall back to the documented raw layout.
