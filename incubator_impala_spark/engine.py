@@ -19,6 +19,12 @@ from py4j.protocol import Py4JJavaError
 _SPARK_ERR = (AnalysisException, Py4JJavaError)
 # analysis OR runtime Spark failure (collect()-driven stat probes)
 _SPARK_ANY = (PySparkException, Py4JJavaError)
+
+
+class _SkipStatsFill(Exception):
+    """Control-flow marker: a partition-scoped incremental COMPUTE
+    STATS does not refresh table-level column stats (the reference
+    fills those only on full computes)."""
 from pyspark.sql import DataFrame, SparkSession
 
 import os
@@ -1295,7 +1301,7 @@ class Engine:
         # full computes).
         try:
             if (m.group("part") or "").strip():
-                raise StopIteration  # skip the column-stats fill
+                raise _SkipStatsFill  # partition-scoped: no fill
             types = {f.name: f.dataType.simpleString()
                      for f in self.spark.table(tbl).schema.fields}
             row = self._stats_agg_df(tbl, wanted, types) \
@@ -1337,8 +1343,8 @@ class Engine:
             sz = self._table_bytes(tbl)
             if sz is not None:
                 self.stats_size[skey] = sz
-        except _SPARK_ANY:  # stats probe on an unloadable table
-            pass
+        except (*_SPARK_ANY, _SkipStatsFill):
+            pass  # unloadable table, or partition-scoped skip
         n_parts = 1
         if pcols:
             parts: set = set()
