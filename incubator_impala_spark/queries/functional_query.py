@@ -377,6 +377,52 @@ _register(
     """)
 
 _register(
+    "functional_nested_pair_alias_general",
+    # (r11) FROM-level pair join of one collection under two aliases
+    # with a GENERAL (non-pos-equality) condition — translated as
+    # row-local HOF pair enumeration, zero decorrelation
+    # (nested_paths.py; former DIALECT.md subplan-pair-alias blocker)
+    """
+    SELECT id AS id, a1.pos AS p1, a2.pos AS p2, a2.item AS i2
+    FROM complextypestbl t
+    JOIN t.int_array a1 JOIN t.int_array a2 ON (a1.pos < a2.pos)
+    ORDER BY id, p1, p2
+    """,
+    """
+    SELECT id AS id, e.p1 AS p1, e.p2 AS p2, e.i2 AS i2
+    FROM (SELECT id, unnest(flatten(list_transform(
+            range(1, len(int_array)+1), i1 ->
+            [{'p1': i1-1, 'p2': i2-1, 'i2': int_array[i2]}
+             FOR i2 IN range(1, len(int_array)+1) IF i2 > i1]))) AS e
+          FROM complextypestbl)
+    ORDER BY id, p1, p2
+    """)
+
+_register(
+    "functional_nested_map_rownumber",
+    # (r11) correlated inline view over a MAP collection with a
+    # window fn — map_entries + array_sort + index-aware transform
+    # (the full-acid-complex-type-scans b14 shape; Spark's analyzer
+    # rejects the decorrelated MAP reference, the HOF form never
+    # decorrelates)
+    """
+    SELECT a.id AS id, v.key AS k, v.rnum AS rnum
+    FROM complextypestbl a,
+      (SELECT key, row_number() OVER (ORDER BY key) rnum
+       FROM a.int_map) v
+    WHERE v.key != 'bad'
+    ORDER BY id, k
+    """,
+    """
+    SELECT id AS id, e.key AS k,
+           row_number() OVER (PARTITION BY id ORDER BY e.key) AS rnum
+    FROM (SELECT id, unnest(map_entries(int_map)) AS e
+          FROM complextypestbl)
+    WHERE e.key != 'bad'
+    ORDER BY id, k
+    """)
+
+_register(
     "functional_nested_subplan_count",
     """
     SELECT t.id AS id, v.cnt AS cnt
