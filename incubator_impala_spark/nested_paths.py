@@ -710,8 +710,8 @@ def _rewrite_item(scope: _Scope, item: str, joiner: str) -> tuple[str, str]:
         # had the condition OUTSIDE the generator, as a lateral
         # ON / WHERE. Zero shuffle, zero decorrelation; the first
         # alias's relation is untouched.
-        quals = {q.lower() for q in re.findall(rf"({_IDENT})\s*\.",
-                                               ct)}
+        quals = {q.lower() for q in re.findall(
+            rf"(?<![\w.`])({_IDENT})\s*\.", ct)}
         other = next((q for q in sorted(quals)
                       if q != a2 and scope.path_items.get(q)
                       == path2.lower()), None)
