@@ -316,18 +316,34 @@ def _rowid_struct():
     ).alias("row__id")
 
 
+_WRAPPED_CACHE: dict = {}
+
+
 def _is_wrapped_acid(path: str) -> bool:
-    """Footer check: a genuine Hive ACID file (wrapper schema)."""
+    """Footer check: a genuine Hive ACID file (wrapper schema).
+    Cached per (path, mtime, size) — ACID files are immutable once
+    their directory commits (a new write is a new delta/base dir), so
+    each file pays ONE driver-side footer read per lifetime instead
+    of one per view rebuild (O(files) metadata reads otherwise)."""
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return False
+    if key in _WRAPPED_CACHE:
+        return _WRAPPED_CACHE[key]
     try:
         import pyarrow as pa
         from pyarrow import orc as pa_orc
 
         names = [f.name for f in pa_orc.ORCFile(path).schema]
-        return names[:5] == ["operation", "originalTransaction",
-                             "bucket", "rowId",
-                             "currentTransaction"] and "row" in names
+        val = names[:5] == ["operation", "originalTransaction",
+                            "bucket", "rowId",
+                            "currentTransaction"] and "row" in names
     except (OSError, pa.lib.ArrowException):  # unreadable: not wrapped
-        return False
+        val = False
+    _WRAPPED_CACHE[key] = val
+    return val
 
 
 def _read_wrapped_acid(engine, t: AcidTable, files: list):
