@@ -348,24 +348,38 @@ def _is_wrapped_acid(path: str) -> bool:
 
 def _read_wrapped_acid(engine, t: AcidTable, files: list):
     """Genuine Hive ACID ORC files (wrapper schema) -> the flat
-    column layout, read DISTRIBUTED: the driver plans one (path) row
-    per file and each executor task decodes its file with pyarrow
-    inside an Arrow-batched ``mapInPandas`` (the `sources/avro_io.py`
-    split pattern) — file bytes never touch the driver.  Spark's ORC
-    reader cannot prune/project the wrapper pattern (OrcUtils
-    column-id mapping), hence the pyarrow decode; the reference runs
-    the same per-row work inside each scanner
-    (be/src/exec/orc/hdfs-orc-scanner.cc row validation)."""
+    column layout, read DISTRIBUTED: the driver plans one
+    (path, stripe) row per ORC stripe (footer-only nstripes read,
+    amortized by the same immutability as _is_wrapped_acid) and each
+    executor task decodes its stripe with pyarrow inside an
+    Arrow-batched ``mapInPandas`` (the `sources/avro_io.py` split
+    pattern) — file bytes never touch the driver, and one multi-GB
+    streaming side-file fans out across tasks instead of serializing
+    (safe because the wrapper schema CARRIES rowId; nothing is
+    synthesized from file position).  Spark's ORC reader cannot
+    prune/project the wrapper pattern (OrcUtils column-id mapping),
+    hence the pyarrow decode; the reference runs the same per-row
+    work inside each scanner (be/src/exec/orc/hdfs-orc-scanner.cc
+    row validation)."""
+    from pyarrow import orc as _pa_orc
+
     cols = list(t.cols)
     out_schema = _schema_ddl(_ACID_FLAT + cols)
+    splits = []
+    for p in files:
+        for i in range(_pa_orc.ORCFile(p).nstripes):
+            splits.append((p, i))
 
     def _decode(it):
         import pandas as pd
+        import pyarrow as pa
         from pyarrow import orc as pa_orc
 
         for pdf_in in it:
-            for path in pdf_in["path"]:
-                tbl = pa_orc.ORCFile(path).read()
+            for path, stripe in zip(pdf_in["path"],
+                                    pdf_in["stripe"]):
+                tbl = pa.Table.from_batches(
+                    [pa_orc.ORCFile(path).read_stripe(int(stripe))])
                 grab = {n.lower(): n for n in tbl.column_names}
                 data = {
                     "_acid_operation":
@@ -391,7 +405,7 @@ def _read_wrapped_acid(engine, t: AcidTable, files: list):
                 yield pd.DataFrame(data)
 
     paths = engine.spark.createDataFrame(
-        [(p,) for p in files], "path string").repartition(len(files))
+        splits, "path string, stripe int").repartition(len(splits))
     return paths.mapInPandas(_decode, schema=out_schema)
 
 
