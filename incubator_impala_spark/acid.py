@@ -626,11 +626,21 @@ def _move_leaf_files(src: str, dest: str, start: int = 0) -> int:
 def write_rows(engine, t: AcidTable, df, wid: int, *,
                overwrite: bool, static_leaf: str | None = None,
                acid_cols: bool = False, vtxn: int | None = None,
-               dirname: str | None = None) -> list:
+               dirname: str | None = None,
+               nrows: int | None = None) -> list:
     """Write a DataFrame as one delta/base directory (per affected
-    partition leaf).  Returns the list of affected suffixes."""
+    partition leaf).  Returns the list of affected suffixes.
+
+    Small writes (nrows<=1000, or unknown) coalesce to ONE file per
+    leaf like the reference's single-coordinator writer (SHOW FILES
+    counts pin this); larger insert-only writes keep full write
+    parallelism — one 0000NN_0 file per task, the reference's
+    per-node writer layout.  Full-ACID writes always single-file:
+    their per-leaf rowId window is inherently ordered (and only the
+    Hive shim writes full ACID)."""
     ddir = dirname or (f"base_{wid}" if overwrite
                        else f"delta_{wid}_{wid}")
+    single = acid_cols or nrows is None or nrows <= 1000
     if acid_cols and not t.insert_only:
         from pyspark.sql import Window
 
@@ -655,7 +665,8 @@ def write_rows(engine, t: AcidTable, df, wid: int, *,
     affected = []
     if t.pcols:
         pnames = [p for p, _ in t.pcols]
-        _writer(df.repartition(1), t).partitionBy(*pnames).save(tmp)
+        _writer(df.repartition(1) if single else df,
+                t).partitionBy(*pnames).save(tmp)
         # walk written leaves; move files into <leaf>/<ddir>/
         def walk(d: str, parts: list) -> None:
             subdirs = [e for e in sorted(os.listdir(d))
@@ -680,7 +691,7 @@ def write_rows(engine, t: AcidTable, df, wid: int, *,
             affected.append(static_leaf)
             t.partitions.add(static_leaf)
     else:
-        _writer(df.repartition(1), t).save(tmp)
+        _writer(df.repartition(1) if single else df, t).save(tmp)
         dest = os.path.join(t.location, ddir)
         _move_leaf_files(tmp, dest)
         os.makedirs(dest, exist_ok=True)
@@ -1093,7 +1104,7 @@ def _create(engine, sql_text: str, insert_only: bool, hive: bool):
         n = df.count()
         write_rows(engine, t, df.select(
             *[c for c, _ in cols + pcols]), w, overwrite=False,
-            acid_cols=not t.insert_only)
+            acid_cols=not t.insert_only, nrows=n)
         refresh_views(engine)
         return _summary(engine, f"Inserted {n} row(s)")
     cols = _parse_cols(m.group("cols"))
@@ -1177,7 +1188,7 @@ def _insert_acid(engine, t: AcidTable, m: re.Match, hive: bool):
     n = df.count()
     write_rows(engine, t, df, w, overwrite=overwrite,
                static_leaf=static_leaf,
-               acid_cols=not t.insert_only)
+               acid_cols=not t.insert_only, nrows=n)
     if not hive and dbg and \
             "CLIENT_REQUEST_UPDATE_CATALOG:FAIL" in dbg:
         t.aborted.add(w)

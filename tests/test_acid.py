@@ -247,6 +247,43 @@ def test_full_acid_ctas_rejected_engine_side(acid_engine):
         eng.ns.current = None
 
 
+def test_large_insert_only_write_keeps_parallelism(acid_engine):
+    """Small ACID writes coalesce to one file per leaf (the
+    reference's single-coordinator writer — SHOW FILES counts pin
+    it); a large insert-only write keeps full write parallelism, one
+    Hive-named file per task (the reference's per-node layout)."""
+    import os as _os
+
+    from incubator_impala_spark import acid
+
+    eng = acid_engine
+    db = "qacid_bigwrite"
+    eng.sql(f"drop database if exists {db} cascade")
+    eng.sql(f"create database {db}")
+    eng.ns.current = db
+    try:
+        eng.sql("create table bigins (i bigint) stored as parquet "
+                "tblproperties('transactional'='true',"
+                "'transactional_properties'='insert_only')")
+        eng.sql("insert into bigins select id as i from range(5000)")
+        t = acid.lookup(eng, "bigins")
+        files = [f for f in _os.listdir(
+            _os.path.join(t.location, "delta_1_1"))
+            if not f.startswith((".", "_"))]
+        assert len(files) >= 2, files
+        assert all(re.fullmatch(r"\d{6}_0", f) for f in files), files
+        assert eng.sql("select count(*) c from bigins") \
+            .collect()[0][0] == 5000
+        eng.sql("insert into bigins values (1)")
+        small = [f for f in _os.listdir(
+            _os.path.join(t.location, "delta_2_2"))
+            if not f.startswith((".", "_"))]
+        assert small == ["000000_0"], small
+    finally:
+        eng.sql(f"drop database if exists {db} cascade")
+        eng.ns.current = None
+
+
 def test_distributed_acid_scan_no_driver_pandas(acid_engine,
                                                 monkeypatch,
                                                 tmp_path):
