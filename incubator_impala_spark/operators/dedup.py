@@ -83,6 +83,31 @@ def shingle_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def shingle_arrays(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Per-document distinct shingle SET as an array column — the
+    map-only form of `shingle_df` (r11 optimization, guide §2.4): the
+    per-doc distinct is row-local (`array_distinct`), so no explode and
+    no global distinct shuffle are needed when downstream consumers
+    (minhash signatures, array-intersect verification) work per
+    document. Exactly the same shingle expression as `shingle_df`, so
+    the shingle multiset per doc is identical; `nsh` is the distinct
+    shingle count (== the exploded index's per-doc row count).
+
+    The repartition spreads the CPU-dense hashing that follows across
+    the cluster even when the input is a handful of splits (same
+    rationale as shingle_df)."""
+    parts = ", ".join(f"element_at(_toks, i + {j})" for j in range(n))
+    sh = (f"array_distinct(transform(sequence(1, size(_toks) - {n - 1}),"
+          f" i -> concat_ws(' ', {parts})))")
+    return (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+        .repartition(_par(df), F.col(id_col))
+        .select(F.col(id_col), F.expr(sh).alias("shs"))
+        .withColumn("nsh", F.size("shs"))
+    )
+
+
 def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard over candidate pairs via the shingle index."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
@@ -157,6 +182,36 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+# Per-element spelling of _MH_BASE for the array form (same arithmetic
+# over a lambda variable instead of the exploded `sh` column).
+_MH_BASE_ELEM = ("(cast(conv(substr(md5({v}), 1, 15), 16, 10) as bigint)"
+                 " % 4294967296)")
+
+
+def minhash_signatures_arrays(docsets: DataFrame) -> DataFrame:
+    """k minhashes per doc computed MAP-ONLY from the per-doc shingle
+    array (r11, guide §2.3/§2.4): one md5 per array element projected
+    once (`_bases`), then k array_min folds — the same universal-hash
+    arithmetic as `minhash_signatures`, so h0..h15 (and every LSH
+    bucket derived from them) are bit-identical to the exploded
+    groupBy form, with ZERO aggregation exchange. Docs with fewer than
+    n tokens yield empty/NULL signature slots, which hash to NULL
+    buckets and drop out of the candidate equi-join exactly as their
+    absence from the exploded index did."""
+    out = docsets.withColumn(
+        "_bases",
+        F.expr("transform(shs, s -> "
+               + _MH_BASE_ELEM.format(v="s") + ")"),
+    )
+    for h, (a, b) in enumerate(_MH_AB):
+        out = out.withColumn(
+            f"h{h}",
+            F.expr(f"array_min(transform(_bases,"
+                   f" b -> (b * {a} + {b}) % {_MH_P}))"),
+        )
+    return out.drop("_bases")
+
+
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     """Band the signature; docs sharing any band bucket are candidates."""
     r = MINHASH_K // LSH_BANDS
@@ -187,21 +242,58 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
+def _jaccard_verify_arrays(cand: DataFrame, idx: DataFrame,
+                           threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs via per-doc shingle arrays:
+    the intersection count is row-local (`array_intersect` of two
+    distinct-element arrays == the exploded index's common-shingle
+    count), so verification is two key joins attaching the arrays to
+    the (tiny) candidate set instead of a pair×shingle explosion
+    shuffled across the cluster (r11, guide §2.3 'shuffle fewer
+    bytes' / §8 'decide with small rows')."""
+    s1 = idx.select(F.col("doc_id").alias("_vd1"),
+                    F.col("shs").alias("_shs1"), F.col("nsh").alias("_n1"))
+    s2 = idx.select(F.col("doc_id").alias("_vd2"),
+                    F.col("shs").alias("_shs2"), F.col("nsh").alias("_n2"))
+    return (
+        cand.join(s1, F.col("d1") == F.col("_vd1"))
+        .join(s2, F.col("d2") == F.col("_vd2"))
+        .withColumn("_nc", F.size(F.array_intersect("_shs1", "_shs2")))
+        .select(
+            "d1", "d2",
+            (
+                F.col("_nc").cast("double")
+                / (F.col("_n1") + F.col("_n2") - F.col("_nc")).cast("double")
+            ).alias("jac"),
+        )
+        .where(F.col("jac") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       threshold: float = 0.5) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
 
-    The shingle index feeds three consumers (signatures, and both
-    sides of the verification join) — persist it spill-safely rather
-    than recompute the tokenize+explode lineage per consumer. At
-    100 TB this is the difference between one corpus pass and three.
+    r11 shape (guide §2.3/§2.4): the per-doc shingle-set index is
+    built map-only (`shingle_arrays`, no explode/distinct shuffle) and
+    the signatures are row-local folds over it
+    (`minhash_signatures_arrays`, no aggregation exchange) — the only
+    shuffles left are the band-bucket candidate equi-join, the pair
+    distinct, and the two key joins that attach the arrays for
+    verification. The index feeds three consumers (buckets and both
+    verify sides) — persist it spill-safely rather than recompute the
+    tokenize+hash lineage per consumer; the old plan additionally
+    recomputed the signature aggregation once per self-join side and
+    the per-doc sizes once per verify side, all removed here.
     """
     from pyspark import StorageLevel
 
-    sh = shingle_df(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = lsh_candidate_pairs(minhash_signatures(sh))
-    return _jaccard_verify(cand, sh, threshold)
+    idx = minhash_signatures_arrays(
+        shingle_arrays(df, text_col, id_col)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidate_pairs(idx)
+    return _jaccard_verify_arrays(cand, idx, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -212,9 +304,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         threshold: float = 0.5) -> DataFrame:
+    """r11 shape: the inverted index (still required for exact
+    candidate generation — docs sharing any shingle) is derived by
+    exploding the persisted per-doc shingle arrays, and verification
+    is the row-local array-intersect form — no global distinct over
+    the exploded index and no pair×shingle verify explosion."""
     from pyspark import StorageLevel
 
-    sh = shingle_df(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    idx = shingle_arrays(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    sh = idx.select("doc_id", F.explode("shs").alias("sh"))
     cand = (
         sh.select(F.col("doc_id").alias("d1"), "sh")
         .join(sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh_b")),
@@ -223,7 +322,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .select("d1", "d2")
         .distinct()
     )
-    return _jaccard_verify(cand, sh, threshold)
+    return _jaccard_verify_arrays(cand, idx, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -291,7 +390,8 @@ def simhash_segments(n_bits: int, n_segments: int) -> list[tuple[int, int, int]]
 
 
 def simhash_pair_sql(dialect: str, max_hamming: int = 6,
-                     n_segments: int | None = None) -> str:
+                     n_segments: int | None = None,
+                     sig_sql: str | None = None) -> str:
     """Near-dup pairs by simhash Hamming distance.
 
     Candidate generation is pigeonhole segment banding: split the
@@ -308,7 +408,12 @@ def simhash_pair_sql(dialect: str, max_hamming: int = 6,
     """
     if n_segments is None:
         n_segments = max_hamming + 1
-    sig = simhash60_sql(dialect)
+    # `sig_sql` lets the caller substitute a precomputed signature
+    # relation (e.g. a persisted temp view) for the inline signature
+    # CTE: the sig CTE is referenced by BOTH self-join sides, and SQL
+    # CTE inlining would otherwise re-run the token explode + 60-bit
+    # vote aggregation once per side (r11, guide §2.4).
+    sig = sig_sql if sig_sql is not None else simhash60_sql(dialect)
     segments = simhash_segments(SIMHASH_BITS, n_segments)
     if dialect == "spark":
         xor = "c.h1 ^ c.h2"
@@ -509,13 +614,17 @@ def ivf_dup_pairs(df: DataFrame, dim: int, vec_col: str = "embedding",
     """
     import math
 
+    from pyspark import StorageLevel
+
     if n is None:
         n = df.count()
     stride = max(1, int(math.floor(math.sqrt(n) / 2.0)))
+    # `base` feeds four consumers (centroids, assignment, both verify
+    # sides) — persist instead of re-scanning per consumer.
     base = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
         vec_norm(vec_col).alias("nrm"),
-    ).repartition(_par(df), F.col("vid"))
+    ).repartition(_par(df), F.col("vid")).persist(StorageLevel.MEMORY_AND_DISK)
     cents = base.where(F.col("vid") % stride == 0).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
@@ -525,8 +634,14 @@ def ivf_dup_pairs(df: DataFrame, dim: int, vec_col: str = "embedding",
     # partitioned on vid, so the n·k assignment relation aggregates
     # where it stands — no window exchange over n·k rows (VERDICT r2).
     # Sort key (-csim, cid) == the window's ORDER BY csim DESC, cid.
+    # r11 (guide §8 'decide with small rows, move big rows once'):
+    # the probe relation carries KEYS ONLY — vectors no longer ride
+    # through the aggregate, the candidate self-join, or the pair
+    # dedup; they are attached to the deduped pair set by two key
+    # joins at the end. Persist the skinny probe table so the n·k
+    # assignment dots run once, not once per self-join side.
     assigned = base.join(F.broadcast(cents)).select(
-        "vid", "v", "nrm",
+        "vid",
         F.struct(
             (-(dot_product("v", "cv") / (F.col("nrm") * F.col("cn"))))
             .alias("ns"),
@@ -536,30 +651,34 @@ def ivf_dup_pairs(df: DataFrame, dim: int, vec_col: str = "embedding",
     probes = (
         assigned.groupBy("vid")
         .agg(
-            F.first("v").alias("v"),
-            F.first("nrm").alias("nrm"),
             F.slice(F.array_sort(F.collect_list("sc")), 1, nprobe)
             .alias("top"),
         )
-        .select("vid", "v", "nrm", F.explode(F.col("top.cid")).alias("cid"))
+        .select("vid", F.explode(F.col("top.cid")).alias("cid"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    p1 = probes.select(
-        F.col("vid").alias("id1"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"), "cid",
-    )
-    p2 = probes.select(
-        F.col("vid").alias("id2"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"), "cid",
-    )
+    p1 = probes.select(F.col("vid").alias("id1"), "cid")
+    p2 = probes.select(F.col("vid").alias("id2"), "cid")
     cand = (
         p1.join(p2, "cid")
         .where(F.col("id1") < F.col("id2"))
-        .dropDuplicates(["id1", "id2"])
+        .select("id1", "id2")
+        .distinct()
     )
-    return cand.select(
-        "id1", "id2",
-        (dot_product("va", "vb") / (F.col("na") * F.col("nb"))).alias("sim"),
-    ).where(F.col("sim") >= threshold)
+    b1 = base.select(F.col("vid").alias("_v1"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+    b2 = base.select(F.col("vid").alias("_v2"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    return (
+        cand.join(b1, F.col("id1") == F.col("_v1"))
+        .join(b2, F.col("id2") == F.col("_v2"))
+        .select(
+            "id1", "id2",
+            (dot_product("va", "vb") / (F.col("na") * F.col("nb")))
+            .alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
 
 
 def dup_clusters(pairs: DataFrame, id1: str = "d1",
@@ -584,9 +703,21 @@ def dup_clusters(pairs: DataFrame, id1: str = "d1",
     """
     from pyspark import StorageLevel
 
-    fwd = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    # Both edge orientations come out of ONE row-local explode — the
+    # previous unionAll of two branches over `pairs` re-ran the entire
+    # upstream pair pipeline (LSH + verify) once per branch (r11,
+    # guide §2.4: remove duplicated subtrees, the union is not a
+    # shared-scan in Spark).
     edges_src = (
-        fwd.unionAll(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id1).alias("a"), F.col(id2).alias("b")),
+                    F.struct(F.col(id2).alias("a"), F.col(id1).alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.a").alias("a"), F.col("_e.b").alias("b"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -120,31 +120,35 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     query (multi-table LSH). The band equi-join replaces the all-pairs
     cross join at 100 TB; recall is tuned by bands × planes-per-band.
     """
-    cb = lsh_bucket_bands(
-        corpus.repartition(_par(corpus), F.col(id_col)).select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-            vec_norm(vec_col).alias("cn"),
-        ),
-        dim, "cv",
+    # r11 (guide §8): candidates are generated and deduped as KEY
+    # pairs only — the vectors no longer ride through the band join
+    # and the pair dedup; they are attached to the deduped pair set by
+    # key joins before scoring.
+    c = corpus.repartition(_par(corpus), F.col(id_col)).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        vec_norm(vec_col).alias("cn"),
     )
-    qb = lsh_bucket_bands(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-            vec_norm(vec_col).alias("qn"),
-        ),
-        dim, "qv",
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        vec_norm(vec_col).alias("qn"),
     )
+    cb = lsh_bucket_bands(c, dim, "cv").select("neighbor_id", "band", "bucket")
+    qb = lsh_bucket_bands(q, dim, "qv").select("query_id", "band", "bucket")
     cand = (
         cb.join(F.broadcast(qb),
                 (cb.band == qb.band)
                 & (cb.bucket == qb.bucket)
                 & (F.col("query_id") != F.col("neighbor_id")))
-        .select("query_id", "neighbor_id", "qv", "cv", "qn", "cn")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    scored = cand.select(
-        "query_id", "neighbor_id",
-        (dot_product("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("sim"),
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            (dot_product("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
     return (
@@ -191,9 +195,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
         # is already hash-partitioned on its id, so the n·k assignment
         # relation aggregates in place instead of shuffling through a
         # row_number window exchange (VERDICT r2). Sort key (-csim,
-        # cid) == ORDER BY csim DESC, cid.
+        # cid) == ORDER BY csim DESC, cid. r11 (guide §8): the probe
+        # relation carries KEYS ONLY — vectors are attached to the
+        # deduped candidate pairs at the end, not dragged through the
+        # aggregate and the bucket join.
         assigned = df.join(F.broadcast(cents)).select(
-            idc, vc, nc,
+            idc,
             F.struct(
                 (-(dot_product(vc, "centv") / (F.col(nc) * F.col("centn"))))
                 .alias("ns"),
@@ -203,30 +210,31 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
         return (
             assigned.groupBy(idc)
             .agg(
-                F.first(vc).alias(vc),
-                F.first(nc).alias(nc),
                 F.slice(F.array_sort(F.collect_list("sc")), 1, nprobe)
                 .alias("top"),
             )
-            .select(idc, vc, nc, F.explode(F.col("top.cid")).alias("cid"))
+            .select(idc, F.explode(F.col("top.cid")).alias("cid"))
         )
 
-    cp = probe(c, "neighbor_id", "cv", "cn")
-    qp = probe(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-            vec_norm(vec_col).alias("qn"),
-        ),
-        "query_id", "qv", "qn",
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        vec_norm(vec_col).alias("qn"),
     )
+    cp = probe(c, "neighbor_id", "cv", "cn")
+    qp = probe(q, "query_id", "qv", "qn")
     cand = (
         cp.join(F.broadcast(qp), "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    scored = cand.select(
-        "query_id", "neighbor_id",
-        (dot_product("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("sim"),
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            (dot_product("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
     return (

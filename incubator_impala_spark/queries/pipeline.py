@@ -167,9 +167,16 @@ def pipeline_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (60-bit signatures, hamming <= 6);
     pigeonhole segment banding (recall 1.0 guaranteed) generates
-    candidates; generated SQL keeps everything in codegen."""
+    candidates; generated SQL keeps everything in codegen. The
+    signature relation is computed ONCE and persisted (16 bytes/doc)
+    — both self-join sides read the cache instead of re-running the
+    token explode + 60-bit vote aggregation (r11, guide §2.4)."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(dedup.simhash_pair_sql("spark", max_hamming=6))
+    sig = spark.sql(dedup.simhash60_sql("spark")).persist()
+    sig.createOrReplaceTempView("simhash_sig_cached")
+    return spark.sql(dedup.simhash_pair_sql(
+        "spark", max_hamming=6,
+        sig_sql="SELECT doc_id, simhash FROM simhash_sig_cached"))
 
 
 @_register(
