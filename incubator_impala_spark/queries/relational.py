@@ -162,16 +162,39 @@ def analytic_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 (guide §2.3): ROLLUP's Expand would push THREE copies of
+    # every fact row through the aggregate; sum/count are algebraic,
+    # so the two super-levels re-aggregate from the tiny leaf result
+    # instead — the fact is scanned and aggregated exactly once, and
+    # the exact decimal sums make the re-aggregation bit-identical to
+    # the direct rollup. glevel is the grouping()-arith the rollup
+    # produced, now a per-level literal.
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            (F.grouping("l_returnflag") + F.grouping("l_linestatus"))
-            .cast("bigint")
-            .alias("glevel"),
-            F.sum(_d("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.count("*").alias("cnt"),
+    leaf = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_d("l_quantity")).alias("_sq"), F.count("*").alias("_cnt")
+    )
+    null_s = F.lit(None).cast("string")
+
+    def lvl(df, flag_col, status_col, glevel):
+        return df.select(
+            flag_col.alias("l_returnflag"), status_col.alias("l_linestatus"),
+            F.lit(glevel).cast("bigint").alias("glevel"),
+            F.col("_sq").cast("decimal(38,2)").alias("sum_qty"),
+            F.col("_cnt").cast("bigint").alias("cnt"),
         )
+
+    lvl0 = lvl(leaf, F.col("l_returnflag"), F.col("l_linestatus"), 0)
+    lvl1 = lvl(
+        leaf.groupBy("l_returnflag")
+        .agg(F.sum("_sq").alias("_sq"), F.sum("_cnt").alias("_cnt")),
+        F.col("l_returnflag"), null_s, 1,
+    )
+    lvl2 = lvl(
+        leaf.agg(F.sum("_sq").alias("_sq"), F.sum("_cnt").alias("_cnt")),
+        null_s, null_s, 2,
+    )
+    return (
+        lvl0.unionByName(lvl1).unionByName(lvl2)
         .select(
             F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),

@@ -63,19 +63,45 @@ def _d(col: str):
     """,
 )
 def tpcds_q36_style_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 (guide §2.3): the ROLLUP's Expand would push three copies of
+    # the joined fact through the aggregate; the margin's numerator and
+    # denominator are algebraic decimal sums, so the two super-levels
+    # re-aggregate from the (p_type, p_brand) leaf result — one fact
+    # pass, bit-identical margins (exact sums; the double division
+    # happens per level on identical operands). lvl is the
+    # grouping()-arith value as a per-level literal.
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     disc = (_d("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _d("l_discount")))
-    m = (
+    leaf = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .rollup("p_type", "p_brand")
+        .groupBy("p_type", "p_brand")
         .agg(
-            (F.sum(disc).cast("double") / F.sum(_d("l_extendedprice")).cast("double"))
-            .alias("margin"),
-            (F.grouping("p_type") * 2 + F.grouping("p_brand"))
-            .cast("int")
-            .alias("lvl"),
+            F.sum(disc).alias("_sd"),
+            F.sum(_d("l_extendedprice")).alias("_sp"),
         )
+    )
+    null_s = F.lit(None).cast("string")
+
+    def lvl(df, type_col, brand_col, level):
+        return df.select(
+            type_col.alias("p_type"), brand_col.alias("p_brand"),
+            F.lit(level).cast("int").alias("lvl"),
+            (F.col("_sd").cast("double") / F.col("_sp").cast("double"))
+            .alias("margin"),
+        )
+
+    m = (
+        lvl(leaf, F.col("p_type"), F.col("p_brand"), 0)
+        .unionByName(lvl(
+            leaf.groupBy("p_type")
+            .agg(F.sum("_sd").alias("_sd"), F.sum("_sp").alias("_sp")),
+            F.col("p_type"), null_s, 1,
+        ))
+        .unionByName(lvl(
+            leaf.agg(F.sum("_sd").alias("_sd"), F.sum("_sp").alias("_sp")),
+            null_s, null_s, 3,
+        ))
     )
     w = Window.partitionBy("lvl", "p_type").orderBy("margin", "p_brand")
     return m.select(

@@ -567,17 +567,24 @@ def tpch_q12_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 (guide §2.3 'aggregate before you shuffle'): count orders per
+    # custkey FIRST (map-side partial agg collapses the fact before its
+    # exchange), then left-join customers to the tiny per-custkey count
+    # relation — the old plan shipped every order row through the outer
+    # join and aggregated the joined fact. Row-identical: customers
+    # whose orders are all '1-URGENT' (or who have none) take the NULL
+    # branch of the outer join and coalesce to the same c_count = 0.
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    per_custkey = (
+        orders.where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("o_orderkey").alias("_n"))
+    )
     per_cust = (
-        cust.join(
-            orders,
-            (F.col("c_custkey") == F.col("o_custkey"))
-            & (F.col("o_orderpriority") != "1-URGENT"),
-            "left_outer",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        cust.join(per_custkey, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_outer")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
     )
     return (
         per_cust.groupBy("c_count")
@@ -726,29 +733,34 @@ def tpch_q17_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 (guide §2.3 'aggregate before you shuffle' / §2.4): the final
+    # group key contains o_orderkey, which is unique in orders, so the
+    # group's sum(l_quantity) IS the per-order total the IN-subquery
+    # computes — one lineitem scan + one per-orderkey aggregate serves
+    # as both the >140 filter and the output sum. The old plan scanned
+    # and shuffled lineitem twice (once for the subquery aggregate,
+    # once through the orders join) and re-aggregated the joined fact.
+    # Row-identical: each surviving order joins exactly one customer,
+    # and the decimal sums are exact (order-free) either way.
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    big_orders = (
+    order_qty = (
         li.groupBy("l_orderkey")
         .agg(F.sum(_d("l_quantity")).alias("tot_qty"))
         .where(F.col("tot_qty") > 140)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(
-            big_orders, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi"
-        )
+        order_qty.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
-        .groupBy(
+        .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             _d("o_totalprice").alias("totalprice"),
+            F.col("tot_qty").cast("decimal(38,2)").alias("sum_qty"),
         )
-        .agg(F.sum(_d("l_quantity")).cast("decimal(38,2)").alias("sum_qty"))
         .orderBy(F.desc("totalprice"), "o_orderkey")
         .limit(100)
     )
