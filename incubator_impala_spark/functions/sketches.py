@@ -213,15 +213,65 @@ class KllSketch:
 # ---------------------------------------------------------------------------
 
 
+def grouped_kll_sketches(df, key: str, value_col: str, k: int = 200):
+    """Per-group KLL sketches with PARTIAL (map-side) aggregation.
+
+    A pandas GROUPED_AGG UDAF plans as ArrowAggregatePython over a full
+    shuffle + sort of the raw rows, with ONE Python worker per group —
+    at 100 TB that funnels the whole fact through a handful of tasks
+    (r11, guide §4/§2.3). This helper restores the reference UDA's
+    Init/Update/Merge lifecycle: each input partition builds one sketch
+    per group locally (mapInPandas, iterator form — guide §4.5), and
+    only the ~KB serialized partials shuffle into the ds_kll_union
+    merge. Same quality bounds (KLL merge preserves the error
+    guarantee); realized quantiles may differ from the single-pass
+    sketch within those bounds.
+
+    Precondition: groups whose values are entirely NULL are absent
+    from the output (the single-pass UDAF would emit a NULL sketch);
+    callers that need the NULL-sketch row must outer-join it back.
+
+    Returns a DataFrame (key, sk) — one merged sketch per group.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _partials(it):
+        sks: dict = {}
+        for pdf in it:
+            for g, grp in pdf.groupby(key, sort=False, dropna=False):
+                vals = grp[value_col].dropna().astype(float)
+                if not len(vals):
+                    continue
+                sk = sks.get(g)
+                if sk is None:
+                    sks[g] = sk = KllSketch(k)
+                sk.update_many(vals.tolist())
+        if sks:
+            yield pd.DataFrame(
+                {key: list(sks.keys()),
+                 "sk": [s.serialize().hex() for s in sks.values()]}
+            )
+
+    key_type = dict(df.dtypes)[key]
+    parts = df.select(key, value_col).mapInPandas(
+        _partials, schema=f"{key} {key_type}, sk string"
+    )
+    return parts.groupBy(key).agg(F.expr("ds_kll_union(sk)").alias("sk"))
+
+
 def register(spark) -> None:
     """Install the ds_kll_* SQL surface on the session.
 
     Sketch values travel as hex STRINGs (the reference's sketch type is
     StringVal too) so they survive any SQL surface; ds_kll_sketch /
-    ds_kll_union are pandas GROUPED_AGG UDAFs — Spark runs them as
-    partial aggregates per partition + merge, which is exactly the
-    Init/Update/Merge/Finalize lifecycle of the reference's UDAs and
-    the property that keeps the shuffle at ~KB per group at 100 TB.
+    ds_kll_union are pandas GROUPED_AGG UDAFs. NOTE (r11): Spark plans
+    a GROUPED_AGG UDAF as ArrowAggregatePython over a full shuffle of
+    the raw rows (no partial aggregation) — fine for the SQL surface's
+    ad-hoc use, but engine query paths that sketch a whole fact table
+    should use `grouped_kll_sketches` (map-side partial sketches +
+    ds_kll_union merge, the reference UDA's Init/Update/Merge
+    lifecycle, ~KB per group on the wire at 100 TB).
     """
     import pandas as pd
     from pyspark.sql.functions import PandasUDFType, pandas_udf

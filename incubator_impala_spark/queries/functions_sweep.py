@@ -566,7 +566,13 @@ def fn_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sketches.register(spark)
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    sk = ev.groupBy("event_type").agg(F.expr("ds_kll_sketch(value)").alias("sk"))
+    # r11 (guide §4/§2.3): per-partition partial sketches + union merge
+    # instead of a GROUPED_AGG over the raw rows — the old plan
+    # shuffled every event row to ONE Python worker per event_type
+    # (ArrowAggregatePython after a full sort+exchange); now only ~KB
+    # serialized sketch partials cross the exchange. Quantile
+    # estimates stay within the KLL error bound the entry verifies.
+    sk = sketches.grouped_kll_sketches(ev, "event_type", "value")
     est = sk.select(
         "event_type",
         F.expr("ds_kll_quantile(sk, 0.25d)").alias("q25"),
