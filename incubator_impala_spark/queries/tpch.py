@@ -843,6 +843,11 @@ def tpch_q19_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q21_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 note: a window-over-`per` form (one exchange, no self-join)
+    # was measured and REJECTED — the orderkey sort behind the window
+    # costs more than the hash re-aggregate + join it saves, at sf0.1
+    # and in principle (hash agg beats sort at any scale for this
+    # shape; the duplicate `per` subtree is AQE-stage-reused).
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     supp = load_table(spark, sf_dir, "supplier")

@@ -181,10 +181,14 @@ def test_tpcds_q78_anti_join_and_single_cust_shuffle(q):
 
 
 def test_tpcds_q95_semi_join_chain(q):
-    """Both EXISTS legs plan as LEFT SEMI joins on orderkey."""
+    """r11 shape: both EXISTS legs fold into one per-orderkey
+    aggregate (min/max suppkey + returnflag vote) feeding ONE LEFT
+    SEMI join — no orderkey self-join, no pair blowup, and the
+    aggregate must keep map-side partial aggregation."""
     plan = _plan(q["tpcds_q95_style_double_semijoin"])
-    assert plan.count("LeftSemi") == 2
+    assert plan.count("LeftSemi") == 1
     assert "CartesianProduct" not in plan
+    assert "partial_min" in plan or "partial" in plan.lower()
 
 
 def test_tpcds_q66_single_aggregate_for_twelve_columns(q):
