@@ -346,19 +346,51 @@ def simhash60_sql(dialect: str, table: str = "documents",
     substr/instr string ops per token.
     """
     if dialect == "spark":
+        # r11 (guide §1.2 per-task work): the 60 SUM(CASE ... ±1)
+        # accumulators are packed into 15 bigint words of four 16-bit
+        # counters each — SUM(shiftleft(bit, 16*j)) — and the majority
+        # vote is unpacked AFTER the aggregate as 2*count >= n. Same
+        # signature bit-for-bit (verified vs the unpacked form), 4x
+        # fewer aggregation buffer updates per token. Bound: a single
+        # document may carry at most 65,535 tokens before a counter
+        # overflows its slot (a >350 KB doc — chunk upstream, see
+        # operators/text.chunk_documents). The DuckDB oracle spelling
+        # below keeps the direct per-bit form.
         tok_src = (
             f"SELECT {id_col} AS doc_id, tok FROM {table} "
             f"LATERAL VIEW explode(split({text_col}, ' ')) t AS tok"
         )
         h_expr = "cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)"
-        shift = "shiftright(h, {n})"
-    else:
-        tok_src = (
-            f"SELECT {id_col} AS doc_id, unnest(string_split({text_col}, ' ')) AS tok "
-            f"FROM {table}"
-        )
-        h_expr = ("cast(concat('0x', substr(md5(tok), 1, 15)) as bigint)")
-        shift = "(h >> {n})"
+        per_word = 4
+        n_words = (SIMHASH_BITS + per_word - 1) // per_word
+        words = []
+        for w in range(n_words):
+            terms = [
+                f"shiftleft(shiftright(h, {59 - (w * per_word + j)}) & 1, {16 * j})"
+                for j in range(per_word)
+                if w * per_word + j < SIMHASH_BITS
+            ]
+            words.append("SUM(" + " + ".join(terms) + f") AS w{w}")
+        unpack = []
+        for b in range(SIMHASH_BITS):
+            w, j = divmod(b, per_word)
+            unpack.append(
+                f"(CASE WHEN 2 * (shiftright(w{w}, {16 * j}) & 65535) >= n "
+                f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+        return f"""
+    WITH toks AS ({tok_src}),
+    hx AS (SELECT doc_id, {h_expr} AS h FROM toks),
+    votes AS (SELECT doc_id, COUNT(*) AS n, {", ".join(words)}
+              FROM hx GROUP BY doc_id)
+    SELECT doc_id, CAST({" + ".join(unpack)} AS BIGINT) AS simhash FROM votes
+    """
+    tok_src = (
+        f"SELECT {id_col} AS doc_id, unnest(string_split({text_col}, ' ')) AS tok "
+        f"FROM {table}"
+    )
+    h_expr = ("cast(concat('0x', substr(md5(tok), 1, 15)) as bigint)")
+    shift = "(h >> {n})"
     bit_sums = ", ".join(
         "SUM(CASE WHEN ("
         + shift.format(n=59 - b)
