@@ -103,41 +103,47 @@ def tpcds_q4_style_three_channel_yoy_preference(
     one (ch, y) cell before joining, so leg cardinality is ~|custkey|.
     Reference: testdata/workloads/tpcds/queries/tpcds-q4.test,
     tpcds-q11.test."""
+    # r11 (guide §2.3/§2.4): the six join legs each select one
+    # (channel, year) cell of the same per-(custkey, y, ch) aggregate
+    # — equivalently ONE per-custkey aggregate with six conditional
+    # sums. The 6-way self-join (five joins plus six consumers of the
+    # aggregate subtree) collapses into one exchange; the inner-join
+    # requirement (a customer must have rows in every cell) becomes
+    # six NOT-NULL predicates (a conditional sum is NULL exactly when
+    # its cell has no rows). Values identical: same decimal sums, same
+    # cross-multiplied growth predicates.
     orders = load_table(spark, sf_dir, "orders")
+
+    def cell(chv: int, yv: int):
+        return F.sum(
+            F.when(
+                (F.col("o_orderkey") % 3 == chv)
+                & (F.year("o_orderdate") == yv),
+                _d("o_totalprice"),
+            )
+        ).cast("decimal(18,2)")
+
     t = (
         orders.where(F.year("o_orderdate").isin(1996, 2000))
-        .groupBy(
-            "o_custkey",
-            F.year("o_orderdate").alias("y"),
-            (F.col("o_orderkey") % 3).alias("ch"),
+        .groupBy("o_custkey")
+        .agg(
+            cell(0, 1996).alias("st_y1"), cell(0, 2000).alias("st_y2"),
+            cell(1, 1996).alias("ct_y1"), cell(1, 2000).alias("ct_y2"),
+            cell(2, 1996).alias("wb_y1"), cell(2, 2000).alias("wb_y2"),
         )
-        .agg(F.sum(_d("o_totalprice")).cast("decimal(18,2)").alias("rev"))
     )
-
-    def leg(chv: int, yv: int, alias: str):
-        return t.where((F.col("ch") == chv) & (F.col("y") == yv)).select(
-            F.col("o_custkey").alias(f"{alias}_ck"),
-            F.col("rev").alias(alias),
-        )
-
-    st1, st2 = leg(0, 1996, "st_y1"), leg(0, 2000, "st_y2")
-    ct1, ct2 = leg(1, 1996, "ct_y1"), leg(1, 2000, "ct_y2")
-    wb1, wb2 = leg(2, 1996, "wb_y1"), leg(2, 2000, "wb_y2")
-    joined = (
-        st1.join(st2, F.col("st_y1_ck") == F.col("st_y2_ck"))
-        .join(ct1, F.col("st_y1_ck") == F.col("ct_y1_ck"))
-        .join(ct2, F.col("st_y1_ck") == F.col("ct_y2_ck"))
-        .join(wb1, F.col("st_y1_ck") == F.col("wb_y1_ck"))
-        .join(wb2, F.col("st_y1_ck") == F.col("wb_y2_ck"))
+    cols = ["st_y1", "st_y2", "ct_y1", "ct_y2", "wb_y1", "wb_y2"]
+    import functools
+    all_cells = functools.reduce(
+        lambda a, b: a & b, [F.col(c).isNotNull() for c in cols]
     )
-    out = joined.where(
+    out = t.where(all_cells).where(
         (F.col("st_y1") > 0) & (F.col("ct_y1") > 0) & (F.col("wb_y1") > 0)
         & (F.col("ct_y2") * F.col("st_y1") > F.col("st_y2") * F.col("ct_y1"))
         & (F.col("ct_y2") * F.col("wb_y1") > F.col("wb_y2") * F.col("ct_y1"))
     )
-    cols = ["st_y1", "st_y2", "ct_y1", "ct_y2", "wb_y1", "wb_y2"]
     return out.select(
-        F.col("st_y1_ck").alias("custkey"),
+        F.col("o_custkey").alias("custkey"),
         *[F.col(c).cast("decimal(38,2)").alias(c) for c in cols],
     ).orderBy("custkey")
 
