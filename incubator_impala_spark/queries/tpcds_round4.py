@@ -275,38 +275,45 @@ def tpcds_q31_style_qoq_ratio_chain(
     legs reuse the n_name hash; leg inputs are one (ch, q) cell each
     (~|nation| rows), so the chain is broadcast-sized at any SF.
     Reference: testdata/workloads/tpcds/queries/tpcds-q31.test."""
+    # r11 (guide §2.3/§2.4, same collapse as q4-style): the six join
+    # legs each select one (channel, quarter) cell of the same
+    # aggregate — ONE per-nation aggregate with six conditional sums
+    # replaces five joins; the inner-join all-cells-present
+    # requirement becomes six NOT-NULL predicates.
+    import functools
+
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+
+    def cell(chv: int, qv: int):
+        return F.sum(
+            F.when(
+                (F.col("o_orderkey") % 2 == chv)
+                & (F.quarter("o_orderdate") == qv),
+                _d("o_totalprice"),
+            )
+        ).cast("decimal(18,2)")
+
     t = (
         orders.where(
             (F.year("o_orderdate") == 1998) & (F.quarter("o_orderdate") <= 3)
         )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy(
-            "n_name",
-            F.quarter("o_orderdate").cast("int").alias("q"),
-            (F.col("o_orderkey") % 2).alias("ch"),
+        .groupBy("n_name")
+        .agg(
+            cell(0, 1).alias("w1"), cell(0, 2).alias("w2"),
+            cell(0, 3).alias("w3"),
+            cell(1, 1).alias("s1"), cell(1, 2).alias("s2"),
+            cell(1, 3).alias("s3"),
         )
-        .agg(F.sum(_d("o_totalprice")).cast("decimal(18,2)").alias("rev"))
     )
-
-    def leg(chv: int, qv: int, alias: str):
-        return t.where((F.col("ch") == chv) & (F.col("q") == qv)).select(
-            F.col("n_name").alias(f"{alias}_n"), F.col("rev").alias(alias)
-        )
-
-    w1, w2, w3 = leg(0, 1, "w1"), leg(0, 2, "w2"), leg(0, 3, "w3")
-    s1, s2, s3 = leg(1, 1, "s1"), leg(1, 2, "s2"), leg(1, 3, "s3")
-    joined = (
-        w1.join(w2, F.col("w1_n") == F.col("w2_n"))
-        .join(w3, F.col("w1_n") == F.col("w3_n"))
-        .join(s1, F.col("w1_n") == F.col("s1_n"))
-        .join(s2, F.col("w1_n") == F.col("s2_n"))
-        .join(s3, F.col("w1_n") == F.col("s3_n"))
+    cells = ["w1", "w2", "w3", "s1", "s2", "s3"]
+    all_cells = functools.reduce(
+        lambda a, b: a & b, [F.col(c).isNotNull() for c in cells]
     )
-    out = joined.where(
+    out = t.where(all_cells).where(
         (F.col("w1") > 0) & (F.col("w2") > 0) & (F.col("s1") > 0)
         & (F.col("s2") > 0)
         & (F.col("w2") * F.col("s1") > F.col("s2") * F.col("w1"))
@@ -314,7 +321,7 @@ def tpcds_q31_style_qoq_ratio_chain(
     )
     dbl = lambda c: F.col(c).cast("double")  # noqa: E731
     return out.select(
-        F.col("w1_n").alias("n_name"),
+        "n_name",
         (dbl("w2") / dbl("w1")).alias("web_q1_q2"),
         (dbl("w3") / dbl("w2")).alias("web_q2_q3"),
         (dbl("s2") / dbl("s1")).alias("store_q1_q2"),
@@ -382,6 +389,11 @@ def tpcds_q64_style_snowflake_year_compare(
             F.broadcast(supp.where(F.col("s_acctbal") > 0)),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
+        # r11 note: a q4-style conditional-aggregate collapse of the
+        # two year legs was measured and REJECTED here (median
+        # 2.48 -> 3.88 s at sf0.1): with this composite grouping key
+        # the per-row conditional branches cost more than the one
+        # (brand, nation)-sized join they save.
         .groupBy("p_brand", "n_name", F.year("o_orderdate").alias("y"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("cnt"),
