@@ -130,6 +130,13 @@ def snapshot(spark, sf_dir: str, names=None) -> list[str]:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     written = []
     for name in names or all_plan_queries():
+        # Mirror test_golden_plans exactly: clear the cache registry
+        # before each build so a persist() registered by an earlier
+        # query cannot substitute an InMemoryRelation into this one's
+        # plan (r11: snapshots taken without this drifted from the
+        # test's cache-free condition once queries began persisting
+        # intermediates).
+        spark.catalog.clearCache()
         df = QUERIES[name](spark, sf_dir)
         text = normalize(explain_formatted(df))
         with open(golden_path(name), "w") as f:
