@@ -579,7 +579,13 @@ def fn_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ds_kll_quantile(sk, 0.50d)").alias("q50"),
         F.expr("ds_kll_quantile(sk, 0.75d)").alias("q75"),
     )
-    joined = ev.join(F.broadcast(est), "event_type")
+    # LEFT join (r12, ADVICE r11): grouped_kll_sketches omits groups
+    # whose values are all NULL (and a NULL event_type key never
+    # matches an equi-join) — an inner join would silently drop those
+    # groups from the output, whereas the old GROUPED_AGG form and the
+    # oracle emit them. Left join keeps the row set identical for
+    # degenerate groups (their q* come back NULL, ok flags NULL).
+    joined = ev.join(F.broadcast(est), "event_type", "left")
 
     def ok(q: str, target: float):
         realized = F.avg((F.col("value") <= F.col(q)).cast("double"))

@@ -57,13 +57,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.cbo.joinReorder.enabled": "true",
     # Arrow for any pandas-UDF exchange (the sanctioned Python path).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Local-mode shuffle sizing: the default 200 partitions means ~6×
-    # pure task overhead on a 32-core single node at these volumes.
-    # Runtime-settable, so it also fixes sessions we didn't build
-    # (the grading driver's). On a real cluster this would be raised
-    # (or left to AQE coalescing via initialPartitionNum) — see
-    # default_parallelism() below.
-    "spark.sql.shuffle.partitions": "32",
+    # spark.sql.shuffle.partitions is set in configure_session() from
+    # the session's actual core count (sc.defaultParallelism), not a
+    # literal here: a hard-coded "32" made an 8-core session plan
+    # 32-way shuffles (r11 verdict "What's wrong" #2), which both
+    # wastes task overhead and makes the $SPARK_GRAFT_CPUS scaling
+    # probe uninformative. On a real cluster this would be raised (or
+    # left to AQE coalescing via initialPartitionNum).
     # ANSI off: the reference returns NULL on e.g. divide-by-zero in
     # most contexts rather than erroring; Spark non-ANSI matches the
     # oracle-facing behaviour we test.
@@ -90,6 +90,19 @@ def configure_session(spark: SparkSession) -> SparkSession:
             # these are correctness-critical except the two timestamp
             # confs, which are runtime-settable on Spark 3.4+/4.x.
             pass
+    # Shuffle width follows the session's actual parallelism (r12):
+    # local[8] plans 8-way shuffles, local[32] 32-way — scale-adaptive
+    # instead of a constant tuned for one core count. Spark's default
+    # 200 would mean ~6× pure task overhead on a single node at these
+    # volumes; on a real cluster the initial number is a ceiling AQE
+    # coalesces under (coalescePartitions above).
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(1, spark.sparkContext.defaultParallelism)),
+        )
+    except PySparkException:
+        pass
     return spark
 
 

@@ -37,6 +37,14 @@ def main() -> None:
     if only:
         names = [n for n in names if n in only]
     for name in names:
+        # Cache hygiene (r12, VERDICT r11 "What's wrong" #4): a
+        # persist() from an earlier query would otherwise leak an
+        # InMemoryRelation into this query's captured plan — a relation
+        # that does not exist at bench time (bench.py clearCache()s
+        # before every run). Mirror plansnap.snapshot()'s per-query
+        # cache clearing so the committed evidence matches the plans
+        # the bench actually executes.
+        spark.catalog.clearCache()
         df = QUERIES[name](spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
